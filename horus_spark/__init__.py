@@ -1,0 +1,34 @@
+"""horus_spark — a PySpark-native forms-recognition / content-extraction engine.
+
+A from-scratch reimplementation of the capabilities of the reference engine
+(nikkh/Horus, studied at /root/reference): batch extraction over tables of
+interleaved text+media documents — boilerplate stripping, OCR layout parsing
+(line clustering + table grid inference), key-value field extraction,
+document "shredding" into typed records with an error taxonomy, versioning,
+dedup, and accuracy scoring — expressed Spark-first (DataFrame API +
+vectorized pandas/Arrow UDFs; zero per-row Python on the hot path).
+
+Package map:
+  schema.py              all StructTypes (input spans, OCR words, outputs)
+  errors.py              PRE0001..PRE0007 error taxonomy (parity with
+                         reference Engines/Processing/ProcessingEngine.cs)
+  config.py              per-format extraction configs (anchor lexicons)
+  operators/layout.py    L1 word->line clustering, L2 table grid inference
+  operators/fields.py    L3/L4 anchor-based key-value field extraction
+  operators/shred.py     P1-P9 document shredder (vectorized pandas)
+  operators/boilerplate.py  L5 text-density boilerplate scoring
+  operators/classify.py  L6 span classification -> spans_out
+  operators/dedup.py     exact / minhash-LSH / simhash / ngram-jaccard dedup
+  operators/similarity.py  brute-force + LSH-bucketed ANN cosine top-k
+  operators/textstats.py language-ID, quality scoring, token counts,
+                         fingerprinting over document text
+  operators/multimodal.py  binary media column plumbing (decode stubbed)
+  operators/scoring.py   Inspector-style accuracy scoring
+  pipeline.py            end-to-end extraction pipeline (one-shuffle design)
+  fixtures/generator.py  deterministic seeded synthetic corpus + goldens
+  fixtures/reference_fixtures.py  quickstart OCR fixture loaders
+  sources/               parquet/iceberg-style readers, checkpoint manifest
+  session.py             tuned SparkSession builder
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,11 @@
+import pytest
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from horus_spark.session import get_spark
+
+    s = get_spark(app_name="horus_tests", master="local[4]", shuffle_partitions=8)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+    s.stop()
