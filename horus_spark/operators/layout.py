@@ -1,0 +1,331 @@
+"""L1/L2 layout operators: word->line clustering and table grid inference.
+
+Native reimplementation of the layout analysis the reference delegates to a
+cloud form-recognizer service (reference Horus.Functions/DocumentProcessor.cs:196-301
+consumes its output; golden I/O contract =
+reference Horus.Generator/quickstart/INVOICE-3000*.pdf.ocr.json:
+analyzeResult.readResults[].lines[] and pageResults[].tables[]).
+
+All functions operate on pandas/numpy INSIDE an Arrow-batched Spark UDF —
+L1 is vectorized across every document in the batch (sort + break-flag +
+cumsum; no per-row Python); L2/grid runs per document over <=~250 words.
+
+Geometry conventions: bbox = [x1,y1,x2,y2,x3,y3,x4,y4] clockwise from
+top-left, inches; we reduce to (x0, y0, x1, y1) axis-aligned.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+# word-center y distance below which two words share a visual text row
+ROW_Y_TOL = 0.07
+# x gap above which fragments on the same row are separate OCR lines
+# (within-line word gaps ~0.065 in the fixtures; column gaps >= 0.10)
+FRAG_X_GAP = 0.095
+
+
+def _flatten_bbox(bbox_series: pd.Series) -> tuple[np.ndarray, ...]:
+    arr = np.asarray([list(b) for b in bbox_series], dtype=np.float64)
+    xs = arr[:, 0::2]
+    ys = arr[:, 1::2]
+    return xs.min(axis=1), ys.min(axis=1), xs.max(axis=1), ys.max(axis=1)
+
+
+def cluster_lines(words: pd.DataFrame) -> pd.DataFrame:
+    """L1: cluster word boxes into reading-order OCR lines (fragments).
+
+    Vectorized across ALL documents in the batch. Returns one row per word
+    with assigned fragment ids plus fragment geometry:
+      [doc_id, page, line_id, word_id, text, x0, y0, x1, y1, row_key, frag_key]
+    Fragment ids are consecutive within (doc_id, page) in reading order.
+    """
+    if len(words) == 0:
+        return words.assign(
+            x0=[], y0=[], x1=[], y1=[], row_key=[], frag_key=[], frag_ord=[]
+        )
+    x0, y0, x1, y1 = _flatten_bbox(words["bbox"])
+    df = words[["doc_id", "page", "line_id", "word_id", "text"]].copy()
+    df["x0"], df["y0"], df["x1"], df["y1"] = x0, y0, x1, y1
+    df["yc"] = (y0 + y1) / 2.0
+
+    df = df.sort_values(["doc_id", "page", "yc", "x0"], kind="mergesort").reset_index(drop=True)
+    doc_change = (df["doc_id"] != df["doc_id"].shift()) | (df["page"] != df["page"].shift())
+    new_row = doc_change | ((df["yc"] - df["yc"].shift()) > ROW_Y_TOL)
+    df["row_key"] = new_row.cumsum()
+
+    # rows need words ordered by x for fragment splitting
+    df = df.sort_values(["row_key", "x0"], kind="mergesort").reset_index(drop=True)
+    row_change = df["row_key"] != df["row_key"].shift()
+    gap = df["x0"] - df["x1"].shift()
+    new_frag = row_change | (gap > FRAG_X_GAP)
+    df["frag_key"] = new_frag.cumsum()
+
+    # reading-order fragment ordinal within (doc, page): rows are y-sorted,
+    # frags x-sorted within row, so frag_key is already monotone per doc.
+    first = df.groupby("frag_key", sort=False).head(1)
+    ord_within = first.groupby(["doc_id", "page"], sort=False).cumcount()
+    df = df.merge(
+        first[["frag_key"]].assign(frag_ord=ord_within.values), on="frag_key", how="left"
+    )
+    return df
+
+
+def fragments_view(clustered: pd.DataFrame) -> pd.DataFrame:
+    """Aggregate the word-level cluster output to one row per fragment:
+    [doc_id, page, frag_key, frag_ord, text, x0, y0, x1, y1, words]
+    where words = list of (line_id, word_id, text, x0, x1)."""
+    g = clustered.groupby("frag_key", sort=False)
+    out = g.agg(
+        doc_id=("doc_id", "first"),
+        page=("page", "first"),
+        frag_ord=("frag_ord", "first"),
+        x0=("x0", "min"),
+        y0=("y0", "min"),
+        x1=("x1", "max"),
+        y1=("y1", "max"),
+        text=("text", lambda s: " ".join(s)),
+    ).reset_index()
+    words = g.apply(
+        lambda s: list(zip(s["line_id"], s["word_id"], s["text"], s["x0"], s["x1"])),
+        include_groups=False,
+    )
+    out = out.merge(words.rename("words"), left_on="frag_key", right_index=True)
+    return out
+
+
+# --------------------------------------------------------------------- L2
+
+
+def _interval_clusters(intervals: np.ndarray) -> np.ndarray:
+    """Assign cluster ids to 1-D intervals [(lo, hi)] by overlap-connectivity
+    (maximal connected components under interval overlap)."""
+    order = np.argsort(intervals[:, 0])
+    cluster = np.zeros(len(intervals), dtype=np.int64)
+    cur, hi = 0, -np.inf
+    for idx in order:
+        lo, h = intervals[idx]
+        if lo > hi and hi != -np.inf:
+            cur += 1
+        cluster[idx] = cur
+        hi = max(hi, h)
+    return cluster
+
+
+def _monotone_header_groups(f, hdr_ids):
+    """Merge header fragments whose x-intervals overlap (multi-row header
+    titles like 'Unit'+'Price'); return groups sorted by x."""
+    ids = sorted(hdr_ids, key=lambda i: f.at[i, "x0"])
+    groups: list[list[int]] = []
+    for fi in ids:
+        placed = False
+        for g in groups:
+            glo = min(f.at[j, "x0"] for j in g)
+            ghi = max(f.at[j, "x1"] for j in g)
+            if min(ghi, f.at[fi, "x1"]) - max(glo, f.at[fi, "x0"]) > 0:
+                g.append(fi)
+                placed = True
+                break
+        if not placed:
+            groups.append([fi])
+    groups.sort(key=lambda g: min(f.at[j, "x0"] for j in g))
+    return groups
+
+
+def infer_grid(frags: pd.DataFrame) -> dict:
+    """L2: infer the line-item grid + totals table for ONE document page.
+
+    Strategy (anchor-column projection, domain of ruled invoice forms):
+    1. anchors = integer-text fragments forming the leftmost vertically
+       aligned run 1..N (the item-number column).
+    2. table rows = VISUAL TEXT ROWS of the item region (the reference
+       fixtures show the recognizer emitting wrapped description
+       continuations as their own rowIndex), header band = row 0.
+    3. columns = overlap-connected x-interval clusters of item fragments.
+    4. header titles merged by x-overlap ('Unit'+'Price'), assigned to
+       columns 1:1 in x order when counts allow, else by min x-gap.
+    5. totals table = fragments below the post-items gap CONTAINED in the
+       last column band (the reference's 4x1 pageResults table; the label
+       column is unruled and therefore excluded, matching the fixtures).
+
+    Returns {} if no table. cells maps (rowIndex, columnIndex) ->
+    list of fragment positional ids (frags.reset_index positions).
+    """
+    f = frags.reset_index(drop=True)
+    fy = f["y0"].to_numpy()
+    fx0, fx1 = f["x0"].to_numpy(), f["x1"].to_numpy()
+
+    is_int = f["text"].str.fullmatch(r"\d{1,2}")
+    anchors = None
+    if is_int.any():
+        cand = f[is_int].copy()
+        xc = (cand["x0"] + cand["x1"]) / 2
+        cand = cand.assign(xc=xc).sort_values("y0")
+        for _, grp in cand.groupby(np.round(cand["xc"] / 0.12).astype(int)):
+            vals = grp["text"].astype(int).tolist()
+            if vals[:1] == [1] and vals == list(range(1, len(vals) + 1)):
+                if anchors is None or len(grp) > len(anchors):
+                    anchors = grp
+    if anchors is None or len(anchors) == 0:
+        return {}
+
+    a_y0 = anchors["y0"].to_numpy()
+    n_anchor = len(anchors)
+    pad = 0.04
+    table_top = a_y0[0] - pad
+    pitch = float(np.median(np.diff(a_y0))) if n_anchor > 1 else 0.17
+    pitch = max(pitch, 0.12)
+
+    # ---- visual text rows of everything below the table top
+    below = np.flatnonzero(fy >= table_top)
+    below = below[np.argsort(fy[below], kind="stable")]
+    row_of: dict[int, int] = {}
+    row_ys: list[float] = []
+    for fi in below:
+        if row_ys and fy[fi] - row_ys[-1] <= 0.06:
+            row_of[int(fi)] = len(row_ys) - 1
+        else:
+            row_ys.append(float(fy[fi]))
+            row_of[int(fi)] = len(row_ys) - 1
+
+    # ---- item rows end where the inter-row gap exceeds 1.25x pitch after
+    # the last anchor row (the totals block / page footer follow)
+    last_anchor_y = a_y0[-1]
+    n_item_rows = len(row_ys)
+    for ri in range(1, len(row_ys)):
+        if row_ys[ri] > last_anchor_y + 1e-9 and row_ys[ri] - row_ys[ri - 1] > 1.25 * pitch:
+            n_item_rows = ri
+            break
+    item_mask = np.zeros(len(f), dtype=bool)
+    for fi, r in row_of.items():
+        if r < n_item_rows:
+            item_mask[fi] = True
+
+    # ---- columns from item fragments only
+    item_ids = np.flatnonzero(item_mask)
+    intervals = np.stack([fx0[item_ids], fx1[item_ids]], axis=1)
+    col_of = _interval_clusters(intervals)
+    n_cols = int(col_of.max() + 1) if len(col_of) else 0
+    col_lo = np.array([intervals[col_of == c, 0].min() for c in range(n_cols)])
+    col_hi = np.array([intervals[col_of == c, 1].max() for c in range(n_cols)])
+
+    cells: dict[tuple[int, int], list[int]] = {}
+    for k, fi in enumerate(item_ids):
+        cells.setdefault((row_of[int(fi)] + 1, int(col_of[k])), []).append(int(fi))
+
+    # ---- header: fragments in the band just above the table top
+    hdr_mask = (
+        (fy < table_top)
+        & (fy > table_top - 0.75)
+        & (fx1 > col_lo[0] - 0.05)
+        & (fx0 < col_hi[-1] + 0.05)
+    )
+    hdr_ids = np.flatnonzero(hdr_mask)
+    groups = _monotone_header_groups(f, hdr_ids)
+    # columns that have a header: exclude the anchor column (col 0 has no
+    # title in the reference layouts); 1:1 monotone when counts match
+    target_cols = list(range(1, n_cols))
+    if len(groups) == len(target_cols):
+        assign = dict(zip(range(len(groups)), target_cols))
+    else:
+        assign = {}
+        for gi, g in enumerate(groups):
+            glo = min(f.at[j, "x0"] for j in g)
+            ghi = max(f.at[j, "x1"] for j in g)
+            gaps = np.maximum(col_lo - ghi, 0) + np.maximum(glo - col_hi, 0)
+            assign[gi] = int(np.argmin(gaps))
+    for gi, g in enumerate(groups):
+        for fi in g:
+            cells.setdefault((0, assign[gi]), []).append(int(fi))
+
+    # ---- totals: below the items, contained in the last column band
+    totals_cells = []
+    tids = [
+        int(fi)
+        for fi, r in row_of.items()
+        if r >= n_item_rows
+        and fx0[fi] >= col_lo[-1] - 0.25
+        and fx1[fi] <= col_hi[-1] + 0.25
+    ]
+    if tids:
+        ys = np.array([fy[fi] for fi in tids])
+        order = np.argsort(ys)
+        r, prev_y = -1, -np.inf
+        for oi in order:
+            yv = ys[oi]
+            if yv - prev_y > 1.25 * pitch:  # totals end before a large gap
+                if r >= 0:
+                    break
+            if yv - prev_y > 0.06:
+                r += 1
+            totals_cells.append({"row": r, "frag_idx": [tids[oi]]})
+            prev_y = yv
+
+    return {
+        "anchor_idx": anchors.index.to_numpy(),
+        "n_rows": n_item_rows + 1,  # + header row
+        "n_cols": n_cols,
+        "col_lo": col_lo,
+        "col_hi": col_hi,
+        "cells": cells,
+        "totals_cells": totals_cells,
+        "table_top": float(table_top),
+        "row_ys": row_ys[:n_item_rows],
+        "pitch": pitch,
+    }
+
+
+def grid_to_tables(frags: pd.DataFrame, grid: dict, page0: int = 0) -> list[dict]:
+    """Render an inferred grid in the reference's pageResults.tables shape
+    (rows, columns, cells[{rowIndex, columnIndex, text, boundingBox,
+    elements}]) for golden comparison against the fixtures."""
+    if not grid:
+        return []
+    f = frags.reset_index(drop=True)
+
+    def cell_payload(frag_idxs):
+        sub = f.loc[sorted(frag_idxs, key=lambda i: (f.at[i, "y0"], f.at[i, "x0"]))]
+        text = " ".join(sub["text"])
+        elements = []
+        for _, fr in sub.iterrows():
+            for (line_id, word_id, *_rest) in fr["words"]:
+                elements.append(f"#/readResults/{page0}/lines/{line_id}/words/{word_id}")
+        bbox = [
+            float(sub["x0"].min()), float(sub["y0"].min()),
+            float(sub["x1"].max()), float(sub["y0"].min()),
+            float(sub["x1"].max()), float(sub["y1"].max()),
+            float(sub["x0"].min()), float(sub["y1"].max()),
+        ]
+        return text, bbox, elements
+
+    cells = []
+    for (r, c), idxs in sorted(grid["cells"].items()):
+        text, bbox, elements = cell_payload(idxs)
+        cells.append(
+            {
+                "rowIndex": int(r),
+                "columnIndex": int(c),
+                "text": text,
+                "boundingBox": bbox,
+                "elements": elements,
+            }
+        )
+    tables = [{"rows": int(grid["n_rows"]), "columns": int(grid["n_cols"]), "cells": cells}]
+    if grid["totals_cells"]:
+        tcells = []
+        for tc in grid["totals_cells"]:
+            text, bbox, elements = cell_payload(tc["frag_idx"])
+            tcells.append(
+                {
+                    "rowIndex": int(tc["row"]),
+                    "columnIndex": 0,
+                    "text": text,
+                    "boundingBox": bbox,
+                    "elements": elements,
+                }
+            )
+        tables.append(
+            {"rows": len({c["rowIndex"] for c in tcells}), "columns": 1, "cells": tcells}
+        )
+    return tables

@@ -1,0 +1,58 @@
+"""L1/L2 golden parity against the reference's OCR fixtures
+(reference Horus.Generator/quickstart/INVOICE-3000*.pdf.ocr.json):
+- L1: our word->line clustering must reproduce readResults.lines exactly
+  (text AND reading order).
+- L2: our grid inference must reproduce pageResults.tables exactly
+  (rows/columns/rowIndex/columnIndex/text/elements pointers).
+No Spark needed — pure pandas/numpy operators."""
+
+import pytest
+
+from horus_spark.fixtures.reference_fixtures import (
+    FIXTURE_IDS,
+    expected_lines,
+    expected_tables,
+    ocr_words_pdf,
+)
+from horus_spark.operators.layout import (
+    cluster_lines,
+    fragments_view,
+    grid_to_tables,
+    infer_grid,
+)
+
+
+def _frags(fid):
+    words = ocr_words_pdf(fid)
+    return fragments_view(cluster_lines(words)).sort_values("frag_ord").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("fid", FIXTURE_IDS)
+def test_line_clustering_exact(fid):
+    got = _frags(fid)["text"].tolist()
+    want = [e["text"] for e in expected_lines(fid)]
+    assert got == want
+
+
+@pytest.mark.parametrize("fid", FIXTURE_IDS)
+def test_grid_inference_exact(fid):
+    frags = _frags(fid)
+    got = grid_to_tables(frags, infer_grid(frags))
+    want = expected_tables(fid)
+    assert [(t["rows"], t["columns"]) for t in got] == [
+        (t["rows"], t["columns"]) for t in want
+    ]
+    for g, w in zip(got, want):
+        gm = {(c["rowIndex"], c["columnIndex"]): (c["text"], sorted(c["elements"])) for c in g["cells"]}
+        wm = {(c["rowIndex"], c["columnIndex"]): (c["text"], sorted(c["elements"])) for c in w["cells"]}
+        assert gm == wm
+
+
+def test_empty_words():
+    import pandas as pd
+
+    empty = pd.DataFrame(
+        {"doc_id": [], "page": [], "line_id": [], "word_id": [], "text": [], "bbox": [], "confidence": []}
+    )
+    cl = cluster_lines(empty)
+    assert len(cl) == 0
