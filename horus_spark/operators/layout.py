@@ -171,11 +171,8 @@ def infer_grid(frags: pd.DataFrame) -> dict:
         return {}
 
     a_y0 = anchors["y0"].to_numpy()
-    n_anchor = len(anchors)
     pad = 0.04
     table_top = a_y0[0] - pad
-    pitch = float(np.median(np.diff(a_y0))) if n_anchor > 1 else 0.17
-    pitch = max(pitch, 0.12)
 
     # ---- visual text rows of everything below the table top
     below = np.flatnonzero(fy >= table_top)
@@ -188,6 +185,12 @@ def infer_grid(frags: pd.DataFrame) -> dict:
         else:
             row_ys.append(float(fy[fi]))
             row_of[int(fi)] = len(row_ys) - 1
+
+    # text-row pitch (NOT anchor pitch — two-grid-row layouts space anchors
+    # 2 rows apart, which would hide the totals gap)
+    diffs = np.diff(np.asarray(row_ys)) if len(row_ys) > 1 else np.array([0.17])
+    pitch = float(np.median(diffs))
+    pitch = max(pitch, 0.12)
 
     # ---- item rows end where the inter-row gap exceeds 1.25x pitch after
     # the last anchor row (the totals block / page footer follow)

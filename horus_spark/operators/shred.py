@@ -145,6 +145,7 @@ class _FieldOps:
         raw = F.trim(self.raw(key))
         return F.coalesce(
             F.try_to_timestamp(raw, F.lit("dd/MM/yyyy")),
+            F.try_to_timestamp(raw, F.lit("dd/MM/yyyy HH:mm:ss")),  # dmy per fields.json
             F.try_to_timestamp(raw, F.lit("M/d/yyyy h:mm:ss a")),
             F.try_to_timestamp(raw, F.lit("M/d/yyyy H:mm:ss")),
             F.try_to_timestamp(raw, F.lit("yyyy-MM-dd HH:mm:ss")),
@@ -183,9 +184,10 @@ def _k(prefix: str, i: Column) -> Column:
     return F.concat(F.lit(prefix), F.lpad(i.cast("string"), 2, "0"))
 
 
-def shred(df: DataFrame, fields_col: str = "fields") -> DataFrame:
+def shred(df: DataFrame, fields_col: str = "fields", carry: list[str] | None = None) -> DataFrame:
     """Shred (doc_id, fields:map<string,string>[, thumbprint, model_id,
-    model_version]) into the EXTRACTED document shape (minus spans_out).
+    model_version]) into the EXTRACTED document shape; `carry` columns are
+    appended to the output unchanged (e.g. spans_out).
 
     Pure Spark expressions — no UDFs; survives whole-stage codegen.
     """
@@ -325,6 +327,7 @@ def shred(df: DataFrame, fields_col: str = "fields") -> DataFrame:
             F.col("_line_items").alias("line_items"),
             F.col("_errors").alias("errors"),
             F.lit(0).cast("long").alias("time_to_shred_ms"),
+            *[F.col(c) for c in (carry or [])],
         )
     )
     return out

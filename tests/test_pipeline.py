@@ -1,0 +1,109 @@
+"""End-to-end golden tests: seeded corpus -> full pipeline -> exact
+span-sequence equality (kind, text, media_ref, order) per BASELINE.json,
+plus shredded-document reconciliation against the expected tables
+(comparator semantics per reference Horus.Inspector/Inspector.cs:292-306:
+decimals at 2dp, dates at day granularity, strings exact)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from horus_spark.fixtures.generator import corpus_pandas, corpus_spark
+from horus_spark.pipeline import run_extraction
+
+N = 80
+
+
+@pytest.fixture(scope="module")
+def extracted(spark):
+    c = corpus_spark(spark, N, partitions=4)
+    out = run_extraction(c["documents"], c["ocr_words"]).cache()
+    out.count()
+    return out
+
+
+@pytest.fixture(scope="module")
+def golden():
+    return corpus_pandas(N)
+
+
+def test_span_sequence_equality(spark, extracted, golden):
+    exp = spark.createDataFrame(
+        [(r["doc_id"], r["spans_out"]) for _, r in golden["expected_spans"].iterrows()],
+        "doc_id string, e_spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    j = extracted.select("doc_id", "spans_out").join(exp, "doc_id")
+    assert j.count() == N
+    assert j.filter(F.col("spans_out") != F.col("e_spans")).count() == 0
+
+
+def test_header_fields_match_expected(spark, extracted, golden):
+    exp = spark.createDataFrame(
+        golden["expected_documents"][
+            ["doc_id", "account", "postal_code", "pre_tax_total", "tax_total",
+             "shipping_total", "grand_total", "document_number", "document_date"]
+        ]
+    ).select(
+        "doc_id",
+        F.col("account").alias("e_account"),
+        F.col("postal_code").alias("e_pc"),
+        F.col("pre_tax_total").alias("e_pre"),
+        F.col("tax_total").alias("e_tax"),
+        F.col("shipping_total").alias("e_ship"),
+        F.col("grand_total").alias("e_grand"),
+        F.col("document_number").alias("e_num"),
+        F.col("document_date").alias("e_date"),
+    )
+    j = extracted.join(exp, "doc_id")
+    bad = j.filter(
+        (F.round("net_total", 2) != F.round("e_pre", 2))
+        | (F.round("vat_amount", 2) != F.round("e_tax", 2))
+        | (F.round("shipping_total", 2) != F.round("e_ship", 2))
+        | (F.round("grand_total", 2) != F.round("e_grand", 2))
+        | (F.col("account") != F.col("e_account"))
+        | (F.col("post_code") != F.col("e_pc"))
+        | (F.col("document_number") != F.col("e_num"))
+        | (F.to_date("tax_date") != F.to_date("e_date"))  # day-granularity
+    )
+    assert bad.count() == 0
+
+
+def test_line_items_match_expected(spark, extracted, golden):
+    el = spark.createDataFrame(golden["expected_lines"]).withColumn(
+        "line_no", F.lpad("line_number", 2, "0")
+    )
+    act = extracted.select("doc_id", F.explode("line_items").alias("li")).select(
+        "doc_id",
+        F.col("li.line_no").alias("line_no"),
+        F.col("li.net_amount").alias("a_net"),
+        F.col("li.item_description").alias("a_desc"),
+        F.col("li.line_quantity").alias("a_qty"),
+        F.col("li.taxable_indicator").alias("a_tax"),
+    )
+    j = act.join(el, ["doc_id", "line_no"], "full")
+    bad = j.filter(
+        F.col("a_net").isNull()
+        | F.col("discounted_goods_value").isNull()
+        | (F.round("a_net", 2) != F.round("discounted_goods_value", 2))
+        | (F.col("a_desc") != F.concat_ws(" ", "isbn", "title"))
+        | (F.col("a_qty").cast("double") != F.col("quantity"))
+        | (F.col("a_tax").isNotNull() != F.col("taxable"))
+    )
+    assert bad.count() == 0
+
+
+def test_unmatched_document_still_produces_row(spark):
+    """A document with no OCR words must yield a row with error rows, not
+    vanish (per-document isolation, DocumentProcessor.cs:101-106)."""
+    docs = spark.createDataFrame(
+        [("abc-INVOICE-99999.pdf", [("text", "hello world of forms", "", 0)])],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    words = spark.createDataFrame(
+        [],
+        "doc_id string, page int, line_id int, word_id int, text string, bbox array<float>, confidence float",
+    )
+    out = run_extraction(docs, words).collect()
+    assert len(out) == 1
+    assert out[0].is_valid is True  # header errors are warnings only
+    assert len(out[0].errors) == 10  # all header fields missing
+    assert out[0].spans_out[0].kind == "content"
