@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship span-extraction pipeline over the sf0.001
+documents table. `queries()` exposes one entry per implemented operator
+family from SURVEY.md §2 (relational mappings of the reference's semantics
+plus the training-data-pipeline operators); `oracle_sql()` provides the
+DuckDB-equivalent SQL for every SQL-expressible query. Column names/aliases
+match exactly between both sides.
 """
 
 from __future__ import annotations
@@ -12,27 +13,625 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _spans_from_text(docs: DataFrame) -> DataFrame:
+    """Build the north-rule span shape from a plain text corpus: one text
+    span per ~12-token chunk, offsets in order."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_chunks = F.greatest(F.ceil(F.size(toks) / 12).cast("int"), F.lit(1))
+    spans = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            F.lit("text").alias("kind"),
+            F.concat_ws(" ", F.slice(toks, (i * 12 + 1).cast("int"), 12)).alias("text"),
+            F.lit("").alias("media_ref"),
+            i.cast("int").alias("offset"),
+        ),
+    )
+    return docs.select(F.col("doc_id").cast("string").alias("doc_id"), spans.alias("spans"))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: span classification + text analytics over sf0.001."""
+    from horus_spark.operators.boilerplate import is_boilerplate_text
+    from horus_spark.operators.textstats import (
+        fingerprint_expr,
+        quality_score_expr,
+        token_count_expr,
+    )
+
+    docs = _load(spark, "/root/testdata/sf0.001", "documents")
+    spans = _spans_from_text(docs)
+    classified = spans.withColumn(
+        "spans_out",
+        F.transform(
+            F.col("spans"),
+            lambda s: F.struct(
+                F.when(is_boilerplate_text(s["text"]), F.lit("boilerplate"))
+                .otherwise(F.lit("content"))
+                .alias("kind"),
+                s["text"].alias("text"),
+                s["media_ref"].alias("media_ref"),
+                s["offset"].alias("offset"),
+            ),
+        ),
+    )
+    full_text = F.concat_ws(" ", F.transform(F.col("spans"), lambda s: s["text"]))
+    return classified.select(
+        "doc_id",
+        F.size("spans_out").alias("n_spans"),
+        F.size(F.filter(F.col("spans_out"), lambda s: s["kind"] == "content")).alias(
+            "n_content"
+        ),
+        token_count_expr(full_text).alias("n_tokens"),
+        quality_score_expr(full_text).alias("quality_score"),
+        fingerprint_expr(full_text).alias("fingerprint"),
+    )
+
+
+# ----------------------------------------------------------------- queries
+
+
+def _q01_pricing_summary(spark, sf_dir):
+    """A1/A3-family aggregation (TPC-H Q1 shape) — map-side partial aggs."""
+    li = _load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2026-06-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(_dsum(F.col("l_quantity")), 2).cast("double").alias("sum_qty"),
+            F.round(_dsum(F.col("l_extendedprice")), 2).cast("double").alias("sum_base_price"),
+            F.round(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.round(_dsum(F.col("l_quantity")) / F.count("*"), 4).cast("double").alias("avg_qty"),
+            F.round(_dsum(F.col("l_discount")) / F.count("*"), 4).cast("double").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def _dsum(col):
+    """Order-independent exact sum: per-row double -> decimal(30,10) -> sum.
+    Decimal addition is associative, so Spark's partition order and the
+    oracle's sequential order produce bit-identical results."""
+    return F.sum(col.cast("decimal(30,10)"))
+
+
+def _q02_totals_chain(spark, sf_dir):
+    """P13 + A1: the reference generator's per-line value chain and per-doc
+    totals (19% tax / 15% shipping) mapped onto lineitem/orders
+    (reference Horus.Generator/Models/GeneratorDocumentLineItem.cs:23-51,
+    GeneratorDocument.cs:30-57)."""
+    li = _load(spark, sf_dir, "lineitem")
+    lines = li.select(
+        "l_orderkey",
+        F.col("l_extendedprice").alias("goods_value"),
+        (F.col("l_extendedprice") * F.col("l_discount")).alias("discount_value"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("discounted_goods_value"),
+        F.when(F.col("l_tax") > 0, F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .otherwise(F.lit(0.0))
+        .alias("taxable_value"),
+    )
+    dgv = _dsum(F.col("discounted_goods_value"))
+    txv = _dsum(F.col("taxable_value"))
+    return (
+        lines.groupBy("l_orderkey")
+        .agg(
+            F.round(dgv, 2).cast("double").alias("pre_tax_total"),
+            F.round(txv * F.lit("0.19").cast("decimal(10,2)"), 2).cast("double").alias("tax_total"),
+            F.round(dgv * F.lit("0.15").cast("decimal(10,2)"), 2).cast("double").alias("shipping_total"),
+            F.round(
+                dgv * F.lit("1.15").cast("decimal(10,2)") + txv * F.lit("0.19").cast("decimal(10,2)"), 2
+            ).cast("double").alias("grand_total"),
+        )
+    )
+
+
+def _q03_latest_per_key(spark, sf_dir):
+    """J1/A4/W2: argmax-per-key (the model-registry 'latest version' lookup,
+    reference Horus.Functions/HorusSql.cs:77-81) as a window top-1."""
+    o = _load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate", F.round("o_totalprice", 2).alias("latest_total"))
+    )
+
+
+def _q04_region_revenue(spark, sf_dir):
+    """J2-family: chained broadcast dimension joins (customer->nation->region)."""
+    o = _load(spark, sf_dir, "orders")
+    c = _load(spark, sf_dir, "customer")
+    n = _load(spark, sf_dir, "nation")
+    r = _load(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.round(_dsum(F.col("o_totalprice")), 2).cast("double").alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy("r_name")
+    )
+
+
+def _q05_versioning(spark, sf_dir):
+    """W1: document-versioning semantics (version = ROW_NUMBER per key by
+    time, latest flag; reference SQL Patch/Add document versioning.sql:4-26,
+    HorusSql.cs:221-233) over the events table."""
+    e = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wall = Window.partitionBy("user_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.row_number().over(w).alias("doc_version"),
+        (F.row_number().over(w) == F.count("*").over(wall)).alias("latest_version_indicator"),
+    )
+
+
+def _q06_tax_period(spark, sf_dir):
+    """P5: TaxPeriod = year + month with NO zero padding
+    (reference HorusProcessingEngine.cs:42-45)."""
+    o = _load(spark, sf_dir, "orders")
+    return (
+        o.withColumn(
+            "tax_period",
+            F.concat(F.year("o_orderdate").cast("string"), F.month("o_orderdate").cast("string")),
+        )
+        .groupBy("tax_period")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(_dsum(F.col("o_totalprice")), 2).cast("double").alias("total"),
+        )
+    )
+
+
+def _q07_error_taxonomy(spark, sf_dir):
+    """P1-P3 error-channel semantics as severity classification
+    (PRE0004 zero-value warning etc., reference ProcessingEngine.cs:61-101)."""
+    li = _load(spark, sf_dir, "lineitem")
+    classified = li.select(
+        F.when(F.col("l_discount") == 0, F.lit("PRE0004"))
+        .when(F.col("l_quantity") <= 1, F.lit("PRE0002"))
+        .when(F.col("l_tax") == 0, F.lit("PRE0001"))
+        .otherwise(F.lit("OK"))
+        .alias("error_code"),
+        F.when(F.col("l_discount") == 0, F.lit("Warning"))
+        .when(F.col("l_quantity") <= 1, F.lit("Terminal"))
+        .when(F.col("l_tax") == 0, F.lit("Warning"))
+        .otherwise(F.lit("Observation"))
+        .alias("severity"),
+    )
+    return classified.groupBy("error_code", "severity").agg(F.count("*").alias("n"))
+
+
+def _q08_accuracy_score(spark, sf_dir):
+    """A5/A6: Inspector-style scoring — 2dp-rounded equality, 20-point
+    header + 80 points pro-rata over lines with INTEGER division
+    (reference Horus.Inspector/Inspector.cs:342-413, quirk at 366-367)."""
+    o = _load(spark, sf_dir, "orders")
+    li = _load(spark, sf_dir, "lineitem")
+    actual = li.groupBy("l_orderkey").agg(
+        F.round(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2)
+        .cast("double")
+        .alias("actual_total"),
+        F.count("*").alias("n_lines"),
+        F.sum(F.when(F.col("l_quantity") > 1, 1).otherwise(0)).alias("n_lines_ok"),
+    )
+    j = o.join(actual, o.o_orderkey == actual.l_orderkey)
+    header_pts = F.when(F.round("o_totalprice", 2) == F.col("actual_total"), 20).otherwise(0)
+    line_pts = F.floor(F.lit(80) / F.col("n_lines")) * F.col("n_lines_ok")
+    return j.select(
+        "o_orderkey",
+        header_pts.cast("long").alias("header_points"),
+        line_pts.cast("long").alias("line_points"),
+        (header_pts + line_pts).cast("long").alias("score"),
+    )
+
+
+def _q09_sessionize(spark, sf_dir):
+    """Streaming-analog sessionization (30-min gap) as windowed batch."""
+    e = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    sess = e.withColumn("new_session", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+    sess = sess.withColumn("session_id", F.sum("new_session").over(w))
+    return (
+        sess.groupBy("user_id")
+        .agg(
+            F.max("session_id").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+            F.round(_dsum(F.col("value")), 2).cast("double").alias("total_value"),
+        )
+    )
+
+
+def _q10_dedup_exact(spark, sf_dir):
+    from horus_spark.operators.dedup import exact_dedup
+
+    d = _load(spark, sf_dir, "documents").withColumn("doc_id", F.col("doc_id").cast("string"))
+    return exact_dedup(d)
+
+
+def _q11_ngram_jaccard(spark, sf_dir):
+    from horus_spark.operators.dedup import jaccard_pairs
+
+    d = _load(spark, sf_dir, "documents").withColumn("doc_id", F.col("doc_id").cast("string"))
+    return jaccard_pairs(d, n=3, threshold=0.12)
+
+
+def _q12_token_stats(spark, sf_dir):
+    from horus_spark.operators.textstats import token_count_expr
+
+    d = _load(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(token_count_expr(F.col("text"))).alias("total_tokens"),
+            F.round(_dsum(F.col("n_chars")) / F.count("*"), 2).cast("double").alias("avg_chars"),
+        )
+    )
+
+
+def _q13_quality(spark, sf_dir):
+    from horus_spark.operators.textstats import quality_score_expr, token_count_expr
+
+    d = _load(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        token_count_expr(F.col("text")).alias("n_tokens"),
+        quality_score_expr(F.col("text")).alias("quality_score"),
+    )
+
+
+def _q14_langid(spark, sf_dir):
+    from horus_spark.operators.textstats import langid_expr
+
+    d = _load(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        langid_expr(F.col("text")).alias("lang_pred"),
+    )
+
+
+def _q15_fingerprint(spark, sf_dir):
+    from horus_spark.operators.textstats import fingerprint_expr
+
+    d = _load(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        fingerprint_expr(F.col("text")).alias("fingerprint"),
+    )
+
+
+def _q16_simhash(spark, sf_dir):
+    from horus_spark.operators.dedup import simhash
+
+    d = _load(spark, sf_dir, "documents").withColumn("doc_id", F.col("doc_id").cast("string"))
+    return simhash(d, bits=32)
+
+
+def _q17_ann_topk(spark, sf_dir):
+    from horus_spark.operators.similarity import brute_force_topk
+
+    e = _load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return brute_force_topk(e, q, k=10)
+
+
+def _q18_label_norms(spark, sf_dir):
+    e = _load(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    return (
+        e.select("label", norm.alias("norm"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(_dsum(F.col("norm")) / F.count("*"), 4).cast("double").alias("avg_norm"),
+        )
+    )
+
+
+# ------- extraction-engine queries (non-SQL-expressible; rows-only checks)
+
+
+def _q19_extract_documents(spark, sf_dir):
+    """Full forms pipeline over the seeded synthetic corpus: shredded
+    headers (SURVEY §2.2/§2.8 L1-L6 + P1-P9)."""
+    from horus_spark.fixtures.generator import corpus_spark
+    from horus_spark.pipeline import run_extraction
+
+    c = corpus_spark(spark, 150, partitions=8)
+    out = run_extraction(c["documents"], c["ocr_words"])
+    return out.select(
+        "doc_id", "document_number", "tax_period", "account", "post_code",
+        F.round("net_total", 2).alias("net_total"),
+        F.round("grand_total", 2).alias("grand_total"),
+        F.size("line_items").alias("n_lines"),
+        F.size("errors").alias("n_errors"),
+        "is_valid",
+    )
+
+
+def _q20_extract_spans(spark, sf_dir):
+    """North-rule span classification output, exploded."""
+    from horus_spark.fixtures.generator import corpus_spark
+    from horus_spark.pipeline import run_extraction
+
+    c = corpus_spark(spark, 150, partitions=8)
+    out = run_extraction(c["documents"], c["ocr_words"])
+    return out.select("doc_id", F.explode("spans_out").alias("s")).select(
+        "doc_id", F.col("s.kind").alias("kind"), F.col("s.offset").alias("offset"),
+        F.col("s.media_ref").alias("media_ref"),
+    )
+
+
+def _q21_minhash_pairs(spark, sf_dir):
+    from horus_spark.operators.dedup import minhash_dedup_pairs
+
+    d = _load(spark, sf_dir, "documents").withColumn("doc_id", F.col("doc_id").cast("string"))
+    return minhash_dedup_pairs(d, n=3, k=64, bands=16, threshold=0.3)
+
+
+def _q22_lsh_ann(spark, sf_dir):
+    import numpy as np
+
+    from horus_spark.operators.similarity import lsh_topk
+
+    e = _load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    rng = np.random.RandomState(7)
+    planes = rng.randn(6, 64).tolist()
+    return lsh_topk(e, q, planes, k=10)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q01_pricing_summary": _q01_pricing_summary,
+        "q02_totals_chain": _q02_totals_chain,
+        "q03_latest_per_key": _q03_latest_per_key,
+        "q04_region_revenue": _q04_region_revenue,
+        "q05_versioning": _q05_versioning,
+        "q06_tax_period": _q06_tax_period,
+        "q07_error_taxonomy": _q07_error_taxonomy,
+        "q08_accuracy_score": _q08_accuracy_score,
+        "q09_sessionize": _q09_sessionize,
+        "q10_dedup_exact": _q10_dedup_exact,
+        "q11_ngram_jaccard": _q11_ngram_jaccard,
+        "q12_token_stats": _q12_token_stats,
+        "q13_quality": _q13_quality,
+        "q14_langid": _q14_langid,
+        "q15_fingerprint": _q15_fingerprint,
+        "q16_simhash": _q16_simhash,
+        "q17_ann_topk": _q17_ann_topk,
+        "q18_label_norms": _q18_label_norms,
+        "q19_extract_documents": _q19_extract_documents,
+        "q20_extract_spans": _q20_extract_spans,
+        "q21_minhash_pairs": _q21_minhash_pairs,
+        "q22_lsh_ann": _q22_lsh_ann,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------- oracle SQL
+
+_STOPWORDS_SQL = "['the','a','of','and','is','to','in']"
+_LANGS_SQL = {
+    "de": "['der','die','das','und','ist']",
+    "en": "['the','a','of','and','is']",
+    "es": "['el','la','los','y','es']",
+    "fr": "['le','la','les','et','est']",
+}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    toks = "string_split(trim(text), ' ')"
+    shingle_cte = f"""
+      WITH tok AS (
+        SELECT CAST(doc_id AS VARCHAR) AS id, {toks} AS t FROM documents
+      ), sh AS (
+        SELECT id, unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                    for i in generate_series(1, len(t)-2)])) AS shingle
+        FROM tok WHERE len(t) >= 3
+      ), sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id)
     """
-    return {}
+    lang_score = lambda code: (  # noqa: E731
+        f"len(list_filter({toks}, x -> list_contains({_LANGS_SQL[code]}, lower(x))))"
+    )
+    # argmax with lexicographic tie-break (matches langid_expr: strictly
+    # greater replaces, so earlier code wins ties)
+    lang_expr = f"""
+      CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+           WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+           WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+           WHEN s_es >= s_fr THEN 'es'
+           ELSE 'fr' END
+    """
+    quality = """
+      (CASE WHEN n_tok BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END
+       + CASE WHEN stop_ratio >= 0.05 THEN 0.3 ELSE 0.0 END
+       + CASE WHEN punct_ratio <= 0.2 THEN 0.3 ELSE 0.0 END)
+    """
+    qstats = f"""
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+             CASE WHEN len(trim(text))=0 THEN 0 ELSE len({toks}) END AS n_tok,
+             len(list_filter(string_split(trim(lower(text)),' '), x -> list_contains({_STOPWORDS_SQL}, x)))
+               * 1.0 / greatest(len({toks}), 1) AS stop_ratio,
+             (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) * 1.0
+               / greatest(length(text),1) AS punct_ratio
+      FROM documents
+    """
+    return {
+        "q01_pricing_summary": """
+          SELECT l_returnflag, l_linestatus,
+                 CAST(round(sum(CAST(l_quantity AS DECIMAL(30,10))),2) AS DOUBLE) AS sum_qty,
+                 CAST(round(sum(CAST(l_extendedprice AS DECIMAL(30,10))),2) AS DOUBLE) AS sum_base_price,
+                 CAST(round(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(30,10))),2) AS DOUBLE) AS sum_disc_price,
+                 CAST(round(sum(CAST(l_quantity AS DECIMAL(30,10)))/count(*),4) AS DOUBLE) AS avg_qty,
+                 CAST(round(sum(CAST(l_discount AS DECIMAL(30,10)))/count(*),4) AS DOUBLE) AS avg_disc,
+                 count(*) AS count_order
+          FROM lineitem WHERE l_shipdate <= TIMESTAMP '2026-06-01'
+          GROUP BY 1,2 ORDER BY 1,2
+        """,
+        "q02_totals_chain": """
+          WITH l AS (
+            SELECT l_orderkey,
+                   CAST(l_extendedprice*(1-l_discount) AS DECIMAL(30,10)) AS dgv,
+                   CAST(CASE WHEN l_tax>0 THEN l_extendedprice*(1-l_discount) ELSE 0 END AS DECIMAL(30,10)) AS txv
+            FROM lineitem)
+          SELECT l_orderkey,
+                 CAST(round(sum(dgv),2) AS DOUBLE) AS pre_tax_total,
+                 CAST(round(sum(txv)*CAST('0.19' AS DECIMAL(10,2)),2) AS DOUBLE) AS tax_total,
+                 CAST(round(sum(dgv)*CAST('0.15' AS DECIMAL(10,2)),2) AS DOUBLE) AS shipping_total,
+                 CAST(round(sum(dgv)*CAST('1.15' AS DECIMAL(10,2)) + sum(txv)*CAST('0.19' AS DECIMAL(10,2)),2) AS DOUBLE) AS grand_total
+          FROM l GROUP BY 1
+        """,
+        "q03_latest_per_key": """
+          SELECT o_custkey, o_orderkey, o_orderdate, round(o_totalprice,2) AS latest_total
+          FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
+          WHERE rn = 1
+        """,
+        "q04_region_revenue": """
+          SELECT r_name, CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,10))),2) AS DOUBLE) AS revenue, count(*) AS n_orders
+          FROM orders JOIN customer ON o_custkey=c_custkey
+          JOIN nation ON c_nationkey=n_nationkey
+          JOIN region ON n_regionkey=r_regionkey
+          GROUP BY 1 ORDER BY 1
+        """,
+        "q05_versioning": """
+          SELECT event_id, user_id,
+                 CAST(row_number() OVER w AS INT) AS doc_version,
+                 row_number() OVER w = count(*) OVER (PARTITION BY user_id) AS latest_version_indicator
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "q06_tax_period": """
+          SELECT CAST(year(o_orderdate) AS VARCHAR) || CAST(month(o_orderdate) AS VARCHAR) AS tax_period,
+                 count(*) AS n_orders, CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,10))),2) AS DOUBLE) AS total
+          FROM orders GROUP BY 1
+        """,
+        "q07_error_taxonomy": """
+          SELECT CASE WHEN l_discount = 0 THEN 'PRE0004'
+                      WHEN l_quantity <= 1 THEN 'PRE0002'
+                      WHEN l_tax = 0 THEN 'PRE0001' ELSE 'OK' END AS error_code,
+                 CASE WHEN l_discount = 0 THEN 'Warning'
+                      WHEN l_quantity <= 1 THEN 'Terminal'
+                      WHEN l_tax = 0 THEN 'Warning' ELSE 'Observation' END AS severity,
+                 count(*) AS n
+          FROM lineitem GROUP BY 1,2
+        """,
+        "q08_accuracy_score": """
+          WITH actual AS (
+            SELECT l_orderkey,
+                   CAST(round(sum(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(30,10))),2) AS DOUBLE) AS actual_total,
+                   count(*) AS n_lines,
+                   sum(CASE WHEN l_quantity > 1 THEN 1 ELSE 0 END) AS n_lines_ok
+            FROM lineitem GROUP BY 1)
+          SELECT o_orderkey,
+                 CAST(CASE WHEN round(o_totalprice,2) = actual_total THEN 20 ELSE 0 END AS BIGINT) AS header_points,
+                 CAST((80 // n_lines) * n_lines_ok AS BIGINT) AS line_points,
+                 CAST(CASE WHEN round(o_totalprice,2) = actual_total THEN 20 ELSE 0 END
+                      + (80 // n_lines) * n_lines_ok AS BIGINT) AS score
+          FROM orders JOIN actual ON o_orderkey = l_orderkey
+        """,
+        "q09_sessionize": """
+          WITH s AS (
+            SELECT user_id, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                        OR date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END AS new_session
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+          , t AS (SELECT user_id, value, sum(new_session) OVER (PARTITION BY user_id ROWS UNBOUNDED PRECEDING) AS session_id,
+                         new_session FROM (SELECT *, row_number() OVER () FROM s))
+          SELECT user_id, CAST(sum(new_session) AS INT) AS n_sessions, count(*) AS n_events,
+                 CAST(round(sum(CAST(value AS DECIMAL(30,10))),2) AS DOUBLE) AS total_value
+          FROM s GROUP BY user_id
+        """,
+        "q10_dedup_exact": """
+          WITH h AS (SELECT CAST(doc_id AS VARCHAR) AS id, md5(text) AS thumbprint FROM documents),
+          g AS (SELECT thumbprint, min(id) AS canonical_id, count(*) AS group_size FROM h GROUP BY 1)
+          SELECT id, h.thumbprint, canonical_id, id <> canonical_id AS is_duplicate
+          FROM h JOIN g ON h.thumbprint = g.thumbprint
+        """,
+        "q11_ngram_jaccard": shingle_cte + """
+          , pairs AS (
+            SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+            GROUP BY 1,2)
+          SELECT id_a, id_b,
+                 round(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+          FROM pairs JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+          WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= 0.12
+        """,
+        "q12_token_stats": f"""
+          SELECT source, count(*) AS n_docs,
+                 CAST(sum(CASE WHEN len(trim(text))=0 THEN 0 ELSE len({toks}) END) AS BIGINT) AS total_tokens,
+                 CAST(round(sum(CAST(n_chars AS DECIMAL(30,10)))/count(*),2) AS DOUBLE) AS avg_chars
+          FROM documents GROUP BY 1
+        """,
+        "q13_quality": f"""
+          SELECT doc_id, CAST(n_tok AS INT) AS n_tokens, round({quality},1) AS quality_score
+          FROM ({qstats})
+        """,
+        "q14_langid": f"""
+          SELECT doc_id, {lang_expr} AS lang_pred FROM (
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   {lang_score("de")} AS s_de, {lang_score("en")} AS s_en,
+                   {lang_score("es")} AS s_es, {lang_score("fr")} AS s_fr
+            FROM (SELECT doc_id, lower(text) AS text FROM documents))
+        """,
+        "q15_fingerprint": """
+          SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                 md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fingerprint
+          FROM documents
+        """,
+        "q16_simhash": """
+          WITH tok AS (
+            SELECT CAST(doc_id AS VARCHAR) AS id, unnest(string_split(trim(lower(text)), ' ')) AS tok
+            FROM documents),
+          h AS (SELECT id, CAST(concat('0x', substring(md5(tok),1,14)) AS BIGINT) AS h FROM tok),
+          bits AS (
+            SELECT id, i,
+                   sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+            FROM h, unnest([x for x in generate_series(0,31)]) AS u(i)
+            GROUP BY 1,2)
+          SELECT id, CAST(sum(CASE WHEN s > 0 THEN 1::BIGINT << i ELSE 0 END) AS BIGINT) AS simhash
+          FROM bits GROUP BY 1
+        """,
+        "q17_ann_topk": """
+          WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
+          scored AS (
+            SELECT q.q_id, e.vec_id AS neighbor_id,
+                   round(list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_vec[i] AS DOUBLE)
+                                   for i in generate_series(1, len(e.embedding))])
+                         / (sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) for x in e.embedding]))
+                            * sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) for x in q.q_vec]))), 6) AS score
+            FROM embeddings e, q WHERE e.vec_id <> q.q_id)
+          SELECT q_id, neighbor_id, CAST(rank AS INT) AS rank, score FROM (
+            SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, neighbor_id ASC) AS rank
+            FROM scored)
+          WHERE rank <= 10
+        """,
+        "q18_label_norms": """
+          SELECT label, count(*) AS n,
+                 CAST(round(sum(CAST(sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) for x in embedding])) AS DECIMAL(30,10)))/count(*),4) AS DOUBLE) AS avg_norm
+          FROM embeddings GROUP BY 1
+        """,
+    }

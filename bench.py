@@ -1,0 +1,108 @@
+"""Benchmark harness — prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline set: the extraction pipeline (docs/sec — the north-rule metric)
+over a pre-materialized synthetic corpus, plus representative relational /
+dedup / ANN queries over $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS].
+
+The synthetic corpus is generated once to /tmp (deterministic, seeded) so
+the timed section measures the PIPELINE, not corpus generation.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_DOCS = int(os.environ.get("HORUS_BENCH_DOCS", "20000"))
+CORPUS_DIR = os.environ.get("HORUS_BENCH_CORPUS", f"/tmp/horus_bench_corpus_{N_DOCS}")
+
+
+def materialize_corpus(spark, n_docs: int, path: str):
+    if os.path.exists(os.path.join(path, "documents", "_SUCCESS")) and os.path.exists(
+        os.path.join(path, "ocr_words", "_SUCCESS")
+    ):
+        return
+    from horus_spark.fixtures.generator import corpus_spark
+
+    c = corpus_spark(spark, n_docs, partitions=max(CPUS, 8))
+    c["documents"].write.mode("overwrite").parquet(os.path.join(path, "documents"))
+    c["ocr_words"].write.mode("overwrite").parquet(os.path.join(path, "ocr_words"))
+
+
+def main():
+    from pyspark.sql import functions as F
+
+    from horus_spark.pipeline import run_extraction
+    from horus_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(
+        app_name="horus_bench",
+        master=f"local[{CPUS}]",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    materialize_corpus(spark, N_DOCS, CORPUS_DIR)
+    documents = spark.read.parquet(os.path.join(CORPUS_DIR, "documents"))
+    ocr_words = spark.read.parquet(os.path.join(CORPUS_DIR, "ocr_words"))
+
+    # JVM/catalyst warm-up (excluded from timings)
+    documents.limit(100).count()
+    ocr_words.limit(100).count()
+
+    timings: dict[str, float] = {}
+
+    t0 = time.perf_counter()
+    extracted = run_extraction(documents, ocr_words)
+    n_extracted = extracted.count()
+    timings["extract_pipeline"] = round(time.perf_counter() - t0, 3)
+    docs_per_sec = round(n_extracted / timings["extract_pipeline"], 1)
+
+    qs = entrymod.queries()
+    headline = [
+        "q01_pricing_summary",
+        "q02_totals_chain",
+        "q04_region_revenue",
+        "q05_versioning",
+        "q11_ngram_jaccard",
+        "q16_simhash",
+        "q17_ann_topk",
+    ]
+    for name in headline:
+        t0 = time.perf_counter()
+        df = qs[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline seconds (extraction pipeline + relational/dedup/ANN set)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR.rstrip("/").split("sf")[-1],
+                "extra": {
+                    "extraction_docs": n_extracted,
+                    "extraction_docs_per_sec": docs_per_sec,
+                    "cpus": CPUS,
+                },
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -21,15 +21,36 @@ import pandas as pd
 from horus_spark.config import FORMAT_CONFIGS, POSTCODE_RE, TOTALS_LABELS
 
 
-def _cell_join(f: pd.DataFrame, idxs: list[int]) -> str:
-    sub = sorted(idxs, key=lambda i: (f.at[i, "y0"], f.at[i, "x0"]))
-    return " ".join(f.at[i, "text"] for i in sub)
+_RE_CACHE: dict[str, "re.Pattern"] = {}
+
+
+def _rx(pattern: str):
+    p = _RE_CACHE.get(pattern)
+    if p is None:
+        p = _RE_CACHE[pattern] = re.compile(pattern)
+    return p
 
 
 def extract_fields(frags: pd.DataFrame, grid: dict, fmt: str) -> tuple[dict, set]:
-    """-> (fields {key: text}, contributing fragment positional ids)."""
-    cfg = FORMAT_CONFIGS.get(fmt, FORMAT_CONFIGS["abc"])
+    """DataFrame wrapper over extract_fields_arrays."""
     f = frags.reset_index(drop=True)
+    return extract_fields_arrays(
+        f["text"].tolist(),
+        f["x0"].to_numpy(dtype=np.float64),
+        f["y0"].to_numpy(dtype=np.float64),
+        f["x1"].to_numpy(dtype=np.float64),
+        grid,
+        fmt,
+    )
+
+
+def extract_fields_arrays(
+    texts: list, fx0: np.ndarray, fy: np.ndarray, fx1: np.ndarray, grid: dict, fmt: str
+) -> tuple[dict, set]:
+    """-> (fields {key: text}, contributing fragment positional ids).
+    Plain-array hot path (no pandas indexing)."""
+    cfg = FORMAT_CONFIGS.get(fmt, FORMAT_CONFIGS["abc"])
+    n = len(texts)
     fields: dict[str, str] = {}
     used: set[int] = set()
 
@@ -40,85 +61,94 @@ def extract_fields(frags: pd.DataFrame, grid: dict, fmt: str) -> tuple[dict, set
     table_top = grid.get("table_top", np.inf)
 
     # ---------------- header anchors ----------------
-    for i, t in enumerate(f["text"]):
-        y = f.at[i, "y0"]
-        if "inv" in cfg:
-            m = re.match(cfg["inv"], t)
+    rx_inv = _rx(cfg["inv"]) if "inv" in cfg else None
+    rx_acinv = _rx(cfg["ac_inv"]) if "ac_inv" in cfg else None
+    rx_acct = _rx(cfg["account_addr"]) if "account_addr" in cfg else None
+    rx_date = _rx(cfg["date_standalone"]) if "date_standalone" in cfg else None
+    rx_pc = _rx(POSTCODE_RE)
+    acct_prefix = cfg.get("account_prefix")
+    date_prefix = cfg.get("date_prefix")
+    for i in range(n):
+        t = texts[i]
+        y = fy[i]
+        if rx_inv is not None:
+            m = rx_inv.match(t)
             if m and "Inv" not in fields:
                 reg("Inv", m.group(1), [i])
                 continue
-        if "ac_inv" in cfg:
-            m = re.match(cfg["ac_inv"], t)
+        if rx_acinv is not None:
+            m = rx_acinv.match(t)
             if m:
                 reg("AccountNo", m.group(1), [i])
                 reg("Inv", m.group(2), [i])
                 continue
-        if "account_prefix" in cfg and t.startswith(cfg["account_prefix"]):
-            reg("AccountNo", t[len(cfg["account_prefix"]):], [i])
+        if acct_prefix and t.startswith(acct_prefix):
+            reg("AccountNo", t[len(acct_prefix):], [i])
             continue
         if (
-            "account_addr" in cfg
+            rx_acct is not None
             and y < table_top
             and "AccountNo" not in fields
-            and re.match(cfg["account_addr"], t)
+            and rx_acct.match(t)
         ):
             reg("AccountNo", t, [i])
             continue
-        if "date_prefix" in cfg and t.startswith(cfg["date_prefix"]):
-            reg("TaxDate", t[len(cfg["date_prefix"]):], [i])
+        if date_prefix and t.startswith(date_prefix):
+            reg("TaxDate", t[len(date_prefix):], [i])
             continue
         if (
-            "date_standalone" in cfg
+            rx_date is not None
             and "TaxDate" not in fields
             and y < table_top
-            and re.match(cfg["date_standalone"], t)
+            and rx_date.match(t)
         ):
             reg("TaxDate", t, [i])
             continue
-        m = re.match(POSTCODE_RE, t)
+        m = rx_pc.match(t)
         if m and y < table_top and "PostCode" not in fields:
             reg("PostCode", f"{m.group(1)} {m.group(2)}", [i])
 
     # ---------------- totals (label-anchored, same visual row) -------------
-    # totals cells are value fragments; find the label fragment on the same
-    # row (to the left) to name them
     for tc in grid.get("totals_cells", []):
         vi = tc["frag_idx"][0]
-        vy = f.at[vi, "y0"]
-        labels = f[
-            (f["y0"] - vy).abs().lt(0.06) & (f["x1"] < f.at[vi, "x0"])
+        vy = fy[vi]
+        label_ids = [
+            j for j in range(n) if abs(fy[j] - vy) < 0.06 and fx1[j] < fx0[vi]
         ]
-        if len(labels) == 0:
+        if not label_ids:
             continue
-        label_text = " ".join(labels.sort_values("x0")["text"])
+        label_ids.sort(key=lambda j: fx0[j])
+        label_text = " ".join(texts[j] for j in label_ids)
         for prefix, key in TOTALS_LABELS:
             if label_text.startswith(prefix) and key not in fields:
-                reg(key, f.at[vi, "text"], [vi])
+                reg(key, texts[vi], [vi])
                 break
 
     # ---------------- line-item fields from the grid ----------------
     if not grid:
         return fields, used
+
+    def cell_join(idxs):
+        sub = sorted(idxs, key=lambda i: (fy[i], fx0[i]))
+        return " ".join(texts[i] for i in sub)
+
     n_cols = grid["n_cols"]
     cells = grid["cells"]
     anchor_rows: list[tuple[int, int]] = []  # (row, item_number)
     for (r, c), idxs in cells.items():
         if c == 0 and r > 0 and len(idxs) == 1:
-            t = f.at[idxs[0], "text"]
-            if re.fullmatch(r"\d{1,2}", t):
+            t = texts[idxs[0]]
+            if _rx(r"\d{1,2}$").fullmatch(t):
                 anchor_rows.append((r, int(t)))
     anchor_rows.sort()
     n_item_rows = grid["n_rows"] - 1  # excl header
 
-    # positional column semantics (col 0 = item number):
     if cfg["two_row_items"]:
-        # [num, desc+qty, unit, disc, (tax), net]
         has_tax = n_cols >= 6
         col_desc, col_unit, col_disc = 1, 2, 3
         col_tax = 4 if has_tax else None
         col_net = n_cols - 1
     else:
-        # [num, desc, qty, unit, disc, (tax), net]
         has_tax = n_cols >= 7
         col_desc, col_qty, col_unit, col_disc = 1, 2, 3, 4
         col_tax = 5 if has_tax else None
@@ -132,12 +162,12 @@ def extract_fields(frags: pd.DataFrame, grid: dict, fmt: str) -> tuple[dict, set
         def cell_rows(col, row_iter=rows):
             idxs = []
             for rr in row_iter:
-                idxs.extend(cells.get((rr, col), []))
+                got = cells.get((rr, col))
+                if got:
+                    idxs.extend(got)
             return idxs
 
         if cfg["two_row_items"]:
-            # last row of the item block is the qty/unit/disc/tax row;
-            # desc rows are all earlier rows
             last_r = r_end - 1
             desc_idxs = cell_rows(col_desc, range(r, last_r))
             qty_idxs = cells.get((last_r, col_desc), [])
@@ -152,24 +182,24 @@ def extract_fields(frags: pd.DataFrame, grid: dict, fmt: str) -> tuple[dict, set
         tax_idxs = cell_rows(col_tax) if col_tax is not None else []
 
         if desc_idxs:
-            reg(f"Drug{nn}", _cell_join(f, desc_idxs), desc_idxs)
+            reg(f"Drug{nn}", cell_join(desc_idxs), desc_idxs)
         if qty_idxs:
-            reg(f"Qty{nn}", _cell_join(f, qty_idxs), qty_idxs)
+            reg(f"Qty{nn}", cell_join(qty_idxs), qty_idxs)
         if unit_idxs:
-            reg(f"Unit{nn}", _cell_join(f, unit_idxs), unit_idxs)
+            reg(f"Unit{nn}", cell_join(unit_idxs), unit_idxs)
         if disc_idxs:
-            reg(f"Disc{nn}", _cell_join(f, disc_idxs), disc_idxs)
+            reg(f"Disc{nn}", cell_join(disc_idxs), disc_idxs)
         if net_idxs:
-            reg(f"Net{nn}", _cell_join(f, net_idxs), net_idxs)
+            reg(f"Net{nn}", cell_join(net_idxs), net_idxs)
         if tax_idxs:
-            reg(f"Taxable{nn}", _cell_join(f, tax_idxs), tax_idxs)
+            reg(f"Taxable{nn}", cell_join(tax_idxs), tax_idxs)
 
     return fields, used
 
 
 def field_line_ids(frags: pd.DataFrame, used: set) -> set[int]:
     """Original OCR line ids contributing words to any field value (feeds
-    span classification: such media spans are 'form-field')."""
+    span classification). Requires frags built with with_words=True."""
     f = frags.reset_index(drop=True)
     out: set[int] = set()
     for i in used:

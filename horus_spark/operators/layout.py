@@ -45,10 +45,14 @@ def cluster_lines(words: pd.DataFrame) -> pd.DataFrame:
         return words.assign(
             x0=[], y0=[], x1=[], y1=[], row_key=[], frag_key=[], frag_ord=[]
         )
-    x0, y0, x1, y1 = _flatten_bbox(words["bbox"])
     df = words[["doc_id", "page", "line_id", "word_id", "text"]].copy()
-    df["x0"], df["y0"], df["x1"], df["y1"] = x0, y0, x1, y1
-    df["yc"] = (y0 + y1) / 2.0
+    if "x0" in words.columns:  # pre-flattened JVM-side (hot path)
+        for c in ("x0", "y0", "x1", "y1"):
+            df[c] = words[c].to_numpy(dtype=np.float64)
+    else:
+        x0, y0, x1, y1 = _flatten_bbox(words["bbox"])
+        df["x0"], df["y0"], df["x1"], df["y1"] = x0, y0, x1, y1
+    df["yc"] = (df["y0"].to_numpy() + df["y1"].to_numpy()) / 2.0
 
     df = df.sort_values(["doc_id", "page", "yc", "x0"], kind="mergesort").reset_index(drop=True)
     doc_change = (df["doc_id"] != df["doc_id"].shift()) | (df["page"] != df["page"].shift())
@@ -72,10 +76,15 @@ def cluster_lines(words: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-def fragments_view(clustered: pd.DataFrame) -> pd.DataFrame:
+def fragments_view(clustered: pd.DataFrame, with_words: bool = False) -> pd.DataFrame:
     """Aggregate the word-level cluster output to one row per fragment:
-    [doc_id, page, frag_key, frag_ord, text, x0, y0, x1, y1, words]
-    where words = list of (line_id, word_id, text, x0, x1)."""
+    [doc_id, page, frag_key, frag_ord, text, x0, y0, x1, y1 (, words)].
+
+    with_words=True additionally materializes per-fragment word tuples
+    (line_id, word_id, text, x0, x1) — needed only for fixture-parity table
+    rendering (grid_to_tables); the hot path derives word/line membership
+    from the word-level frame via vectorized merges instead."""
+    clustered = clustered.sort_values(["frag_key", "x0"], kind="mergesort")
     g = clustered.groupby("frag_key", sort=False)
     out = g.agg(
         doc_id=("doc_id", "first"),
@@ -85,13 +94,14 @@ def fragments_view(clustered: pd.DataFrame) -> pd.DataFrame:
         y0=("y0", "min"),
         x1=("x1", "max"),
         y1=("y1", "max"),
-        text=("text", lambda s: " ".join(s)),
+        text=("text", " ".join),
     ).reset_index()
-    words = g.apply(
-        lambda s: list(zip(s["line_id"], s["word_id"], s["text"], s["x0"], s["x1"])),
-        include_groups=False,
-    )
-    out = out.merge(words.rename("words"), left_on="frag_key", right_index=True)
+    if with_words:
+        words = g.apply(
+            lambda s: list(zip(s["line_id"], s["word_id"], s["text"], s["x0"], s["x1"])),
+            include_groups=False,
+        )
+        out = out.merge(words.rename("words"), left_on="frag_key", right_index=True)
     return out
 
 
@@ -113,27 +123,41 @@ def _interval_clusters(intervals: np.ndarray) -> np.ndarray:
     return cluster
 
 
-def _monotone_header_groups(f, hdr_ids):
+def _monotone_header_groups(hx0, hx1, hdr_ids):
     """Merge header fragments whose x-intervals overlap (multi-row header
     titles like 'Unit'+'Price'); return groups sorted by x."""
-    ids = sorted(hdr_ids, key=lambda i: f.at[i, "x0"])
+    ids = sorted(hdr_ids, key=lambda i: hx0[i])
     groups: list[list[int]] = []
     for fi in ids:
         placed = False
         for g in groups:
-            glo = min(f.at[j, "x0"] for j in g)
-            ghi = max(f.at[j, "x1"] for j in g)
-            if min(ghi, f.at[fi, "x1"]) - max(glo, f.at[fi, "x0"]) > 0:
+            glo = min(hx0[j] for j in g)
+            ghi = max(hx1[j] for j in g)
+            if min(ghi, hx1[fi]) - max(glo, hx0[fi]) > 0:
                 g.append(fi)
                 placed = True
                 break
         if not placed:
             groups.append([fi])
-    groups.sort(key=lambda g: min(f.at[j, "x0"] for j in g))
+    groups.sort(key=lambda g: min(hx0[j] for j in g))
     return groups
 
 
 def infer_grid(frags: pd.DataFrame) -> dict:
+    """DataFrame wrapper over infer_grid_arrays (tests / fixture parity)."""
+    f = frags.reset_index(drop=True)
+    return infer_grid_arrays(
+        f["text"].tolist(),
+        f["x0"].to_numpy(dtype=np.float64),
+        f["y0"].to_numpy(dtype=np.float64),
+        f["x1"].to_numpy(dtype=np.float64),
+    )
+
+
+_INT_RE = None
+
+
+def infer_grid_arrays(texts: list, fx0: np.ndarray, fy: np.ndarray, fx1: np.ndarray) -> dict:
     """L2: infer the line-item grid + totals table for ONE document page.
 
     Strategy (anchor-column projection, domain of ruled invoice forms):
@@ -149,28 +173,35 @@ def infer_grid(frags: pd.DataFrame) -> dict:
        last column band (the reference's 4x1 pageResults table; the label
        column is unruled and therefore excluded, matching the fixtures).
 
-    Returns {} if no table. cells maps (rowIndex, columnIndex) ->
-    list of fragment positional ids (frags.reset_index positions).
+    Operates on plain arrays (hot path — no pandas indexing).
+    Returns {} if no table. cells maps (rowIndex, columnIndex) -> list of
+    fragment positional ids.
     """
-    f = frags.reset_index(drop=True)
-    fy = f["y0"].to_numpy()
-    fx0, fx1 = f["x0"].to_numpy(), f["x1"].to_numpy()
+    global _INT_RE
+    if _INT_RE is None:
+        import re
 
-    is_int = f["text"].str.fullmatch(r"\d{1,2}")
-    anchors = None
-    if is_int.any():
-        cand = f[is_int].copy()
-        xc = (cand["x0"] + cand["x1"]) / 2
-        cand = cand.assign(xc=xc).sort_values("y0")
-        for _, grp in cand.groupby(np.round(cand["xc"] / 0.12).astype(int)):
-            vals = grp["text"].astype(int).tolist()
+        _INT_RE = re.compile(r"\d{1,2}$")
+    n = len(texts)
+    int_ids = [i for i in range(n) if _INT_RE.fullmatch(texts[i])]
+    anchors_idx = None
+    if int_ids:
+        # group candidate anchors by x-center bucket
+        from collections import defaultdict
+
+        buckets = defaultdict(list)
+        for i in int_ids:
+            buckets[int(round((fx0[i] + fx1[i]) / 2 / 0.12))].append(i)
+        for grp in buckets.values():
+            grp.sort(key=lambda i: fy[i])
+            vals = [int(texts[i]) for i in grp]
             if vals[:1] == [1] and vals == list(range(1, len(vals) + 1)):
-                if anchors is None or len(grp) > len(anchors):
-                    anchors = grp
-    if anchors is None or len(anchors) == 0:
+                if anchors_idx is None or len(grp) > len(anchors_idx):
+                    anchors_idx = grp
+    if not anchors_idx:
         return {}
 
-    a_y0 = anchors["y0"].to_numpy()
+    a_y0 = np.array([fy[i] for i in anchors_idx])
     pad = 0.04
     table_top = a_y0[0] - pad
 
@@ -200,13 +231,11 @@ def infer_grid(frags: pd.DataFrame) -> dict:
         if row_ys[ri] > last_anchor_y + 1e-9 and row_ys[ri] - row_ys[ri - 1] > 1.25 * pitch:
             n_item_rows = ri
             break
-    item_mask = np.zeros(len(f), dtype=bool)
-    for fi, r in row_of.items():
-        if r < n_item_rows:
-            item_mask[fi] = True
+    item_ids = np.array(
+        [fi for fi, r in row_of.items() if r < n_item_rows], dtype=np.int64
+    )
 
     # ---- columns from item fragments only
-    item_ids = np.flatnonzero(item_mask)
     intervals = np.stack([fx0[item_ids], fx1[item_ids]], axis=1)
     col_of = _interval_clusters(intervals)
     n_cols = int(col_of.max() + 1) if len(col_of) else 0
@@ -218,24 +247,22 @@ def infer_grid(frags: pd.DataFrame) -> dict:
         cells.setdefault((row_of[int(fi)] + 1, int(col_of[k])), []).append(int(fi))
 
     # ---- header: fragments in the band just above the table top
-    hdr_mask = (
-        (fy < table_top)
-        & (fy > table_top - 0.75)
-        & (fx1 > col_lo[0] - 0.05)
-        & (fx0 < col_hi[-1] + 0.05)
-    )
-    hdr_ids = np.flatnonzero(hdr_mask)
-    groups = _monotone_header_groups(f, hdr_ids)
-    # columns that have a header: exclude the anchor column (col 0 has no
-    # title in the reference layouts); 1:1 monotone when counts match
+    hdr_ids = [
+        i
+        for i in range(n)
+        if table_top - 0.75 < fy[i] < table_top
+        and fx1[i] > col_lo[0] - 0.05
+        and fx0[i] < col_hi[-1] + 0.05
+    ]
+    groups = _monotone_header_groups(fx0, fx1, hdr_ids)
     target_cols = list(range(1, n_cols))
     if len(groups) == len(target_cols):
         assign = dict(zip(range(len(groups)), target_cols))
     else:
         assign = {}
         for gi, g in enumerate(groups):
-            glo = min(f.at[j, "x0"] for j in g)
-            ghi = max(f.at[j, "x1"] for j in g)
+            glo = min(fx0[j] for j in g)
+            ghi = max(fx1[j] for j in g)
             gaps = np.maximum(col_lo - ghi, 0) + np.maximum(glo - col_hi, 0)
             assign[gi] = int(np.argmin(gaps))
     for gi, g in enumerate(groups):
@@ -266,7 +293,7 @@ def infer_grid(frags: pd.DataFrame) -> dict:
             prev_y = yv
 
     return {
-        "anchor_idx": anchors.index.to_numpy(),
+        "anchor_idx": np.array(anchors_idx),
         "n_rows": n_item_rows + 1,  # + header row
         "n_cols": n_cols,
         "col_lo": col_lo,

@@ -1,0 +1,113 @@
+"""Similarity search over embedding columns.
+
+- brute_force_topk: exact cosine top-k — the correctness baseline. The
+  query side is tiny and broadcast; the corpus side is scanned once, no
+  shuffle until the per-query top-k (a groupBy over q_id x k rows).
+- lsh_topk: random-hyperplane LSH bucketing — the scale path: each vector
+  hashes into 2^p sign-pattern buckets; queries only score vectors sharing
+  a bucket (probing all single-bit flips for recall). At 100 TB the bucket
+  join replaces the full scan per query.
+
+Dot products use F.aggregate/zip_with (JVM-side, no Python).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k per query vector.
+    queries: (q_id, q_vec). Returns (q_id, neighbor_id, rank, score)."""
+    e = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+    q = queries.select(
+        F.col("q_id"), F.col("q_vec").cast("array<double>").alias("q_vec")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("q_id"))
+        .withColumn("score", F.round(cosine_expr(F.col("vec"), F.col("q_vec")), 6))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "rank", "score")
+    )
+
+
+def hyperplane_buckets(
+    embeddings: DataFrame,
+    planes: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane signature: bit i = sign(v . plane_i)."""
+    v = F.col(vec_col).cast("array<double>")
+    bucket = None
+    for i, p in enumerate(planes):
+        bit = F.when(_dot(v, F.array(*[F.lit(float(x)) for x in p])) >= 0, 1).otherwise(0)
+        bucket = bit if bucket is None else bucket * 2 + bit
+    return embeddings.select(F.col(id_col), v.alias("vec"), bucket.alias("bucket"))
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    planes: list[list[float]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Bucketed ANN: score only bucket-sharing candidates (probing the
+    query's bucket plus all 1-bit-flip neighbors)."""
+    p = len(planes)
+    corpus = hyperplane_buckets(embeddings, planes, id_col, vec_col)
+    qb = hyperplane_buckets(
+        queries.select(F.col("q_id").alias(id_col), F.col("q_vec").alias(vec_col)),
+        planes, id_col, vec_col,
+    ).select(F.col(id_col).alias("q_id"), F.col("vec").alias("q_vec"), F.col("bucket").alias("qb"))
+    probes = qb.select(
+        "q_id", "q_vec",
+        F.explode(
+            F.array(F.col("qb"), *[F.col("qb").bitwiseXOR(F.lit(1 << i)) for i in range(p)])
+        ).alias("bucket"),
+    )
+    scored = (
+        corpus.join(F.broadcast(probes), "bucket")
+        .filter(F.col(id_col) != F.col("q_id"))
+        .withColumn("score", F.round(cosine_expr(F.col("vec"), F.col("q_vec")), 6))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", F.col(id_col).alias("neighbor_id"), "rank", "score")
+    )

@@ -1,0 +1,106 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+token counting, quality scoring, language-ID heuristic, fingerprinting.
+
+All pure Spark expressions (whole-stage codegen; no UDFs) so they hold up
+at 100 TB: a scan + map, no shuffle unless the caller aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny marker lexicons for the language-ID heuristic (deterministic;
+# real deployments swap in proper n-gram models)
+LANG_MARKERS = {
+    "en": ["the", "a", "of", "and", "is"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "es": ["el", "la", "los", "y", "es"],
+}
+
+STOPWORDS = ["the", "a", "of", "and", "is", "to", "in"]
+
+
+def tokens_expr(text: Column) -> Column:
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count_expr(text: Column) -> Column:
+    return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(
+        F.size(tokens_expr(text))
+    )
+
+
+def stopword_ratio_expr(text: Column) -> Column:
+    toks = tokens_expr(F.lower(text))
+    hits = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def punct_ratio_expr(text: Column) -> Column:
+    punct = F.length(text) - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    return punct / F.greatest(F.length(text), F.lit(1))
+
+
+def mean_token_len_expr(text: Column) -> Column:
+    toks = tokens_expr(text)
+    return F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.length(t)
+    ) / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score_expr(text: Column) -> Column:
+    """Composite quality score in [0,1]: length band + stopword presence +
+    low punctuation (Gopher/C4-style heuristics, simplified and
+    deterministic)."""
+    n_tok = token_count_expr(text)
+    len_ok = F.when((n_tok >= 10) & (n_tok <= 100000), F.lit(0.4)).otherwise(F.lit(0.0))
+    stop_ok = F.when(stopword_ratio_expr(text) >= 0.05, F.lit(0.3)).otherwise(F.lit(0.0))
+    punct_ok = F.when(punct_ratio_expr(text) <= 0.2, F.lit(0.3)).otherwise(F.lit(0.0))
+    return F.round(len_ok + stop_ok + punct_ok, 1)
+
+
+def langid_expr(text: Column) -> Column:
+    """Marker-word language ID: argmax of per-language hit counts, ties to
+    the lexicographically-first language code, 'und' when no hits."""
+    toks = tokens_expr(F.lower(text))
+
+    def _hits(markers):
+        # closure factory — a two-arg lambda would make F.filter pass the
+        # array INDEX as the second arg
+        return F.size(F.filter(toks, lambda t: t.isin(markers)))
+
+    scores = [(lang, _hits(markers)) for lang, markers in sorted(LANG_MARKERS.items())]
+    best = None
+    best_score = None
+    for lang, score in scores:
+        if best is None:
+            best, best_score = F.lit(lang), score
+        else:
+            cond = score > best_score
+            best = F.when(cond, F.lit(lang)).otherwise(best)
+            best_score = F.when(cond, score).otherwise(best_score)
+    return F.when(best_score > 0, best).otherwise(F.lit("und"))
+
+
+def fingerprint_expr(text: Column) -> Column:
+    """Normalized-content MD5 (document fingerprint): lowercase, strip
+    non-alphanumerics, collapse whitespace."""
+    norm = F.regexp_replace(F.lower(text), r"[^a-z0-9 ]", "")
+    norm = F.trim(F.regexp_replace(norm, r" +", " "))
+    return F.md5(norm)
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_tokens": token_count_expr(t),
+            "stopword_ratio": F.round(stopword_ratio_expr(t), 6),
+            "punct_ratio": F.round(punct_ratio_expr(t), 6),
+            "quality_score": quality_score_expr(t),
+            "lang_pred": langid_expr(t),
+            "fingerprint": fingerprint_expr(t),
+        }
+    )

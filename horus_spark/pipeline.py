@@ -27,34 +27,123 @@ from pyspark.sql import functions as F
 
 from horus_spark.config import format_of_doc_id
 from horus_spark.operators.boilerplate import is_boilerplate_text
-from horus_spark.operators.fields import extract_fields, field_line_ids
-from horus_spark.operators.layout import cluster_lines, fragments_view, infer_grid
-from horus_spark.operators.shred import shred
+from horus_spark.operators.fields import extract_fields_arrays
+from horus_spark.operators.layout import cluster_lines, fragments_view, infer_grid_arrays
+from horus_spark.operators.shred import shred_fast
 
-FIELDS_SCHEMA = (
-    "doc_id string, fields map<string,string>, field_line_ids array<int>"
+_HEADER_T = (
+    "struct<order_number:string,order_date:string,tax_date:string,inv:string,"
+    "account:string,net_total:string,vat_amount:string,shipping_total:string,"
+    "grand_total:string,post_code:string>"
 )
+_LINES_T = (
+    "array<struct<drug:string,qty:string,unit:string,vat:string,disc:string,"
+    "taxable:string,net:string>>"
+)
+FIELDS_SCHEMA = (
+    f"doc_id string, header_raw {_HEADER_T}, lines_raw {_LINES_T}, "
+    "field_line_ids array<int>"
+)
+FIELDS_MAP_SCHEMA = FIELDS_SCHEMA + ", fields map<string,string>"
+
+_HEADER_KEYS = [
+    ("order_number", "OrderNO"), ("order_date", "OrderDate"),
+    ("tax_date", "TaxDate"), ("inv", "Inv"), ("account", "AccountNo"),
+    ("net_total", "Total"), ("vat_amount", "VAT"),
+    ("shipping_total", "Shipping"), ("grand_total", "TotalIncVAT"),
+    ("post_code", "PostCode"),
+]
+
+
+def _raw_views(fields: dict) -> tuple[dict, list]:
+    """fields map -> (header_raw, prefix-terminated lines_raw); mirrors the
+    reference's presence + break semantics (ProcessingEngine.cs:15-35,
+    HorusProcessingEngine.cs:49-85)."""
+    header = {col: fields.get(key) for col, key in _HEADER_KEYS}
+    lines = []
+    for i in range(1, 50):
+        nn = f"{i:02d}"
+        if not (f"Unit{nn}" in fields or f"Net{nn}" in fields or f"Drug{nn}" in fields):
+            break
+        lines.append(
+            {
+                "drug": fields.get(f"Drug{nn}"),
+                "qty": fields.get(f"Qty{nn}"),
+                "unit": fields.get(f"Unit{nn}"),
+                "vat": fields.get(f"Vat{nn}"),
+                "disc": fields.get(f"Disc{nn}"),
+                "taxable": fields.get(f"Taxable{nn}"),
+                "net": fields.get(f"Net{nn}"),
+            }
+        )
+    return header, lines
 
 
 def _extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     """One bucket of OCR words (many docs) -> per-doc fields + field lines.
     L1 runs vectorized over the WHOLE batch; grid/fields per doc (bounded:
-    <=250 words/doc)."""
+    <=250 words/doc). Field->OCR-line membership resolves through ONE
+    vectorized merge at the end (no per-fragment Python tuples)."""
     if len(pdf) == 0:
         return pd.DataFrame({"doc_id": [], "fields": [], "field_line_ids": []})
     clustered = cluster_lines(pdf)
     frags_all = fragments_view(clustered)
-    out_ids, out_fields, out_lines = [], [], []
-    for doc_id, frags in frags_all.groupby("doc_id", sort=False):
-        frags = frags.sort_values("frag_ord").reset_index(drop=True)
-        grid = infer_grid(frags)
-        fields, used = extract_fields(frags, grid, format_of_doc_id(doc_id))
+    # frag rows are already in reading order per doc (frag_key monotone);
+    # slice per-doc ranges with numpy instead of groupby DataFrames
+    doc_ids = frags_all["doc_id"].to_numpy()
+    texts_all = frags_all["text"].tolist()
+    x0_all = frags_all["x0"].to_numpy(dtype="float64")
+    y0_all = frags_all["y0"].to_numpy(dtype="float64")
+    x1_all = frags_all["x1"].to_numpy(dtype="float64")
+    fk_all = frags_all["frag_key"].to_numpy()
+    import numpy as np
+
+    boundaries = np.flatnonzero(doc_ids[1:] != doc_ids[:-1]) + 1
+    starts = np.concatenate([[0], boundaries])
+    ends = np.concatenate([boundaries, [len(doc_ids)]])
+
+    out_ids, out_fields = [], []
+    used_pairs: list[tuple[str, int]] = []  # (doc_id, frag_key)
+    for s, e in zip(starts, ends):
+        doc_id = doc_ids[s]
+        texts = texts_all[s:e]
+        fx0, fy, fx1 = x0_all[s:e], y0_all[s:e], x1_all[s:e]
+        grid = infer_grid_arrays(texts, fx0, fy, fx1)
+        fields, used = extract_fields_arrays(
+            texts, fx0, fy, fx1, grid, format_of_doc_id(doc_id)
+        )
         out_ids.append(doc_id)
         out_fields.append(fields)
-        out_lines.append(sorted(field_line_ids(frags, used)))
-    return pd.DataFrame(
-        {"doc_id": out_ids, "fields": out_fields, "field_line_ids": out_lines}
+        fk = fk_all[s:e]
+        used_pairs.extend((doc_id, int(fk[i])) for i in used)
+    used_df = pd.DataFrame(used_pairs, columns=["doc_id", "frag_key"])
+    lines = (
+        used_df.merge(
+            clustered[["frag_key", "line_id"]].drop_duplicates(), on="frag_key", how="left"
+        )
+        .groupby("doc_id")["line_id"]
+        .agg(lambda s: sorted(set(int(x) for x in s)))
+        if len(used_df)
+        else pd.Series(dtype=object)
     )
+    raws = [_raw_views(fd) for fd in out_fields]
+    out = pd.DataFrame(
+        {
+            "doc_id": out_ids,
+            "header_raw": [r[0] for r in raws],
+            "lines_raw": [r[1] for r in raws],
+        }
+    )
+    out["field_line_ids"] = out["doc_id"].map(lines)
+    out["field_line_ids"] = out["field_line_ids"].apply(
+        lambda v: v if isinstance(v, list) else []
+    )
+    if _WITH_FIELDS_MAP:
+        out["fields"] = out_fields
+    return out
+
+
+_WITH_FIELDS_MAP = False
 
 
 def recognize(ocr_words: DataFrame, n_buckets: int | None = None) -> DataFrame:
@@ -65,13 +154,54 @@ def recognize(ocr_words: DataFrame, n_buckets: int | None = None) -> DataFrame:
     (hash on doc_id into n_buckets groups)."""
     spark = ocr_words.sparkSession
     if n_buckets is None:
-        n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    bucketed = ocr_words.withColumn(
-        "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
+        # 4x the shuffle parallelism: with k buckets hashed into k partitions
+        # the max-loaded partition carries ~3-4 buckets (balls-in-bins), a
+        # 3-4x straggler; 4k buckets smooths to ~1.3x
+        n_buckets = 4 * int(spark.conf.get("spark.sql.shuffle.partitions"))
+    b = F.col("bbox")
+    flat = ocr_words.select(
+        "doc_id",
+        "page",
+        "line_id",
+        "word_id",
+        "text",
+        # flatten the clockwise 8-float bbox JVM-side: Arrow then ships
+        # plain float columns instead of per-row Python lists
+        F.least(b[0], b[6]).alias("x0"),
+        F.least(b[1], b[3]).alias("y0"),
+        F.greatest(b[2], b[4]).alias("x1"),
+        F.greatest(b[5], b[7]).alias("y1"),
+        F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int").alias("bucket"),
     )
-    return bucketed.groupBy("bucket").applyInPandas(
+    return flat.groupBy("bucket").applyInPandas(
         lambda key, pdf: _extract_batch(pdf), schema=FIELDS_SCHEMA
     )
+
+
+def recognize_with_fields_map(ocr_words: DataFrame, n_buckets: int | None = None) -> DataFrame:
+    """Test/debug variant also emitting the dynamic fields map."""
+    spark = ocr_words.sparkSession
+    if n_buckets is None:
+        n_buckets = 4 * int(spark.conf.get("spark.sql.shuffle.partitions"))
+    b = F.col("bbox")
+    flat = ocr_words.select(
+        "doc_id", "page", "line_id", "word_id", "text",
+        F.least(b[0], b[6]).alias("x0"),
+        F.least(b[1], b[3]).alias("y0"),
+        F.greatest(b[2], b[4]).alias("x1"),
+        F.greatest(b[5], b[7]).alias("y1"),
+        F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int").alias("bucket"),
+    )
+
+    def batch_with_map(key, pdf):
+        global _WITH_FIELDS_MAP
+        _WITH_FIELDS_MAP = True
+        try:
+            return _extract_batch(pdf)
+        finally:
+            _WITH_FIELDS_MAP = False
+
+    return flat.groupBy("bucket").applyInPandas(batch_with_map, schema=FIELDS_MAP_SCHEMA)
 
 
 def classify_spans_expr() -> "F.Column":
@@ -122,18 +252,16 @@ def run_extraction(
     errors + spans_out). Two planned shuffles total (one per input table),
     everything after the join is map-side whole-stage codegen."""
     fields_df = recognize(ocr_words, n_buckets)
+    empty_header = F.struct(
+        *[F.lit(None).cast("string").alias(c) for c, _ in _HEADER_KEYS]
+    )
     joined = (
         documents.join(fields_df, "doc_id", "left")
+        .withColumn("header_raw", F.coalesce(F.col("header_raw"), empty_header))
         .withColumn(
-            "fields",
-            F.coalesce(
-                F.col("fields"),
-                F.map_from_arrays(
-                    F.array().cast("array<string>"), F.array().cast("array<string>")
-                ),
-            ),
+            "lines_raw", F.coalesce(F.col("lines_raw"), F.array().cast(_LINES_T))
         )
         .withColumn("thumbprint", thumbprint_expr())
         .withColumn("spans_out", classify_spans_expr())
     )
-    return shred(joined, carry=["spans_out"])
+    return shred_fast(joined, carry=["spans_out"])

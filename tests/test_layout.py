@@ -24,7 +24,11 @@ from horus_spark.operators.layout import (
 
 def _frags(fid):
     words = ocr_words_pdf(fid)
-    return fragments_view(cluster_lines(words)).sort_values("frag_ord").reset_index(drop=True)
+    return (
+        fragments_view(cluster_lines(words), with_words=True)
+        .sort_values("frag_ord")
+        .reset_index(drop=True)
+    )
 
 
 @pytest.mark.parametrize("fid", FIXTURE_IDS)
