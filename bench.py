@@ -48,7 +48,11 @@ def main():
     spark = get_spark(
         app_name="horus_bench",
         master=f"local[{CPUS}]",
-        extra_conf={"spark.ui.showConsoleProgress": "false"},
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            "spark.sql.files.maxPartitionBytes": "8m",
+            "spark.sql.files.openCostInBytes": "1m",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -56,9 +60,8 @@ def main():
     documents = spark.read.parquet(os.path.join(CORPUS_DIR, "documents"))
     ocr_words = spark.read.parquet(os.path.join(CORPUS_DIR, "ocr_words"))
 
-    # JVM/catalyst warm-up (excluded from timings)
-    documents.limit(100).count()
-    ocr_words.limit(100).count()
+    # warm-up: full-size extraction discarded (JIT/codegen/python workers)
+    run_extraction(documents, ocr_words).count()
 
     timings: dict[str, float] = {}
 

@@ -172,32 +172,43 @@ def generate_document(doc_number: int, seed: int = 42, products=None, accounts=N
     account = accounts[rng.randint(1, len(accounts))]
     n_lines = int(rng.randint(1, sup["max_lines"]))
 
+    # Money arithmetic is INTEGER (mils/cents): canonical values are exact
+    # 2dp decimals, so printed text, stored doubles, and any 2dp-rounding
+    # comparator agree at every boundary regardless of float sum order.
     lines = []
+    pre_cents = 0
+    taxable_cents = 0
     for li in range(n_lines):
         p = products[rng.randint(1, len(products))]
-        qty = float(rng.randint(1, 100))
-        goods = qty * p["price"]
-        disc_v = goods * (p["discount"] / 100.0)
-        dgv = goods - disc_v
+        qty = int(rng.randint(1, 100))
+        price_mils = int(round(p["price"] * 1000))
+        goods_tc = qty * price_mils  # tenth-cents
+        disc_v_cents = (goods_tc * int(p["discount"]) + 500) // 1000
+        dgv_cents = (goods_tc - disc_v_cents * 10 + 5) // 10
+        pre_cents += dgv_cents
+        if p["taxable"]:
+            taxable_cents += dgv_cents
         lines.append(
             {
                 "line_number": str(li + 1),
                 "isbn": p["isbn"],
                 "title": p["title"],
-                "quantity": qty,
-                "price": p["price"],
+                "quantity": float(qty),
+                "price": price_mils / 1000.0,
                 "discount": p["discount"],
                 "taxable": p["taxable"],
-                "goods_value": goods,
-                "discount_value": disc_v,
-                "discounted_goods_value": dgv,
-                "taxable_value": dgv if p["taxable"] else 0.0,
+                "goods_value": goods_tc / 1000.0,
+                "discount_value": disc_v_cents / 100.0,
+                "discounted_goods_value": dgv_cents / 100.0,
+                "taxable_value": (dgv_cents / 100.0) if p["taxable"] else 0.0,
             }
         )
-    pre_tax = sum(l["discounted_goods_value"] for l in lines)
-    tax = sum(l["discounted_goods_value"] for l in lines if l["taxable"]) * 0.19
-    shipping = pre_tax * 0.15
-    grand = pre_tax + tax + shipping
+    tax_cents = (taxable_cents * 19 + 50) // 100
+    ship_cents = (pre_cents * 15 + 50) // 100
+    pre_tax = pre_cents / 100.0
+    tax = tax_cents / 100.0
+    shipping = ship_cents / 100.0
+    grand = (pre_cents + tax_cents + ship_cents) / 100.0
 
     # ---------------- build the OCR (media/form) region -------------------
     page = _Page(rng)

@@ -78,7 +78,10 @@ def build_products(seed: int = 42):
     for element in _ELEMENTS:
         name, sym, weight = element.split(" ")
         title = f"{name} ({sym}) {weight}"
-        price = float(rng.uniform(0, 100) * rng.uniform(0, 1))
+        # 3dp prices: every layout prints Unit at >=3 decimals, so the
+        # printed value round-trips exactly (no 2dp-rounding boundary
+        # mismatches between printed and raw values in scoring)
+        price = float(round(rng.uniform(0, 100) * rng.uniform(0, 1), 3))
         discount = int(rng.randint(0, 8))
         taxable = bool(rng.randint(1, 10) > 5)
         prefix = "".join(_LETTERS[i] for i in rng.randint(0, 25, size=4))
@@ -87,7 +90,7 @@ def build_products(seed: int = 42):
             {
                 "isbn": isbn,
                 "title": title,
-                "price": round(price, 6),
+                "price": price,
                 "discount": float(discount),
                 "taxable": taxable,
             }

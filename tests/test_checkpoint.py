@@ -1,0 +1,41 @@
+"""Checkpoint-resume: kill-and-resume yields complete, duplicate-free
+output (the Spark-native equivalent of the reference's durable-function
+replay, DocumentProcessor.cs:52-111)."""
+
+import pytest
+
+from horus_spark.fixtures.generator import corpus_spark
+from horus_spark.sources.sink import read_output, run_checkpointed
+
+
+def test_kill_and_resume(spark, tmp_path):
+    out = str(tmp_path / "out")
+    c = corpus_spark(spark, 40, partitions=4)
+    docs = c["documents"].cache()
+    words = c["ocr_words"].cache()
+    n_total = docs.count()
+    words.count()
+
+    # first run crashes after 2 completed chunks
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_checkpointed(docs, words, out, run_id="r1", n_chunks=4, fail_after_chunk=2)
+
+    # resume completes only the remaining chunks
+    res = run_checkpointed(docs, words, out, run_id="r2", n_chunks=4)
+    assert sorted(res["completed"] + res["skipped"]) == [0, 1, 2, 3]
+    assert len(res["skipped"]) == 2
+
+    got = read_output(spark, out, "documents_out")
+    assert got.count() == n_total
+    assert got.select("doc_id").distinct().count() == n_total  # no duplicates
+
+    spans = read_output(spark, out, "spans_out")
+    assert spans.count() == n_total
+    metrics = read_output(spark, out, "_metrics")
+    assert metrics.groupBy().sum("n_docs").collect()[0][0] == n_total
+    lineage = read_output(spark, out, "_lineage")
+    assert lineage.select("doc_id").distinct().count() == n_total
+
+    # second resume is a no-op (idempotent)
+    res2 = run_checkpointed(docs, words, out, run_id="r3", n_chunks=4)
+    assert res2["completed"] == [] and len(res2["skipped"]) == 4

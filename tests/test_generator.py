@@ -24,23 +24,28 @@ def test_totals_chain():
     docs = c["expected_documents"].set_index("doc_id")
     lines = c["expected_lines"]
     for doc_id, g in lines.groupby("doc_id"):
-        pre = g["discounted_goods_value"].sum()
-        tax = g.loc[g["taxable"], "discounted_goods_value"].sum() * 0.19
-        ship = pre * 0.15
+        # integer-cent invariants (generator does exact money arithmetic)
+        dgv_c = (g["discounted_goods_value"] * 100).round().astype(int)
+        pre_c = dgv_c.sum()
+        taxable_c = dgv_c[g["taxable"].to_numpy()].sum()
+        tax_c = (taxable_c * 19 + 50) // 100
+        ship_c = (pre_c * 15 + 50) // 100
         row = docs.loc[doc_id]
-        assert math.isclose(row["pre_tax_total"], pre, rel_tol=1e-9)
-        assert math.isclose(row["tax_total"], tax, rel_tol=1e-9, abs_tol=1e-12)
-        assert math.isclose(row["shipping_total"], ship, rel_tol=1e-9)
-        assert math.isclose(row["grand_total"], pre + tax + ship, rel_tol=1e-9)
-        # per-line chain
+        assert math.isclose(row["pre_tax_total"], pre_c / 100, rel_tol=1e-12)
+        assert math.isclose(row["tax_total"], tax_c / 100, rel_tol=1e-12, abs_tol=1e-12)
+        assert math.isclose(row["shipping_total"], ship_c / 100, rel_tol=1e-12)
+        assert math.isclose(
+            row["grand_total"], (pre_c + tax_c + ship_c) / 100, rel_tol=1e-12
+        )
         for _, l in g.iterrows():
-            assert math.isclose(l["goods_value"], l["quantity"] * l["price"], rel_tol=1e-12)
-            assert math.isclose(
-                l["discount_value"], l["goods_value"] * l["discount"] / 100, rel_tol=1e-12
-            )
-            assert math.isclose(
-                l["discounted_goods_value"], l["goods_value"] - l["discount_value"], rel_tol=1e-12
-            )
+            assert math.isclose(l["goods_value"], l["quantity"] * l["price"], rel_tol=1e-9)
+            goods_tc = round(l["goods_value"] * 1000)
+            assert round(l["discount_value"] * 100) == (
+                goods_tc * int(l["discount"]) + 500
+            ) // 1000
+            assert round(l["discounted_goods_value"] * 100) == (
+                goods_tc - round(l["discount_value"] * 100) * 10 + 5
+            ) // 10
 
 
 def test_line_counts_within_format_caps():
