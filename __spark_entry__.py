@@ -404,6 +404,36 @@ def _q22_lsh_ann(spark, sf_dir):
     return lsh_topk(e, q, planes, k=10)
 
 
+def _q23_cosine_neardup(spark, sf_dir):
+    from horus_spark.operators.similarity import cosine_neardup_pairs
+
+    e = _load(spark, sf_dir, "embeddings")
+    return cosine_neardup_pairs(e, threshold=0.3)
+
+
+def _lsh_planes() -> list[list[float]]:
+    import numpy as np
+
+    return np.random.RandomState(11).randn(6, 64).tolist()
+
+
+def _q24_lsh_cosine_pairs(spark, sf_dir):
+    from horus_spark.operators.similarity import lsh_cosine_pairs
+
+    e = _load(spark, sf_dir, "embeddings")
+    return lsh_cosine_pairs(e, _lsh_planes(), threshold=0.2)
+
+
+def _q25_ivf_topk(spark, sf_dir):
+    from horus_spark.operators.similarity import ivf_topk
+
+    e = _load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return ivf_topk(e, q, n_centroids=16, n_probe=4, k=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -428,10 +458,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_extract_spans": _q20_extract_spans,
         "q21_minhash_pairs": _q21_minhash_pairs,
         "q22_lsh_ann": _q22_lsh_ann,
+        "q23_cosine_neardup": _q23_cosine_neardup,
+        "q24_lsh_cosine_pairs": _q24_lsh_cosine_pairs,
+        "q25_ivf_topk": _q25_ivf_topk,
     }
 
 
 # --------------------------------------------------------------- oracle SQL
+
+
+def _cos_sql(a: str, b: str) -> str:
+    """DuckDB cosine between two FLOAT[] columns, double math like Spark."""
+    dot = (
+        f"list_sum([CAST(({a})[i] AS DOUBLE) * CAST(({b})[i] AS DOUBLE) "
+        f"for i in generate_series(1, len({a}))])"
+    )
+    na = f"sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) for x in {a}]))"
+    nb = f"sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) for x in {b}]))"
+    return f"({dot} / ({na} * {nb}))"
+
+
+def _bucket_sql() -> str:
+    """Hyperplane sign-pattern bucket matching similarity.hyperplane_buckets
+    (plane 0 = MSB) for the q24 planes."""
+    planes = _lsh_planes()
+    p = len(planes)
+    terms = []
+    for i, plane in enumerate(planes):
+        lit = "[" + ",".join(repr(float(x)) for x in plane) + "]"
+        dot = (
+            f"list_sum([CAST(embedding[i] AS DOUBLE) * ({lit})[i] "
+            f"for i in generate_series(1, len(embedding))])"
+        )
+        terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << (p - 1 - i)} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
 
 _STOPWORDS_SQL = "['the','a','of','and','is','to','in']"
 _LANGS_SQL = {
@@ -633,5 +694,49 @@ def oracle_sql() -> dict[str, str]:
           SELECT label, count(*) AS n,
                  CAST(round(sum(CAST(sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) for x in embedding])) AS DECIMAL(30,10)))/count(*),4) AS DOUBLE) AS avg_norm
           FROM embeddings GROUP BY 1
+        """,
+        "q23_cosine_neardup": f"""
+          SELECT id_a, id_b, cosine FROM (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round({_cos_sql('a.embedding', 'b.embedding')}, 6) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+          WHERE cosine >= 0.3
+        """,
+        "q24_lsh_cosine_pairs": f"""
+          WITH sig AS (
+            SELECT vec_id, embedding, {_bucket_sql()} AS bucket FROM embeddings)
+          SELECT id_a, id_b, cosine FROM (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round({_cos_sql('a.embedding', 'b.embedding')}, 6) AS cosine
+            FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+          WHERE cosine >= 0.2
+        """,
+        "q25_ivf_topk": f"""
+          WITH cent AS (
+            SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings ORDER BY vec_id LIMIT 16),
+          ac AS (
+            SELECT e.vec_id AS neighbor_id, e.embedding AS vec, c.c_id,
+                   row_number() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY round({_cos_sql('e.embedding', 'c.c_vec')}, 6) DESC, c.c_id ASC
+                   ) AS c_rank
+            FROM embeddings e, cent c),
+          assigned AS (SELECT neighbor_id, vec, c_id AS cell FROM ac WHERE c_rank = 1),
+          qc AS (
+            SELECT q.vec_id AS q_id, q.embedding AS q_vec, c.c_id AS cell,
+                   row_number() OVER (
+                     PARTITION BY q.vec_id
+                     ORDER BY round({_cos_sql('q.embedding', 'c.c_vec')}, 6) DESC, c.c_id ASC
+                   ) AS c_rank
+            FROM embeddings q, cent c WHERE q.vec_id < 10),
+          scored AS (
+            SELECT p.q_id, a.neighbor_id,
+                   round({_cos_sql('a.vec', 'p.q_vec')}, 6) AS score
+            FROM assigned a JOIN (SELECT * FROM qc WHERE c_rank <= 4) p ON a.cell = p.cell
+            WHERE a.neighbor_id <> p.q_id)
+          SELECT q_id, neighbor_id, CAST(rank AS INT) AS rank, score FROM (
+            SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, neighbor_id ASC) AS rank
+            FROM scored)
+          WHERE rank <= 10
         """,
     }

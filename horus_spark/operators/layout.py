@@ -80,28 +80,47 @@ def fragments_view(clustered: pd.DataFrame, with_words: bool = False) -> pd.Data
     """Aggregate the word-level cluster output to one row per fragment:
     [doc_id, page, frag_key, frag_ord, text, x0, y0, x1, y1 (, words)].
 
+    Hot path: frag groups are contiguous runs after the sort, so every
+    aggregate is a `reduceat` over run boundaries — no pandas groupby (the
+    pure-Python agg path costs ~2ms per 100 fragments, which dominated the
+    whole pipeline).
+
     with_words=True additionally materializes per-fragment word tuples
     (line_id, word_id, text, x0, x1) — needed only for fixture-parity table
     rendering (grid_to_tables); the hot path derives word/line membership
     from the word-level frame via vectorized merges instead."""
     clustered = clustered.sort_values(["frag_key", "x0"], kind="mergesort")
-    g = clustered.groupby("frag_key", sort=False)
-    out = g.agg(
-        doc_id=("doc_id", "first"),
-        page=("page", "first"),
-        frag_ord=("frag_ord", "first"),
-        x0=("x0", "min"),
-        y0=("y0", "min"),
-        x1=("x1", "max"),
-        y1=("y1", "max"),
-        text=("text", " ".join),
-    ).reset_index()
+    fk = clustered["frag_key"].to_numpy()
+    starts = np.flatnonzero(np.r_[True, fk[1:] != fk[:-1]])
+    ends = np.r_[starts[1:], len(fk)]
+    x0 = clustered["x0"].to_numpy(dtype=np.float64)
+    y0 = clustered["y0"].to_numpy(dtype=np.float64)
+    x1 = clustered["x1"].to_numpy(dtype=np.float64)
+    y1 = clustered["y1"].to_numpy(dtype=np.float64)
+    texts = clustered["text"].to_numpy()
+    joined = [
+        texts[s] if e == s + 1 else " ".join(texts[s:e]) for s, e in zip(starts, ends)
+    ]
+    out = pd.DataFrame(
+        {
+            "frag_key": fk[starts],
+            "doc_id": clustered["doc_id"].to_numpy()[starts],
+            "page": clustered["page"].to_numpy()[starts],
+            "frag_ord": clustered["frag_ord"].to_numpy()[starts],
+            "x0": np.minimum.reduceat(x0, starts),
+            "y0": np.minimum.reduceat(y0, starts),
+            "x1": np.maximum.reduceat(x1, starts),
+            "y1": np.maximum.reduceat(y1, starts),
+            "text": joined,
+        }
+    )
     if with_words:
-        words = g.apply(
-            lambda s: list(zip(s["line_id"], s["word_id"], s["text"], s["x0"], s["x1"])),
-            include_groups=False,
-        )
-        out = out.merge(words.rename("words"), left_on="frag_key", right_index=True)
+        line_ids = clustered["line_id"].to_numpy()
+        word_ids = clustered["word_id"].to_numpy()
+        out["words"] = [
+            list(zip(line_ids[s:e], word_ids[s:e], texts[s:e], x0[s:e], x1[s:e]))
+            for s, e in zip(starts, ends)
+        ]
     return out
 
 
@@ -219,8 +238,12 @@ def infer_grid_arrays(texts: list, fx0: np.ndarray, fy: np.ndarray, fx1: np.ndar
 
     # text-row pitch (NOT anchor pitch — two-grid-row layouts space anchors
     # 2 rows apart, which would hide the totals gap)
-    diffs = np.diff(np.asarray(row_ys)) if len(row_ys) > 1 else np.array([0.17])
-    pitch = float(np.median(diffs))
+    if len(row_ys) > 1:
+        d = np.sort(np.diff(np.asarray(row_ys)))
+        m = len(d)
+        pitch = float(d[m // 2]) if m % 2 else float(d[m // 2 - 1] + d[m // 2]) / 2.0
+    else:
+        pitch = 0.17
     pitch = max(pitch, 0.12)
 
     # ---- item rows end where the inter-row gap exceeds 1.25x pitch after

@@ -78,6 +78,117 @@ def hyperplane_buckets(
     return embeddings.select(F.col(id_col), v.alias("vec"), bucket.alias("bucket"))
 
 
+def cosine_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact): all (id_a < id_b) with
+    cosine >= threshold. The correctness baseline — O(n^2) compare; at 100 TB
+    run lsh_cosine_pairs (same output contract, bucket-join candidates).
+    Returns (id_a, id_b, cosine)."""
+    a = embeddings.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).cast("array<double>").alias("vec_a"),
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).cast("array<double>").alias("vec_b"),
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine_expr(F.col("vec_a"), F.col("vec_b")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def lsh_cosine_pairs(
+    embeddings: DataFrame,
+    planes: list[list[float]],
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup, LSH-bucketed (the scale path): candidates
+    are pairs sharing a hyperplane sign-pattern bucket — an equi-join on
+    bucket instead of a cross join — then exact cosine filter. Deterministic
+    for fixed planes (recall < 1 by construction: pairs split by every
+    plane are not candidates). Returns (id_a, id_b, cosine)."""
+    sig = hyperplane_buckets(embeddings, planes, id_col, vec_col)
+    a = sig.select(
+        F.col("bucket"), F.col(id_col).alias("id_a"), F.col("vec").alias("vec_a")
+    )
+    b = sig.select(
+        F.col("bucket"), F.col(id_col).alias("id_b"), F.col("vec").alias("vec_b")
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine_expr(F.col("vec_a"), F.col("vec_b")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat ANN: partition the corpus into centroid cells, probe only
+    the n_probe cells nearest each query. Centroids here are the n_centroids
+    lowest-id vectors (deterministic stand-in for a k-means sample — at
+    scale you'd fit centroids once on a seeded sample and broadcast them;
+    the cell-assignment/probe dataflow is identical). Returns
+    (q_id, neighbor_id, rank, score)."""
+    cent = embeddings.orderBy(id_col).limit(n_centroids).select(
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).cast("array<double>").alias("c_vec"),
+    )
+    e = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+    # assign every corpus vector to its nearest centroid (broadcast dim)
+    wa = Window.partitionBy("neighbor_id").orderBy(
+        F.desc("c_score"), F.asc("c_id")
+    )
+    assigned = (
+        e.crossJoin(F.broadcast(cent))
+        .withColumn("c_score", F.round(cosine_expr(F.col("vec"), F.col("c_vec")), 6))
+        .withColumn("c_rank", F.row_number().over(wa))
+        .filter(F.col("c_rank") == 1)
+        .select("neighbor_id", "vec", F.col("c_id").alias("cell"))
+    )
+    q = queries.select("q_id", F.col("q_vec").cast("array<double>").alias("q_vec"))
+    wq = Window.partitionBy("q_id").orderBy(F.desc("c_score"), F.asc("c_id"))
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("c_score", F.round(cosine_expr(F.col("q_vec"), F.col("c_vec")), 6))
+        .withColumn("c_rank", F.row_number().over(wq))
+        .filter(F.col("c_rank") <= n_probe)
+        .select("q_id", "q_vec", F.col("c_id").alias("cell"))
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("neighbor_id") != F.col("q_id"))
+        .withColumn("score", F.round(cosine_expr(F.col("vec"), F.col("q_vec")), 6))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "rank", "score")
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame,
     queries: DataFrame,

@@ -146,18 +146,43 @@ def _extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
 _WITH_FIELDS_MAP = False
 
 
-def recognize(ocr_words: DataFrame, n_buckets: int | None = None) -> DataFrame:
-    """The native 'recognizer': OCR words -> (doc_id, fields, field_line_ids).
+def _extract_iter(batches):
+    """mapInPandas kernel: Arrow batches of a doc_id-sorted partition.
 
-    Replaces the reference's external form-recognizer call
-    (DocumentProcessor.cs:196-301) with local layout math. One shuffle
-    (hash on doc_id into n_buckets groups)."""
+    A document's rows are contiguous within the partition but may straddle
+    Arrow batch boundaries, so the tail doc of each batch is carried into
+    the next (sorted order keeps the concatenation sorted)."""
+    import numpy as np
+
+    carry = None
+    for pdf in batches:
+        if carry is not None and len(carry):
+            pdf = pd.concat([carry, pdf], ignore_index=True)
+        if len(pdf) == 0:
+            continue
+        ids = pdf["doc_id"].to_numpy()
+        not_last = np.flatnonzero(ids != ids[-1])
+        cut = int(not_last[-1]) + 1 if len(not_last) else 0
+        carry = pdf.iloc[cut:]
+        if cut:
+            yield _extract_batch(pdf.iloc[:cut])
+    if carry is not None and len(carry):
+        yield _extract_batch(carry)
+
+
+def _flat_words(ocr_words: DataFrame, n_partitions: int | None) -> DataFrame:
+    """Project + flatten bboxes JVM-side, then hash-repartition by doc_id and
+    sort within partitions so doc groups are contiguous for mapInPandas.
+
+    Row-level doc_id hashing into P partitions balances within ~5-8%
+    (multinomial over ~10^3 docs/partition), unlike hashing coarse bucket
+    ids which left 1.5-6x stragglers; docs are bounded (<=~250 words) so
+    no single key can skew a partition."""
     spark = ocr_words.sparkSession
-    if n_buckets is None:
-        # 4x the shuffle parallelism: with k buckets hashed into k partitions
-        # the max-loaded partition carries ~3-4 buckets (balls-in-bins), a
-        # 3-4x straggler; 4k buckets smooths to ~1.3x
-        n_buckets = 4 * int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if n_partitions is None:
+        # 4x shuffle parallelism: ~0.3-0.5s tasks overlap Python compute
+        # with JVM shuffle reads and smooth per-doc weight variance
+        n_partitions = 4 * int(spark.conf.get("spark.sql.shuffle.partitions"))
     b = F.col("bbox")
     flat = ocr_words.select(
         "doc_id",
@@ -171,37 +196,35 @@ def recognize(ocr_words: DataFrame, n_buckets: int | None = None) -> DataFrame:
         F.least(b[1], b[3]).alias("y0"),
         F.greatest(b[2], b[4]).alias("x1"),
         F.greatest(b[5], b[7]).alias("y1"),
-        F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int").alias("bucket"),
     )
-    return flat.groupBy("bucket").applyInPandas(
-        lambda key, pdf: _extract_batch(pdf), schema=FIELDS_SCHEMA
+    return flat.repartition(n_partitions, "doc_id").sortWithinPartitions("doc_id")
+
+
+def recognize(ocr_words: DataFrame, n_buckets: int | None = None) -> DataFrame:
+    """The native 'recognizer': OCR words -> (doc_id, fields, field_line_ids).
+
+    Replaces the reference's external form-recognizer call
+    (DocumentProcessor.cs:196-301) with local layout math. One shuffle
+    (hash-repartition on doc_id)."""
+    return _flat_words(ocr_words, n_buckets).mapInPandas(
+        _extract_iter, schema=FIELDS_SCHEMA
     )
 
 
 def recognize_with_fields_map(ocr_words: DataFrame, n_buckets: int | None = None) -> DataFrame:
     """Test/debug variant also emitting the dynamic fields map."""
-    spark = ocr_words.sparkSession
-    if n_buckets is None:
-        n_buckets = 4 * int(spark.conf.get("spark.sql.shuffle.partitions"))
-    b = F.col("bbox")
-    flat = ocr_words.select(
-        "doc_id", "page", "line_id", "word_id", "text",
-        F.least(b[0], b[6]).alias("x0"),
-        F.least(b[1], b[3]).alias("y0"),
-        F.greatest(b[2], b[4]).alias("x1"),
-        F.greatest(b[5], b[7]).alias("y1"),
-        F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int").alias("bucket"),
-    )
 
-    def batch_with_map(key, pdf):
+    def iter_with_map(batches):
         global _WITH_FIELDS_MAP
         _WITH_FIELDS_MAP = True
         try:
-            return _extract_batch(pdf)
+            yield from _extract_iter(batches)
         finally:
             _WITH_FIELDS_MAP = False
 
-    return flat.groupBy("bucket").applyInPandas(batch_with_map, schema=FIELDS_MAP_SCHEMA)
+    return _flat_words(ocr_words, n_buckets).mapInPandas(
+        iter_with_map, schema=FIELDS_MAP_SCHEMA
+    )
 
 
 def classify_spans_expr() -> "F.Column":
