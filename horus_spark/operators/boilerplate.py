@@ -20,8 +20,13 @@ from pyspark.sql import functions as F
 
 
 def is_boilerplate_text(text: Column) -> Column:
-    links = F.size(F.split(text, "<a href", -1)) - 1
-    pipes = F.size(F.split(text, r" \| ", -1)) - 1
-    dashes = F.size(F.split(text, " - ", -1)) - 1
-    tokens = F.size(F.split(F.trim(text), " +", -1))
-    return (links > 0) | (pipes >= 2) | (dashes >= 2) | (tokens < 4)
+    # allocation-free forms (this runs per span, ~70 spans/doc): contains /
+    # second-occurrence locate / regexp_count instead of split+size, which
+    # materialized a string array per probe
+    links = F.contains(text, F.lit("<a href"))
+    p1 = F.locate(" | ", text)
+    pipes2 = (p1 > 0) & (F.call_function("locate", F.lit(" | "), text, p1 + 3) > 0)
+    d1 = F.locate(" - ", text)
+    dashes2 = (d1 > 0) & (F.call_function("locate", F.lit(" - "), text, d1 + 3) > 0)
+    tokens = F.regexp_count(F.trim(text), F.lit(" +")) + 1
+    return links | pipes2 | dashes2 | (tokens < 4)

@@ -53,6 +53,11 @@ def extract_fields_arrays(
     n = len(texts)
     fields: dict[str, str] = {}
     used: set[int] = set()
+    # plain-list views: the loops below do scalar reads per fragment, where
+    # numpy indexing pays ~3x in boxing overhead
+    fy = fy.tolist() if isinstance(fy, np.ndarray) else fy
+    fx0 = fx0.tolist() if isinstance(fx0, np.ndarray) else fx0
+    fx1 = fx1.tolist() if isinstance(fx1, np.ndarray) else fx1
 
     def reg(key, value, idxs):
         fields[key] = value
@@ -134,11 +139,12 @@ def extract_fields_arrays(
 
     n_cols = grid["n_cols"]
     cells = grid["cells"]
+    rx_item = _rx(r"\d{1,2}$")
     anchor_rows: list[tuple[int, int]] = []  # (row, item_number)
     for (r, c), idxs in cells.items():
         if c == 0 and r > 0 and len(idxs) == 1:
             t = texts[idxs[0]]
-            if _rx(r"\d{1,2}$").fullmatch(t):
+            if rx_item.fullmatch(t):
                 anchor_rows.append((r, int(t)))
     anchor_rows.sort()
     n_item_rows = grid["n_rows"] - 1  # excl header

@@ -127,11 +127,13 @@ def fragments_view(clustered: pd.DataFrame, with_words: bool = False) -> pd.Data
 # --------------------------------------------------------------------- L2
 
 
-def _interval_clusters(intervals: np.ndarray) -> np.ndarray:
+def _interval_clusters(intervals) -> list:
     """Assign cluster ids to 1-D intervals [(lo, hi)] by overlap-connectivity
-    (maximal connected components under interval overlap)."""
-    order = np.argsort(intervals[:, 0])
-    cluster = np.zeros(len(intervals), dtype=np.int64)
+    (maximal connected components under interval overlap). Accepts a list of
+    (lo, hi) tuples or an (n, 2) array; returns a list of cluster ids."""
+    n = len(intervals)
+    order = sorted(range(n), key=lambda i: intervals[i][0])
+    cluster = [0] * n
     cur, hi = 0, -np.inf
     for idx in order:
         lo, h = intervals[idx]
@@ -202,6 +204,11 @@ def infer_grid_arrays(texts: list, fx0: np.ndarray, fy: np.ndarray, fx1: np.ndar
 
         _INT_RE = re.compile(r"\d{1,2}$")
     n = len(texts)
+    # plain-list views for the scalar-access loops below (numpy scalar
+    # indexing pays ~3x in boxing overhead at this call frequency)
+    fy_l = fy.tolist() if isinstance(fy, np.ndarray) else list(fy)
+    fx0_l = fx0.tolist() if isinstance(fx0, np.ndarray) else list(fx0)
+    fx1_l = fx1.tolist() if isinstance(fx1, np.ndarray) else list(fx1)
     int_ids = [i for i in range(n) if _INT_RE.fullmatch(texts[i])]
     anchors_idx = None
     if int_ids:
@@ -210,9 +217,9 @@ def infer_grid_arrays(texts: list, fx0: np.ndarray, fy: np.ndarray, fx1: np.ndar
 
         buckets = defaultdict(list)
         for i in int_ids:
-            buckets[int(round((fx0[i] + fx1[i]) / 2 / 0.12))].append(i)
+            buckets[int(round((fx0_l[i] + fx1_l[i]) / 2 / 0.12))].append(i)
         for grp in buckets.values():
-            grp.sort(key=lambda i: fy[i])
+            grp.sort(key=lambda i: fy_l[i])
             vals = [int(texts[i]) for i in grp]
             if vals[:1] == [1] and vals == list(range(1, len(vals) + 1)):
                 if anchors_idx is None or len(grp) > len(anchors_idx):
@@ -220,21 +227,21 @@ def infer_grid_arrays(texts: list, fx0: np.ndarray, fy: np.ndarray, fx1: np.ndar
     if not anchors_idx:
         return {}
 
-    a_y0 = np.array([fy[i] for i in anchors_idx])
     pad = 0.04
-    table_top = a_y0[0] - pad
+    table_top = fy_l[anchors_idx[0]] - pad
+    last_anchor_y = fy_l[anchors_idx[-1]]
 
     # ---- visual text rows of everything below the table top
-    below = np.flatnonzero(fy >= table_top)
-    below = below[np.argsort(fy[below], kind="stable")]
+    below = [i for i in range(n) if fy_l[i] >= table_top]
+    below.sort(key=lambda i: fy_l[i])
     row_of: dict[int, int] = {}
     row_ys: list[float] = []
     for fi in below:
-        if row_ys and fy[fi] - row_ys[-1] <= 0.06:
-            row_of[int(fi)] = len(row_ys) - 1
+        if row_ys and fy_l[fi] - row_ys[-1] <= 0.06:
+            row_of[fi] = len(row_ys) - 1
         else:
-            row_ys.append(float(fy[fi]))
-            row_of[int(fi)] = len(row_ys) - 1
+            row_ys.append(fy_l[fi])
+            row_of[fi] = len(row_ys) - 1
 
     # text-row pitch (NOT anchor pitch — two-grid-row layouts space anchors
     # 2 rows apart, which would hide the totals gap)
@@ -248,71 +255,71 @@ def infer_grid_arrays(texts: list, fx0: np.ndarray, fy: np.ndarray, fx1: np.ndar
 
     # ---- item rows end where the inter-row gap exceeds 1.25x pitch after
     # the last anchor row (the totals block / page footer follow)
-    last_anchor_y = a_y0[-1]
     n_item_rows = len(row_ys)
     for ri in range(1, len(row_ys)):
         if row_ys[ri] > last_anchor_y + 1e-9 and row_ys[ri] - row_ys[ri - 1] > 1.25 * pitch:
             n_item_rows = ri
             break
-    item_ids = np.array(
-        [fi for fi, r in row_of.items() if r < n_item_rows], dtype=np.int64
-    )
+    item_ids = [fi for fi, r in row_of.items() if r < n_item_rows]
 
     # ---- columns from item fragments only
-    intervals = np.stack([fx0[item_ids], fx1[item_ids]], axis=1)
+    intervals = [(fx0_l[fi], fx1_l[fi]) for fi in item_ids]
     col_of = _interval_clusters(intervals)
-    n_cols = int(col_of.max() + 1) if len(col_of) else 0
-    col_lo = np.array([intervals[col_of == c, 0].min() for c in range(n_cols)])
-    col_hi = np.array([intervals[col_of == c, 1].max() for c in range(n_cols)])
+    n_cols = (max(col_of) + 1) if col_of else 0
+    col_lo = [min(iv[0] for iv, c in zip(intervals, col_of) if c == cc) for cc in range(n_cols)]
+    col_hi = [max(iv[1] for iv, c in zip(intervals, col_of) if c == cc) for cc in range(n_cols)]
 
     cells: dict[tuple[int, int], list[int]] = {}
     for k, fi in enumerate(item_ids):
-        cells.setdefault((row_of[int(fi)] + 1, int(col_of[k])), []).append(int(fi))
+        cells.setdefault((row_of[fi] + 1, col_of[k]), []).append(fi)
 
     # ---- header: fragments in the band just above the table top
     hdr_ids = [
         i
         for i in range(n)
-        if table_top - 0.75 < fy[i] < table_top
-        and fx1[i] > col_lo[0] - 0.05
-        and fx0[i] < col_hi[-1] + 0.05
+        if table_top - 0.75 < fy_l[i] < table_top
+        and fx1_l[i] > col_lo[0] - 0.05
+        and fx0_l[i] < col_hi[-1] + 0.05
     ]
-    groups = _monotone_header_groups(fx0, fx1, hdr_ids)
+    groups = _monotone_header_groups(fx0_l, fx1_l, hdr_ids)
     target_cols = list(range(1, n_cols))
     if len(groups) == len(target_cols):
         assign = dict(zip(range(len(groups)), target_cols))
     else:
         assign = {}
         for gi, g in enumerate(groups):
-            glo = min(fx0[j] for j in g)
-            ghi = max(fx1[j] for j in g)
-            gaps = np.maximum(col_lo - ghi, 0) + np.maximum(glo - col_hi, 0)
-            assign[gi] = int(np.argmin(gaps))
+            glo = min(fx0_l[j] for j in g)
+            ghi = max(fx1_l[j] for j in g)
+            best, best_gap = 0, None
+            for cc in range(n_cols):
+                gap = max(col_lo[cc] - ghi, 0.0) + max(glo - col_hi[cc], 0.0)
+                if best_gap is None or gap < best_gap:
+                    best, best_gap = cc, gap
+            assign[gi] = best
     for gi, g in enumerate(groups):
         for fi in g:
-            cells.setdefault((0, assign[gi]), []).append(int(fi))
+            cells.setdefault((0, assign[gi]), []).append(fi)
 
     # ---- totals: below the items, contained in the last column band
     totals_cells = []
     tids = [
-        int(fi)
+        fi
         for fi, r in row_of.items()
         if r >= n_item_rows
-        and fx0[fi] >= col_lo[-1] - 0.25
-        and fx1[fi] <= col_hi[-1] + 0.25
+        and fx0_l[fi] >= col_lo[-1] - 0.25
+        and fx1_l[fi] <= col_hi[-1] + 0.25
     ]
     if tids:
-        ys = np.array([fy[fi] for fi in tids])
-        order = np.argsort(ys)
+        tids.sort(key=lambda fi: fy_l[fi])
         r, prev_y = -1, -np.inf
-        for oi in order:
-            yv = ys[oi]
+        for fi in tids:
+            yv = fy_l[fi]
             if yv - prev_y > 1.25 * pitch:  # totals end before a large gap
                 if r >= 0:
                     break
             if yv - prev_y > 0.06:
                 r += 1
-            totals_cells.append({"row": r, "frag_idx": [tids[oi]]})
+            totals_cells.append({"row": r, "frag_idx": [fi]})
             prev_y = yv
 
     return {

@@ -74,7 +74,8 @@ def _err(code: str, severity: str, message: Column) -> Column:
 
 
 def _sanitize(col: Column) -> Column:
-    return F.regexp_replace(col, "'", E.ILLEGAL_MARKER)
+    # literal replace — no regex engine in the per-field hot path
+    return F.replace(col, F.lit("'"), F.lit(E.ILLEGAL_MARKER))
 
 
 # ---------------------------------------------------------------- raw helpers
@@ -97,7 +98,7 @@ def str_error(raw: Column, key: Column, severity: str) -> Column:
 
 
 def _num_cleaned(raw: Column) -> Column:
-    return F.regexp_replace(F.trim(raw), " ", "")
+    return F.replace(F.trim(raw), F.lit(" "), F.lit(""))
 
 
 def num_parse_ok(raw: Column) -> Column:
@@ -108,13 +109,13 @@ def num_value(raw: Column) -> Column:
     """Parsed value or NULL (caller applies `?? 0` where the reference does)."""
     return F.when(
         raw.isNotNull() & num_parse_ok(raw),
-        F.regexp_replace(_num_cleaned(raw), ",", "").cast("double"),
+        F.replace(_num_cleaned(raw), F.lit(","), F.lit("")).cast("double"),
     )
 
 
 def num_normalized_string(raw: Column) -> Column:
     """C# decimal round-trip string of the parsed value ('' when null)."""
-    cleaned = F.regexp_replace(_num_cleaned(raw), ",", "")
+    cleaned = F.replace(_num_cleaned(raw), F.lit(","), F.lit(""))
     norm = F.regexp_replace(cleaned, r"^([+-]?)0+([0-9])", r"$1$2")
     norm = F.regexp_replace(norm, r"^([+-]?)\.", r"$10.")
     return F.when(num_value(raw).isNotNull(), norm).otherwise(F.lit(""))
@@ -266,10 +267,17 @@ def _shred_from_raw(df: DataFrame, header: Column, lines_raw: Column, carry: lis
         )
 
     line_items = F.transform(lines_raw, line_struct)
-    all_errors = F.filter(
+    all_errors_expr = F.filter(
         F.concat(header_errors, F.flatten(F.transform(lines_raw, line_errors))),
         lambda e: e.isNotNull(),
     )
+    # Stage the error array in its own projection: higher-order functions are
+    # CodegenFallback (interpreted), and inlining this tree into the errors
+    # column AND both counts would evaluate it three times per row.
+    # CollapseProject keeps the split because the alias is non-cheap and
+    # referenced more than once.
+    df = df.withColumn("__all_errors", all_errors_expr)
+    all_errors = F.col("__all_errors")
 
     terminal_count = F.size(F.filter(all_errors, lambda e: e["severity"] == E.SEV_TERMINAL))
     warning_count = F.size(F.filter(all_errors, lambda e: e["severity"] == E.SEV_WARNING))

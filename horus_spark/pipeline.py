@@ -146,33 +146,93 @@ def _extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
 _WITH_FIELDS_MAP = False
 
 
+# kernel chunk target: per-batch fixed costs amortize up to ~64k rows;
+# beyond that pandas working sets fall out of cache (measured sweet spot)
+_KERNEL_CHUNK_ROWS = 65536
+
+# Arrow output schema mirroring FIELDS_SCHEMA (mapInArrow hands us raw
+# RecordBatches both ways; doing our own pandas conversion with
+# split_blocks/self_destruct costs ~5% of what the generic pandas-UDF
+# serializer spends per column)
+_ARROW_FIELDS_SCHEMA = None
+
+
+def _arrow_fields_schema():
+    global _ARROW_FIELDS_SCHEMA
+    if _ARROW_FIELDS_SCHEMA is None:
+        import pyarrow as pa
+
+        header_t = pa.struct(
+            [(c, pa.string()) for c, _ in _HEADER_KEYS]
+        )
+        line_t = pa.struct(
+            [(c, pa.string()) for c in ("drug", "qty", "unit", "vat", "disc", "taxable", "net")]
+        )
+        _ARROW_FIELDS_SCHEMA = pa.schema(
+            [
+                ("doc_id", pa.string()),
+                ("header_raw", header_t),
+                ("lines_raw", pa.list_(line_t)),
+                ("field_line_ids", pa.list_(pa.int32())),
+            ]
+        )
+    return _ARROW_FIELDS_SCHEMA
+
+
+def _extract_iter_arrow(batches):
+    """mapInArrow kernel: same semantics as _extract_iter, with hand-rolled
+    Arrow<->pandas conversion on both edges."""
+    import pyarrow as pa
+
+    batches = list(batches)
+    if not batches:
+        return
+    tbl = pa.Table.from_batches(batches)
+    del batches
+    pdf = tbl.to_pandas(split_blocks=True, self_destruct=True)
+    del tbl
+    pdf = pdf.sort_values("doc_id", kind="mergesort", ignore_index=True)
+    ids = pdf["doc_id"].to_numpy()
+    schema = _arrow_fields_schema()
+    n = len(pdf)
+    s = 0
+    while s < n:
+        e = min(s + _KERNEL_CHUNK_ROWS, n)
+        while e < n and ids[e] == ids[e - 1]:
+            e += 1
+        out = _extract_batch(pdf.iloc[s:e])
+        yield pa.RecordBatch.from_pandas(out, schema=schema, preserve_index=False)
+        s = e
+
+
 def _extract_iter(batches):
-    """mapInPandas kernel: Arrow batches of a doc_id-sorted partition.
+    """mapInPandas kernel: one hash-partition of OCR words (all rows of a
+    doc land in the same partition; no within-partition order assumed).
 
-    A document's rows are contiguous within the partition but may straddle
-    Arrow batch boundaries, so the tail doc of each batch is carried into
-    the next (sorted order keeps the concatenation sorted)."""
-    import numpy as np
-
-    carry = None
-    for pdf in batches:
-        if carry is not None and len(carry):
-            pdf = pd.concat([carry, pdf], ignore_index=True)
-        if len(pdf) == 0:
-            continue
-        ids = pdf["doc_id"].to_numpy()
-        not_last = np.flatnonzero(ids != ids[-1])
-        cut = int(not_last[-1]) + 1 if len(not_last) else 0
-        carry = pdf.iloc[cut:]
-        if cut:
-            yield _extract_batch(pdf.iloc[:cut])
-    if carry is not None and len(carry):
-        yield _extract_batch(carry)
+    Buffers the partition (bounded: ~n_rows/n_partitions, tune n_partitions
+    at scale), sorts by doc_id once in pandas, then processes doc-aligned
+    chunks near the cache-friendly sweet spot. Avoids a JVM-side
+    sortWithinPartitions, which cost more than the pandas sort and forced
+    tiny Arrow-batch kernel calls."""
+    chunks = [pdf for pdf in batches if len(pdf)]
+    if not chunks:
+        return
+    pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+    pdf = pdf.sort_values("doc_id", kind="mergesort", ignore_index=True)
+    ids = pdf["doc_id"].to_numpy()
+    n = len(pdf)
+    s = 0
+    while s < n:
+        e = min(s + _KERNEL_CHUNK_ROWS, n)
+        while e < n and ids[e] == ids[e - 1]:
+            e += 1
+        yield _extract_batch(pdf.iloc[s:e])
+        s = e
 
 
 def _flat_words(ocr_words: DataFrame, n_partitions: int | None) -> DataFrame:
-    """Project + flatten bboxes JVM-side, then hash-repartition by doc_id and
-    sort within partitions so doc groups are contiguous for mapInPandas.
+    """Project + flatten bboxes JVM-side, then hash-repartition by doc_id so
+    every document's words land in one partition (grouped in the kernel).
 
     Row-level doc_id hashing into P partitions balances within ~5-8%
     (multinomial over ~10^3 docs/partition), unlike hashing coarse bucket
@@ -197,7 +257,7 @@ def _flat_words(ocr_words: DataFrame, n_partitions: int | None) -> DataFrame:
         F.greatest(b[2], b[4]).alias("x1"),
         F.greatest(b[5], b[7]).alias("y1"),
     )
-    return flat.repartition(n_partitions, "doc_id").sortWithinPartitions("doc_id")
+    return flat.repartition(n_partitions, "doc_id")
 
 
 def recognize(ocr_words: DataFrame, n_buckets: int | None = None) -> DataFrame:
@@ -206,8 +266,8 @@ def recognize(ocr_words: DataFrame, n_buckets: int | None = None) -> DataFrame:
     Replaces the reference's external form-recognizer call
     (DocumentProcessor.cs:196-301) with local layout math. One shuffle
     (hash-repartition on doc_id)."""
-    return _flat_words(ocr_words, n_buckets).mapInPandas(
-        _extract_iter, schema=FIELDS_SCHEMA
+    return _flat_words(ocr_words, n_buckets).mapInArrow(
+        _extract_iter_arrow, schema=FIELDS_SCHEMA
     )
 
 
@@ -242,7 +302,11 @@ def classify_spans_expr() -> "F.Column":
                 F.when(
                     F.array_contains(
                         F.coalesce(F.col("field_line_ids"), F.array().cast("array<int>")),
-                        F.regexp_extract(s["media_ref"], r"L(\d+)$", 1).cast("int"),
+                        # media_ref ends '#p<page>L<line>': all text after the
+                        # last 'L' is the line id (try_cast nulls anything
+                        # else) — regexp_extract here cost ~1us x every media
+                        # span in an interpreted (non-codegen) projection
+                        F.substring_index(s["media_ref"], "L", -1).try_cast("int"),
                     ),
                     F.lit("form-field"),
                 ).otherwise(F.lit("boilerplate")),

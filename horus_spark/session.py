@@ -38,13 +38,24 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Tungsten execution memory off-heap: shuffle/sort/join buffers stop
+        # churning the GC heap (measured: per-run GC fell from 1-21s to
+        # <0.7s on the extraction pipeline and run-to-run variance with it)
+        .config("spark.memory.offHeap.enabled", "true")
+        .config("spark.memory.offHeap.size", os.environ.get("SPARK_OFFHEAP", "8g"))
+        # throughput-batch workload: ParallelGC beat G1 ~2x on the regex/
+        # struct-heavy interpreted projections (G1 hit 100s+ mixed-GC storms)
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_DRIVER_JAVA_OPTS", "-XX:+UseParallelGC"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
