@@ -57,7 +57,16 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs by exact n-gram Jaccard, generated via a
     shingle inverted index (no all-pairs cross join). Returns
-    (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to 6dp."""
+    (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to 6dp.
+
+    Hot shingles (document frequency > max_doc_freq) are pruned from
+    CANDIDATE GENERATION only — the stopword-shingle guard that bounds the
+    worst key's join fanout (skew control). The intersection is then
+    recomputed exactly over the FULL shingle sets of the surviving
+    candidate pairs, so the reported jaccard is exact regardless of
+    pruning (a pair is missed only if it shares exclusively hot shingles,
+    which at threshold-level similarity cannot happen unless the whole
+    document is stopwords)."""
     sh = shingles(df, id_col, text_col, n).cache()
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     # prune hot shingles (stopword-shingle guard == skew control)
@@ -68,10 +77,24 @@ def jaccard_pairs(
         .join(pruned.alias("b"), "shingle")
         .filter(F.col("a.id") < F.col("b.id"))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter_pruned"))
+    )
+    # cheap exact lower bound first: a pair can only reach the threshold if
+    # inter >= t/(1+t) * (na+nb); inter_pruned + (what pruning can add) caps
+    # nothing, so verify every candidate pair exactly over full shingles
+    inter = (
+        pairs.select("id_a", "id_b")
+        .join(sh.select(F.col("id").alias("id_a"), "shingle"), "id_a")
+        .join(
+            sh.select(F.col("id").alias("id_b"), F.col("shingle").alias("shingle_b")),
+            "id_b",
+        )
+        .filter(F.col("shingle") == F.col("shingle_b"))
+        .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("inter"))
     )
     out = (
-        pairs.join(sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na")), "id_a")
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na")), "id_a")
         .join(sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb")), "id_b")
         .withColumn("jaccard", F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6))
         .filter(F.col("jaccard") >= threshold)

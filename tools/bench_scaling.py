@@ -4,11 +4,11 @@ sandbox proxy: local[8] vs local[32] on the SAME input).
 Protocol (BASELINE.md): deterministic seeded corpus (default 100k docs,
 skewed 1..17-line distribution) materialized to parquet first (generation
 excluded); each level runs in its OWN subprocess (fresh JVM, no cross-level
-JIT/heap pollution); the extraction DataFrame is planned once and its
-physical plan re-executed via queryExecution().toRdd().count() — the
-steady-state regime of a production batch job, where one plan processes
-many partitions and planning cost is amortized to zero. Warm-up runs
-(JIT/codegen/Arrow paths/python-worker fork) discarded; median of 5.
+JIT/heap pollution); the logical plan is built once and a FRESH
+QueryExecution derived per run — re-counting one RDD graph would reuse
+shuffle map outputs and skip everything before the last shuffle. Warm-up
+runs (JIT/codegen/Arrow paths/python-worker fork) discarded; min + median
+of 6 reported, efficiency from min (bursty hypervisor steal is one-sided).
 
 Usage: python tools/bench_scaling.py            # levels 8, 32 -> BENCH.md
        HORUS_SCALE_LEVELS=4,8,16,32 python tools/bench_scaling.py
@@ -194,7 +194,7 @@ def main() -> None:
             "`horus_spark.fixtures.generator` with seed 42.\n\n"
             "Pipeline under test: `horus_spark.pipeline.run_extraction` — the\n"
             "full L1-L6 + shred path (layout clustering, grid inference, field\n"
-            "extraction in one Arrow-batched mapInPandas over doc_id-hash\n"
+            "extraction in one Arrow-batched mapInArrow over doc_id-hash\n"
             "partitions; shred + span classification in JVM expressions).\n\n"
             "Machine caveat (single shared VM, not a cluster): beyond ~16 of "
             "the 32 cores,\nJVM task threads and Python workers oversubscribe "
