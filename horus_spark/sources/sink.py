@@ -38,7 +38,13 @@ def write_extracted(extracted: DataFrame, out_dir: str, mode: str = "overwrite")
     ]
     extracted.cache()
     try:
-        extracted.select(*header_cols).write.mode(mode).parquet(
+        header = extracted.select(*header_cols)
+        if "post_code" in header_cols:
+            # persist-time-only truncation, exactly like the reference
+            # (Horus.Functions/HorusSql.cs:235-241 trims PostCode to 10
+            # chars at INSERT; the in-memory Document keeps the full value)
+            header = header.withColumn("post_code", F.substring("post_code", 1, 10))
+        header.write.mode(mode).parquet(
             os.path.join(out_dir, "documents_out")
         )
         extracted.select(

@@ -39,3 +39,9 @@ def test_kill_and_resume(spark, tmp_path):
     # second resume is a no-op (idempotent)
     res2 = run_checkpointed(docs, words, out, run_id="r3", n_chunks=4)
     assert res2["completed"] == [] and len(res2["skipped"]) == 4
+
+    # P10: PostCode truncated to 10 chars at persist time only
+    # (reference HorusSql.cs:235-241)
+    from pyspark.sql import functions as F
+
+    assert got.filter(F.length("post_code") > 10).count() == 0
