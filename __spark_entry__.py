@@ -695,6 +695,19 @@ def oracle_sql() -> dict[str, str]:
                  CAST(round(sum(CAST(sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) for x in embedding])) AS DECIMAL(30,10)))/count(*),4) AS DOUBLE) AS avg_norm
           FROM embeddings GROUP BY 1
         """,
+        # q19/q20 goldens: committed parquet computed WITHOUT the pipeline —
+        # an independent Python mini-shredder over the generator's
+        # ground-truth fields (fixtures/oracle_shred.py) and the generator's
+        # golden span classification. Regenerate: python tools/make_goldens.py
+        "q19_extract_documents": """
+          SELECT doc_id, document_number, tax_period, account, post_code,
+                 net_total, grand_total, n_lines, n_errors, is_valid
+          FROM read_parquet('/root/repo/horus_spark/fixtures/goldens/q19_expected_documents.parquet')
+        """,
+        "q20_extract_spans": """
+          SELECT doc_id, kind, "offset", media_ref
+          FROM read_parquet('/root/repo/horus_spark/fixtures/goldens/q20_expected_spans.parquet')
+        """,
         "q23_cosine_neardup": f"""
           SELECT id_a, id_b, cosine FROM (
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
