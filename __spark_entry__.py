@@ -390,18 +390,20 @@ def _q21_minhash_pairs(spark, sf_dir):
     return minhash_dedup_pairs(d, n=3, k=64, bands=16, threshold=0.3)
 
 
-def _q22_lsh_ann(spark, sf_dir):
+def _q22_planes() -> list[list[float]]:
     import numpy as np
 
+    return np.random.RandomState(7).randn(6, 64).tolist()
+
+
+def _q22_lsh_ann(spark, sf_dir):
     from horus_spark.operators.similarity import lsh_topk
 
     e = _load(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
-    rng = np.random.RandomState(7)
-    planes = rng.randn(6, 64).tolist()
-    return lsh_topk(e, q, planes, k=10)
+    return lsh_topk(e, q, _q22_planes(), k=10)
 
 
 def _q23_cosine_neardup(spark, sf_dir):
@@ -478,17 +480,17 @@ def _cos_sql(a: str, b: str) -> str:
     return f"({dot} / ({na} * {nb}))"
 
 
-def _bucket_sql() -> str:
+def _bucket_sql(planes: list[list[float]] | None = None, vec: str = "embedding") -> str:
     """Hyperplane sign-pattern bucket matching similarity.hyperplane_buckets
-    (plane 0 = MSB) for the q24 planes."""
-    planes = _lsh_planes()
+    (plane 0 = MSB); defaults to the q24 planes."""
+    planes = planes if planes is not None else _lsh_planes()
     p = len(planes)
     terms = []
     for i, plane in enumerate(planes):
         lit = "[" + ",".join(repr(float(x)) for x in plane) + "]"
         dot = (
-            f"list_sum([CAST(embedding[i] AS DOUBLE) * ({lit})[i] "
-            f"for i in generate_series(1, len(embedding))])"
+            f"list_sum([CAST({vec}[i] AS DOUBLE) * ({lit})[i] "
+            f"for i in generate_series(1, len({vec}))])"
         )
         terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << (p - 1 - i)} ELSE 0 END)")
     return "(" + " + ".join(terms) + ")"
@@ -530,6 +532,73 @@ def oracle_sql() -> dict[str, str]:
       (CASE WHEN n_tok BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END
        + CASE WHEN stop_ratio >= 0.05 THEN 0.3 ELSE 0.0 END
        + CASE WHEN punct_ratio <= 0.2 THEN 0.3 ELSE 0.0 END)
+    """
+    # q21: full MinHash-LSH pipeline in SQL — same universal-hash family as
+    # dedup.minhash_signatures ((a_i*h + b_i) mod 2^31-1 over the 28-bit md5
+    # prefix), same 16x4 string band buckets, same exact-Jaccard verify.
+    from horus_spark.operators.dedup import MINHASH_PRIME, minhash_params
+
+    mh_a, mh_b = minhash_params(64)
+    min_exprs = ",\n             ".join(
+        f"min(({mh_a[i]}*h + {mh_b[i]}) % {MINHASH_PRIME}) AS h{i}" for i in range(64)
+    )
+    band_selects = "\n          UNION ALL ".join(
+        "SELECT id, {b} AS band, {bucket} AS bucket FROM mins".format(
+            b=b,
+            bucket=" || ',' || ".join(
+                f"CAST(h{b * 4 + r} AS VARCHAR)" for r in range(4)
+            ),
+        )
+        for b in range(16)
+    )
+    minhash_sql = (
+        shingle_cte
+        + f"""
+          , bh AS (
+            SELECT id, CAST(concat('0x', substring(md5(shingle),1,7)) AS BIGINT) AS h
+            FROM sh
+          ), mins AS (
+            SELECT id, {min_exprs}
+            FROM bh GROUP BY id
+          ), bands AS (
+          {band_selects}
+          ), cand AS (
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b
+            FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+          ), inter AS (
+            SELECT c.id_a, c.id_b, count(*) AS inter
+            FROM cand c
+            JOIN sh a ON a.id = c.id_a
+            JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
+            GROUP BY 1, 2)
+          SELECT id_a, id_b,
+                 round(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+          FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+          WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= 0.3
+        """
+    )
+    # q22: sign-pattern bucket + the p+1 probe buckets (exact bucket, then
+    # every single-bit flip), exactly similarity.lsh_topk's probe set.
+    q22_planes = _q22_planes()
+    q22_p = len(q22_planes)
+    q22_probe_list = "[qb" + "".join(f", xor(qb, {1 << i})" for i in range(q22_p)) + "]"
+    q22_sql = f"""
+      WITH sig AS (
+        SELECT vec_id, embedding, {_bucket_sql(q22_planes)} AS bucket FROM embeddings),
+      q AS (
+        SELECT vec_id AS q_id, embedding AS q_vec, bucket AS qb
+        FROM sig WHERE vec_id < 10),
+      probes AS (
+        SELECT q_id, q_vec, unnest({q22_probe_list}) AS bucket FROM q),
+      scored AS (
+        SELECT p.q_id, s.vec_id AS neighbor_id,
+               round({_cos_sql('s.embedding', 'p.q_vec')}, 6) AS score
+        FROM sig s JOIN probes p ON s.bucket = p.bucket
+        WHERE s.vec_id <> p.q_id)
+      SELECT q_id, neighbor_id, CAST(rank AS INT) AS rank, score FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, neighbor_id ASC) AS rank
+        FROM scored)
+      WHERE rank <= 10
     """
     qstats = f"""
       SELECT CAST(doc_id AS VARCHAR) AS doc_id,
@@ -708,6 +777,8 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id, kind, "offset", media_ref
           FROM read_parquet('/root/repo/horus_spark/fixtures/goldens/q20_expected_spans.parquet')
         """,
+        "q21_minhash_pairs": minhash_sql,
+        "q22_lsh_ann": q22_sql,
         "q23_cosine_neardup": f"""
           SELECT id_a, id_b, cosine FROM (
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

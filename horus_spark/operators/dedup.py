@@ -6,21 +6,48 @@ Four tiers, each a standard large-corpus technique:
 - ngram-jaccard: word-shingle inverted index -> candidate pairs sharing a
             shingle -> exact Jaccard >= threshold (exactly SQL-expressible,
             used as the verification oracle for the sketch tiers)
-- minhash-LSH: k xxhash64 permutations -> banded signatures -> bucket join
-            -> candidates verified by exact Jaccard (the at-scale path:
-            candidate generation is linear in corpus size, never all-pairs)
-- simhash:  64-bit sign-aggregated token hashes + hamming threshold
+- minhash-LSH: k universal-hash permutations of one md5-derived base hash
+            -> banded signatures -> bucket join -> candidates verified by
+            exact Jaccard (the at-scale path: candidate generation is
+            linear in corpus size, never all-pairs). The permutation family
+            (a_i*h + b_i) mod (2^31-1) over a 28-bit md5 prefix is chosen
+            so every step is expressible in ANSI SQL for oracle parity —
+            and it is CHEAPER than k seeded xxhash64 calls (one digest +
+            k integer ops per shingle).
+- simhash:  sign-aggregated token hashes + hamming threshold
 
 Scale notes: shingle explode is the only wide stage; the inverted-index
-join co-partitions on the shingle hash. Hot shingles are capped
-(df > max_doc_freq pruned) — the standard stopword-shingle guard — which
-bounds the worst key's fanout, i.e. built-in skew control.
+join co-partitions on the shingle hash. Hot shingles (document frequency >
+max_doc_freq) are pruned from candidate generation — the stopword-shingle
+guard that bounds the worst join key's fanout (skew control).
+
+CAVEAT (real, by construction): a near-duplicate CLUSTER with more than
+max_doc_freq members makes every shingle its members share hot, so the
+whole cluster is silently dropped from candidate generation — the exact
+mass-duplication case dedup exists for. At scale, run exact_dedup FIRST
+and feed only canonical ids into the fuzzy tiers (collapsing exact clones
+is what keeps document frequencies honest); set log_pruned=True to count
+what the guard dropped.
 """
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# universal-hash modulus: Mersenne prime 2^31-1. Base hash is 28 bits
+# (7 hex chars of md5), a_i < 2^31, so a_i*h < 2^59 — no 64-bit overflow in
+# either Spark or the SQL oracle.
+MINHASH_PRIME = 2147483647
+
+
+def minhash_params(k: int, seed: int = 1337) -> tuple[list[int], list[int]]:
+    """Seeded (a, b) coefficient lists for the k permutations."""
+    rng = np.random.RandomState(seed)
+    a = [int(x) for x in rng.randint(1, MINHASH_PRIME - 1, size=k)]
+    b = [int(x) for x in rng.randint(0, MINHASH_PRIME, size=k)]
+    return a, b
 
 
 def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
@@ -47,78 +74,115 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
-def jaccard_pairs(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n: int = 3,
-    threshold: float = 0.2,
-    max_doc_freq: int = 1000,
-) -> DataFrame:
-    """Near-duplicate pairs by exact n-gram Jaccard, generated via a
-    shingle inverted index (no all-pairs cross join). Returns
-    (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to 6dp.
-
-    Hot shingles (document frequency > max_doc_freq) are pruned from
-    CANDIDATE GENERATION only — the stopword-shingle guard that bounds the
-    worst key's join fanout (skew control). The intersection is then
-    recomputed exactly over the FULL shingle sets of the surviving
-    candidate pairs, so the reported jaccard is exact regardless of
-    pruning (a pair is missed only if it shares exclusively hot shingles,
-    which at threshold-level similarity cannot happen unless the whole
-    document is stopwords)."""
-    sh = shingles(df, id_col, text_col, n).cache()
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
-    # prune hot shingles (stopword-shingle guard == skew control)
-    freq = sh.groupBy("shingle").agg(F.count("*").alias("df_"))
-    pruned = sh.join(freq.filter(F.col("df_") <= max_doc_freq), "shingle")
-    pairs = (
-        pruned.alias("a")
-        .join(pruned.alias("b"), "shingle")
-        .filter(F.col("a.id") < F.col("b.id"))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("inter_pruned"))
+def _verify_pairs(candidates: DataFrame, sh: DataFrame, sizes: DataFrame, threshold: float) -> DataFrame:
+    """Exact-Jaccard verification of candidate (id_a, id_b) pairs over the
+    FULL shingle sets, with a size-ratio prefilter: jaccard <= min(na,nb)/
+    max(na,nb), so pairs whose sizes alone cap them below the threshold
+    never reach the expensive intersection join."""
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb"))
+    cand = (
+        candidates.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(F.least("na", "nb") >= threshold * F.greatest("na", "nb"))
     )
-    # cheap exact lower bound first: a pair can only reach the threshold if
-    # inter >= t/(1+t) * (na+nb); inter_pruned + (what pruning can add) caps
-    # nothing, so verify every candidate pair exactly over full shingles
     inter = (
-        pairs.select("id_a", "id_b")
+        cand.select("id_a", "id_b", "na", "nb")
         .join(sh.select(F.col("id").alias("id_a"), "shingle"), "id_a")
         .join(
             sh.select(F.col("id").alias("id_b"), F.col("shingle").alias("shingle_b")),
             "id_b",
         )
         .filter(F.col("shingle") == F.col("shingle_b"))
-        .groupBy("id_a", "id_b")
+        .groupBy("id_a", "id_b", "na", "nb")
         .agg(F.count("*").alias("inter"))
     )
-    out = (
-        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na")), "id_a")
-        .join(sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb")), "id_b")
-        .withColumn("jaccard", F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6))
+    return (
+        inter.withColumn(
+            "jaccard", F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6)
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return out
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.2,
+    max_doc_freq: int = 256,
+    log_pruned: bool = False,
+) -> DataFrame:
+    """Near-duplicate pairs by exact n-gram Jaccard, generated via a
+    shingle inverted index (no all-pairs cross join). Returns
+    (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to 6dp.
+
+    Hot shingles (document frequency > max_doc_freq) are pruned from
+    CANDIDATE GENERATION only; surviving pairs are re-verified exactly over
+    the full shingle sets, so reported jaccard values are exact. See the
+    module docstring for the duplicate-cluster caveat this pruning carries
+    and the exact_dedup-first mitigation. This exact tier is the small-sf
+    oracle-parity query; the headline/at-scale near-dup path is
+    minhash_dedup_pairs."""
+    sh = shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    # prune hot shingles (stopword-shingle guard == skew control)
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("df_"))
+    if log_pruned:
+        import warnings
+
+        n_hot = freq.filter(F.col("df_") > max_doc_freq).count()
+        if n_hot:
+            warnings.warn(
+                f"jaccard_pairs: pruned {n_hot} hot shingles (df > {max_doc_freq}) "
+                "from candidate generation; clusters larger than max_doc_freq are "
+                "not discoverable through them — run exact_dedup first",
+                stacklevel=2,
+            )
+    pruned = sh.join(freq.filter(F.col("df_") <= max_doc_freq), "shingle")
+    pairs = (
+        pruned.alias("a")
+        .join(pruned.alias("b"), "shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    return _verify_pairs(pairs, sh, sizes, threshold)
+
+
+def minhash_base_hash() -> "F.Column":
+    """28-bit base hash of a shingle: first 7 hex chars of md5 — the single
+    digest all k permutations derive from (SQL-parity with
+    CAST(concat('0x', substring(md5(shingle),1,7)) AS BIGINT))."""
+    return F.conv(F.substring(F.md5(F.col("shingle")), 1, 7), 16, 10).cast("long")
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3, k: int = 64
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 64,
+    seed: int = 1337,
 ) -> DataFrame:
-    """k-permutation MinHash signatures via seeded xxhash64 over shingles:
-    (id, sig array<long>[k])."""
-    sh = shingles(df, id_col, text_col, n)
+    """k-permutation MinHash signatures: (id, sig array<long>[k])."""
+    a, b = minhash_params(k, seed)
+    sh = shingles(df, id_col, text_col, n).withColumn("h", minhash_base_hash())
     mins = sh.groupBy("id").agg(
-        *[F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}") for i in range(k)]
+        *[
+            F.min((F.lit(a[i]) * F.col("h") + F.lit(b[i])) % F.lit(MINHASH_PRIME)).alias(f"h{i}")
+            for i in range(k)
+        ]
     )
     return mins.select("id", F.array(*[f"h{i}" for i in range(k)]).alias("sig"))
 
 
 def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16) -> DataFrame:
     """Band the signatures and bucket-join: docs sharing any band bucket are
-    candidates. (id_a < id_b distinct pairs.)"""
-    k = None  # derived from array length at runtime
+    candidates. Buckets are the band's value string (not re-hashed) so the
+    SQL oracle reproduces candidate sets exactly. (id_a < id_b distinct.)"""
     sig = signatures
     rows_per_band = F.floor(F.size("sig") / bands).cast("int")
     banded = sig.select(
@@ -128,14 +192,12 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16) -> DataFrame:
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.struct(
                     b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(F.col("sig"), (b * rows_per_band + 1).cast("int"), rows_per_band),
-                                lambda v: v.cast("string"),
-                            ),
-                        )
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(F.col("sig"), (b * rows_per_band + 1).cast("int"), rows_per_band),
+                            lambda v: v.cast("string"),
+                        ),
                     ).alias("bucket"),
                 ),
             )
@@ -158,28 +220,18 @@ def minhash_dedup_pairs(
     k: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
+    seed: int = 1337,
 ) -> DataFrame:
     """MinHash-LSH near-dup pipeline: LSH candidates verified by exact
     Jaccard (verify step keeps precision exact; LSH bounds the candidate
-    set so nothing is all-pairs)."""
-    sigs = minhash_signatures(df, id_col, text_col, n, k)
+    set so nothing is all-pairs). This is the 100 TB near-dup path — no
+    inverted-index self-join over raw shingles, so hot shingles cannot fan
+    out, and the bucket join's worst key is a band collision group."""
+    sigs = minhash_signatures(df, id_col, text_col, n, k, seed)
     cand = lsh_candidate_pairs(sigs, bands)
     sh = shingles(df, id_col, text_col, n)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
-    inter = (
-        cand.join(sh.select(F.col("id").alias("id_a"), "shingle"), "id_a")
-        .join(sh.select(F.col("id").alias("id_b"), F.col("shingle").alias("shingle_b")), "id_b")
-        .filter(F.col("shingle") == F.col("shingle_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("inter"))
-    )
-    return (
-        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na")), "id_a")
-        .join(sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb")), "id_b")
-        .withColumn("jaccard", F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return _verify_pairs(cand, sh, sizes, threshold)
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 56) -> DataFrame:
