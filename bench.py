@@ -66,16 +66,30 @@ def main():
     # whole pipeline up to the last shuffle); warm-ups cover JIT/codegen/
     # Arrow paths/python-worker fork
     extracted = run_extraction(documents, ocr_words)
-    jlogical = extracted._jdf.logicalPlan()
-    dataset_cls = spark._jvm.org.apache.spark.sql.classic.Dataset
+    try:
+        # private Spark 4.x internals (moved packages across 3.x/4.x): build
+        # a FRESH QueryExecution per run so no shuffle map output is reused
+        jlogical = extracted._jdf.logicalPlan()
+        dataset_cls = spark._jvm.org.apache.spark.sql.classic.Dataset
 
-    def one_run() -> int:
-        return (
-            dataset_cls.ofRows(spark._jsparkSession, jlogical)
-            .queryExecution()
-            .toRdd()
-            .count()
+        def one_run() -> int:
+            return (
+                dataset_cls.ofRows(spark._jsparkSession, jlogical)
+                .queryExecution()
+                .toRdd()
+                .count()
+            )
+
+        one_run()
+    except Exception:
+        print(
+            "WARNING: fresh-QueryExecution helper unavailable on this Spark; "
+            "falling back to df.count() (shuffle reuse may inflate throughput)",
+            file=sys.stderr,
         )
+
+        def one_run() -> int:
+            return extracted.count()
 
     n_extracted = one_run()
     one_run()
@@ -95,7 +109,8 @@ def main():
         "q02_totals_chain",
         "q04_region_revenue",
         "q05_versioning",
-        "q11_ngram_jaccard",
+        "q21_minhash_pairs",  # the at-scale near-dup path; q11's exact
+        # inverted-index tier stays a small-sf oracle-parity query only
         "q16_simhash",
         "q17_ann_topk",
     ]
