@@ -436,6 +436,38 @@ def _q25_ivf_topk(spark, sf_dir):
     return ivf_topk(e, q, n_centroids=16, n_probe=4, k=10)
 
 
+def _q26_model_registry(spark, sf_dir):
+    """S11/A4/J1: versioned model-registry round-trip — MAX+1 registration
+    (reference HorusSql.cs:145-208) then the latest-version argmax flag
+    (HorusSql.cs:77-81), over a deterministic registration sequence."""
+    from horus_spark.config import FORMAT_CONFIGS
+    from horus_spark.registry import bootstrap_registry, register_model
+
+    reg = bootstrap_registry(spark)
+    reg = register_model(reg, "abc", "model-abc-0002", FORMAT_CONFIGS["abc"])
+    reg = register_model(reg, "abc", "model-abc-0003", FORMAT_CONFIGS["abc"])
+    reg = register_model(reg, "oscorp", "model-oscorp-0002", FORMAT_CONFIGS["oscorp"])
+    w = Window.partitionBy("document_format")
+    return reg.select(
+        "document_format",
+        "model_id",
+        "model_version",
+        (F.col("model_version") == F.max("model_version").over(w)).alias("is_latest"),
+    )
+
+
+def _q27_score_summary(spark, sf_dir):
+    """A7: per-team score rollup over the Inspector-style q08 scores
+    (reference Inspector.cs:132-149)."""
+    from horus_spark.operators.scoring import score_summary
+
+    scored = _q08_accuracy_score(spark, sf_dir)
+    o = _load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderpriority").alias("team")
+    )
+    return score_summary(scored.join(o, "o_orderkey"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -463,6 +495,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q23_cosine_neardup": _q23_cosine_neardup,
         "q24_lsh_cosine_pairs": _q24_lsh_cosine_pairs,
         "q25_ivf_topk": _q25_ivf_topk,
+        "q26_model_registry": _q26_model_registry,
+        "q27_score_summary": _q27_score_summary,
     }
 
 
@@ -600,6 +634,20 @@ def oracle_sql() -> dict[str, str]:
         FROM scored)
       WHERE rank <= 10
     """
+    q08_sql = """
+          WITH actual AS (
+            SELECT l_orderkey,
+                   CAST(round(sum(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(30,10))),2) AS DOUBLE) AS actual_total,
+                   count(*) AS n_lines,
+                   sum(CASE WHEN l_quantity > 1 THEN 1 ELSE 0 END) AS n_lines_ok
+            FROM lineitem GROUP BY 1)
+          SELECT o_orderkey,
+                 CAST(CASE WHEN round(o_totalprice,2) = actual_total THEN 20 ELSE 0 END AS BIGINT) AS header_points,
+                 CAST((80 // n_lines) * n_lines_ok AS BIGINT) AS line_points,
+                 CAST(CASE WHEN round(o_totalprice,2) = actual_total THEN 20 ELSE 0 END
+                      + (80 // n_lines) * n_lines_ok AS BIGINT) AS score
+          FROM orders JOIN actual ON o_orderkey = l_orderkey
+        """
     qstats = f"""
       SELECT CAST(doc_id AS VARCHAR) AS doc_id,
              CASE WHEN len(trim(text))=0 THEN 0 ELSE len({toks}) END AS n_tok,
@@ -668,20 +716,7 @@ def oracle_sql() -> dict[str, str]:
                  count(*) AS n
           FROM lineitem GROUP BY 1,2
         """,
-        "q08_accuracy_score": """
-          WITH actual AS (
-            SELECT l_orderkey,
-                   CAST(round(sum(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(30,10))),2) AS DOUBLE) AS actual_total,
-                   count(*) AS n_lines,
-                   sum(CASE WHEN l_quantity > 1 THEN 1 ELSE 0 END) AS n_lines_ok
-            FROM lineitem GROUP BY 1)
-          SELECT o_orderkey,
-                 CAST(CASE WHEN round(o_totalprice,2) = actual_total THEN 20 ELSE 0 END AS BIGINT) AS header_points,
-                 CAST((80 // n_lines) * n_lines_ok AS BIGINT) AS line_points,
-                 CAST(CASE WHEN round(o_totalprice,2) = actual_total THEN 20 ELSE 0 END
-                      + (80 // n_lines) * n_lines_ok AS BIGINT) AS score
-          FROM orders JOIN actual ON o_orderkey = l_orderkey
-        """,
+        "q08_accuracy_score": q08_sql,
         "q09_sessionize": """
           WITH s AS (
             SELECT user_id, value,
@@ -778,6 +813,27 @@ def oracle_sql() -> dict[str, str]:
           FROM read_parquet('/root/repo/horus_spark/fixtures/goldens/q20_expected_spans.parquet')
         """,
         "q21_minhash_pairs": minhash_sql,
+        "q26_model_registry": """
+          WITH reg(document_format, model_id, seq) AS (VALUES
+            ('abc','model-abc-0001',0), ('nouryon','model-nouryon-0001',0),
+            ('oscorp','model-oscorp-0001',0), ('abc','model-abc-0002',1),
+            ('abc','model-abc-0003',2), ('oscorp','model-oscorp-0002',1)),
+          v AS (
+            SELECT document_format, model_id,
+                   CAST(row_number() OVER (PARTITION BY document_format ORDER BY seq) AS INT) AS model_version
+            FROM reg)
+          SELECT document_format, model_id, model_version,
+                 model_version = max(model_version) OVER (PARTITION BY document_format) AS is_latest
+          FROM v
+        """,
+        "q27_score_summary": f"""
+          WITH q08 AS ({q08_sql})
+          SELECT o.o_orderpriority AS team,
+                 CAST(sum(score) AS BIGINT) AS total_score,
+                 count(*) AS n_documents
+          FROM q08 JOIN orders o ON q08.o_orderkey = o.o_orderkey
+          GROUP BY 1
+        """,
         "q22_lsh_ann": q22_sql,
         "q23_cosine_neardup": f"""
           SELECT id_a, id_b, cosine FROM (

@@ -31,7 +31,9 @@ def _rx(pattern: str):
     return p
 
 
-def extract_fields(frags: pd.DataFrame, grid: dict, fmt: str) -> tuple[dict, set]:
+def extract_fields(
+    frags: pd.DataFrame, grid: dict, fmt: str, configs: dict | None = None
+) -> tuple[dict, set]:
     """DataFrame wrapper over extract_fields_arrays."""
     f = frags.reset_index(drop=True)
     return extract_fields_arrays(
@@ -41,15 +43,25 @@ def extract_fields(frags: pd.DataFrame, grid: dict, fmt: str) -> tuple[dict, set
         f["x1"].to_numpy(dtype=np.float64),
         grid,
         fmt,
+        configs,
     )
 
 
 def extract_fields_arrays(
-    texts: list, fx0: np.ndarray, fy: np.ndarray, fx1: np.ndarray, grid: dict, fmt: str
+    texts: list,
+    fx0: np.ndarray,
+    fy: np.ndarray,
+    fx1: np.ndarray,
+    grid: dict,
+    fmt: str,
+    configs: dict | None = None,
 ) -> tuple[dict, set]:
     """-> (fields {key: text}, contributing fragment positional ids).
-    Plain-array hot path (no pandas indexing)."""
-    cfg = FORMAT_CONFIGS.get(fmt, FORMAT_CONFIGS["abc"])
+    Plain-array hot path (no pandas indexing). `configs` overrides the
+    static per-format config table (the model-registry path: the pipeline
+    ships the latest registered config version per format)."""
+    cfg_map = configs if configs is not None else FORMAT_CONFIGS
+    cfg = cfg_map.get(fmt) or FORMAT_CONFIGS["abc"]
     n = len(texts)
     fields: dict[str, str] = {}
     used: set[int] = set()

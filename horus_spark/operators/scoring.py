@@ -125,3 +125,39 @@ def score_documents(
             (F.col("header_points") + F.col("line_points")).alias("score"),
         )
     )
+
+
+def score_summary(scores: DataFrame, team_col: str = "team") -> DataFrame:
+    """A7: per-team score rollup — records.Sum(s => s.Score) per team
+    (reference Horus.Inspector/Inspector.cs:132-149). -> (team, total_score,
+    n_documents)."""
+    return (
+        scores.groupBy(F.col(team_col).alias("team"))
+        .agg(
+            F.sum("score").cast("long").alias("total_score"),
+            F.count("*").alias("n_documents"),
+        )
+    )
+
+
+def write_scores_with_flip(scores: DataFrame, out_dir: str) -> None:
+    """A7 persistence: the reference flips every CURRENT detail row to
+    PREVIOUS, then inserts the new run as CURRENT, in one transaction
+    (Inspector.cs:116-160 UpdateDatabase). Spark-native equivalent over a
+    status-partitioned parquet layout:
+
+        out_dir/status=PREVIOUS/   <- every superseded run accumulates here
+        out_dir/status=CURRENT/    <- exactly the latest run
+
+    The flip appends the old CURRENT into PREVIOUS before overwriting
+    CURRENT, so re-running after a crash between the two writes loses
+    nothing (worst case the old CURRENT exists in both; the CURRENT
+    overwrite then restores the invariant)."""
+    import os
+
+    spark = scores.sparkSession
+    cur_dir = os.path.join(out_dir, "status=CURRENT")
+    prev_dir = os.path.join(out_dir, "status=PREVIOUS")
+    if os.path.exists(os.path.join(cur_dir, "_SUCCESS")):
+        spark.read.parquet(cur_dir).write.mode("append").parquet(prev_dir)
+    scores.write.mode("overwrite").parquet(cur_dir)

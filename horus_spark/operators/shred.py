@@ -198,8 +198,21 @@ def date_error(raw: Column, key: Column, severity: str) -> Column:
 # ------------------------------------------------------------------ core
 
 
-def _shred_from_raw(df: DataFrame, header: Column, lines_raw: Column, carry: list[str]) -> DataFrame:
-    """Shared shredding logic over raw header struct + raw line array."""
+def _shred_from_raw(
+    df: DataFrame,
+    header: Column,
+    lines_raw: Column,
+    carry: list[str],
+    engine=None,
+) -> DataFrame:
+    """Shared shredding logic over raw header struct + raw line array.
+    `engine` (engines.EngineSpec) selects which field channels exist —
+    the reference's pluggable IProcessingEngine surface. Channels an
+    engine omits keep their C# default values (0 / null) and emit no
+    error rows, so the output schema is engine-invariant."""
+    from horus_spark.engines import HORUS_ENGINE
+
+    engine = engine or HORUS_ENGINE
     cols = df.columns
 
     def k(name: str) -> Column:
@@ -213,7 +226,11 @@ def _shred_from_raw(df: DataFrame, header: Column, lines_raw: Column, carry: lis
     account = str_value(h["account"])
     net_total = F.coalesce(num_value(h["net_total"]), F.lit(0.0))
     vat_amount = F.coalesce(num_value(h["vat_amount"]), F.lit(0.0))
-    shipping_total = F.coalesce(num_value(h["shipping_total"]), F.lit(0.0))
+    shipping_total = (
+        F.coalesce(num_value(h["shipping_total"]), F.lit(0.0))
+        if engine.include_shipping
+        else F.lit(0.0)  # SampleCustomer never reads Shipping -> C# default
+    )
     grand_total = F.coalesce(num_value(h["grand_total"]), F.lit(0.0))
     post_code = str_value(h["post_code"])
     tax_period = F.when(
@@ -221,7 +238,7 @@ def _shred_from_raw(df: DataFrame, header: Column, lines_raw: Column, carry: lis
         F.concat(F.year(tax_date).cast("string"), F.month(tax_date).cast("string")),
     )
 
-    header_errors = F.array(
+    header_error_entries = [
         str_error(h["order_number"], k(C.ORDER_NUMBER), E.SEV_WARNING),
         date_error(h["order_date"], k(C.ORDER_DATE), E.SEV_WARNING),
         date_error(h["tax_date"], k(C.TAX_DATE), E.SEV_WARNING),
@@ -229,10 +246,16 @@ def _shred_from_raw(df: DataFrame, header: Column, lines_raw: Column, carry: lis
         str_error(h["account"], k(C.ACCOUNT), E.SEV_WARNING),
         num_error(h["net_total"], k(C.NET_TOTAL), E.SEV_WARNING),
         num_error(h["vat_amount"], k(C.VAT_AMOUNT), E.SEV_WARNING),
-        num_error(h["shipping_total"], k(C.SHIPPING_TOTAL), E.SEV_WARNING),
+    ]
+    if engine.include_shipping:
+        header_error_entries.append(
+            num_error(h["shipping_total"], k(C.SHIPPING_TOTAL), E.SEV_WARNING)
+        )
+    header_error_entries += [
         num_error(h["grand_total"], k(C.GRAND_TOTAL), E.SEV_WARNING),
         str_error(h["post_code"], k(C.POST_CODE), E.SEV_WARNING),
-    )
+    ]
+    header_errors = F.array(*header_error_entries)
 
     def lkey(prefix: str, i: Column) -> Column:
         return F.concat(F.lit(prefix), F.lpad((i + 1).cast("string"), 2, "0"))
@@ -246,25 +269,40 @@ def _shred_from_raw(df: DataFrame, header: Column, lines_raw: Column, carry: lis
             num_normalized_string(l["qty"]).alias("line_quantity"),
             unit.alias("unit_price"),
             str_value(l["vat"]).alias("vat_code"),
-            str_value(l["taxable"]).alias("taxable_indicator"),
+            (
+                str_value(l["taxable"])
+                if engine.include_taxable
+                else F.lit(None).cast("string")
+            ).alias("taxable_indicator"),
             net.alias("net_amount"),
             F.when((net != 0) & (unit != 0), net / unit)
             .otherwise(F.lit(0.0))
             .alias("calculated_line_quantity"),
-            F.coalesce(num_value(l["disc"]), F.lit(0.0)).alias("discount_percent"),
+            (
+                F.coalesce(num_value(l["disc"]), F.lit(0.0))
+                if engine.include_discount
+                else F.lit(0.0)
+            ).alias("discount_percent"),
         )
 
     def line_errors(l: Column, i: Column) -> Column:
-        return F.array(
+        entries = [
             str_error(l["drug"], lkey(C.LINE_ITEM_PREFIX, i), E.SEV_WARNING),  # LogTrace
             str_error(l["drug"], lkey(C.LINE_ITEM_PREFIX, i), E.SEV_TERMINAL),
             num_error(l["qty"], lkey(C.QUANTITY_PREFIX, i), E.SEV_WARNING),
             num_error(l["net"], lkey(C.NET_PRICE_PREFIX, i), E.SEV_TERMINAL),
             num_error(l["unit"], lkey(C.UNIT_PRICE_PREFIX, i), E.SEV_TERMINAL),
             str_error(l["vat"], lkey(C.VAT_CODE_PREFIX, i), E.SEV_WARNING),
-            num_error(l["disc"], lkey(C.DISCOUNT_PERCENT_PREFIX, i), E.SEV_WARNING),
-            str_error(l["taxable"], lkey(C.TAXABLE_PREFIX, i), E.SEV_WARNING),
-        )
+        ]
+        if engine.include_discount:
+            entries.append(
+                num_error(l["disc"], lkey(C.DISCOUNT_PERCENT_PREFIX, i), E.SEV_WARNING)
+            )
+        if engine.include_taxable:
+            entries.append(
+                str_error(l["taxable"], lkey(C.TAXABLE_PREFIX, i), E.SEV_WARNING)
+            )
+        return F.array(*entries)
 
     line_items = F.transform(lines_raw, line_struct)
     all_errors_expr = F.filter(
@@ -315,14 +353,20 @@ def _shred_from_raw(df: DataFrame, header: Column, lines_raw: Column, carry: lis
     )
 
 
-def shred_fast(df: DataFrame, carry: list[str] | None = None) -> DataFrame:
+def shred_fast(df: DataFrame, carry: list[str] | None = None, engine=None) -> DataFrame:
     """Shred from pre-parsed raw columns:
     header_raw: struct<order_number,order_date,tax_date,inv,account,
                        net_total,vat_amount,shipping_total,grand_total,
                        post_code : string> (NULL field = element missing)
     lines_raw:  array<struct<drug,qty,unit,vat,disc,taxable,net : string>>
-                (already prefix-terminated, max 49 entries)."""
-    return _shred_from_raw(df, F.col("header_raw"), F.col("lines_raw"), carry or [])
+                (already prefix-terminated, max 49 entries).
+    engine: engines.EngineSpec or name ('horus' default)."""
+    from horus_spark.engines import get_engine
+
+    spec = get_engine(engine) if engine is not None else None
+    return _shred_from_raw(
+        df, F.col("header_raw"), F.col("lines_raw"), carry or [], spec
+    )
 
 
 def raw_from_fields_exprs() -> tuple[Column, Column]:
@@ -392,11 +436,19 @@ def raw_from_fields_exprs() -> tuple[Column, Column]:
     return header_raw, lines_raw
 
 
-def shred(df: DataFrame, fields_col: str = "fields", carry: list[str] | None = None) -> DataFrame:
+def shred(
+    df: DataFrame,
+    fields_col: str = "fields",
+    carry: list[str] | None = None,
+    engine=None,
+) -> DataFrame:
     """Shred from a dynamic fields map<string,string> (the reference's
     recognizer shape). Wraps raw_from_fields_exprs + the shared core."""
+    from horus_spark.engines import get_engine
+
+    spec = get_engine(engine) if engine is not None else None
     header_raw, lines_raw = raw_from_fields_exprs()
     staged = df.withColumn("__header_raw", header_raw).withColumn("__lines_raw", lines_raw)
     return _shred_from_raw(
-        staged, F.col("__header_raw"), F.col("__lines_raw"), carry or []
+        staged, F.col("__header_raw"), F.col("__lines_raw"), carry or [], spec
     )

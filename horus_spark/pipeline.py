@@ -5,18 +5,22 @@ Collapses the reference's 10-activity orchestration
 recognize -> shred -> persist) into ONE Spark job with a single planned
 shuffle per input table:
 
-    ocr_words ── repartition(bucket(doc_id)) ── applyInPandas(layout+fields)
-                                                     │ (doc_id, fields, field_line_ids)
-    documents ───────────────── join(doc_id) ────────┤
-                                                     ▼
-                  shred (pure expressions) + classify spans (pure expressions)
-                                                     ▼
-        extracted(doc header, line_items[], errors[], spans_out[]) -> sinks
+    ocr_words ── repartition(N, doc_id) ── mapInArrow(_extract_iter_arrow)
+                      (hash)                   │ L1-L4 layout + fields kernel
+                                               │ (doc_id, header_raw,
+                                               │  lines_raw, field_line_ids)
+    documents ───────── join(doc_id) ──────────┤
+    registry (opt) ──── broadcast join(fmt) ───┤  model_id / model_version
+                                               ▼
+            shred_fast (pure expressions) + classify spans (pure expressions)
+                                               ▼
+       extracted(doc header, line_items[], errors[], spans_out[]) -> sinks
 
-Skew control: documents are bucketed by xxhash64(doc_id) so media-heavy
-documents spread uniformly; the per-batch UDF vectorizes L1 across all
-documents in a bucket (reference's skew = 1..17 line items/doc,
-Generator.cs:64).
+Skew control: row-level hash repartition on doc_id spreads media-heavy
+documents uniformly across 4x shuffle-parallelism partitions (docs are
+bounded at ~250 words, so no single key can skew a partition); the Arrow
+kernel sorts its partition by doc_id once and processes doc-aligned
+~64k-row chunks (reference's skew = 1..17 line items/doc, Generator.cs:64).
 """
 
 from __future__ import annotations
@@ -79,11 +83,17 @@ def _raw_views(fields: dict) -> tuple[dict, list]:
     return header, lines
 
 
-def _extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+def _extract_batch(
+    pdf: pd.DataFrame,
+    configs: dict | None = None,
+    with_fields_map: bool = False,
+) -> pd.DataFrame:
     """One bucket of OCR words (many docs) -> per-doc fields + field lines.
     L1 runs vectorized over the WHOLE batch; grid/fields per doc (bounded:
     <=250 words/doc). Field->OCR-line membership resolves through ONE
-    vectorized merge at the end (no per-fragment Python tuples)."""
+    vectorized merge at the end (no per-fragment Python tuples).
+    `configs` is the (broadcast-small) fmt->extraction-config dict from the
+    model registry; None = built-in FORMAT_CONFIGS."""
     if len(pdf) == 0:
         return pd.DataFrame({"doc_id": [], "fields": [], "field_line_ids": []})
     clustered = cluster_lines(pdf)
@@ -110,7 +120,7 @@ def _extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
         fx0, fy, fx1 = x0_all[s:e], y0_all[s:e], x1_all[s:e]
         grid = infer_grid_arrays(texts, fx0, fy, fx1)
         fields, used = extract_fields_arrays(
-            texts, fx0, fy, fx1, grid, format_of_doc_id(doc_id)
+            texts, fx0, fy, fx1, grid, format_of_doc_id(doc_id), configs
         )
         out_ids.append(doc_id)
         out_fields.append(fields)
@@ -138,12 +148,9 @@ def _extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     out["field_line_ids"] = out["field_line_ids"].apply(
         lambda v: v if isinstance(v, list) else []
     )
-    if _WITH_FIELDS_MAP:
+    if with_fields_map:
         out["fields"] = out_fields
     return out
-
-
-_WITH_FIELDS_MAP = False
 
 
 # kernel chunk target: per-batch fixed costs amortize up to ~64k rows;
@@ -179,7 +186,7 @@ def _arrow_fields_schema():
     return _ARROW_FIELDS_SCHEMA
 
 
-def _extract_iter_arrow(batches):
+def _extract_iter_arrow(batches, configs: dict | None = None):
     """mapInArrow kernel: same semantics as _extract_iter, with hand-rolled
     Arrow<->pandas conversion on both edges."""
     import pyarrow as pa
@@ -200,12 +207,12 @@ def _extract_iter_arrow(batches):
         e = min(s + _KERNEL_CHUNK_ROWS, n)
         while e < n and ids[e] == ids[e - 1]:
             e += 1
-        out = _extract_batch(pdf.iloc[s:e])
+        out = _extract_batch(pdf.iloc[s:e], configs)
         yield pa.RecordBatch.from_pandas(out, schema=schema, preserve_index=False)
         s = e
 
 
-def _extract_iter(batches):
+def _extract_iter(batches, configs: dict | None = None, with_fields_map: bool = False):
     """mapInPandas kernel: one hash-partition of OCR words (all rows of a
     doc land in the same partition; no within-partition order assumed).
 
@@ -226,7 +233,7 @@ def _extract_iter(batches):
         e = min(s + _KERNEL_CHUNK_ROWS, n)
         while e < n and ids[e] == ids[e - 1]:
             e += 1
-        yield _extract_batch(pdf.iloc[s:e])
+        yield _extract_batch(pdf.iloc[s:e], configs, with_fields_map)
         s = e
 
 
@@ -260,30 +267,38 @@ def _flat_words(ocr_words: DataFrame, n_partitions: int | None) -> DataFrame:
     return flat.repartition(n_partitions, "doc_id")
 
 
-def recognize(ocr_words: DataFrame, n_buckets: int | None = None) -> DataFrame:
+def recognize(
+    ocr_words: DataFrame,
+    n_buckets: int | None = None,
+    configs: dict | None = None,
+) -> DataFrame:
     """The native 'recognizer': OCR words -> (doc_id, fields, field_line_ids).
 
     Replaces the reference's external form-recognizer call
     (DocumentProcessor.cs:196-301) with local layout math. One shuffle
-    (hash-repartition on doc_id)."""
-    return _flat_words(ocr_words, n_buckets).mapInArrow(
-        _extract_iter_arrow, schema=FIELDS_SCHEMA
-    )
+    (hash-repartition on doc_id). `configs` (fmt -> extraction config, from
+    the model registry) rides to executors in the kernel closure."""
+
+    def kernel(batches):
+        yield from _extract_iter_arrow(batches, configs)
+
+    return _flat_words(ocr_words, n_buckets).mapInArrow(kernel, schema=FIELDS_SCHEMA)
 
 
-def recognize_with_fields_map(ocr_words: DataFrame, n_buckets: int | None = None) -> DataFrame:
-    """Test/debug variant also emitting the dynamic fields map."""
+def recognize_with_fields_map(
+    ocr_words: DataFrame,
+    n_buckets: int | None = None,
+    configs: dict | None = None,
+) -> DataFrame:
+    """Test/debug variant also emitting the dynamic fields map. The flag
+    travels through the closure (a module global would be racy with Python
+    worker reuse across concurrent jobs)."""
 
-    def iter_with_map(batches):
-        global _WITH_FIELDS_MAP
-        _WITH_FIELDS_MAP = True
-        try:
-            yield from _extract_iter(batches)
-        finally:
-            _WITH_FIELDS_MAP = False
+    def kernel(batches):
+        yield from _extract_iter(batches, configs, with_fields_map=True)
 
     return _flat_words(ocr_words, n_buckets).mapInPandas(
-        iter_with_map, schema=FIELDS_MAP_SCHEMA
+        kernel, schema=FIELDS_MAP_SCHEMA
     )
 
 
@@ -300,12 +315,14 @@ def classify_spans_expr() -> "F.Column":
             F.when(
                 s["kind"] == "media",
                 F.when(
-                    F.array_contains(
+                    # media_ref ends '#p<page>L<line>': all text after the
+                    # last 'L' is the line id (try_cast nulls anything else;
+                    # the contains-'L' gate keeps a purely numeric ref from
+                    # casting to a line id) — regexp_extract here cost ~1us
+                    # x every media span in an interpreted projection
+                    F.contains(s["media_ref"], F.lit("L"))
+                    & F.array_contains(
                         F.coalesce(F.col("field_line_ids"), F.array().cast("array<int>")),
-                        # media_ref ends '#p<page>L<line>': all text after the
-                        # last 'L' is the line id (try_cast nulls anything
-                        # else) — regexp_extract here cost ~1us x every media
-                        # span in an interpreted (non-codegen) projection
                         F.substring_index(s["media_ref"], "L", -1).try_cast("int"),
                     ),
                     F.lit("form-field"),
@@ -325,20 +342,44 @@ def classify_spans_expr() -> "F.Column":
 
 
 def thumbprint_expr() -> "F.Column":
-    """Content MD5 (dedup key) — the reference's blob thumbprint
-    (DocumentProcessor.cs:212-224) computed over the span texts."""
-    return F.md5(F.concat_ws("", F.transform(F.col("spans"), lambda s: s["text"])))
+    """Content MD5 (dedup key) — the reference's blob thumbprint computed
+    over the span texts (record-separator-joined), formatted exactly like
+    the reference's BitConverter.ToString(md5).Replace("-", " "):
+    space-separated UPPERCASE hex pairs "AA BB ..."
+    (DocumentProcessor.cs:217-223)."""
+    plain = F.md5(F.concat_ws("", F.transform(F.col("spans"), lambda s: s["text"])))
+    return F.regexp_replace(F.upper(plain), "(..)(?!$)", "$1 ")
 
 
 def run_extraction(
     documents: DataFrame,
     ocr_words: DataFrame,
     n_buckets: int | None = None,
+    registry: DataFrame | None = None,
+    engine: str | None = None,
 ) -> DataFrame:
     """Full pipeline -> EXTRACTED_DOCUMENT rows (header + line_items +
     errors + spans_out). Two planned shuffles total (one per input table),
-    everything after the join is map-side whole-stage codegen."""
-    fields_df = recognize(ocr_words, n_buckets)
+    everything after the join is map-side whole-stage codegen.
+
+    `registry` (optional): a model-registry frame (registry.REGISTRY_SCHEMA).
+    Its latest per-format config version drives the layout kernel, and the
+    winning (model_id, model_version) is stamped on every output row via a
+    broadcast argmax join on the doc_id's format prefix — the reference's
+    GetModelByDocumentFormat lookup (HorusSql.cs:77-81) done once per job
+    instead of once per document."""
+    configs = None
+    model_dim = None
+    if registry is not None:
+        from horus_spark.registry import latest_configs, latest_models
+
+        configs = latest_configs(registry)
+        model_dim = latest_models(registry).select(
+            F.col("document_format").alias("__fmt"),
+            "model_id",
+            F.col("model_version").cast("string").alias("model_version"),
+        )
+    fields_df = recognize(ocr_words, n_buckets, configs)
     empty_header = F.struct(
         *[F.lit(None).cast("string").alias(c) for c, _ in _HEADER_KEYS]
     )
@@ -351,4 +392,10 @@ def run_extraction(
         .withColumn("thumbprint", thumbprint_expr())
         .withColumn("spans_out", classify_spans_expr())
     )
-    return shred_fast(joined, carry=["spans_out"])
+    if model_dim is not None:
+        joined = (
+            joined.withColumn("__fmt", F.substring_index(F.col("doc_id"), "-", 1))
+            .join(F.broadcast(model_dim), "__fmt", "left")
+            .drop("__fmt")
+        )
+    return shred_fast(joined, carry=["spans_out"], engine=engine)

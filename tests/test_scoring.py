@@ -60,3 +60,33 @@ def test_score_drops_on_corruption(spark):
         spark.createDataFrame(cp["expected_lines"]),
     )
     assert all(r.header_points == int(20 * 6 / 7) for r in scores.collect())
+
+
+def test_score_summary_and_current_previous_flip(spark, tmp_path):
+    """A7: per-team rollup + the reference's CURRENT->PREVIOUS status flip
+    on write (Inspector.cs:116-160)."""
+    from horus_spark.operators.scoring import score_summary, write_scores_with_flip
+
+    run1 = spark.createDataFrame(
+        [("d1", "alpha", 98), ("d2", "alpha", 50), ("d3", "beta", 100)],
+        "doc_id string, team string, score int",
+    )
+    summary = {r.team: (r.total_score, r.n_documents) for r in score_summary(run1).collect()}
+    assert summary == {"alpha": (148, 2), "beta": (100, 1)}
+
+    out = str(tmp_path / "scores")
+    write_scores_with_flip(run1, out)
+    cur = spark.read.parquet(out + "/status=CURRENT")
+    assert cur.count() == 3
+    import os
+
+    assert not os.path.exists(out + "/status=PREVIOUS")
+
+    run2 = spark.createDataFrame(
+        [("d1", "alpha", 100)], "doc_id string, team string, score int"
+    )
+    write_scores_with_flip(run2, out)
+    cur2 = {r.doc_id: r.score for r in spark.read.parquet(out + "/status=CURRENT").collect()}
+    prev = {r.doc_id: r.score for r in spark.read.parquet(out + "/status=PREVIOUS").collect()}
+    assert cur2 == {"d1": 100}
+    assert prev == {"d1": 98, "d2": 50, "d3": 100}
