@@ -11,10 +11,13 @@ The Spark-native equivalent:
 - _metrics: one row per task partition (doc/span/error counts, wall ms)
 - _lineage: (run_id, chunk, doc_id, stage, ts)
 - checkpoint-resume: the corpus is split into deterministic chunks by
-  xxhash64(doc_id); each chunk writes to its own subdirectory and then
-  drops a `chunk_NNN.done` marker. A resumed run skips completed chunks and
-  OVERWRITES any partially-written chunk directory — idempotent restart
-  with exactly-once output, no read-side dedup needed.
+  xxhash64(doc_id), staged ONCE as parquet physically partitioned by the
+  chunk value (so each chunk job prunes to its own directory instead of
+  re-scanning the full input), and each chunk writes to its own output
+  subdirectory then drops a `chunk_NNN.done` marker. A resumed run reuses
+  the staging, skips completed chunks, and OVERWRITES any partially-written
+  chunk directory — idempotent restart with exactly-once output, no
+  read-side dedup needed.
 
 At 10^12-document scale each chunk is an independent job over a hash slice
 of the corpus; a driver loss costs at most one chunk of work.
@@ -64,6 +67,42 @@ def write_extracted(extracted: DataFrame, out_dir: str, mode: str = "overwrite")
         extracted.unpersist()
 
 
+def write_documents_by_account(extracted: DataFrame, out_dir: str, mode: str = "overwrite") -> None:
+    """S8: alternative persistence partitioned by account — the analog of
+    the reference's Cosmos engine with partition key '/Account'
+    (reference Horus.Functions/Engines/Persistence/CosmosPersistenceEngine.cs:27-50).
+    Header rows only (the Cosmos document is the serialized header graph);
+    null accounts land in a sentinel partition rather than Hive's default."""
+    header_cols = [
+        c for c in extracted.columns if c not in ("line_items", "errors", "spans_out")
+    ]
+    header = extracted.select(*header_cols)
+    if "post_code" in header_cols:
+        header = header.withColumn("post_code", F.substring("post_code", 1, 10))
+    (
+        header.withColumn("account_pk", F.coalesce(F.col("account"), F.lit("__UNKNOWN__")))
+        .write.mode(mode)
+        .partitionBy("account_pk")
+        .parquet(os.path.join(out_dir, "documents_by_account"))
+    )
+
+
+# The reference selects its persistence engine by reflection config
+# (IPersistenceEngine: SqlPersistenceEngine | CosmosPersistenceEngine,
+# Engines/Persistence/*.cs). Ours is a sink-strategy registry.
+PERSISTENCE_ENGINES = {
+    "tables": write_extracted,           # SQL analog: normalized multi-table
+    "by_account": write_documents_by_account,  # Cosmos analog
+}
+
+
+def get_persistence_engine(name: str):
+    try:
+        return PERSISTENCE_ENGINES[name]
+    except KeyError:
+        raise ValueError(f"Specified Engine does not exist: {name!r}") from None
+
+
 def _metrics_frame(extracted: DataFrame, run_id: str, chunk: int) -> DataFrame:
     return (
         extracted.groupBy(F.spark_partition_id().alias("partition_id"))
@@ -96,9 +135,25 @@ def run_checkpointed(
     os.makedirs(ckpt_dir, exist_ok=True)
 
     completed, skipped = [], []
+    spark = documents.sparkSession
     chunk_of_doc = F.pmod(F.xxhash64("doc_id"), F.lit(n_chunks)).cast("int")
-    docs_c = documents.withColumn("__chunk", chunk_of_doc)
-    words_c = ocr_words.withColumn("__chunk", chunk_of_doc)
+
+    # Stage the corpus ONCE, physically partitioned by the chunk hash: each
+    # chunk job then reads exactly its partition DIRECTORY (true
+    # directory-level pruning). A filter on a computed hash column over the
+    # raw input cannot prune parquet, so without staging every chunk was a
+    # full input scan — n_chunks x read volume at 10^12 docs. Staging costs
+    # one scan+write per input table, amortized across all chunks and kept
+    # across resumes.
+    staging = os.path.join(out_dir, "_staging")
+    for name, df in (("documents", documents), ("ocr_words", ocr_words)):
+        sdir = os.path.join(staging, name)
+        if not os.path.exists(os.path.join(sdir, "_SUCCESS")):
+            df.withColumn("__chunk", chunk_of_doc).write.mode(
+                "overwrite"
+            ).partitionBy("__chunk").parquet(sdir)
+    docs_c = spark.read.parquet(os.path.join(staging, "documents"))
+    words_c = spark.read.parquet(os.path.join(staging, "ocr_words"))
 
     n_done = 0
     for chunk in range(n_chunks):
@@ -107,7 +162,8 @@ def run_checkpointed(
             skipped.append(chunk)
             continue
         t0 = time.perf_counter()
-        # partition pruning on __chunk keeps each job a slice of the corpus
+        # __chunk is a real partition column of the staged layout -> the
+        # scan's PartitionFilters prune to one directory per chunk
         d = docs_c.filter(F.col("__chunk") == chunk).drop("__chunk")
         w = words_c.filter(F.col("__chunk") == chunk).drop("__chunk")
         extracted = run_extraction(d, w).cache()

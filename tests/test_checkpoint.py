@@ -45,3 +45,28 @@ def test_kill_and_resume(spark, tmp_path):
     from pyspark.sql import functions as F
 
     assert got.filter(F.length("post_code") > 10).count() == 0
+
+
+def test_chunk_scan_prunes_staged_partitions(spark, tmp_path):
+    """The per-chunk read must hit only its staged partition directory
+    (PartitionFilters on __chunk), not re-scan the full corpus."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "out2")
+    c = corpus_spark(spark, 20, partitions=2)
+    run_checkpointed(c["documents"], c["ocr_words"], out, run_id="r1", n_chunks=4)
+
+    staged = spark.read.parquet(os.path.join(out, "_staging", "documents"))
+    pruned = staged.filter(F.col("__chunk") == 1)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "__chunk" in plan
+    # the pruned scan reads strictly fewer files than the full staged scan
+    n_all = staged.inputFiles()
+    n_pruned = pruned.withColumn("__f", F.input_file_name()).select("__f").distinct().count()
+    assert n_pruned < len(n_all)
+    # staging is reused (not rewritten) on resume
+    mtime = os.path.getmtime(os.path.join(out, "_staging", "documents", "_SUCCESS"))
+    run_checkpointed(c["documents"], c["ocr_words"], out, run_id="r2", n_chunks=4)
+    assert os.path.getmtime(os.path.join(out, "_staging", "documents", "_SUCCESS")) == mtime
