@@ -468,6 +468,29 @@ def _q27_score_summary(spark, sf_dir):
     return score_summary(scored.join(o, "o_orderkey"))
 
 
+def _q28_asset_counts(spark, sf_dir):
+    """A8: inspection asset-count scoring (reference Inspector.cs:435-506)
+    over an asset listing derived from the documents table: every doc is a
+    raw pdf in its source's container; docs with even n_chars also carry a
+    labels file; source 'web' owns one .fott project file."""
+    from horus_spark.operators.inspection import asset_count_scores
+
+    d = _load(spark, sf_dir, "documents").select(
+        F.col("source").alias("container"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+        "n_chars",
+    )
+    pdfs = d.select("container", F.concat(F.col("doc_id"), F.lit(".pdf")).alias("name"))
+    labels = d.filter(F.col("n_chars") % 2 == 0).select(
+        "container", F.concat(F.col("doc_id"), F.lit(".pdf.labels.json")).alias("name")
+    )
+    fott = d.select("container").distinct().filter(F.col("container") == "web").select(
+        "container", F.lit("project.fott").alias("name")
+    )
+    assets = pdfs.unionByName(labels).unionByName(fott)
+    return asset_count_scores(assets)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -497,6 +520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q25_ivf_topk": _q25_ivf_topk,
         "q26_model_registry": _q26_model_registry,
         "q27_score_summary": _q27_score_summary,
+        "q28_asset_counts": _q28_asset_counts,
     }
 
 
@@ -833,6 +857,31 @@ def oracle_sql() -> dict[str, str]:
                  count(*) AS n_documents
           FROM q08 JOIN orders o ON q08.o_orderkey = o.o_orderkey
           GROUP BY 1
+        """,
+        "q28_asset_counts": """
+          WITH d AS (
+            SELECT source AS container, CAST(doc_id AS VARCHAR) AS doc_id, n_chars
+            FROM documents),
+          assets AS (
+            SELECT container, doc_id || '.pdf' AS name FROM d
+            UNION ALL
+            SELECT container, doc_id || '.pdf.labels.json' AS name
+            FROM d WHERE n_chars % 2 = 0
+            UNION ALL
+            SELECT DISTINCT container, 'project.fott' AS name
+            FROM d WHERE container = 'web'),
+          per AS (
+            SELECT container,
+                   CAST(sum(CASE WHEN lower(name) LIKE '%.pdf' THEN 1 ELSE 0 END) AS BIGINT) AS n_pdf,
+                   CAST(sum(CASE WHEN lower(name) LIKE '%.pdf.labels.json' THEN 1 ELSE 0 END) AS BIGINT) AS n_labels,
+                   CAST(sum(CASE WHEN lower(name) LIKE '%.fott' THEN 1 ELSE 0 END) AS BIGINT) AS n_fott
+            FROM assets GROUP BY 1)
+          SELECT container, n_pdf, n_labels, n_fott,
+                 10 * least(n_pdf, 10) AS pdf_points,
+                 25 * least(n_labels, 10) AS label_points,
+                 500 * n_fott AS fott_points,
+                 10 * least(n_pdf, 10) + 25 * least(n_labels, 10) + 500 * n_fott AS total_points
+          FROM per
         """,
         "q22_lsh_ann": q22_sql,
         "q23_cosine_neardup": f"""

@@ -130,11 +130,23 @@ def main() -> None:
     _materialize()
     results = []
     for cores in LEVELS:
+        # Pin the WHOLE level (JVM task threads, GC, shuffle/Arrow IO, and
+        # Python workers) to exactly `cores` physical CPUs. Without the
+        # pin, local[N] only caps task slots — JVM service threads and
+        # Python workers spill onto the host's spare cores, flattering the
+        # low level and understating scaling efficiency. A real N-core
+        # executor owns exactly N cores, which is what the N->4N rule
+        # measures.
+        cmd = [sys.executable, os.path.abspath(__file__), "--level", str(cores)]
+        if os.path.exists("/usr/bin/taskset"):
+            cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+        env = dict(os.environ, OMP_NUM_THREADS="1", OPENBLAS_NUM_THREADS="1")
         proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--level", str(cores)],
+            cmd,
             capture_output=True,
             text=True,
             cwd=REPO,
+            env=env,
         )
         line = [ln for ln in proc.stdout.splitlines() if ln.startswith("LEVEL_RESULT ")]
         if not line:
