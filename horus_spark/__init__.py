@@ -23,11 +23,15 @@ Package map:
   operators/textstats.py language-ID, quality scoring, token counts,
                          fingerprinting over document text
   operators/multimodal.py  binary media column plumbing (decode stubbed)
-  operators/scoring.py   Inspector-style accuracy scoring
+  operators/scoring.py   Inspector-style accuracy scoring + summary/flip
+  operators/inspection.py  A8 asset-count scoring (capped points)
+  registry.py            versioned model/config registry (MAX+1, argmax)
+  engines.py             pluggable shredder-engine registry
   pipeline.py            end-to-end extraction pipeline (one-shuffle design)
   fixtures/generator.py  deterministic seeded synthetic corpus + goldens
   fixtures/reference_fixtures.py  quickstart OCR fixture loaders
-  sources/               parquet/iceberg-style readers, checkpoint manifest
+  fixtures/oracle_shred.py  independent Python mini-shredder (golden oracle)
+  sources/               OCR-JSON source, admission filter, sinks + checkpoint
   session.py             tuned SparkSession builder
 """
 

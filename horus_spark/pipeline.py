@@ -83,19 +83,16 @@ def _raw_views(fields: dict) -> tuple[dict, list]:
     return header, lines
 
 
-def _extract_batch(
-    pdf: pd.DataFrame,
-    configs: dict | None = None,
-    with_fields_map: bool = False,
-) -> pd.DataFrame:
-    """One bucket of OCR words (many docs) -> per-doc fields + field lines.
-    L1 runs vectorized over the WHOLE batch; grid/fields per doc (bounded:
-    <=250 words/doc). Field->OCR-line membership resolves through ONE
-    vectorized merge at the end (no per-fragment Python tuples).
-    `configs` is the (broadcast-small) fmt->extraction-config dict from the
-    model registry; None = built-in FORMAT_CONFIGS."""
-    if len(pdf) == 0:
-        return pd.DataFrame({"doc_id": [], "fields": [], "field_line_ids": []})
+def _extract_core(
+    pdf: pd.DataFrame, configs: dict | None = None
+) -> tuple[list, list, dict]:
+    """One bucket of OCR words (many docs) -> (doc_ids, fields dicts,
+    doc_id->sorted field line ids). L1 runs vectorized over the WHOLE
+    batch; grid/fields per doc (bounded: <=250 words/doc). Field->OCR-line
+    membership resolves through ONE vectorized merge at the end (no
+    per-fragment Python tuples). `configs` is the (broadcast-small)
+    fmt->extraction-config dict from the model registry; None = built-in
+    FORMAT_CONFIGS."""
     clustered = cluster_lines(pdf)
     frags_all = fragments_view(clustered)
     # frag rows are already in reading order per doc (frag_key monotone);
@@ -126,16 +123,33 @@ def _extract_batch(
         out_fields.append(fields)
         fk = fk_all[s:e]
         used_pairs.extend((doc_id, int(fk[i])) for i in used)
-    used_df = pd.DataFrame(used_pairs, columns=["doc_id", "frag_key"])
-    lines = (
-        used_df.merge(
-            clustered[["frag_key", "line_id"]].drop_duplicates(), on="frag_key", how="left"
+    if used_pairs:
+        used_df = pd.DataFrame(used_pairs, columns=["doc_id", "frag_key"])
+        flid_map = (
+            used_df.merge(
+                clustered[["frag_key", "line_id"]].drop_duplicates(),
+                on="frag_key",
+                how="left",
+            )
+            .groupby("doc_id")["line_id"]
+            .agg(lambda s: sorted(set(int(x) for x in s)))
+            .to_dict()
         )
-        .groupby("doc_id")["line_id"]
-        .agg(lambda s: sorted(set(int(x) for x in s)))
-        if len(used_df)
-        else pd.Series(dtype=object)
-    )
+    else:
+        flid_map = {}
+    return out_ids, out_fields, flid_map
+
+
+def _extract_batch(
+    pdf: pd.DataFrame,
+    configs: dict | None = None,
+    with_fields_map: bool = False,
+) -> pd.DataFrame:
+    """pandas-output assembly over _extract_core (mapInPandas path and
+    tests; the hot path is _extract_batch_arrow)."""
+    if len(pdf) == 0:
+        return pd.DataFrame({"doc_id": [], "fields": [], "field_line_ids": []})
+    out_ids, out_fields, flid_map = _extract_core(pdf, configs)
     raws = [_raw_views(fd) for fd in out_fields]
     out = pd.DataFrame(
         {
@@ -144,18 +158,78 @@ def _extract_batch(
             "lines_raw": [r[1] for r in raws],
         }
     )
-    out["field_line_ids"] = out["doc_id"].map(lines)
-    out["field_line_ids"] = out["field_line_ids"].apply(
-        lambda v: v if isinstance(v, list) else []
-    )
+    out["field_line_ids"] = [flid_map.get(d, []) for d in out_ids]
     if with_fields_map:
         out["fields"] = out_fields
     return out
 
 
+_LINE_COLS = ("drug", "qty", "unit", "vat", "disc", "taxable", "net")
+_LINE_KEY_PREFIX = {
+    "drug": "Drug", "qty": "Qty", "unit": "Unit", "vat": "Vat",
+    "disc": "Disc", "taxable": "Taxable", "net": "Net",
+}
+
+
+def _extract_batch_arrow(pdf: pd.DataFrame, configs: dict | None = None):
+    """Hot-path assembly: build the output RecordBatch columnar-first —
+    flat value/offset lists straight into Arrow arrays. The previous
+    from_pandas path materialized ~1 header dict + ~9 line dicts per doc
+    and had pyarrow re-infer them per row; per-object allocation was the
+    dominant memory-allocator traffic at 32-way parallelism."""
+    import pyarrow as pa
+
+    out_ids, out_fields, flid_map = _extract_core(pdf, configs)
+    n = len(out_ids)
+    header_cols: dict[str, list] = {c: [None] * n for c, _ in _HEADER_KEYS}
+    line_cols: dict[str, list] = {c: [] for c in _LINE_COLS}
+    line_offsets = [0]
+    flid_values: list[int] = []
+    flid_offsets = [0]
+    for d, fd in enumerate(out_fields):
+        for col, key in _HEADER_KEYS:
+            header_cols[col][d] = fd.get(key)
+        for i in range(1, 50):
+            nn = f"{i:02d}"
+            if not (
+                f"Unit{nn}" in fd or f"Net{nn}" in fd or f"Drug{nn}" in fd
+            ):
+                break
+            for col in _LINE_COLS:
+                line_cols[col].append(fd.get(f"{_LINE_KEY_PREFIX[col]}{nn}"))
+        line_offsets.append(len(line_cols["drug"]))
+        flid_values.extend(flid_map.get(out_ids[d], []))
+        flid_offsets.append(len(flid_values))
+
+    schema = _arrow_fields_schema()
+    header_t = schema.field("header_raw").type
+    line_t = schema.field("lines_raw").type.value_type
+    header_arr = pa.StructArray.from_arrays(
+        [pa.array(header_cols[c], pa.string()) for c, _ in _HEADER_KEYS],
+        fields=[header_t.field(i) for i in range(header_t.num_fields)],
+    )
+    line_values = pa.StructArray.from_arrays(
+        [pa.array(line_cols[c], pa.string()) for c in _LINE_COLS],
+        fields=[line_t.field(i) for i in range(line_t.num_fields)],
+    )
+    lines_arr = pa.ListArray.from_arrays(
+        pa.array(line_offsets, pa.int32()), line_values
+    )
+    flid_arr = pa.ListArray.from_arrays(
+        pa.array(flid_offsets, pa.int32()), pa.array(flid_values, pa.int32())
+    )
+    return pa.RecordBatch.from_arrays(
+        [pa.array(out_ids, pa.string()), header_arr, lines_arr, flid_arr],
+        schema=schema,
+    )
+
+
 # kernel chunk target: per-batch fixed costs amortize up to ~64k rows;
-# beyond that pandas working sets fall out of cache (measured sweet spot)
-_KERNEL_CHUNK_ROWS = 65536
+# beyond that pandas working sets fall out of cache (measured sweet spot;
+# env-overridable for bench sweeps)
+import os as _os
+
+_KERNEL_CHUNK_ROWS = int(_os.environ.get("HORUS_KERNEL_CHUNK_ROWS", "65536"))
 
 # Arrow output schema mirroring FIELDS_SCHEMA (mapInArrow hands us raw
 # RecordBatches both ways; doing our own pandas conversion with
@@ -188,7 +262,11 @@ def _arrow_fields_schema():
 
 def _extract_iter_arrow(batches, configs: dict | None = None):
     """mapInArrow kernel: same semantics as _extract_iter, with hand-rolled
-    Arrow<->pandas conversion on both edges."""
+    Arrow<->pandas conversion on both edges and columnar-first output
+    assembly (_extract_batch_arrow). Doc grouping uses factorize+argsort on
+    integer codes — O(n) hashing instead of an O(n log n) string mergesort
+    (any order that keeps each doc contiguous is valid)."""
+    import numpy as np
     import pyarrow as pa
 
     batches = list(batches)
@@ -198,17 +276,18 @@ def _extract_iter_arrow(batches, configs: dict | None = None):
     del batches
     pdf = tbl.to_pandas(split_blocks=True, self_destruct=True)
     del tbl
-    pdf = pdf.sort_values("doc_id", kind="mergesort", ignore_index=True)
-    ids = pdf["doc_id"].to_numpy()
-    schema = _arrow_fields_schema()
+    codes, _ = pd.factorize(pdf["doc_id"], sort=False)
+    order = np.argsort(codes, kind="stable")
+    pdf = pdf.take(order)
+    pdf.reset_index(drop=True, inplace=True)
+    ids = codes[order]
     n = len(pdf)
     s = 0
     while s < n:
         e = min(s + _KERNEL_CHUNK_ROWS, n)
         while e < n and ids[e] == ids[e - 1]:
             e += 1
-        out = _extract_batch(pdf.iloc[s:e], configs)
-        yield pa.RecordBatch.from_pandas(out, schema=schema, preserve_index=False)
+        yield _extract_batch_arrow(pdf.iloc[s:e], configs)
         s = e
 
 
