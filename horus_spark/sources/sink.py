@@ -35,36 +35,43 @@ from pyspark.sql import functions as F
 
 
 def write_extracted(extracted: DataFrame, out_dir: str, mode: str = "overwrite") -> None:
-    """Write the four output tables from an EXTRACTED_DOCUMENT frame."""
+    """Write the output tables from an EXTRACTED_DOCUMENT frame.
+
+    Scale shape: the pipeline runs ONCE, into the wide nested table
+    `documents_full` (the reference's serialized Document graph, like its
+    Cosmos JSON — full PostCode, nested arrays). The four relational views
+    are then DERIVED by re-reading that parquet: each derived scan prunes
+    to exactly the columns it needs (header read skips the array blobs on
+    disk), so the fan-out costs column-pruned I/O instead of pinning the
+    whole extracted frame in executor storage memory (an unbounded .cache()
+    at 10^12 docs was the previous design's scale-killer)."""
+    wide_dir = os.path.join(out_dir, "documents_full")
+    extracted.write.mode(mode).parquet(wide_dir)
+    full = extracted.sparkSession.read.parquet(wide_dir)
     header_cols = [
-        c for c in extracted.columns if c not in ("line_items", "errors", "spans_out")
+        c for c in full.columns if c not in ("line_items", "errors", "spans_out")
     ]
-    extracted.cache()
-    try:
-        header = extracted.select(*header_cols)
-        if "post_code" in header_cols:
-            # persist-time-only truncation, exactly like the reference
-            # (Horus.Functions/HorusSql.cs:235-241 trims PostCode to 10
-            # chars at INSERT; the in-memory Document keeps the full value)
-            header = header.withColumn("post_code", F.substring("post_code", 1, 10))
-        header.write.mode(mode).parquet(
-            os.path.join(out_dir, "documents_out")
-        )
-        extracted.select(
-            "doc_id", F.explode("line_items").alias("li")
-        ).select("doc_id", "li.*").write.mode(mode).parquet(
-            os.path.join(out_dir, "line_items")
-        )
-        extracted.select(
-            "doc_id", F.posexplode("errors").alias("error_seq", "e")
-        ).select("doc_id", "error_seq", "e.*").write.mode(mode).parquet(
-            os.path.join(out_dir, "errors")
-        )
-        extracted.select("doc_id", "spans_out").write.mode(mode).parquet(
-            os.path.join(out_dir, "spans_out")
-        )
-    finally:
-        extracted.unpersist()
+    header = full.select(*header_cols)
+    if "post_code" in header_cols:
+        # persist-time-only truncation, exactly like the reference
+        # (Horus.Functions/HorusSql.cs:235-241 trims PostCode to 10 chars
+        # at the SQL INSERT; the document graph keeps the full value, like
+        # the reference's Cosmos persistence of the Document object)
+        header = header.withColumn("post_code", F.substring("post_code", 1, 10))
+    header.write.mode(mode).parquet(os.path.join(out_dir, "documents_out"))
+    full.select(
+        "doc_id", F.explode("line_items").alias("li")
+    ).select("doc_id", "li.*").write.mode(mode).parquet(
+        os.path.join(out_dir, "line_items")
+    )
+    full.select(
+        "doc_id", F.posexplode("errors").alias("error_seq", "e")
+    ).select("doc_id", "error_seq", "e.*").write.mode(mode).parquet(
+        os.path.join(out_dir, "errors")
+    )
+    full.select("doc_id", "spans_out").write.mode(mode).parquet(
+        os.path.join(out_dir, "spans_out")
+    )
 
 
 def write_documents_by_account(extracted: DataFrame, out_dir: str, mode: str = "overwrite") -> None:
@@ -166,21 +173,23 @@ def run_checkpointed(
         # scan's PartitionFilters prune to one directory per chunk
         d = docs_c.filter(F.col("__chunk") == chunk).drop("__chunk")
         w = words_c.filter(F.col("__chunk") == chunk).drop("__chunk")
-        extracted = run_extraction(d, w).cache()
+        extracted = run_extraction(d, w)
         chunk_dir = os.path.join(out_dir, f"chunk={chunk:04d}")
         write_extracted(extracted, chunk_dir, mode="overwrite")
         wall_ms = int((time.perf_counter() - t0) * 1000)
-        _metrics_frame(extracted, run_id, chunk).withColumn(
+        # metrics/lineage derive from the written wide table (column-pruned
+        # re-read) — nothing stays pinned in executor storage memory
+        full = spark.read.parquet(os.path.join(chunk_dir, "documents_full"))
+        _metrics_frame(full, run_id, chunk).withColumn(
             "wall_ms", F.lit(wall_ms)
         ).write.mode("overwrite").parquet(os.path.join(chunk_dir, "_metrics"))
-        extracted.select(
+        full.select(
             "doc_id",
             F.lit(run_id).alias("run_id"),
             F.lit(chunk).alias("chunk"),
             F.lit("extracted").alias("stage"),
             F.current_timestamp().alias("ts"),
         ).write.mode("overwrite").parquet(os.path.join(chunk_dir, "_lineage"))
-        extracted.unpersist()
         # marker LAST: a crash before this point leaves the chunk incomplete
         # and the resume overwrites it
         with open(marker, "w") as fh:

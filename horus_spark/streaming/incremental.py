@@ -63,6 +63,84 @@ def stream_extraction(
     return writer.start()
 
 
+def stateful_sessionize(
+    events_stream: DataFrame,
+    gap_seconds: int = 1800,
+    state_timeout_ms: int = 30_000,
+) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState: gap-
+    based sessionization per user (the streaming analog of the reference's
+    per-orchestration running state, DocumentProcessor.cs:52-111 — state
+    survives across micro-batches, bounded by an explicit timeout instead
+    of durable-function replay).
+
+    Semantics: events for a user belong to one session while consecutive
+    event times are within `gap_seconds`. CLOSED sessions are emitted as
+    soon as a later event proves the gap (append semantics); the open
+    session is held in state and emitted when the state times out after
+    `state_timeout_ms` of no new data. Late events beyond a closed session
+    start a new session (at-scale choice: no unbounded reopen state).
+
+    Output: (user_id, session_start, session_end, n_events, total_value).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "user_id string, session_start timestamp, session_end timestamp, "
+        "n_events long, total_value double"
+    )
+    # open-session state: epoch-second bounds + running count/sum
+    state_schema = "start long, end long, n long, total double"
+
+    def fn(key, pdf_iter, state: GroupState):
+        user_id = key[0]
+        closed: list[tuple] = []
+        if state.hasTimedOut:
+            start, end, n, total = state.get
+            closed.append((user_id, start, end, n, total))
+            state.remove()
+        else:
+            if state.exists:
+                start, end, n, total = state.get
+            else:
+                start = end = None
+                n, total = 0, 0.0
+            for pdf in pdf_iter:
+                if not len(pdf):
+                    continue
+                pdf = pdf.sort_values("ts")
+                ts = (pdf["ts"].astype("int64") // 1_000_000_000).tolist()
+                vals = pdf["value"].tolist()
+                for t, v in zip(ts, vals):
+                    if start is None:
+                        start, end, n, total = t, t, 1, float(v)
+                    elif t - end <= gap_seconds:
+                        end, n, total = max(end, t), n + 1, total + float(v)
+                    else:
+                        closed.append((user_id, start, end, n, total))
+                        start, end, n, total = t, t, 1, float(v)
+            if start is not None:
+                state.update((start, end, n, total))
+                state.setTimeoutDuration(state_timeout_ms)
+        if closed:
+            out = pd.DataFrame(
+                closed,
+                columns=["user_id", "session_start", "session_end", "n_events", "total_value"],
+            )
+            out["session_start"] = pd.to_datetime(out["session_start"], unit="s")
+            out["session_end"] = pd.to_datetime(out["session_end"], unit="s")
+            yield out
+
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
 def windowed_event_metrics(
     events_stream: DataFrame,
     window: str = "5 minutes",

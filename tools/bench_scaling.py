@@ -173,6 +173,14 @@ def main() -> None:
         "pair": [lo["cores"], hi["cores"]],
         "speedup": round(speedup, 3),
         "scaling_efficiency": round(efficiency, 3),
+        "all_pairs": [
+            {
+                "pair": [a["cores"], b["cores"]],
+                "speedup": round(a["min_sec"] / b["min_sec"], 3),
+                "efficiency": round(eff(a, b), 3),
+            }
+            for a, b in pairs
+        ],
         "n_docs": N_DOCS,
     }
     print(json.dumps(out))
@@ -200,6 +208,16 @@ def main() -> None:
             f"(ideal {hi['cores'] // lo['cores']}x) => scaling efficiency "
             f"**{out['scaling_efficiency']}** (target >= 0.8 per BASELINE.json "
             "north_rule).\n\n"
+            "All N->4N pairs in the curve (min-based):\n\n"
+            "| pair | speedup | efficiency |\n|---|---|---|\n"
+            + "".join(
+                f"| {p['pair'][0]} -> {p['pair'][1]} | {p['speedup']}x | {p['efficiency']} |\n"
+                for p in out["all_pairs"]
+            )
+            + "\nEvery level runs under taskset pinned to exactly that many CPUs\n"
+            "(JVM service threads + Python workers included) — local[N] alone\n"
+            "only bounds task slots, letting work spill onto spare host cores\n"
+            "and flattering the low level. A real N-core executor owns N cores.\n\n"
             f"Corpus: {N_DOCS} synthetic interleaved documents (3 layout "
             "formats, skewed 1..17-line\nitems, wrapped descriptions, HTML "
             "boilerplate on ~40% of docs), generated by\n"
