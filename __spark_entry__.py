@@ -21,6 +21,19 @@ def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _fanout(df: DataFrame, key: str = "doc_id", factor: int = 2) -> DataFrame:
+    """Normalize parallelism ahead of fan-out operators (shingle/token
+    explodes multiply rows ~50x but Spark keeps the scan's partitioning):
+    a compact input that arrives in fewer splits than cores would run the
+    whole explode stage on a handful of threads. No-op when the source
+    already has enough splits (the 100 TB case), so the extra shuffle of
+    the compact input only happens when it is cheap."""
+    target = df.sparkSession.sparkContext.defaultParallelism * factor
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, key)
+
+
 def _spans_from_text(docs: DataFrame) -> DataFrame:
     """Build the north-rule span shape from a plain text corpus: one text
     span per ~12-token chunk, offsets in order."""
@@ -269,7 +282,9 @@ def _q10_dedup_exact(spark, sf_dir):
 def _q11_ngram_jaccard(spark, sf_dir):
     from horus_spark.operators.dedup import jaccard_pairs
 
-    d = _load(spark, sf_dir, "documents").withColumn("doc_id", F.col("doc_id").cast("string"))
+    d = _fanout(
+        _load(spark, sf_dir, "documents").withColumn("doc_id", F.col("doc_id").cast("string"))
+    )
     return jaccard_pairs(d, n=3, threshold=0.12)
 
 
@@ -321,7 +336,9 @@ def _q15_fingerprint(spark, sf_dir):
 def _q16_simhash(spark, sf_dir):
     from horus_spark.operators.dedup import simhash
 
-    d = _load(spark, sf_dir, "documents").withColumn("doc_id", F.col("doc_id").cast("string"))
+    d = _fanout(
+        _load(spark, sf_dir, "documents").withColumn("doc_id", F.col("doc_id").cast("string"))
+    )
     return simhash(d, bits=32)
 
 
@@ -386,7 +403,9 @@ def _q20_extract_spans(spark, sf_dir):
 def _q21_minhash_pairs(spark, sf_dir):
     from horus_spark.operators.dedup import minhash_dedup_pairs
 
-    d = _load(spark, sf_dir, "documents").withColumn("doc_id", F.col("doc_id").cast("string"))
+    d = _fanout(
+        _load(spark, sf_dir, "documents").withColumn("doc_id", F.col("doc_id").cast("string"))
+    )
     return minhash_dedup_pairs(d, n=3, k=64, bands=16, threshold=0.3)
 
 

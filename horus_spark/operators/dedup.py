@@ -50,15 +50,27 @@ def minhash_params(k: int, seed: int = 1337) -> tuple[list[int], list[int]]:
     return a, b
 
 
-def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle)."""
+def _shingle_array(text_col: str, n: int) -> "F.Column":
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
     sh = F.transform(
         idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + k + 1).cast("int")) for k in range(n)])
     )
-    return (
-        df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(sh)).alias("shingle"))
+    return F.array_distinct(sh)
+
+
+def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle)."""
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(_shingle_array(text_col, n)).alias("shingle")
+    )
+
+
+def shingle_sizes(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+    """(id, n_sh): distinct-shingle count per doc WITHOUT the explode —
+    a per-row size() expression, no shuffle at all."""
+    return df.select(
+        F.col(id_col).alias("id"), F.size(_shingle_array(text_col, n)).alias("n_sh")
     )
 
 
@@ -74,17 +86,40 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
-def _verify_pairs(candidates: DataFrame, sh: DataFrame, sizes: DataFrame, threshold: float) -> DataFrame:
+def _verify_pairs(
+    candidates: DataFrame,
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    threshold: float,
+) -> DataFrame:
     """Exact-Jaccard verification of candidate (id_a, id_b) pairs over the
-    FULL shingle sets, with a size-ratio prefilter: jaccard <= min(na,nb)/
-    max(na,nb), so pairs whose sizes alone cap them below the threshold
-    never reach the expensive intersection join."""
+    FULL shingle sets. Scale shape:
+    - per-doc sizes come from a size() EXPRESSION (no explode, no shuffle);
+    - a size-ratio prefilter (jaccard <= min/max) kills pairs that cannot
+      reach the threshold before any join on shingles;
+    - the verification explode covers ONLY docs that appear in a surviving
+      candidate pair (semi-join prune) — candidates << corpus, so the
+      expensive exploded joins touch a sliver of the data."""
+    sizes = shingle_sizes(df, id_col, text_col, n)
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb"))
     cand = (
         candidates.join(sa, "id_a")
         .join(sb, "id_b")
         .filter(F.least("na", "nb") >= threshold * F.greatest("na", "nb"))
+    )
+    cand_ids = (
+        cand.select(F.col("id_a").alias("cid"))
+        .union(cand.select(F.col("id_b").alias("cid")))
+        .distinct()
+    )
+    sh = shingles(
+        df.join(cand_ids, F.col(id_col) == F.col("cid"), "left_semi"),
+        id_col,
+        text_col,
+        n,
     )
     inter = (
         cand.select("id_a", "id_b", "na", "nb")
@@ -127,7 +162,6 @@ def jaccard_pairs(
     oracle-parity query; the headline/at-scale near-dup path is
     minhash_dedup_pairs."""
     sh = shingles(df, id_col, text_col, n)
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     # prune hot shingles (stopword-shingle guard == skew control)
     freq = sh.groupBy("shingle").agg(F.count("*").alias("df_"))
     if log_pruned:
@@ -149,7 +183,7 @@ def jaccard_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    return _verify_pairs(pairs, sh, sizes, threshold)
+    return _verify_pairs(pairs, df, id_col, text_col, n, threshold)
 
 
 def minhash_base_hash() -> "F.Column":
@@ -229,9 +263,7 @@ def minhash_dedup_pairs(
     out, and the bucket join's worst key is a band collision group."""
     sigs = minhash_signatures(df, id_col, text_col, n, k, seed)
     cand = lsh_candidate_pairs(sigs, bands)
-    sh = shingles(df, id_col, text_col, n)
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
-    return _verify_pairs(cand, sh, sizes, threshold)
+    return _verify_pairs(cand, df, id_col, text_col, n, threshold)
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 56) -> DataFrame:
