@@ -510,6 +510,19 @@ def _q28_asset_counts(spark, sf_dir):
     return asset_count_scores(assets)
 
 
+def _q29_subword_stats(spark, sf_dir):
+    """BPE-ish token counting (LLM-budget accounting): pre-tokenizer match
+    counts per doc + whitespace token count for comparison."""
+    from horus_spark.operators.textstats import subword_count_expr, token_count_expr
+
+    d = _load(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        token_count_expr(F.col("text")).alias("n_ws_tokens"),
+        subword_count_expr(F.col("text")).alias("n_subwords"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -540,6 +553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q26_model_registry": _q26_model_registry,
         "q27_score_summary": _q27_score_summary,
         "q28_asset_counts": _q28_asset_counts,
+        "q29_subword_stats": _q29_subword_stats,
     }
 
 
@@ -677,6 +691,9 @@ def oracle_sql() -> dict[str, str]:
         FROM scored)
       WHERE rank <= 10
     """
+    from horus_spark.operators.textstats import SUBWORD_RE
+
+    subword_re_sql = SUBWORD_RE.replace("'", "''")
     q08_sql = """
           WITH actual AS (
             SELECT l_orderkey,
@@ -903,6 +920,12 @@ def oracle_sql() -> dict[str, str]:
           FROM per
         """,
         "q22_lsh_ann": q22_sql,
+        "q29_subword_stats": f"""
+          SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                 CAST(CASE WHEN len(trim(text))=0 THEN 0 ELSE len({toks}) END AS INT) AS n_ws_tokens,
+                 CAST(len(regexp_extract_all(text, '{subword_re_sql}')) AS INT) AS n_subwords
+          FROM documents
+        """,
         "q23_cosine_neardup": f"""
           SELECT id_a, id_b, cosine FROM (
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

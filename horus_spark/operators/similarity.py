@@ -133,6 +133,37 @@ def lsh_cosine_pairs(
     )
 
 
+def kmeans_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 2048,
+    iters: int = 10,
+) -> list[list[float]]:
+    """Spherical k-means (Lloyd's, cosine) on a DETERMINISTIC bounded
+    sample, fit driver-side in numpy — the production IVF recipe: fit
+    once on a sample (sample_size rows regardless of corpus size), then
+    broadcast the centroid table. Init = first n_centroids sample rows;
+    empty cells keep their previous centroid."""
+    import numpy as np
+
+    rows = (
+        embeddings.orderBy(id_col).limit(sample_size).select(vec_col).collect()
+    )
+    x = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    c = x[:n_centroids].copy()
+    for _ in range(iters):
+        assign = (x @ c.T).argmax(axis=1)
+        for j in range(n_centroids):
+            members = x[assign == j]
+            if len(members):
+                c[j] = members.mean(axis=0)
+        c = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+    return [row.tolist() for row in c]
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -141,17 +172,27 @@ def ivf_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-flat ANN: partition the corpus into centroid cells, probe only
-    the n_probe cells nearest each query. Centroids here are the n_centroids
-    lowest-id vectors (deterministic stand-in for a k-means sample — at
-    scale you'd fit centroids once on a seeded sample and broadcast them;
-    the cell-assignment/probe dataflow is identical). Returns
+    the n_probe cells nearest each query.
+
+    `centroids`: pass kmeans_centroids(...) for real cells (the recall
+    path); default = the n_centroids lowest-id vectors, a deterministic
+    stand-in kept because it is expressible in the SQL oracle — the
+    cell-assignment/probe dataflow is identical either way. Returns
     (q_id, neighbor_id, rank, score)."""
-    cent = embeddings.orderBy(id_col).limit(n_centroids).select(
-        F.col(id_col).alias("c_id"),
-        F.col(vec_col).cast("array<double>").alias("c_vec"),
-    )
+    if centroids is not None:
+        spark = embeddings.sparkSession
+        cent = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(centroids)],
+            "c_id int, c_vec array<double>",
+        )
+    else:
+        cent = embeddings.orderBy(id_col).limit(n_centroids).select(
+            F.col(id_col).alias("c_id"),
+            F.col(vec_col).cast("array<double>").alias("c_vec"),
+        )
     e = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("vec"),

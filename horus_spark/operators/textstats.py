@@ -32,6 +32,21 @@ def token_count_expr(text: Column) -> Column:
     )
 
 
+# GPT-2-style pre-tokenizer alternation, simplified to the subset shared
+# by Java regex (Spark) and RE2 (DuckDB oracle): no lookahead, ASCII
+# classes. Counts contractions, letter runs, digit runs, punctuation runs
+# — the "BPE-ish" token estimate for LLM-budget accounting (whitespace
+# itself is not a token).
+SUBWORD_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def subword_count_expr(text: Column) -> Column:
+    """BPE-ish token count: number of pre-tokenizer matches. A cheap,
+    deterministic proxy for LLM tokenizer counts (true BPE merges need
+    the vocab; the pre-tokenizer segmentation is the dominant term)."""
+    return F.regexp_count(text, F.lit(SUBWORD_RE))
+
+
 def stopword_ratio_expr(text: Column) -> Column:
     toks = tokens_expr(F.lower(text))
     hits = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))

@@ -166,3 +166,25 @@ def test_max_49_lines(spark):
         fields[f"Net{nn}"] = "1.0"
     r = _shred_one(spark, fields)
     assert len(r.line_items) == 49  # hard cap (BaseConstants.cs:9 minus 1)
+
+
+def test_subword_count_matches_reference_segmentation(spark):
+    """BPE-ish pre-tokenizer: Spark regexp_count must agree with Python re
+    on contraction/digit/punct segmentation (same pattern drives the
+    DuckDB oracle)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from horus_spark.operators.textstats import SUBWORD_RE, subword_count_expr
+
+    texts = [
+        "it's 42 foo-bar don't",
+        "Hello, world! 2026-08-17",
+        "   ",
+        "one two three",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [r.n for r in df.select(subword_count_expr(F.col("text")).alias("n")).collect()]
+    exp = [len(re.findall(SUBWORD_RE, t)) for t in texts]
+    assert got == exp

@@ -99,3 +99,62 @@ def test_ivf_partial_probe_is_plausible(emb_df):
         assert ranks == list(range(1, len(rs) + 1))
         scores = [r["score"] for r in sorted(rs, key=lambda r: r["rank"])]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_ivf_kmeans_centroids(spark):
+    """kmeans_centroids: seeded-sample spherical k-means as the IVF recall
+    path. On this synthetic (near-isotropic) corpus recall matches the
+    lowest-id stand-in within noise, but cells are measurably better
+    balanced — the property that bounds probe cost at scale."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from horus_spark.operators.similarity import (
+        brute_force_topk,
+        cosine_expr,
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    cents = kmeans_centroids(e, 8)
+    assert len(cents) == 8 and len(cents[0]) == 64
+    # determinism
+    assert cents == kmeans_centroids(e, 8)
+
+    def topsets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r.q_id, set()).add(r.neighbor_id)
+        return out
+
+    truth = topsets(brute_force_topk(e, q, k=10))
+    got = topsets(ivf_topk(e, q, n_centroids=8, n_probe=3, k=10, centroids=cents))
+    recall = sum(
+        len(got.get(k, set()) & v) / len(v) for k, v in truth.items()
+    ) / len(truth)
+    assert recall >= 0.5  # probing 3/8 cells keeps most of the true top-10
+
+    # cell balance: kmeans max-cell load must not exceed the naive stand-in's
+    def max_cell(cent_df):
+        v = e.select("vec_id", F.col("embedding").cast("array<double>").alias("vec"))
+        w = Window.partitionBy("vec_id").orderBy(F.desc("c_score"), F.asc("c_id"))
+        a = (
+            v.crossJoin(F.broadcast(cent_df))
+            .withColumn("c_score", F.round(cosine_expr(F.col("vec"), F.col("c_vec")), 6))
+            .withColumn("rn", F.row_number().over(w))
+            .filter("rn=1")
+        )
+        return max(r.cnt for r in a.groupBy("c_id").agg(F.count("*").alias("cnt")).collect())
+
+    km_df = spark.createDataFrame(
+        list(enumerate(cents)), "c_id int, c_vec array<double>"
+    )
+    naive_df = e.orderBy("vec_id").limit(8).select(
+        F.col("vec_id").cast("int").alias("c_id"),
+        F.col("embedding").cast("array<double>").alias("c_vec"),
+    )
+    assert max_cell(km_df) <= max_cell(naive_df)
