@@ -523,6 +523,22 @@ def _q29_subword_stats(spark, sf_dir):
     )
 
 
+def _q30_planes() -> list:
+    import numpy as np
+
+    rng = np.random.RandomState(23)
+    return [rng.randn(6, 64).tolist() for _ in range(3)]
+
+
+def _q30_multiband_cosine(spark, sf_dir):
+    """OR-amplified LSH near-dup (3 bands x 6 hyperplanes): superset recall
+    of the single-band q24 tier, exact-cosine verified."""
+    from horus_spark.operators.similarity import lsh_cosine_pairs_multiband
+
+    e = _load(spark, sf_dir, "embeddings")
+    return lsh_cosine_pairs_multiband(e, _q30_planes(), threshold=0.2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -554,6 +570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q27_score_summary": _q27_score_summary,
         "q28_asset_counts": _q28_asset_counts,
         "q29_subword_stats": _q29_subword_stats,
+        "q30_multiband_cosine": _q30_multiband_cosine,
     }
 
 
@@ -920,6 +937,24 @@ def oracle_sql() -> dict[str, str]:
           FROM per
         """,
         "q22_lsh_ann": q22_sql,
+        "q30_multiband_cosine": (lambda plane_sets: f"""
+          WITH sig AS (
+            SELECT vec_id, embedding,
+                   {", ".join(f"{_bucket_sql(ps)} AS bucket{b}" for b, ps in enumerate(plane_sets))}
+            FROM embeddings),
+          bands AS (
+            {" UNION ALL ".join(f"SELECT vec_id, embedding, {b} AS band, bucket{b} AS bucket FROM sig" for b in range(len(plane_sets)))}
+          ),
+          cand AS (
+            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+          va AS (SELECT vec_id, embedding FROM embeddings)
+          SELECT id_a, id_b, cosine FROM (
+            SELECT c.id_a, c.id_b,
+                   round({_cos_sql('x.embedding', 'y.embedding')}, 6) AS cosine
+            FROM cand c JOIN va x ON x.vec_id = c.id_a JOIN va y ON y.vec_id = c.id_b)
+          WHERE cosine >= 0.2
+        """)(_q30_planes()),
         "q29_subword_stats": f"""
           SELECT CAST(doc_id AS VARCHAR) AS doc_id,
                  CAST(CASE WHEN len(trim(text))=0 THEN 0 ELSE len({toks}) END AS INT) AS n_ws_tokens,

@@ -133,6 +133,53 @@ def lsh_cosine_pairs(
     )
 
 
+def lsh_cosine_pairs_multiband(
+    embeddings: DataFrame,
+    plane_sets: list[list[list[float]]],
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """OR-amplified embedding near-dup: B independent hyperplane bands —
+    a pair is a candidate if it collides in ANY band (recall grows as
+    1-(1-s^p)^B vs the single band's s^p), then exact-cosine verified.
+    Same output contract as lsh_cosine_pairs; candidate generation stays
+    an equi-join per band (explode factor = B small ints per vector, never
+    all-pairs). Verification joins vectors back by id so the band explode
+    never carries the embedding payload."""
+    v = F.col(vec_col).cast("array<double>")
+    band_structs = []
+    for b, planes in enumerate(plane_sets):
+        bucket = None
+        for p in planes:
+            bit = F.when(
+                _dot(v, F.array(*[F.lit(float(x)) for x in p])) >= 0, 1
+            ).otherwise(0)
+            bucket = bit if bucket is None else bucket * 2 + bit
+        band_structs.append(
+            F.struct(F.lit(b).alias("band"), bucket.alias("bucket"))
+        )
+    banded = embeddings.select(
+        F.col(id_col).alias("id"), F.explode(F.array(*band_structs)).alias("bb")
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "bucket"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    va = embeddings.select(F.col(id_col).alias("id_a"), v.alias("vec_a"))
+    vb = embeddings.select(F.col(id_col).alias("id_b"), v.alias("vec_b"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", F.round(cosine_expr(F.col("vec_a"), F.col("vec_b")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def kmeans_centroids(
     embeddings: DataFrame,
     n_centroids: int = 16,

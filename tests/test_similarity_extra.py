@@ -158,3 +158,26 @@ def test_ivf_kmeans_centroids(spark):
         F.col("embedding").cast("array<double>").alias("c_vec"),
     )
     assert max_cell(km_df) <= max_cell(naive_df)
+
+
+def test_multiband_cosine_amplifies_recall(spark):
+    """OR-amplified LSH: precision stays exact (subset of the brute-force
+    pair set) and recall strictly dominates any single constituent band."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from horus_spark.operators.similarity import (
+        cosine_neardup_pairs,
+        lsh_cosine_pairs,
+        lsh_cosine_pairs_multiband,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rng = np.random.RandomState(23)
+    plane_sets = [rng.randn(6, 64).tolist() for _ in range(3)]
+    exact = {(r.id_a, r.id_b) for r in cosine_neardup_pairs(e, 0.2).collect()}
+    single = {(r.id_a, r.id_b) for r in lsh_cosine_pairs(e, plane_sets[0], 0.2).collect()}
+    multi = {(r.id_a, r.id_b) for r in lsh_cosine_pairs_multiband(e, plane_sets, 0.2).collect()}
+    assert multi <= exact            # verification keeps precision exact
+    assert single <= multi           # band 0 candidates are contained
+    assert len(multi) > len(single)  # amplification adds recall
