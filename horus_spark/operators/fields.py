@@ -85,22 +85,33 @@ def extract_fields_arrays(
     rx_pc = _rx(POSTCODE_RE)
     acct_prefix = cfg.get("account_prefix")
     date_prefix = cfg.get("date_prefix")
+    # header anchors are unique per document (one invoice line, one account
+    # anchor, ...), so stop scanning once every sought key is registered —
+    # the remainder of the page is table/totals fragments
+    remaining = {"Inv", "AccountNo", "TaxDate", "PostCode"}
+
+    def hreg(key, value, idxs):
+        reg(key, value, idxs)
+        remaining.discard(key)
+
     for i in range(n):
+        if not remaining:
+            break
         t = texts[i]
         y = fy[i]
         if rx_inv is not None:
             m = rx_inv.match(t)
             if m and "Inv" not in fields:
-                reg("Inv", m.group(1), [i])
+                hreg("Inv", m.group(1), [i])
                 continue
         if rx_acinv is not None:
             m = rx_acinv.match(t)
             if m:
-                reg("AccountNo", m.group(1), [i])
-                reg("Inv", m.group(2), [i])
+                hreg("AccountNo", m.group(1), [i])
+                hreg("Inv", m.group(2), [i])
                 continue
         if acct_prefix and t.startswith(acct_prefix):
-            reg("AccountNo", t[len(acct_prefix):], [i])
+            hreg("AccountNo", t[len(acct_prefix):], [i])
             continue
         if (
             rx_acct is not None
@@ -108,10 +119,10 @@ def extract_fields_arrays(
             and "AccountNo" not in fields
             and rx_acct.match(t)
         ):
-            reg("AccountNo", t, [i])
+            hreg("AccountNo", t, [i])
             continue
         if date_prefix and t.startswith(date_prefix):
-            reg("TaxDate", t[len(date_prefix):], [i])
+            hreg("TaxDate", t[len(date_prefix):], [i])
             continue
         if (
             rx_date is not None
@@ -119,11 +130,11 @@ def extract_fields_arrays(
             and y < table_top
             and rx_date.match(t)
         ):
-            reg("TaxDate", t, [i])
+            hreg("TaxDate", t, [i])
             continue
         m = rx_pc.match(t)
         if m and y < table_top and "PostCode" not in fields:
-            reg("PostCode", f"{m.group(1)} {m.group(2)}", [i])
+            hreg("PostCode", f"{m.group(1)} {m.group(2)}", [i])
 
     # ---------------- totals (label-anchored, same visual row) -------------
     for tc in grid.get("totals_cells", []):
@@ -146,17 +157,18 @@ def extract_fields_arrays(
         return fields, used
 
     def cell_join(idxs):
+        if len(idxs) == 1:  # the common case — no sort, no join
+            return texts[idxs[0]]
         sub = sorted(idxs, key=lambda i: (fy[i], fx0[i]))
         return " ".join(texts[i] for i in sub)
 
     n_cols = grid["n_cols"]
     cells = grid["cells"]
-    rx_item = _rx(r"\d{1,2}$")
     anchor_rows: list[tuple[int, int]] = []  # (row, item_number)
     for (r, c), idxs in cells.items():
         if c == 0 and r > 0 and len(idxs) == 1:
             t = texts[idxs[0]]
-            if rx_item.fullmatch(t):
+            if len(t) <= 2 and t.isdigit():
                 anchor_rows.append((r, int(t)))
     anchor_rows.sort()
     n_item_rows = grid["n_rows"] - 1  # excl header

@@ -175,9 +175,6 @@ def infer_grid(frags: pd.DataFrame) -> dict:
     )
 
 
-_INT_RE = None
-
-
 def infer_grid_arrays(texts: list, fx0: np.ndarray, fy: np.ndarray, fx1: np.ndarray) -> dict:
     """L2: infer the line-item grid + totals table for ONE document page.
 
@@ -198,18 +195,15 @@ def infer_grid_arrays(texts: list, fx0: np.ndarray, fy: np.ndarray, fx1: np.ndar
     Returns {} if no table. cells maps (rowIndex, columnIndex) -> list of
     fragment positional ids.
     """
-    global _INT_RE
-    if _INT_RE is None:
-        import re
-
-        _INT_RE = re.compile(r"\d{1,2}$")
     n = len(texts)
     # plain-list views for the scalar-access loops below (numpy scalar
     # indexing pays ~3x in boxing overhead at this call frequency)
     fy_l = fy.tolist() if isinstance(fy, np.ndarray) else list(fy)
     fx0_l = fx0.tolist() if isinstance(fx0, np.ndarray) else list(fx0)
     fx1_l = fx1.tolist() if isinstance(fx1, np.ndarray) else list(fx1)
-    int_ids = [i for i in range(n) if _INT_RE.fullmatch(texts[i])]
+    # 1-2 ASCII digit fragments (item-number candidates); str methods are
+    # ~5x cheaper than a regex fullmatch at this call frequency
+    int_ids = [i for i in range(n) if len(texts[i]) <= 2 and texts[i].isdigit()]
     anchors_idx = None
     if int_ids:
         # group candidate anchors by x-center bucket
@@ -266,8 +260,14 @@ def infer_grid_arrays(texts: list, fx0: np.ndarray, fy: np.ndarray, fx1: np.ndar
     intervals = [(fx0_l[fi], fx1_l[fi]) for fi in item_ids]
     col_of = _interval_clusters(intervals)
     n_cols = (max(col_of) + 1) if col_of else 0
-    col_lo = [min(iv[0] for iv, c in zip(intervals, col_of) if c == cc) for cc in range(n_cols)]
-    col_hi = [max(iv[1] for iv, c in zip(intervals, col_of) if c == cc) for cc in range(n_cols)]
+    # single pass for the per-column extents (was 2 x n_cols passes)
+    col_lo = [np.inf] * n_cols
+    col_hi = [-np.inf] * n_cols
+    for (lo, hi), c in zip(intervals, col_of):
+        if lo < col_lo[c]:
+            col_lo[c] = lo
+        if hi > col_hi[c]:
+            col_hi[c] = hi
 
     cells: dict[tuple[int, int], list[int]] = {}
     for k, fi in enumerate(item_ids):
