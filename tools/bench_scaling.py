@@ -231,7 +231,7 @@ def main() -> None:
             "the socket and per-core\nthroughput degrades (memory "
             "bandwidth/allocator contention) — on a real\nmulti-executor "
             "cluster each executor owns its cores, which is what the N->4N\n"
-            "rule targets. All four levels are reported for transparency.\n\n"
+            "rule targets. Every measured level is reported for transparency.\n\n"
             f"Raw JSON: `{json.dumps(out)}`\n"
         )
 
