@@ -17,13 +17,18 @@ shuffle per input table:
        extracted(doc header, line_items[], errors[], spans_out[]) -> sinks
 
 Skew control: row-level hash repartition on doc_id spreads media-heavy
-documents uniformly across 4x shuffle-parallelism partitions (docs are
-bounded at ~250 words, so no single key can skew a partition); the Arrow
+documents uniformly across 4x shuffle-parallelism partitions; per-doc cost
+is bounded (~250 words normally, hard kernel cap MAX_DOC_WORDS for
+pathological blobs), so no single key can skew a partition. The Arrow
 kernel sorts its partition by doc_id once and processes doc-aligned
 ~64k-row chunks (reference's skew = 1..17 line items/doc, Generator.cs:64).
+One failing document degrades to its error channel, never the task
+(per-document isolation, DocumentProcessor.cs:101-106).
 """
 
 from __future__ import annotations
+
+import os as _os
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -83,16 +88,42 @@ def _raw_views(fields: dict) -> tuple[dict, list]:
     return header, lines
 
 
+# Skew/robustness guard: a pathological media-heavy document (generator
+# bound is ~250 words; real corpora can carry megaword OCR blobs) is
+# truncated to its first MAX_DOC_WORDS words in reading order inside the
+# kernel — bounding both the per-doc compute and the pandas working set a
+# single doc_id hash key can pin to one partition. The reference bounds
+# documents the same way (50-line cap, content-type whitelist).
+MAX_DOC_WORDS = int(_os.environ.get("HORUS_MAX_DOC_WORDS", "20000"))
+
+
 def _extract_core(
     pdf: pd.DataFrame, configs: dict | None = None
 ) -> tuple[list, list, dict]:
     """One bucket of OCR words (many docs) -> (doc_ids, fields dicts,
     doc_id->sorted field line ids). L1 runs vectorized over the WHOLE
-    batch; grid/fields per doc (bounded: <=250 words/doc). Field->OCR-line
-    membership resolves through ONE vectorized merge at the end (no
-    per-fragment Python tuples). `configs` is the (broadcast-small)
-    fmt->extraction-config dict from the model registry; None = built-in
-    FORMAT_CONFIGS."""
+    batch; grid/fields per doc (bounded: <=250 words/doc normally, hard
+    cap MAX_DOC_WORDS). Field->OCR-line membership resolves through ONE
+    vectorized merge at the end (no per-fragment Python tuples).
+    `configs` is the (broadcast-small) fmt->extraction-config dict from
+    the model registry; None = built-in FORMAT_CONFIGS.
+
+    Per-document isolation (reference DocumentProcessor.cs:101-106: one
+    failing document never stops the others): a document whose layout
+    analysis raises yields an EMPTY fields map — the shredder then emits
+    the full PRE000x error-row channel for it, exactly like a document
+    the recognizer returned nothing for — and every other document in the
+    batch is unaffected."""
+    counts = pdf["doc_id"].value_counts()
+    heavy = counts[counts > MAX_DOC_WORDS]
+    if len(heavy):
+        pdf = (
+            pdf.sort_values(
+                ["doc_id", "page", "line_id", "word_id"], kind="mergesort"
+            )
+            .groupby("doc_id", sort=False)
+            .head(MAX_DOC_WORDS)
+        )
     clustered = cluster_lines(pdf)
     frags_all = fragments_view(clustered)
     # frag rows are already in reading order per doc (frag_key monotone);
@@ -115,10 +146,15 @@ def _extract_core(
         doc_id = doc_ids[s]
         texts = texts_all[s:e]
         fx0, fy, fx1 = x0_all[s:e], y0_all[s:e], x1_all[s:e]
-        grid = infer_grid_arrays(texts, fx0, fy, fx1)
-        fields, used = extract_fields_arrays(
-            texts, fx0, fy, fx1, grid, format_of_doc_id(doc_id), configs
-        )
+        try:
+            grid = infer_grid_arrays(texts, fx0, fy, fx1)
+            fields, used = extract_fields_arrays(
+                texts, fx0, fy, fx1, grid, format_of_doc_id(doc_id), configs
+            )
+        except Exception:
+            # per-document isolation: this doc degrades to "nothing
+            # recognized" (full error channel downstream); others proceed
+            fields, used = {}, set()
         out_ids.append(doc_id)
         out_fields.append(fields)
         fk = fk_all[s:e]
@@ -227,8 +263,6 @@ def _extract_batch_arrow(pdf: pd.DataFrame, configs: dict | None = None):
 # kernel chunk target: per-batch fixed costs amortize up to ~64k rows;
 # beyond that pandas working sets fall out of cache (measured sweet spot;
 # env-overridable for bench sweeps)
-import os as _os
-
 _KERNEL_CHUNK_ROWS = int(_os.environ.get("HORUS_KERNEL_CHUNK_ROWS", "65536"))
 
 # Arrow output schema mirroring FIELDS_SCHEMA (mapInArrow hands us raw

@@ -107,3 +107,59 @@ def test_unmatched_document_still_produces_row(spark):
     assert out[0].is_valid is True  # header errors are warnings only
     assert len(out[0].errors) == 10  # all header fields missing
     assert out[0].spans_out[0].kind == "content"
+
+
+def test_heavy_doc_truncated_and_isolated(spark):
+    """Skew guard + per-document isolation: a pathological megaword doc is
+    word-capped inside the kernel, a doc with broken geometry degrades to
+    the full error channel, and neither disturbs the other documents in
+    the same batch."""
+    import pandas as pd
+
+    from horus_spark.fixtures.generator import corpus_pandas
+    from horus_spark import pipeline as P
+    from horus_spark import schema as S
+
+    c = corpus_pandas(3)
+    words = c["ocr_words"]
+    # heavy doc: 30k words of noise (over the 20k cap)
+    heavy = pd.DataFrame(
+        {
+            "doc_id": "abc-INVOICE-99999.pdf",
+            "page": 1,
+            "line_id": [i // 10 for i in range(30000)],
+            "word_id": [i % 10 for i in range(30000)],
+            "text": "x",
+            "bbox": [[0.1, 0.1, 0.2, 0.1, 0.2, 0.2, 0.1, 0.2]] * 30000,
+            "confidence": 0.9,
+        }
+    )
+    # poison doc: NaN geometry
+    poison = pd.DataFrame(
+        {
+            "doc_id": "abc-INVOICE-99998.pdf",
+            "page": 1,
+            "line_id": [0, 0],
+            "word_id": [0, 1],
+            "text": ["INVOICE", "nan-geom"],
+            "bbox": [[float("nan")] * 8] * 2,
+            "confidence": 0.9,
+        }
+    )
+    all_words = pd.concat([words, heavy, poison], ignore_index=True)
+    docs = pd.DataFrame(
+        {
+            "doc_id": list(c["documents"]["doc_id"])
+            + ["abc-INVOICE-99999.pdf", "abc-INVOICE-99998.pdf"],
+            "spans": list(c["documents"]["spans"]) + [[], []],
+        }
+    )
+    sdocs = spark.createDataFrame(docs, S.DOCUMENTS)
+    swords = spark.createDataFrame(all_words, S.OCR_WORDS)
+    out = {r.doc_id: r for r in P.run_extraction(sdocs, swords).collect()}
+    assert len(out) == 5
+    # the three normal docs still extract fully
+    for d in c["documents"]["doc_id"]:
+        assert out[d].document_number is not None
+    # poison doc degraded to the full error channel, not a task failure
+    assert out["abc-INVOICE-99998.pdf"].warning_error_count >= 10
