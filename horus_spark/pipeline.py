@@ -114,8 +114,11 @@ def _extract_core(
     the full PRE000x error-row channel for it, exactly like a document
     the recognizer returned nothing for — and every other document in the
     batch is unaffected."""
-    counts = pdf["doc_id"].value_counts()
-    heavy = counts[counts > MAX_DOC_WORDS]
+    if len(pdf) > MAX_DOC_WORDS:  # a smaller batch cannot hold a heavy doc
+        counts = pdf["doc_id"].value_counts()
+        heavy = counts[counts > MAX_DOC_WORDS]
+    else:
+        heavy = ()
     if len(heavy):
         pdf = (
             pdf.sort_values(
