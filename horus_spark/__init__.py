@@ -35,4 +35,26 @@ Package map:
   session.py             tuned SparkSession builder
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+
+def __getattr__(name):
+    """Lazy top-level API (keeps `import horus_spark` free of a Spark
+    dependency until an entry point is touched)."""
+    _API = {
+        "get_spark": ("horus_spark.session", "get_spark"),
+        "run_extraction": ("horus_spark.pipeline", "run_extraction"),
+        "recognize": ("horus_spark.pipeline", "recognize"),
+        "write_extracted": ("horus_spark.sources.sink", "write_extracted"),
+        "run_checkpointed": ("horus_spark.sources.sink", "run_checkpointed"),
+        "bootstrap_registry": ("horus_spark.registry", "bootstrap_registry"),
+        "register_model": ("horus_spark.registry", "register_model"),
+        "latest_models": ("horus_spark.registry", "latest_models"),
+        "get_engine": ("horus_spark.engines", "get_engine"),
+    }
+    if name in _API:
+        import importlib
+
+        mod, attr = _API[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(f"module 'horus_spark' has no attribute {name!r}")

@@ -33,9 +33,15 @@ def stream_extraction(
     out_dir: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    registry: DataFrame | None = None,
+    engine: str | None = None,
 ):
     """Incremental extraction over a growing directory of document parquet
-    files. Returns the started StreamingQuery."""
+    files. Returns the started StreamingQuery. `registry`/`engine` pass
+    through to run_extraction — each micro-batch re-resolves the latest
+    registered model configs, so a version registered mid-stream takes
+    effect on the next batch (the reference's 'train a new model, pipeline
+    picks it up' behavior, without restarting the stream)."""
     from horus_spark.pipeline import run_extraction
     from horus_spark.sources.sink import write_extracted
 
@@ -49,7 +55,9 @@ def stream_extraction(
         batch_words = ocr_words.join(
             F.broadcast(batch_df.select("doc_id").distinct()), "doc_id", "left_semi"
         )
-        extracted = run_extraction(batch_df, batch_words)
+        extracted = run_extraction(
+            batch_df, batch_words, registry=registry, engine=engine
+        )
         write_extracted(
             extracted, os.path.join(out_dir, f"batch={batch_id:06d}"), mode="overwrite"
         )
