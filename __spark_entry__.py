@@ -523,6 +523,17 @@ def _q29_subword_stats(spark, sf_dir):
     )
 
 
+def _q31_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs: 4x8-bit banded bucket join (pigeonhole-exact
+    for hamming <= 3) verified by bit_count(xor)."""
+    from horus_spark.operators.dedup import simhash_pairs
+
+    d = _fanout(
+        _load(spark, sf_dir, "documents").withColumn("doc_id", F.col("doc_id").cast("string"))
+    )
+    return simhash_pairs(d, bits=32, bands=4, max_hamming=3)
+
+
 def _q30_planes() -> list:
     import numpy as np
 
@@ -571,6 +582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q28_asset_counts": _q28_asset_counts,
         "q29_subword_stats": _q29_subword_stats,
         "q30_multiband_cosine": _q30_multiband_cosine,
+        "q31_simhash_pairs": _q31_simhash_pairs,
     }
 
 
@@ -955,6 +967,27 @@ def oracle_sql() -> dict[str, str]:
             FROM cand c JOIN va x ON x.vec_id = c.id_a JOIN va y ON y.vec_id = c.id_b)
           WHERE cosine >= 0.2
         """)(_q30_planes()),
+        "q31_simhash_pairs": """
+          WITH tok AS (
+            SELECT CAST(doc_id AS VARCHAR) AS id, unnest(string_split(trim(lower(text)), ' ')) AS tok
+            FROM documents),
+          h AS (SELECT id, CAST(concat('0x', substring(md5(tok),1,14)) AS BIGINT) AS h FROM tok),
+          bits AS (
+            SELECT id, i,
+                   sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+            FROM h, unnest([x for x in generate_series(0,31)]) AS u(i)
+            GROUP BY 1,2),
+          sig AS (
+            SELECT id, CAST(sum(CASE WHEN s > 0 THEN 1::BIGINT << i ELSE 0 END) AS BIGINT) AS simhash
+            FROM bits GROUP BY 1),
+          banded AS (
+            SELECT id, simhash, u.band, (simhash >> (u.band * 8)) & 255 AS bucket
+            FROM sig, unnest([0,1,2,3]) AS u(band))
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                 CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+          FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        """,
         "q29_subword_stats": f"""
           SELECT CAST(doc_id AS VARCHAR) AS doc_id,
                  CAST(CASE WHEN len(trim(text))=0 THEN 0 ELSE len({toks}) END AS INT) AS n_ws_tokens,

@@ -266,6 +266,59 @@ def minhash_dedup_pairs(
     return _verify_pairs(cand, df, id_col, text_col, n, threshold)
 
 
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-duplicate pairs at scale: split each fingerprint into
+    `bands` contiguous bit blocks and bucket-join per block — by
+    pigeonhole, any pair with hamming distance <= bands-1 shares at least
+    one exact block, so with the default 4 bands / max_hamming 3 recall is
+    EXACT (not probabilistic); candidates are then verified with
+    bit_count(xor). Returns (id_a, id_b, hamming) with id_a < id_b.
+    Requires max_hamming <= bands - 1 for the exactness guarantee."""
+    if max_hamming > bands - 1:
+        raise ValueError("exactness requires max_hamming <= bands - 1")
+    sig = simhash(df, id_col, text_col, bits)
+    block = bits // bands
+    mask = (1 << block) - 1
+    banded = sig.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("simhash", b * block)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    return (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "bucket"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 56) -> DataFrame:
     """SimHash fingerprints: per-token md5-derived bit vectors, sign-summed.
     Uses the top `bits` of md5 (as a 14-hex-digit int) so the same value is
