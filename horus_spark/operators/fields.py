@@ -72,8 +72,9 @@ def extract_fields_arrays(
     fx1 = fx1.tolist() if isinstance(fx1, np.ndarray) else fx1
 
     def reg(key, value, idxs):
+        # idxs are plain-int fragment positions (ranges / grid cell lists)
         fields[key] = value
-        used.update(int(i) for i in idxs)
+        used.update(idxs)
 
     table_top = grid.get("table_top", np.inf)
 
@@ -140,8 +141,9 @@ def extract_fields_arrays(
     for tc in grid.get("totals_cells", []):
         vi = tc["frag_idx"][0]
         vy = fy[vi]
+        lo, hi, vx = vy - 0.06, vy + 0.06, fx0[vi]
         label_ids = [
-            j for j in range(n) if abs(fy[j] - vy) < 0.06 and fx1[j] < fx0[vi]
+            j for j in range(n) if lo < fy[j] < hi and fx1[j] < vx
         ]
         if not label_ids:
             continue

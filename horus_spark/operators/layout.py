@@ -146,22 +146,29 @@ def _interval_clusters(intervals) -> list:
 
 def _monotone_header_groups(hx0, hx1, hdr_ids):
     """Merge header fragments whose x-intervals overlap (multi-row header
-    titles like 'Unit'+'Price'); return groups sorted by x."""
+    titles like 'Unit'+'Price'); return groups sorted by x. Group extents
+    are maintained incrementally (the min/max-per-membership-test form was
+    quadratic in fragment count per group)."""
     ids = sorted(hdr_ids, key=lambda i: hx0[i])
     groups: list[list[int]] = []
+    extents: list[list[float]] = []  # [glo, ghi] per group
     for fi in ids:
+        flo, fhi = hx0[fi], hx1[fi]
         placed = False
-        for g in groups:
-            glo = min(hx0[j] for j in g)
-            ghi = max(hx1[j] for j in g)
-            if min(ghi, hx1[fi]) - max(glo, hx0[fi]) > 0:
-                g.append(fi)
+        for gi, (glo, ghi) in enumerate(extents):
+            if (ghi if ghi < fhi else fhi) - (glo if glo > flo else flo) > 0:
+                groups[gi].append(fi)
+                if flo < glo:
+                    extents[gi][0] = flo
+                if fhi > ghi:
+                    extents[gi][1] = fhi
                 placed = True
                 break
         if not placed:
             groups.append([fi])
-    groups.sort(key=lambda g: min(hx0[j] for j in g))
-    return groups
+            extents.append([flo, fhi])
+    order = sorted(range(len(groups)), key=lambda gi: extents[gi][0])
+    return [groups[gi] for gi in order]
 
 
 def infer_grid(frags: pd.DataFrame) -> dict:
