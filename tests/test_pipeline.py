@@ -163,3 +163,41 @@ def test_heavy_doc_truncated_and_isolated(spark):
         assert out[d].document_number is not None
     # poison doc degraded to the full error channel, not a task failure
     assert out["abc-INVOICE-99998.pdf"].warning_error_count >= 10
+
+
+@pytest.mark.parametrize("seed,base", [(7, 40000), (77, 50000), (2026, 61000)])
+def test_multi_seed_span_and_field_parity(spark, seed, base):
+    """The seed-42 goldens could in principle be overfit; three unrelated
+    seeds/number-ranges must ALSO produce exact span-sequence equality and
+    mini-shredder field parity end-to-end."""
+    from horus_spark.fixtures.generator import corpus_spark as cs
+    from horus_spark.fixtures.oracle_shred import expected_shred
+
+    n = 40
+    c = cs(spark, n, base=base, seed=seed, partitions=4)
+    out = run_extraction(c["documents"], c["ocr_words"]).cache()
+    try:
+        rows = {r.doc_id: r for r in out.collect()}
+        assert len(rows) == n
+        from horus_spark.fixtures.generator import generate_batch
+
+        for d in generate_batch(range(base + 1, base + 1 + n), seed):
+            r = rows[d["doc_id"]]
+            # exact span-sequence equality (kind, text, media_ref, order)
+            got_spans = [
+                (s.kind, s.text, s.media_ref, s.offset) for s in r.spans_out
+            ]
+            exp_spans = [
+                (s["kind"], s["text"], s["media_ref"], s["offset"])
+                for s in d["expected_spans"]
+            ]
+            assert got_spans == exp_spans, d["doc_id"]
+            # typed header/field parity via the independent mini-shredder
+            exp = expected_shred(d["fields"])
+            assert len(r.line_items) == exp["n_lines"], d["doc_id"]
+            assert len(r.errors) == exp["n_errors"], d["doc_id"]
+            assert r.is_valid == exp["is_valid"], d["doc_id"]
+            assert r.account == exp["account"], d["doc_id"]
+            assert round(r.grand_total, 2) == exp["grand_total"], d["doc_id"]
+    finally:
+        out.unpersist()
