@@ -184,7 +184,18 @@ def main() -> None:
         "n_docs": N_DOCS,
     }
     print(json.dumps(out))
-    with open(os.path.join(REPO, "BENCH.md"), "w") as fh:
+    # preserve hand-written addendums below the marker across regenerations
+    marker = (
+        "<!-- auto-generated above; addendums below are preserved "
+        "across bench runs -->"
+    )
+    bench_path = os.path.join(REPO, "BENCH.md")
+    tail = ""
+    if os.path.exists(bench_path):
+        prev = open(bench_path).read()
+        if marker in prev:
+            tail = "\n" + marker + prev.split(marker, 1)[1]
+    with open(bench_path, "w") as fh:
         fh.write(
             "# BENCH — extraction throughput & scaling\n\n"
             "North-rule scaling evidence (sandbox proxy for N vs 4N executors:\n"
@@ -233,6 +244,7 @@ def main() -> None:
             "cluster each executor owns its cores, which is what the N->4N\n"
             "rule targets. Every measured level is reported for transparency.\n\n"
             f"Raw JSON: `{json.dumps(out)}`\n"
+            + tail
         )
 
 
