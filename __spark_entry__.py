@@ -378,7 +378,7 @@ def _q19_extract_documents(spark, sf_dir):
     c = corpus_spark(spark, 150, partitions=8)
     out = run_extraction(c["documents"], c["ocr_words"])
     return out.select(
-        "doc_id", "document_number", "tax_period", "account", "post_code",
+        "doc_id", "thumbprint", "document_number", "tax_period", "account", "post_code",
         F.round("net_total", 2).alias("net_total"),
         F.round("grand_total", 2).alias("grand_total"),
         F.size("line_items").alias("n_lines"),
@@ -893,7 +893,7 @@ def oracle_sql() -> dict[str, str]:
         # ground-truth fields (fixtures/oracle_shred.py) and the generator's
         # golden span classification. Regenerate: python tools/make_goldens.py
         "q19_extract_documents": """
-          SELECT doc_id, document_number, tax_period, account, post_code,
+          SELECT doc_id, thumbprint, document_number, tax_period, account, post_code,
                  net_total, grand_total, n_lines, n_errors, is_valid
           FROM read_parquet('/root/repo/horus_spark/fixtures/goldens/q19_expected_documents.parquet')
         """,

@@ -40,14 +40,24 @@ def main():
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     docs = generate_batch(range(BASE + 1, BASE + 1 + N_DOCS), SEED)
 
+    import hashlib
+
     q19_rows = []
     for d in docs:
-        row = {"doc_id": d["doc_id"], **expected_shred(d["fields"])}
+        # S4 thumbprint golden: md5 over the record-separator-joined span
+        # texts, formatted as the reference's BitConverter hex pairs
+        # (DocumentProcessor.cs:217-223) — computed with hashlib, fully
+        # independent of the Spark expression
+        joined = "\x1e".join(s["text"] for s in d["spans"])
+        hx = hashlib.md5(joined.encode("utf-8")).hexdigest().upper()
+        thumb = " ".join(hx[i : i + 2] for i in range(0, 32, 2))
+        row = {"doc_id": d["doc_id"], "thumbprint": thumb, **expected_shred(d["fields"])}
         q19_rows.append(row)
     q19 = pd.DataFrame(q19_rows)
     q19_schema = pa.schema(
         [
             ("doc_id", pa.string()),
+            ("thumbprint", pa.string()),
             ("document_number", pa.string()),
             ("tax_period", pa.string()),
             ("account", pa.string()),
