@@ -395,8 +395,8 @@ def _q20_extract_spans(spark, sf_dir):
     c = corpus_spark(spark, 150, partitions=8)
     out = run_extraction(c["documents"], c["ocr_words"])
     return out.select("doc_id", F.explode("spans_out").alias("s")).select(
-        "doc_id", F.col("s.kind").alias("kind"), F.col("s.offset").alias("offset"),
-        F.col("s.media_ref").alias("media_ref"),
+        "doc_id", F.col("s.kind").alias("kind"), F.col("s.text").alias("text"),
+        F.col("s.offset").alias("offset"), F.col("s.media_ref").alias("media_ref"),
     )
 
 
@@ -898,7 +898,7 @@ def oracle_sql() -> dict[str, str]:
           FROM read_parquet('/root/repo/horus_spark/fixtures/goldens/q19_expected_documents.parquet')
         """,
         "q20_extract_spans": """
-          SELECT doc_id, kind, "offset", media_ref
+          SELECT doc_id, kind, text, "offset", media_ref
           FROM read_parquet('/root/repo/horus_spark/fixtures/goldens/q20_expected_spans.parquet')
         """,
         "q21_minhash_pairs": minhash_sql,

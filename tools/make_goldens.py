@@ -79,6 +79,7 @@ def main():
         {
             "doc_id": d["doc_id"],
             "kind": s["kind"],
+            "text": s["text"],
             "offset": s["offset"],
             "media_ref": s["media_ref"],
         }
@@ -90,6 +91,7 @@ def main():
         [
             ("doc_id", pa.string()),
             ("kind", pa.string()),
+            ("text", pa.string()),
             ("offset", pa.int32()),
             ("media_ref", pa.string()),
         ]
