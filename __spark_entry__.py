@@ -29,7 +29,10 @@ def _fanout(df: DataFrame, key: str = "doc_id", factor: int = 2) -> DataFrame:
     already has enough splits (the 100 TB case), so the extra shuffle of
     the compact input only happens when it is cheap."""
     target = df.sparkSession.sparkContext.defaultParallelism * factor
-    if df.rdd.getNumPartitions() >= target:
+    # plan-free split probe: every source file yields >=1 scan split, so
+    # enough files => enough splits (df.rdd.getNumPartitions() would force
+    # full physical planning + an RDD conversion per call)
+    if len(df.inputFiles()) >= target:
         return df
     return df.repartition(target, key)
 
@@ -378,7 +381,8 @@ def _q19_extract_documents(spark, sf_dir):
     c = corpus_spark(spark, 150, partitions=8)
     out = run_extraction(c["documents"], c["ocr_words"])
     return out.select(
-        "doc_id", "thumbprint", "document_number", "tax_period", "account", "post_code",
+        "doc_id", "thumbprint", "recognizer_status", "document_number",
+        "tax_period", "account", "post_code",
         F.round("net_total", 2).alias("net_total"),
         F.round("grand_total", 2).alias("grand_total"),
         F.size("line_items").alias("n_lines"),
@@ -452,7 +456,9 @@ def _q25_ivf_topk(spark, sf_dir):
     q = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
-    return ivf_topk(e, q, n_centroids=16, n_probe=4, k=10)
+    # 'lowest_id' = the deterministic SQL-parity stand-in; production
+    # default is sample-fit k-means (see similarity.ivf_topk docstring)
+    return ivf_topk(e, q, n_centroids=16, n_probe=4, k=10, centroids="lowest_id")
 
 
 def _q26_model_registry(spark, sf_dir):
@@ -534,6 +540,44 @@ def _q31_simhash_pairs(spark, sf_dir):
     return simhash_pairs(d, bits=32, bands=4, max_hamming=3)
 
 
+def _q32_versioned_sink(spark, sf_dir):
+    """W1+S4 end-to-end: the versioning semantics stamped on the engine's
+    OWN sink output (reference HorusSql.cs:221-249, SQL Patch/Add document
+    versioning.sql:4-26). The seeded corpus is extracted and persisted
+    TWICE (a duplicate upload of every document): the sink appends version
+    1 then 2 per file, the derived latest flag flips to the re-upload, and
+    the thumbprints match across uploads (verified against the committed
+    q19 golden, which contributes doc_id+thumbprint independently)."""
+    import shutil
+    import tempfile
+
+    from horus_spark.fixtures.generator import corpus_spark
+    from horus_spark.pipeline import run_extraction
+    from horus_spark.sources.sink import (
+        read_documents_versioned,
+        write_documents_versioned,
+    )
+
+    c = corpus_spark(spark, 150, partitions=8)
+    out = tempfile.mkdtemp(prefix="horus_q32_")
+    try:
+        for rid in ("r1", "r2"):
+            ext = run_extraction(c["documents"], c["ocr_words"], run_id=rid)
+            write_documents_versioned(ext, out)
+        v = read_documents_versioned(spark, out)
+        # materialize before the tempdir vanishes
+        rows = v.select(
+            "doc_id", "thumbprint", "document_version", "latest_version_indicator"
+        ).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "doc_id string, thumbprint string, document_version int, "
+        "latest_version_indicator boolean",
+    )
+
+
 def _q30_planes() -> list:
     import numpy as np
 
@@ -583,6 +627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q29_subword_stats": _q29_subword_stats,
         "q30_multiband_cosine": _q30_multiband_cosine,
         "q31_simhash_pairs": _q31_simhash_pairs,
+        "q32_versioned_sink": _q32_versioned_sink,
     }
 
 
@@ -812,8 +857,6 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN lag(ts) OVER w IS NULL
                         OR date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END AS new_session
             FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
-          , t AS (SELECT user_id, value, sum(new_session) OVER (PARTITION BY user_id ROWS UNBOUNDED PRECEDING) AS session_id,
-                         new_session FROM (SELECT *, row_number() OVER () FROM s))
           SELECT user_id, CAST(sum(new_session) AS INT) AS n_sessions, count(*) AS n_events,
                  CAST(round(sum(CAST(value AS DECIMAL(30,10))),2) AS DOUBLE) AS total_value
           FROM s GROUP BY user_id
@@ -893,13 +936,23 @@ def oracle_sql() -> dict[str, str]:
         # ground-truth fields (fixtures/oracle_shred.py) and the generator's
         # golden span classification. Regenerate: python tools/make_goldens.py
         "q19_extract_documents": """
-          SELECT doc_id, thumbprint, document_number, tax_period, account, post_code,
+          SELECT doc_id, thumbprint, recognizer_status, document_number,
+                 tax_period, account, post_code,
                  net_total, grand_total, n_lines, n_errors, is_valid
           FROM read_parquet('/root/repo/horus_spark/fixtures/goldens/q19_expected_documents.parquet')
         """,
         "q20_extract_spans": """
           SELECT doc_id, kind, text, "offset", media_ref
           FROM read_parquet('/root/repo/horus_spark/fixtures/goldens/q20_expected_spans.parquet')
+        """,
+        # q32: duplicate upload of the whole golden corpus -> every doc_id
+        # carries versions {1,2}, latest on 2, thumbprint invariant across
+        # uploads (doc_id+thumbprint from the independent q19 golden).
+        "q32_versioned_sink": """
+          SELECT doc_id, thumbprint, CAST(u.v AS INT) AS document_version,
+                 u.v = 2 AS latest_version_indicator
+          FROM read_parquet('/root/repo/horus_spark/fixtures/goldens/q19_expected_documents.parquet'),
+               unnest([1, 2]) AS u(v)
         """,
         "q21_minhash_pairs": minhash_sql,
         "q26_model_registry": """

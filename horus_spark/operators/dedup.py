@@ -266,6 +266,61 @@ def minhash_dedup_pairs(
     return _verify_pairs(cand, df, id_col, text_col, n, threshold)
 
 
+def dedup_pipeline(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    seed: int = 1337,
+    log_collapsed: bool = True,
+) -> dict:
+    """The documented at-scale dedup recipe composed into ONE operator —
+    the module-docstring mass-duplication caveat made executable:
+
+    1. exact_dedup collapses byte-identical clones to canonical ids. This
+       is what keeps the fuzzy tier honest under mass duplication: a
+       cluster with more members than max_doc_freq makes every shingle its
+       members share hot — raw jaccard_pairs prunes those shingles and
+       silently drops the whole cluster (tests/test_dedup_pipeline.py
+       proves the drop), and even minhash-LSH would put all clones in the
+       same band buckets, exploding candidate pairs quadratically in the
+       cluster size.
+    2. minhash_dedup_pairs (the 100 TB near-dup tier) runs over CANONICAL
+       REPRESENTATIVES only — document frequencies and bucket sizes now
+       reflect distinct content, so no cluster can out-grow the guards.
+
+    A near-dup of a mass-duplicated page is therefore still found: once
+    against the canonical representative, recoverable for every clone via
+    exact.canonical_id.
+
+    Returns {"exact": (id, thumbprint, canonical_id, is_duplicate),
+             "canonical_docs": df rows whose id is canonical,
+             "fuzzy_pairs": (id_a, id_b, jaccard) over canonical ids}.
+    log_collapsed (on by default) warns with the number of collapsed
+    clone rows — the counter that shows what the exact tier absorbed."""
+    exact = exact_dedup(df, id_col, text_col)
+    if log_collapsed:
+        import warnings
+
+        n_dup = exact.filter(F.col("is_duplicate")).count()
+        if n_dup:
+            warnings.warn(
+                f"dedup_pipeline: exact tier collapsed {n_dup} clone rows "
+                "into their canonical ids before the fuzzy tier",
+                stacklevel=2,
+            )
+    canonical = df.join(
+        exact.filter(~F.col("is_duplicate")).select(F.col("id").alias(id_col)),
+        id_col,
+        "left_semi",
+    )
+    fuzzy = minhash_dedup_pairs(canonical, id_col, text_col, n, k, bands, threshold, seed)
+    return {"exact": exact, "canonical_docs": canonical, "fuzzy_pairs": fuzzy}
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -343,12 +343,42 @@ def _shred_from_raw(
         (
             F.col("model_version") if "model_version" in cols else F.lit(None).cast("string")
         ).alias("model_version"),
+        # recognizer outcome channel (reference Models/Document.cs:20-105)
+        (
+            F.col("recognizer_status")
+            if "recognizer_status" in cols
+            else F.lit(None).cast("string")
+        ).alias("recognizer_status"),
+        (
+            F.col("recognizer_errors")
+            if "recognizer_errors" in cols
+            else F.lit(None).cast("array<string>")
+        ).alias("recognizer_errors"),
         terminal_count.alias("terminal_error_count"),
         warning_count.alias("warning_error_count"),
         (terminal_count == 0).alias("is_valid"),
         line_items.alias("line_items"),
         all_errors.alias("errors"),
-        F.lit(0).cast("long").alias("time_to_shred_ms"),
+        # measured per-doc extraction wall time (the engine's per-document
+        # compute happens in the recognize kernel; the expression-based
+        # shred itself adds no per-row Python) — the reference's
+        # TimeToShred stopwatch (HorusProcessingEngine.cs:15-16,87-88)
+        (
+            F.col("time_to_shred_ms")
+            if "time_to_shred_ms" in cols
+            else F.lit(0.0)
+        ).alias("time_to_shred_ms"),
+        # run stamps (HorusSql.cs:244-249), when the pipeline provides them
+        *(
+            [F.col("shredding_utc_datetime")]
+            if "shredding_utc_datetime" in cols
+            else []
+        ),
+        *(
+            [F.col("unique_run_identifier")]
+            if "unique_run_identifier" in cols
+            else []
+        ),
         *[F.col(c) for c in carry],
     )
 

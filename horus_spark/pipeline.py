@@ -51,7 +51,8 @@ _LINES_T = (
 )
 FIELDS_SCHEMA = (
     f"doc_id string, header_raw {_HEADER_T}, lines_raw {_LINES_T}, "
-    "field_line_ids array<int>"
+    "field_line_ids array<int>, recognizer_status string, "
+    "recognizer_errors array<string>, time_to_shred_ms double"
 )
 FIELDS_MAP_SCHEMA = FIELDS_SCHEMA + ", fields map<string,string>"
 
@@ -99,7 +100,7 @@ MAX_DOC_WORDS = int(_os.environ.get("HORUS_MAX_DOC_WORDS", "20000"))
 
 def _extract_core(
     pdf: pd.DataFrame, configs: dict | None = None
-) -> tuple[list, list, dict]:
+) -> tuple[list, list, dict, list, list]:
     """One bucket of OCR words (many docs) -> (doc_ids, fields dicts,
     doc_id->sorted field line ids). L1 runs vectorized over the WHOLE
     batch; grid/fields per doc (bounded: <=250 words/doc normally, hard
@@ -113,7 +114,17 @@ def _extract_core(
     analysis raises yields an EMPTY fields map — the shredder then emits
     the full PRE000x error-row channel for it, exactly like a document
     the recognizer returned nothing for — and every other document in the
-    batch is unaffected."""
+    batch is unaffected.
+
+    Also returns per-doc (status, errors) — the reference's
+    RecognizerStatus/RecognizerErrors (Models/Document.cs:20-105) — and
+    per-doc wall milliseconds (TimeToShred,
+    HorusProcessingEngine.cs:15-16,87-88): the per-doc loop is timed
+    directly; the batch-vectorized prelude (L1 clustering) and epilogue
+    (field-line merge) are amortized evenly across the batch's docs."""
+    import time as _time
+
+    t_batch0 = _time.perf_counter_ns()
     if len(pdf) > MAX_DOC_WORDS:  # a smaller batch cannot hold a heavy doc
         counts = pdf["doc_id"].value_counts()
         heavy = counts[counts > MAX_DOC_WORDS]
@@ -142,24 +153,35 @@ def _extract_core(
     boundaries = np.flatnonzero(doc_ids[1:] != doc_ids[:-1]) + 1
     starts = np.concatenate([[0], boundaries])
     ends = np.concatenate([boundaries, [len(doc_ids)]])
+    # corrupt (non-finite) geometry is a recognizer-level failure for that
+    # document, not a silent empty-fields result — one vectorized pass
+    finite_all = np.isfinite(x0_all) & np.isfinite(y0_all) & np.isfinite(x1_all)
 
-    out_ids, out_fields = [], []
+    out_ids, out_fields, out_status, out_ns = [], [], [], []
     used_pairs: list[tuple[str, int]] = []  # (doc_id, frag_key)
     for s, e in zip(starts, ends):
         doc_id = doc_ids[s]
         texts = texts_all[s:e]
         fx0, fy, fx1 = x0_all[s:e], y0_all[s:e], x1_all[s:e]
+        t0 = _time.perf_counter_ns()
         try:
+            if not finite_all[s:e].all():
+                raise ValueError("non-finite bbox geometry in OCR words")
             grid = infer_grid_arrays(texts, fx0, fy, fx1)
             fields, used = extract_fields_arrays(
                 texts, fx0, fy, fx1, grid, format_of_doc_id(doc_id), configs
             )
-        except Exception:
+            status = ("succeeded", [])
+        except Exception as exc:
             # per-document isolation: this doc degrades to "nothing
-            # recognized" (full error channel downstream); others proceed
+            # recognized" (full error channel downstream); others proceed.
+            # WHY it failed is recorded — the reference's RecognizerErrors.
             fields, used = {}, set()
+            status = ("failed", [f"{type(exc).__name__}: {exc}"])
+        out_ns.append(_time.perf_counter_ns() - t0)
         out_ids.append(doc_id)
         out_fields.append(fields)
+        out_status.append(status)
         fk = fk_all[s:e]
         used_pairs.extend((doc_id, int(fk[i])) for i in used)
     if used_pairs:
@@ -176,7 +198,12 @@ def _extract_core(
         )
     else:
         flid_map = {}
-    return out_ids, out_fields, flid_map
+    # amortize everything outside the per-doc loop (prelude + merge) evenly
+    n_docs = len(out_ids)
+    overhead = max(_time.perf_counter_ns() - t_batch0 - sum(out_ns), 0)
+    share = overhead / n_docs if n_docs else 0.0
+    out_ms = [(ns + share) / 1e6 for ns in out_ns]
+    return out_ids, out_fields, flid_map, out_status, out_ms
 
 
 def _extract_batch(
@@ -188,7 +215,7 @@ def _extract_batch(
     tests; the hot path is _extract_batch_arrow)."""
     if len(pdf) == 0:
         return pd.DataFrame({"doc_id": [], "fields": [], "field_line_ids": []})
-    out_ids, out_fields, flid_map = _extract_core(pdf, configs)
+    out_ids, out_fields, flid_map, out_status, out_ms = _extract_core(pdf, configs)
     raws = [_raw_views(fd) for fd in out_fields]
     out = pd.DataFrame(
         {
@@ -198,6 +225,9 @@ def _extract_batch(
         }
     )
     out["field_line_ids"] = [flid_map.get(d, []) for d in out_ids]
+    out["recognizer_status"] = [s[0] for s in out_status]
+    out["recognizer_errors"] = [s[1] for s in out_status]
+    out["time_to_shred_ms"] = out_ms
     if with_fields_map:
         out["fields"] = out_fields
     return out
@@ -218,7 +248,7 @@ def _extract_batch_arrow(pdf: pd.DataFrame, configs: dict | None = None):
     dominant memory-allocator traffic at 32-way parallelism."""
     import pyarrow as pa
 
-    out_ids, out_fields, flid_map = _extract_core(pdf, configs)
+    out_ids, out_fields, flid_map, out_status, out_ms = _extract_core(pdf, configs)
     n = len(out_ids)
     header_cols: dict[str, list] = {c: [None] * n for c, _ in _HEADER_KEYS}
     line_cols: dict[str, list] = {c: [] for c in _LINE_COLS}
@@ -257,8 +287,19 @@ def _extract_batch_arrow(pdf: pd.DataFrame, configs: dict | None = None):
     flid_arr = pa.ListArray.from_arrays(
         pa.array(flid_offsets, pa.int32()), pa.array(flid_values, pa.int32())
     )
+    status_arr = pa.array([s[0] for s in out_status], pa.string())
+    rerr_arr = pa.array([s[1] for s in out_status], pa.list_(pa.string()))
+    ms_arr = pa.array(out_ms, pa.float64())
     return pa.RecordBatch.from_arrays(
-        [pa.array(out_ids, pa.string()), header_arr, lines_arr, flid_arr],
+        [
+            pa.array(out_ids, pa.string()),
+            header_arr,
+            lines_arr,
+            flid_arr,
+            status_arr,
+            rerr_arr,
+            ms_arr,
+        ],
         schema=schema,
     )
 
@@ -292,6 +333,9 @@ def _arrow_fields_schema():
                 ("header_raw", header_t),
                 ("lines_raw", pa.list_(line_t)),
                 ("field_line_ids", pa.list_(pa.int32())),
+                ("recognizer_status", pa.string()),
+                ("recognizer_errors", pa.list_(pa.string())),
+                ("time_to_shred_ms", pa.float64()),
             ]
         )
     return _ARROW_FIELDS_SCHEMA
@@ -462,8 +506,15 @@ def thumbprint_expr() -> "F.Column":
     over the span texts (record-separator-joined), formatted exactly like
     the reference's BitConverter.ToString(md5).Replace("-", " "):
     space-separated UPPERCASE hex pairs "AA BB ..."
-    (DocumentProcessor.cs:217-223)."""
-    plain = F.md5(F.concat_ws("", F.transform(F.col("spans"), lambda s: s["text"])))
+    (DocumentProcessor.cs:217-223).
+
+    The join separator is ASCII RS (0x1E) — it MUST stay spelled as the
+    escape sequence "\\x1e" here and in tools/make_goldens.py: a raw byte
+    renders invisibly as an empty string in editors/diffs and silently
+    changes every thumbprint if "preserved" by a copy-paste. A pinned
+    known-value test (tests/test_pipeline.py::test_thumbprint_known_value)
+    guards the exact byte."""
+    plain = F.md5(F.concat_ws("\x1e", F.transform(F.col("spans"), lambda s: s["text"])))
     return F.regexp_replace(F.upper(plain), "(..)(?!$)", "$1 ")
 
 
@@ -473,6 +524,7 @@ def run_extraction(
     n_buckets: int | None = None,
     registry: DataFrame | None = None,
     engine: str | None = None,
+    run_id: str | None = None,
 ) -> DataFrame:
     """Full pipeline -> EXTRACTED_DOCUMENT rows (header + line_items +
     errors + spans_out). Two planned shuffles total (one per input table),
@@ -499,14 +551,38 @@ def run_extraction(
     empty_header = F.struct(
         *[F.lit(None).cast("string").alias(c) for c, _ in _HEADER_KEYS]
     )
+    if run_id is None:
+        import uuid
+
+        run_id = str(uuid.uuid4())  # the reference's UniqueRunIdentifier
     joined = (
         documents.join(fields_df, "doc_id", "left")
         .withColumn("header_raw", F.coalesce(F.col("header_raw"), empty_header))
         .withColumn(
             "lines_raw", F.coalesce(F.col("lines_raw"), F.array().cast(_LINES_T))
         )
+        # a document the recognizer produced nothing for (no OCR rows at
+        # all) carries an explicit status, like the reference's
+        # RecognizerStatus on a doc the service returned no result for
+        .withColumn(
+            "recognizer_status",
+            F.coalesce(F.col("recognizer_status"), F.lit("notfound")),
+        )
+        .withColumn(
+            "recognizer_errors",
+            F.coalesce(F.col("recognizer_errors"), F.array().cast("array<string>")),
+        )
+        .withColumn(
+            "time_to_shred_ms",
+            F.coalesce(F.col("time_to_shred_ms"), F.lit(0.0)),
+        )
         .withColumn("thumbprint", thumbprint_expr())
         .withColumn("spans_out", classify_spans_expr())
+        # run stamps, persisted on the header row exactly like the
+        # reference (HorusSql.cs:244-249); current_timestamp() is
+        # query-constant in Spark, so one job = one shredding timestamp
+        .withColumn("shredding_utc_datetime", F.current_timestamp())
+        .withColumn("unique_run_identifier", F.lit(run_id))
     )
     if model_dim is not None:
         joined = (

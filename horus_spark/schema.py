@@ -172,12 +172,16 @@ SHREDDED_DOCUMENT = StructType(
         StructField("thumbprint", StringType()),
         StructField("model_id", StringType()),
         StructField("model_version", StringType()),
+        StructField("recognizer_status", StringType()),
+        StructField("recognizer_errors", ArrayType(StringType())),
         StructField("terminal_error_count", IntegerType()),
         StructField("warning_error_count", IntegerType()),
         StructField("is_valid", BooleanType()),
         StructField("line_items", ArrayType(LINE_ITEM)),
         StructField("errors", ArrayType(DOC_ERROR)),
-        StructField("time_to_shred_ms", LongType()),
+        StructField("time_to_shred_ms", DoubleType()),
+        StructField("shredding_utc_datetime", TimestampType()),
+        StructField("unique_run_identifier", StringType()),
     ]
 )
 

@@ -13,11 +13,12 @@ The Spark-native equivalent:
 - checkpoint-resume: the corpus is split into deterministic chunks by
   xxhash64(doc_id), staged ONCE as parquet physically partitioned by the
   chunk value (so each chunk job prunes to its own directory instead of
-  re-scanning the full input), and each chunk writes to its own output
-  subdirectory then drops a `chunk_NNN.done` marker. A resumed run reuses
-  the staging, skips completed chunks, and OVERWRITES any partially-written
-  chunk directory — idempotent restart with exactly-once output, no
-  read-side dedup needed.
+  re-scanning the full input), and each chunk writes ALL its tables into a
+  private tmp directory that one atomic rename promotes to `chunk=NNNN`,
+  then drops a `chunk_NNN.done` marker. A resumed run reuses the staging,
+  skips completed chunks, and discards stale tmp directories — idempotent
+  restart with exactly-once, never-partially-visible output, no read-side
+  dedup needed.
 
 At 10^12-document scale each chunk is an independent job over a hash slice
 of the corpus; a driver loss costs at most one chunk of work.
@@ -28,10 +29,12 @@ from __future__ import annotations
 import datetime as dt
 import json
 import os
+import shutil
 import time
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def write_extracted(extracted: DataFrame, out_dir: str, mode: str = "overwrite") -> None:
@@ -48,17 +51,11 @@ def write_extracted(extracted: DataFrame, out_dir: str, mode: str = "overwrite")
     wide_dir = os.path.join(out_dir, "documents_full")
     extracted.write.mode(mode).parquet(wide_dir)
     full = extracted.sparkSession.read.parquet(wide_dir)
-    header_cols = [
-        c for c in full.columns if c not in ("line_items", "errors", "spans_out")
-    ]
-    header = full.select(*header_cols)
-    if "post_code" in header_cols:
-        # persist-time-only truncation, exactly like the reference
-        # (Horus.Functions/HorusSql.cs:235-241 trims PostCode to 10 chars
-        # at the SQL INSERT; the document graph keeps the full value, like
-        # the reference's Cosmos persistence of the Document object)
-        header = header.withColumn("post_code", F.substring("post_code", 1, 10))
-    header.write.mode(mode).parquet(os.path.join(out_dir, "documents_out"))
+    # persist-time-only PostCode truncation inside _header_frame, exactly
+    # like the reference (Horus.Functions/HorusSql.cs:235-241 trims to 10
+    # chars at the SQL INSERT; the document graph keeps the full value,
+    # like the reference's Cosmos persistence of the Document object)
+    _header_frame(full).write.mode(mode).parquet(os.path.join(out_dir, "documents_out"))
     full.select(
         "doc_id", F.explode("line_items").alias("li")
     ).select("doc_id", "li.*").write.mode(mode).parquet(
@@ -80,17 +77,76 @@ def write_documents_by_account(extracted: DataFrame, out_dir: str, mode: str = "
     (reference Horus.Functions/Engines/Persistence/CosmosPersistenceEngine.cs:27-50).
     Header rows only (the Cosmos document is the serialized header graph);
     null accounts land in a sentinel partition rather than Hive's default."""
+    (
+        _header_frame(extracted)
+        .withColumn("account_pk", F.coalesce(F.col("account"), F.lit("__UNKNOWN__")))
+        .write.mode(mode)
+        .partitionBy("account_pk")
+        .parquet(os.path.join(out_dir, "documents_by_account"))
+    )
+
+
+def _header_frame(extracted: DataFrame) -> DataFrame:
     header_cols = [
         c for c in extracted.columns if c not in ("line_items", "errors", "spans_out")
     ]
     header = extracted.select(*header_cols)
     if "post_code" in header_cols:
         header = header.withColumn("post_code", F.substring("post_code", 1, 10))
-    (
-        header.withColumn("account_pk", F.coalesce(F.col("account"), F.lit("__UNKNOWN__")))
-        .write.mode(mode)
-        .partitionBy("account_pk")
-        .parquet(os.path.join(out_dir, "documents_by_account"))
+    return header
+
+
+def write_documents_versioned(extracted: DataFrame, out_dir: str) -> None:
+    """W1+S4 end-to-end: version-stamped, append-only header persistence —
+    the reference's document-versioning semantics
+    (Horus.Functions/HorusSql.cs:221-249; SQL Patch/Add document
+    versioning.sql:4-26) on the engine's own sink output.
+
+    Each batch appends header rows stamped with
+    document_version = (max version already persisted for the file_name)
+    + rank within the batch (shredding ts, doc_id) — the reference's
+    "SELECT MAX(DocumentVersion)+1 ... WHERE FileName = @x" done once per
+    batch as a join + window instead of once per document.
+
+    The reference then UPDATEs LatestVersionIndicator=0 on all prior rows.
+    Rewriting history per upload is O(total history) per batch — the
+    scale-killer at 10^12 docs — and the flag is a pure function of the
+    version column, so the store stays APPEND-ONLY and the flag is derived
+    at read time by read_documents_versioned (one window, computed on
+    exactly the rows being read)."""
+    vdir = os.path.join(out_dir, "documents_versioned")
+    header = _header_frame(extracted)
+    order_cols = [c for c in ("shredding_utc_datetime", "doc_id") if c in header.columns]
+    spark = extracted.sparkSession
+    if os.path.exists(os.path.join(vdir, "_SUCCESS")):
+        base = (
+            spark.read.parquet(vdir)
+            .groupBy("file_name")
+            .agg(F.max("document_version").alias("__base"))
+        )
+        header = header.join(base, "file_name", "left").withColumn(
+            "__base", F.coalesce(F.col("__base"), F.lit(0))
+        )
+    else:
+        header = header.withColumn("__base", F.lit(0))
+    w = Window.partitionBy("file_name").orderBy(*order_cols)
+    header = header.withColumn(
+        "document_version", (F.col("__base") + F.row_number().over(w)).cast("int")
+    ).drop("__base")
+    # append = new parquet files only; the existing-max scan listed its
+    # files before this job starts, so the read never sees its own output
+    header.write.mode("append").parquet(vdir)
+
+
+def read_documents_versioned(spark, out_dir: str) -> DataFrame:
+    """Versioned header rows + the derived latest flag (the reference's
+    LatestVersionIndicator, materialized by UPDATE there, computed by a
+    window here — see write_documents_versioned for why)."""
+    v = spark.read.parquet(os.path.join(out_dir, "documents_versioned"))
+    wall = Window.partitionBy("file_name")
+    return v.withColumn(
+        "latest_version_indicator",
+        F.col("document_version") == F.max("document_version").over(wall),
     )
 
 
@@ -100,6 +156,7 @@ def write_documents_by_account(extracted: DataFrame, out_dir: str, mode: str = "
 PERSISTENCE_ENGINES = {
     "tables": write_extracted,           # SQL analog: normalized multi-table
     "by_account": write_documents_by_account,  # Cosmos analog
+    "versioned": write_documents_versioned,    # SQL analog + versioning patch
 }
 
 
@@ -130,11 +187,23 @@ def run_checkpointed(
     run_id: str | None = None,
     n_chunks: int = 8,
     fail_after_chunk: int | None = None,
+    fail_before_promote: int | None = None,
 ) -> dict:
     """Checkpoint-resumable extraction over hash chunks of the corpus.
 
     Returns {"completed": [...], "skipped": [...]}. `fail_after_chunk`
-    injects a crash after N newly-completed chunks (for resume tests)."""
+    injects a crash after N newly-completed chunks; `fail_before_promote`
+    crashes the Nth new chunk after its tables are written but BEFORE the
+    atomic promote (for atomicity tests).
+
+    Atomic chunk commit: all of a chunk's tables (4 views + _metrics +
+    _lineage) are written into a private `_tmp_chunk_NNNN` directory —
+    invisible to read_output's `chunk=*` glob — and promoted with ONE
+    os.rename once complete (an Iceberg-style snapshot swap without the
+    catalog; swap in `.writeTo(...).append()` under a real catalog). A
+    crash at ANY point during the chunk's writes leaves the published
+    output exactly at the previous chunk state; resume discards the stale
+    tmp directory and redoes the chunk."""
     from horus_spark.pipeline import run_extraction
 
     run_id = run_id or dt.datetime.now(dt.timezone.utc).strftime("run%Y%m%d%H%M%S")
@@ -173,23 +242,30 @@ def run_checkpointed(
         # scan's PartitionFilters prune to one directory per chunk
         d = docs_c.filter(F.col("__chunk") == chunk).drop("__chunk")
         w = words_c.filter(F.col("__chunk") == chunk).drop("__chunk")
-        extracted = run_extraction(d, w)
+        extracted = run_extraction(d, w, run_id=run_id)
         chunk_dir = os.path.join(out_dir, f"chunk={chunk:04d}")
-        write_extracted(extracted, chunk_dir, mode="overwrite")
+        tmp_dir = os.path.join(out_dir, f"_tmp_chunk_{chunk:04d}")
+        for stale in (tmp_dir, chunk_dir):  # leftovers from a crashed run
+            if os.path.exists(stale):
+                shutil.rmtree(stale)
+        write_extracted(extracted, tmp_dir, mode="overwrite")
         wall_ms = int((time.perf_counter() - t0) * 1000)
         # metrics/lineage derive from the written wide table (column-pruned
         # re-read) — nothing stays pinned in executor storage memory
-        full = spark.read.parquet(os.path.join(chunk_dir, "documents_full"))
+        full = spark.read.parquet(os.path.join(tmp_dir, "documents_full"))
         _metrics_frame(full, run_id, chunk).withColumn(
             "wall_ms", F.lit(wall_ms)
-        ).write.mode("overwrite").parquet(os.path.join(chunk_dir, "_metrics"))
+        ).write.mode("overwrite").parquet(os.path.join(tmp_dir, "_metrics"))
         full.select(
             "doc_id",
             F.lit(run_id).alias("run_id"),
             F.lit(chunk).alias("chunk"),
             F.lit("extracted").alias("stage"),
             F.current_timestamp().alias("ts"),
-        ).write.mode("overwrite").parquet(os.path.join(chunk_dir, "_lineage"))
+        ).write.mode("overwrite").parquet(os.path.join(tmp_dir, "_lineage"))
+        if fail_before_promote is not None and n_done + 1 >= fail_before_promote:
+            raise RuntimeError(f"injected failure before promoting chunk {chunk}")
+        os.rename(tmp_dir, chunk_dir)  # atomic publish of the whole chunk
         # marker LAST: a crash before this point leaves the chunk incomplete
         # and the resume overwrites it
         with open(marker, "w") as fh:

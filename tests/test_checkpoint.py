@@ -47,6 +47,45 @@ def test_kill_and_resume(spark, tmp_path):
     assert got.filter(F.length("post_code") > 10).count() == 0
 
 
+def test_atomic_chunk_commit(spark, tmp_path):
+    """A crash at ANY point during a chunk's table writes must leave the
+    published output exactly at the previous chunk state (all-or-nothing
+    per chunk): tables land in a tmp dir invisible to read_output and are
+    promoted by one atomic rename."""
+    import os
+
+    out = str(tmp_path / "out3")
+    c = corpus_spark(spark, 30, partitions=4)
+    docs = c["documents"].cache()
+    words = c["ocr_words"].cache()
+    n_total = docs.count()
+    words.count()
+
+    # crash while chunk #2's tables are written but not yet promoted
+    with pytest.raises(RuntimeError, match="before promoting"):
+        run_checkpointed(docs, words, out, run_id="r1", n_chunks=4, fail_before_promote=2)
+
+    published = sorted(p for p in os.listdir(out) if p.startswith("chunk="))
+    assert len(published) == 1  # only the fully-committed chunk is visible
+    stale = [p for p in os.listdir(out) if p.startswith("_tmp_chunk_")]
+    assert len(stale) == 1  # the crashed chunk's partial tables, unpublished
+    # every published chunk has its complete table set (no partial views)
+    for p in published:
+        for t in ("documents_full", "documents_out", "line_items", "errors",
+                  "spans_out", "_metrics", "_lineage"):
+            assert os.path.exists(os.path.join(out, p, t, "_SUCCESS")), (p, t)
+    before = read_output(spark, out, "documents_out").count()
+    assert 0 < before < n_total
+
+    # resume: stale tmp discarded, all chunks complete, no duplicates
+    res = run_checkpointed(docs, words, out, run_id="r2", n_chunks=4)
+    assert sorted(res["completed"] + res["skipped"]) == [0, 1, 2, 3]
+    assert not [p for p in os.listdir(out) if p.startswith("_tmp_chunk_")]
+    got = read_output(spark, out, "documents_out")
+    assert got.count() == n_total
+    assert got.select("doc_id").distinct().count() == n_total
+
+
 def test_chunk_scan_prunes_staged_partitions(spark, tmp_path):
     """The per-chunk read must hit only its staged partition directory
     (PartitionFilters on __chunk), not re-scan the full corpus."""

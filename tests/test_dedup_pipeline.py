@@ -1,0 +1,72 @@
+"""dedup_pipeline: the exact-first composition provably preserves recall
+that raw jaccard_pairs drops under mass duplication (the module-docstring
+caveat as an executable test)."""
+
+import warnings
+
+import pytest
+from pyspark.sql import functions as F
+
+from horus_spark.operators.dedup import dedup_pipeline, jaccard_pairs
+
+BASE = (
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+    "lamda mu nu xi omicron pi rho sigma tau upsilon"
+)
+NEAR = (
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+    "lamda mu nu xi omicron pi rho sigma tau CHANGED"
+)
+OTHER = "one two three four five six seven eight nine ten eleven twelve"
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    # a mass-duplicated cluster: 30 byte-identical clones of BASE,
+    # plus one near-duplicate of it and one unrelated doc
+    rows = [(f"clone-{i:03d}", BASE) for i in range(30)]
+    rows.append(("near-dup", NEAR))
+    rows.append(("unrelated", OTHER))
+    return spark.createDataFrame(rows, "doc_id string, text string").cache()
+
+
+def test_raw_jaccard_drops_mass_duplicated_cluster(corpus):
+    """With max_doc_freq below the cluster size, every shingle the clones
+    share is hot; raw jaccard_pairs finds NOTHING involving them."""
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        pairs = jaccard_pairs(
+            corpus, n=3, threshold=0.5, max_doc_freq=8, log_pruned=True
+        ).collect()
+    assert pairs == []  # the exact failure mode the caveat documents
+    assert any("pruned" in str(x.message) for x in w)  # and it warned
+
+
+def test_pipeline_preserves_recall(corpus):
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = dedup_pipeline(corpus, n=3, threshold=0.5)
+        exact = out["exact"].cache()
+        # exact tier: the 30 clones form ONE group under one canonical id
+        groups = {
+            r.canonical_id: r.group_size
+            for r in exact.join(
+                exact.groupBy("thumbprint").agg(F.count("*").alias("group_size")),
+                "thumbprint",
+            )
+            .select("canonical_id", "group_size")
+            .distinct()
+            .collect()
+        }
+        assert groups["clone-000"] == 30
+        # collapsed-clone counter fired
+        assert any("collapsed 29 clone rows" in str(x.message) for x in w)
+        # canonical set: one clone representative + near-dup + unrelated
+        canon = {r.doc_id for r in out["canonical_docs"].select("doc_id").collect()}
+        assert canon == {"clone-000", "near-dup", "unrelated"}
+        # fuzzy tier over canonicals RECOVERS the near-dup relation that
+        # the raw inverted index provably dropped above
+        fuzzy = out["fuzzy_pairs"].collect()
+        assert {(r.id_a, r.id_b) for r in fuzzy} == {("clone-000", "near-dup")}
+        assert all(r.jaccard >= 0.5 for r in fuzzy)
+        exact.unpersist()

@@ -91,6 +91,41 @@ def test_line_items_match_expected(spark, extracted, golden):
     assert bad.count() == 0
 
 
+def test_recognizer_status_and_time_to_shred(extracted):
+    """P-channel integration of the round-3 additions: per-doc measured
+    TimeToShred (HorusProcessingEngine.cs:15-16,87-88), RecognizerStatus/
+    RecognizerErrors (Models/Document.cs:20-105) and the run stamps
+    (HorusSql.cs:244-249) on every header row."""
+    rows = extracted.select(
+        "recognizer_status", "recognizer_errors", "time_to_shred_ms",
+        "shredding_utc_datetime", "unique_run_identifier",
+    ).collect()
+    assert all(r.recognizer_status == "succeeded" for r in rows)
+    assert all(r.recognizer_errors == [] for r in rows)
+    # measured, plausible per-doc wall time: nonzero, under 5 s/doc
+    assert all(0 < r.time_to_shred_ms < 5000 for r in rows)
+    assert all(r.shredding_utc_datetime is not None for r in rows)
+    run_ids = {r.unique_run_identifier for r in rows}
+    assert len(run_ids) == 1 and None not in run_ids
+
+
+def test_thumbprint_known_value(spark):
+    """Pin the exact thumbprint byte layout: md5 over the span texts joined
+    by ASCII RS (0x1E), space-separated uppercase hex pairs
+    (reference DocumentProcessor.cs:217-223). The hardcoded value was
+    computed independently with hashlib; if the separator in
+    pipeline.thumbprint_expr ever changes (e.g. the escaped "\\x1e" being
+    'normalized' to an empty string), this fails."""
+    from horus_spark.pipeline import thumbprint_expr
+
+    df = spark.createDataFrame(
+        [("d1", [("text", "hello world", "", 0), ("text", "of forms", "", 1)])],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    got = df.select(thumbprint_expr().alias("t")).collect()[0].t
+    assert got == "5A E4 D2 33 E0 0E 3E 1F 2C FA C9 0E 26 0F AC C7"
+
+
 def test_unmatched_document_still_produces_row(spark):
     """A document with no OCR words must yield a row with error rows, not
     vanish (per-document isolation, DocumentProcessor.cs:101-106)."""
@@ -107,6 +142,7 @@ def test_unmatched_document_still_produces_row(spark):
     assert out[0].is_valid is True  # header errors are warnings only
     assert len(out[0].errors) == 10  # all header fields missing
     assert out[0].spans_out[0].kind == "content"
+    assert out[0].recognizer_status == "notfound"  # recognizer never saw it
 
 
 def test_heavy_doc_truncated_and_isolated(spark):
@@ -161,8 +197,13 @@ def test_heavy_doc_truncated_and_isolated(spark):
     # the three normal docs still extract fully
     for d in c["documents"]["doc_id"]:
         assert out[d].document_number is not None
-    # poison doc degraded to the full error channel, not a task failure
+    # poison doc degraded to the full error channel, not a task failure,
+    # and the WHY is recorded on the recognizer outcome channel
     assert out["abc-INVOICE-99998.pdf"].warning_error_count >= 10
+    assert out["abc-INVOICE-99998.pdf"].recognizer_status == "failed"
+    assert len(out["abc-INVOICE-99998.pdf"].recognizer_errors) == 1
+    for d in c["documents"]["doc_id"]:
+        assert out[d].recognizer_status == "succeeded"
 
 
 @pytest.mark.parametrize("seed,base", [(7, 40000), (77, 50000), (2026, 61000)])

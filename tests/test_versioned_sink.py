@@ -1,0 +1,71 @@
+"""W1+S4 end-to-end: document versioning stamped on the engine's own sink
+output (reference faq.md §1; Horus.Functions/HorusSql.cs:221-249;
+SQL Patch/Add document versioning.sql:4-26): re-uploading the same document
+appends a new row with document_version+1 and flips the latest flag, with
+identical content thumbprints across uploads."""
+
+import pyspark.sql.functions as F
+
+from horus_spark.fixtures.generator import corpus_spark
+from horus_spark.pipeline import run_extraction
+from horus_spark.sources.sink import (
+    get_persistence_engine,
+    read_documents_versioned,
+    write_documents_versioned,
+)
+
+
+def test_duplicate_upload_two_versions(spark, tmp_path):
+    out = str(tmp_path / "vout")
+    c = corpus_spark(spark, 12, partitions=2)
+    docs, words = c["documents"].cache(), c["ocr_words"].cache()
+    n = docs.count()
+    words.count()
+
+    # upload 1
+    write_documents_versioned(run_extraction(docs, words, run_id="r1"), out)
+    v1 = read_documents_versioned(spark, out)
+    assert v1.count() == n
+    assert v1.filter(~F.col("latest_version_indicator")).count() == 0
+    assert v1.filter(F.col("document_version") != 1).count() == 0
+
+    # upload 2: the SAME documents again (duplicate upload)
+    write_documents_versioned(run_extraction(docs, words, run_id="r2"), out)
+    v2 = read_documents_versioned(spark, out).cache()
+    try:
+        assert v2.count() == 2 * n  # append-only: both versions retained
+        per = v2.groupBy("file_name").agg(
+            F.sort_array(F.collect_list("document_version")).alias("versions"),
+            F.max(F.when(F.col("latest_version_indicator"), F.col("document_version"))).alias(
+                "latest_v"
+            ),
+            F.sum(F.col("latest_version_indicator").cast("int")).alias("n_latest"),
+            F.count_distinct("thumbprint").alias("n_thumbprints"),
+            F.count_distinct("unique_run_identifier").alias("n_runs"),
+        )
+        bad = per.filter(
+            (F.col("versions") != F.array(F.lit(1), F.lit(2)))
+            | (F.col("latest_v") != 2)      # flag flipped to the re-upload
+            | (F.col("n_latest") != 1)
+            | (F.col("n_thumbprints") != 1)  # same content = same thumbprint
+            | (F.col("n_runs") != 2)         # distinct run stamps
+        )
+        assert bad.count() == 0
+    finally:
+        v2.unpersist()
+
+    # third upload of ONE document only -> its version 3, others stay at 2
+    one = docs.limit(1)
+    one_words = words.join(one.select("doc_id"), "doc_id", "left_semi")
+    write_documents_versioned(run_extraction(one, one_words, run_id="r3"), out)
+    v3 = read_documents_versioned(spark, out)
+    assert v3.filter(F.col("document_version") == 3).count() == 1
+    assert (
+        v3.filter(F.col("latest_version_indicator") & (F.col("document_version") == 3)).count()
+        == 1
+    )
+    assert v3.filter(F.col("latest_version_indicator")).count() == n
+
+
+def test_versioned_engine_registered(spark):
+    assert get_persistence_engine("versioned") is write_documents_versioned

@@ -51,13 +51,22 @@ def main():
         joined = "\x1e".join(s["text"] for s in d["spans"])
         hx = hashlib.md5(joined.encode("utf-8")).hexdigest().upper()
         thumb = " ".join(hx[i : i + 2] for i in range(0, 32, 2))
-        row = {"doc_id": d["doc_id"], "thumbprint": thumb, **expected_shred(d["fields"])}
+        # every generator document is well-formed, so the recognizer MUST
+        # succeed on all of them: a constant golden column, but any doc
+        # that silently degrades to the error channel now breaks the hash
+        row = {
+            "doc_id": d["doc_id"],
+            "thumbprint": thumb,
+            "recognizer_status": "succeeded",
+            **expected_shred(d["fields"]),
+        }
         q19_rows.append(row)
     q19 = pd.DataFrame(q19_rows)
     q19_schema = pa.schema(
         [
             ("doc_id", pa.string()),
             ("thumbprint", pa.string()),
+            ("recognizer_status", pa.string()),
             ("document_number", pa.string()),
             ("tax_period", pa.string()),
             ("account", pa.string()),
