@@ -540,6 +540,21 @@ def _q31_simhash_pairs(spark, sf_dir):
     return simhash_pairs(d, bits=32, bands=4, max_hamming=3)
 
 
+def _q33_dedup_pipeline(spark, sf_dir):
+    """Composed dedup recipe (exact-first -> canonical ids -> minhash-LSH
+    tier): near-dup pairs among canonical representatives only. Same LSH
+    parameters as q21, so the difference vs q21 is exactly the collapse of
+    byte-identical clones before the fuzzy tier."""
+    from horus_spark.operators.dedup import dedup_pipeline
+
+    d = _fanout(
+        _load(spark, sf_dir, "documents").withColumn("doc_id", F.col("doc_id").cast("string"))
+    )
+    return dedup_pipeline(d, n=3, k=64, bands=16, threshold=0.3, log_collapsed=False)[
+        "fuzzy_pairs"
+    ]
+
+
 def _q32_versioned_sink(spark, sf_dir):
     """W1+S4 end-to-end: the versioning semantics stamped on the engine's
     OWN sink output (reference HorusSql.cs:221-249, SQL Patch/Add document
@@ -628,6 +643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q30_multiband_cosine": _q30_multiband_cosine,
         "q31_simhash_pairs": _q31_simhash_pairs,
         "q32_versioned_sink": _q32_versioned_sink,
+        "q33_dedup_pipeline": _q33_dedup_pipeline,
     }
 
 
@@ -672,15 +688,20 @@ _LANGS_SQL = {
 
 def oracle_sql() -> dict[str, str]:
     toks = "string_split(trim(text), ' ')"
-    shingle_cte = f"""
+
+    def shingle_cte_src(src: str = "documents") -> str:
+        """Shingle/sizes CTE prelude over any (doc_id, text) source."""
+        return f"""
       WITH tok AS (
-        SELECT CAST(doc_id AS VARCHAR) AS id, {toks} AS t FROM documents
+        SELECT CAST(doc_id AS VARCHAR) AS id, {toks} AS t FROM {src}
       ), sh AS (
         SELECT id, unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
                     for i in generate_series(1, len(t)-2)])) AS shingle
         FROM tok WHERE len(t) >= 3
       ), sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id)
     """
+
+    shingle_cte = shingle_cte_src()
     lang_score = lambda code: (  # noqa: E731
         f"len(list_filter({toks}, x -> list_contains({_LANGS_SQL[code]}, lower(x))))"
     )
@@ -716,9 +737,7 @@ def oracle_sql() -> dict[str, str]:
         )
         for b in range(16)
     )
-    minhash_sql = (
-        shingle_cte
-        + f"""
+    minhash_body = f"""
           , bh AS (
             SELECT id, CAST(concat('0x', substring(md5(shingle),1,7)) AS BIGINT) AS h
             FROM sh
@@ -741,7 +760,17 @@ def oracle_sql() -> dict[str, str]:
           FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
           WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= 0.3
         """
-    )
+    minhash_sql = shingle_cte + minhash_body
+    # q33: the identical minhash pipeline over CANONICAL representatives
+    # only (lexicographic-min doc_id per md5(text) group — exactly
+    # dedup.exact_dedup's canonical choice)
+    canonical_src = """(
+        SELECT doc_id, text FROM (
+          SELECT doc_id, text,
+                 min(CAST(doc_id AS VARCHAR)) OVER (PARTITION BY md5(text)) AS cid
+          FROM documents)
+        WHERE CAST(doc_id AS VARCHAR) = cid) canon"""
+    q33_sql = shingle_cte_src(canonical_src) + minhash_body
     # q22: sign-pattern bucket + the p+1 probe buckets (exact bucket, then
     # every single-bit flip), exactly similarity.lsh_topk's probe set.
     q22_planes = _q22_planes()
@@ -955,6 +984,7 @@ def oracle_sql() -> dict[str, str]:
                unnest([1, 2]) AS u(v)
         """,
         "q21_minhash_pairs": minhash_sql,
+        "q33_dedup_pipeline": q33_sql,
         "q26_model_registry": """
           WITH reg(document_format, model_id, seq) AS (VALUES
             ('abc','model-abc-0001',0), ('nouryon','model-nouryon-0001',0),

@@ -280,7 +280,17 @@ def ivf_topk(
         .withColumn("__cs", F.array(*c_score))
         .withColumn(
             "cell",
-            (F.array_position(F.col("__cs"), F.array_max(F.col("__cs"))) - 1).cast("int"),
+            # coalesce(-1) makes `cell` NON-NULLABLE: without it the inner
+            # join infers isnotnull(cell) and pushes the whole 16-centroid
+            # scoring tree into the scan filter, evaluating it twice per
+            # row. A null embedding lands in sentinel cell -1 (never
+            # probed), which is exactly inner-join-drops-null semantics.
+            F.coalesce(
+                (F.array_position(F.col("__cs"), F.array_max(F.col("__cs"))) - 1).cast(
+                    "int"
+                ),
+                F.lit(-1),
+            ),
         )
         .select("neighbor_id", "vec", "cell")
     )

@@ -525,10 +525,18 @@ def run_extraction(
     registry: DataFrame | None = None,
     engine: str | None = None,
     run_id: str | None = None,
+    fields_df: DataFrame | None = None,
 ) -> DataFrame:
     """Full pipeline -> EXTRACTED_DOCUMENT rows (header + line_items +
     errors + spans_out). Two planned shuffles total (one per input table),
     everything after the join is map-side whole-stage codegen.
+
+    `fields_df` (optional): a precomputed recognizer output frame
+    (FIELDS_SCHEMA, e.g. staged parquet from a previous run) — skips the
+    recognize kernel entirely and re-shreds from it, the analog of the
+    reference re-processing already-recognized documents; `ocr_words` and
+    the registry's layout configs are ignored in that case (the registry
+    model stamp join still applies).
 
     `registry` (optional): a model-registry frame (registry.REGISTRY_SCHEMA).
     Its latest per-format config version drives the layout kernel, and the
@@ -547,7 +555,8 @@ def run_extraction(
             "model_id",
             F.col("model_version").cast("string").alias("model_version"),
         )
-    fields_df = recognize(ocr_words, n_buckets, configs)
+    if fields_df is None:
+        fields_df = recognize(ocr_words, n_buckets, configs)
     empty_header = F.struct(
         *[F.lit(None).cast("string").alias(c) for c, _ in _HEADER_KEYS]
     )
