@@ -96,31 +96,52 @@ def _header_frame(extracted: DataFrame) -> DataFrame:
     return header
 
 
-def write_documents_versioned(extracted: DataFrame, out_dir: str) -> None:
+def _upload_ids(vdir: str) -> list[int]:
+    if not os.path.isdir(vdir):
+        return []
+    return sorted(
+        int(d.split("_")[-1]) for d in os.listdir(vdir) if d.startswith("upload_")
+    )
+
+
+def write_documents_versioned(
+    extracted: DataFrame, out_dir: str, batch_id: int | None = None
+) -> None:
     """W1+S4 end-to-end: version-stamped, append-only header persistence —
     the reference's document-versioning semantics
     (Horus.Functions/HorusSql.cs:221-249; SQL Patch/Add document
     versioning.sql:4-26) on the engine's own sink output.
 
-    Each batch appends header rows stamped with
-    document_version = (max version already persisted for the file_name)
-    + rank within the batch (shredding ts, doc_id) — the reference's
-    "SELECT MAX(DocumentVersion)+1 ... WHERE FileName = @x" done once per
-    batch as a join + window instead of once per document.
+    Each upload batch lands in its own `upload_NNNNNN` subdirectory with
+    rows stamped document_version = (max version persisted by EARLIER
+    uploads for the file_name) + rank within the batch (shredding ts,
+    doc_id) — the reference's "SELECT MAX(DocumentVersion)+1 ... WHERE
+    FileName = @x" done once per batch as a join + window instead of once
+    per document.
 
-    The reference then UPDATEs LatestVersionIndicator=0 on all prior rows.
-    Rewriting history per upload is O(total history) per batch — the
-    scale-killer at 10^12 docs — and the flag is a pure function of the
-    version column, so the store stays APPEND-ONLY and the flag is derived
-    at read time by read_documents_versioned (one window, computed on
-    exactly the rows being read)."""
+    `batch_id` (streaming foreachBatch id) makes replay IDEMPOTENT: a
+    replayed batch recomputes its versions against strictly-earlier
+    uploads only and OVERWRITES its own directory, so at-least-once
+    delivery still yields exactly-once versions. Default (None) = next
+    free upload index (sequential batch API).
+
+    The reference then UPDATEs LatestVersionIndicator=0 on all prior
+    rows. Rewriting history per upload is O(total history) per batch —
+    the scale-killer at 10^12 docs — and the flag is a pure function of
+    the version column, so the store stays APPEND-ONLY and the flag is
+    derived at read time by read_documents_versioned (one window,
+    computed on exactly the rows being read)."""
     vdir = os.path.join(out_dir, "documents_versioned")
+    prior = _upload_ids(vdir)
+    if batch_id is None:
+        batch_id = (prior[-1] + 1) if prior else 0
+    prior = [i for i in prior if i < batch_id]
     header = _header_frame(extracted)
     order_cols = [c for c in ("shredding_utc_datetime", "doc_id") if c in header.columns]
     spark = extracted.sparkSession
-    if os.path.exists(os.path.join(vdir, "_SUCCESS")):
+    if prior:
         base = (
-            spark.read.parquet(vdir)
+            spark.read.parquet(*[os.path.join(vdir, f"upload_{i:06d}") for i in prior])
             .groupBy("file_name")
             .agg(F.max("document_version").alias("__base"))
         )
@@ -133,16 +154,18 @@ def write_documents_versioned(extracted: DataFrame, out_dir: str) -> None:
     header = header.withColumn(
         "document_version", (F.col("__base") + F.row_number().over(w)).cast("int")
     ).drop("__base")
-    # append = new parquet files only; the existing-max scan listed its
-    # files before this job starts, so the read never sees its own output
-    header.write.mode("append").parquet(vdir)
+    header.write.mode("overwrite").parquet(
+        os.path.join(vdir, f"upload_{batch_id:06d}")
+    )
 
 
 def read_documents_versioned(spark, out_dir: str) -> DataFrame:
-    """Versioned header rows + the derived latest flag (the reference's
-    LatestVersionIndicator, materialized by UPDATE there, computed by a
-    window here — see write_documents_versioned for why)."""
-    v = spark.read.parquet(os.path.join(out_dir, "documents_versioned"))
+    """Versioned header rows across all uploads + the derived latest flag
+    (the reference's LatestVersionIndicator, materialized by UPDATE there,
+    computed by a window here — see write_documents_versioned for why)."""
+    v = spark.read.option("recursiveFileLookup", "true").parquet(
+        os.path.join(out_dir, "documents_versioned")
+    )
     wall = Window.partitionBy("file_name")
     return v.withColumn(
         "latest_version_indicator",

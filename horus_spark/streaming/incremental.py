@@ -35,16 +35,31 @@ def stream_extraction(
     available_now: bool = True,
     registry: DataFrame | None = None,
     engine: str | None = None,
+    sink: str = "tables",
 ):
     """Incremental extraction over a growing directory of document parquet
     files. Returns the started StreamingQuery. `registry`/`engine` pass
     through to run_extraction — each micro-batch re-resolves the latest
     registered model configs, so a version registered mid-stream takes
     effect on the next batch (the reference's 'train a new model, pipeline
-    picks it up' behavior, without restarting the stream)."""
-    from horus_spark.pipeline import run_extraction
-    from horus_spark.sources.sink import write_extracted
+    picks it up' behavior, without restarting the stream).
 
+    `sink` selects the persistence engine (sources/sink.py registry):
+    - 'tables' (default): full multi-table output per batch directory
+      (idempotent via batch-keyed overwrite).
+    - 'versioned': the reference's event-driven re-upload semantics — a
+      document file landing AGAIN in a later micro-batch appends
+      document_version+1 for its file_name (HorusSql.cs:221-233); the
+      foreachBatch batch_id keys the upload directory, so replayed
+      batches overwrite themselves and versions stay exactly-once."""
+    from horus_spark.pipeline import run_extraction
+    from horus_spark.sources.sink import (
+        get_persistence_engine,
+        write_documents_versioned,
+        write_extracted,
+    )
+
+    get_persistence_engine(sink)  # fail fast on unknown engines
     stream = spark.readStream.schema(S.DOCUMENTS).parquet(documents_dir)
 
     def process_batch(batch_df: DataFrame, batch_id: int):
@@ -58,9 +73,18 @@ def stream_extraction(
         extracted = run_extraction(
             batch_df, batch_words, registry=registry, engine=engine
         )
-        write_extracted(
-            extracted, os.path.join(out_dir, f"batch={batch_id:06d}"), mode="overwrite"
-        )
+        if sink == "versioned":
+            write_documents_versioned(extracted, out_dir, batch_id=batch_id)
+        elif sink == "tables":
+            write_extracted(
+                extracted,
+                os.path.join(out_dir, f"batch={batch_id:06d}"),
+                mode="overwrite",
+            )
+        else:
+            get_persistence_engine(sink)(
+                extracted, os.path.join(out_dir, f"batch={batch_id:06d}")
+            )
 
     writer = (
         stream.writeStream.foreachBatch(process_batch)

@@ -69,3 +69,45 @@ def test_duplicate_upload_two_versions(spark, tmp_path):
 
 def test_versioned_engine_registered(spark):
     assert get_persistence_engine("versioned") is write_documents_versioned
+
+
+def test_streaming_reupload_bumps_version(spark, tmp_path):
+    """The reference's event-driven flow: a blob landing AGAIN triggers a
+    new orchestration and the persist bumps DocumentVersion
+    (JobMonitor.cs:28-49 + HorusSql.cs:221-233). Spark-native: the same
+    document file dropped into the watched directory in a LATER
+    micro-batch -> versioned sink appends version 2, latest flag flips."""
+    import os
+
+    from horus_spark.streaming.incremental import stream_extraction
+
+    docs_dir = str(tmp_path / "incoming")
+    out = str(tmp_path / "vout")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(docs_dir)
+
+    c = corpus_spark(spark, 6, partitions=2)
+    docs, words = c["documents"].cache(), c["ocr_words"].cache()
+    n = docs.count()
+    words.count()
+
+    # upload 1: all docs land
+    docs.coalesce(1).write.mode("append").parquet(docs_dir)
+    q = stream_extraction(spark, docs_dir, words, out, ckpt, sink="versioned")
+    q.awaitTermination()
+    v1 = read_documents_versioned(spark, out)
+    assert v1.count() == n
+    assert v1.filter(F.col("document_version") != 1).count() == 0
+
+    # upload 2: ONE document's file lands again (new parquet file, same doc)
+    docs.limit(1).coalesce(1).write.mode("append").parquet(docs_dir)
+    q = stream_extraction(spark, docs_dir, words, out, ckpt, sink="versioned")
+    q.awaitTermination()
+
+    v2 = read_documents_versioned(spark, out)
+    assert v2.count() == n + 1
+    re_doc = v2.filter(F.col("document_version") == 2)
+    assert re_doc.count() == 1
+    assert re_doc.collect()[0].latest_version_indicator is True
+    # the other docs keep version 1 as latest
+    assert v2.filter(F.col("latest_version_indicator")).count() == n
