@@ -540,6 +540,65 @@ def _q31_simhash_pairs(spark, sf_dir):
     return simhash_pairs(d, bits=32, bands=4, max_hamming=3)
 
 
+def _q34_quantized_ann(spark, sf_dir):
+    """Two-tier ANN: int8 scalar-quantized cosine scan (4x less I/O at
+    100 TB; integer dot products, engine-exact) -> exact float rerank of
+    the top 3k candidates."""
+    from horus_spark.operators.similarity import quantized_topk
+
+    e = _load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return quantized_topk(e, q, k=10, rerank=3)
+
+
+def _q35_bucketed_join(spark, sf_dir):
+    """Bucketed co-located join: both sides written CLUSTERED BY the join
+    key into the same bucket count, so the sort-merge join runs with ZERO
+    Exchange on either side (the 100 TB fact-fact join recipe when
+    neither side broadcasts; pytest test_bucketed_join asserts the
+    exchange-free plan). Only the final segment aggregate shuffles."""
+    import shutil
+    import tempfile
+
+    loc = tempfile.mkdtemp(prefix="horus_q35_")
+    try:
+        o = _load(spark, sf_dir, "orders")
+        c = _load(spark, sf_dir, "customer")
+        for t in ("q35_orders_b", "q35_customer_b"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        (
+            o.write.format("parquet").bucketBy(8, "o_custkey").sortBy("o_custkey")
+            .option("path", f"{loc}/orders_b").mode("overwrite")
+            .saveAsTable("q35_orders_b")
+        )
+        (
+            c.write.format("parquet").bucketBy(8, "c_custkey").sortBy("c_custkey")
+            .option("path", f"{loc}/customer_b").mode("overwrite")
+            .saveAsTable("q35_customer_b")
+        )
+        ob = spark.table("q35_orders_b")
+        cb = spark.table("q35_customer_b")
+        j = ob.join(cb.hint("merge"), ob.o_custkey == cb.c_custkey)
+        res = (
+            j.groupBy("c_mktsegment")
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.round(_dsum(F.col("o_totalprice")), 2).cast("double").alias("revenue"),
+            )
+            .orderBy("c_mktsegment")
+        )
+        rows = res.collect()
+    finally:
+        for t in ("q35_orders_b", "q35_customer_b"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(loc, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "c_mktsegment string, n_orders long, revenue double"
+    )
+
+
 def _q33_dedup_pipeline(spark, sf_dir):
     """Composed dedup recipe (exact-first -> canonical ids -> minhash-LSH
     tier): near-dup pairs among canonical representatives only. Same LSH
@@ -644,6 +703,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q31_simhash_pairs": _q31_simhash_pairs,
         "q32_versioned_sink": _q32_versioned_sink,
         "q33_dedup_pipeline": _q33_dedup_pipeline,
+        "q34_quantized_ann": _q34_quantized_ann,
+        "q35_bucketed_join": _q35_bucketed_join,
     }
 
 
@@ -985,6 +1046,50 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q21_minhash_pairs": minhash_sql,
         "q33_dedup_pipeline": q33_sql,
+        # q34: int8 scalar quantization (floor(x/scale + 0.5) half-up — the
+        # one rounding rule bit-identical across engines), integer-dot
+        # candidate cosine, exact float rerank of top 30
+        "q34_quantized_ann": f"""
+          WITH src AS (
+            SELECT vec_id, embedding,
+                   list_max([abs(CAST(x AS DOUBLE)) for x in embedding]) / 127.0 AS scale
+            FROM embeddings),
+          qv AS (
+            SELECT vec_id, embedding,
+                   [CAST(floor(CAST(x AS DOUBLE)/scale + 0.5) AS BIGINT) for x in embedding] AS qvec
+            FROM src),
+          qq AS (
+            SELECT vec_id AS q_id, embedding AS q_vec, qvec AS q_qvec
+            FROM qv WHERE vec_id < 10),
+          cand AS (
+            SELECT e.vec_id AS neighbor_id, q.q_id, q.q_vec, e.embedding AS vec,
+                   round(
+                     list_sum([e.qvec[i]*q.q_qvec[i] for i in generate_series(1, len(e.qvec))])
+                     / (sqrt(list_sum([e.qvec[i]*e.qvec[i] for i in generate_series(1, len(e.qvec))]))
+                        * sqrt(list_sum([q.q_qvec[i]*q.q_qvec[i] for i in generate_series(1, len(q.q_qvec))]))),
+                     6) AS qscore
+            FROM qv e, qq q WHERE e.vec_id <> q.q_id),
+          topm AS (
+            SELECT * FROM (
+              SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY qscore DESC, neighbor_id ASC) AS crank
+              FROM cand)
+            WHERE crank <= 30),
+          scored AS (
+            SELECT q_id, neighbor_id, round({_cos_sql('vec', 'q_vec')}, 6) AS score
+            FROM topm)
+          SELECT q_id, neighbor_id, CAST(rank AS INT) AS rank, score FROM (
+            SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, neighbor_id ASC) AS rank
+            FROM scored)
+          WHERE rank <= 10
+        """,
+        # q35: bucketing changes the PLAN (exchange-free join), never the
+        # answer — the oracle is the plain join
+        "q35_bucketed_join": """
+          SELECT c_mktsegment, count(*) AS n_orders,
+                 CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,10))),2) AS DOUBLE) AS revenue
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY 1 ORDER BY 1
+        """,
         "q26_model_registry": """
           WITH reg(document_format, model_id, seq) AS (VALUES
             ('abc','model-abc-0001',0), ('nouryon','model-nouryon-0001',0),

@@ -181,3 +181,48 @@ def test_multiband_cosine_amplifies_recall(spark):
     assert multi <= exact            # verification keeps precision exact
     assert single <= multi           # band 0 candidates are contained
     assert len(multi) > len(single)  # amplification adds recall
+
+
+def test_quantized_topk_recall_and_integrity(emb_df):
+    """int8 two-tier ANN: quantized values bounded to +-127 (tinyint
+    storage tier), candidate scores integer-derived, and the exact rerank
+    keeps recall high vs brute force on this 16-dim corpus."""
+    from horus_spark.operators.similarity import quantize_embeddings, quantized_topk
+
+    df, V = emb_df
+    qe = quantize_embeddings(df)
+    assert dict(qe.dtypes)["qvec"] == "array<tinyint>"
+    mx = qe.select(
+        F.array_max(F.transform(F.col("qvec"), lambda x: F.abs(x.cast("int")))).alias("m")
+    )
+    assert mx.agg(F.max("m")).collect()[0][0] <= 127
+    # round-trip error bounded by scale/2 per component
+    err = qe.join(df, qe.id == df.vec_id).select(
+        F.array_max(
+            F.zip_with(
+                F.col("embedding").cast("array<double>"),
+                F.col("qvec"),
+                lambda x, q: F.abs(x - q.cast("double") * F.col("scale")),
+            )
+        ).alias("e"),
+        (F.col("scale") / 2 + 1e-12).alias("bound"),
+    )
+    assert err.filter(F.col("e") > F.col("bound")).count() == 0
+
+    q = df.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    def topsets(res):
+        out = {}
+        for r in res.collect():
+            out.setdefault(r.q_id, set()).add(r.neighbor_id)
+        return out
+    truth = topsets(brute_force_topk(df, q, k=5))
+    got = topsets(quantized_topk(df, q, k=5, rerank=3))
+    recall = sum(len(got[k] & v) / len(v) for k, v in truth.items()) / len(truth)
+    assert recall >= 0.9  # int8 + 3x rerank keeps nearly all of the top-5
+    # reranked scores are EXACT float cosines (match brute force values)
+    bf = {(r.q_id, r.neighbor_id): r.score for r in brute_force_topk(df, q, k=5).collect()}
+    for r in quantized_topk(df, q, k=5, rerank=3).collect():
+        if (r.q_id, r.neighbor_id) in bf:
+            assert r.score == bf[(r.q_id, r.neighbor_id)]
