@@ -540,6 +540,26 @@ def _q31_simhash_pairs(spark, sf_dir):
     return simhash_pairs(d, bits=32, bands=4, max_hamming=3)
 
 
+def _q36_salted_join(spark, sf_dir):
+    """Salted skew join: lineitem (fact; at 100 TB a hot l_orderkey would
+    straggle one reducer) joined to orders across 16 salt sub-keys —
+    identical answer to the plain join (the oracle), work spread
+    per-salt. Plan-asserted in pytest test_salted_join."""
+    from horus_spark.operators.skew import salted_join
+
+    li = _load(spark, sf_dir, "lineitem")
+    o = _load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    j = salted_join(li, o, on_left="l_orderkey", on_right="o_orderkey", n_salts=16)
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(_dsum(F.col("l_quantity")), 2).cast("double").alias("total_qty"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def _q34_quantized_ann(spark, sf_dir):
     """Two-tier ANN: int8 scalar-quantized cosine scan (4x less I/O at
     100 TB; integer dot products, engine-exact) -> exact float rerank of
@@ -705,6 +725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q33_dedup_pipeline": _q33_dedup_pipeline,
         "q34_quantized_ann": _q34_quantized_ann,
         "q35_bucketed_join": _q35_bucketed_join,
+        "q36_salted_join": _q36_salted_join,
     }
 
 
@@ -1081,6 +1102,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, neighbor_id ASC) AS rank
             FROM scored)
           WHERE rank <= 10
+        """,
+        # q36: salting changes the PARTITIONING of the join work, never
+        # the answer — the oracle is the plain join
+        "q36_salted_join": """
+          SELECT o_orderpriority, count(*) AS n_lines,
+                 CAST(round(sum(CAST(l_quantity AS DECIMAL(30,10))),2) AS DOUBLE) AS total_qty
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          GROUP BY 1 ORDER BY 1
         """,
         # q35: bucketing changes the PLAN (exchange-free join), never the
         # answer — the oracle is the plain join
