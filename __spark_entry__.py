@@ -540,6 +540,56 @@ def _q31_simhash_pairs(spark, sf_dir):
     return simhash_pairs(d, bits=32, bands=4, max_hamming=3)
 
 
+def _media_frame(spark, sf_dir):
+    """Deterministic media table derived from documents: payload = UTF-8
+    text bytes, media_type round-robins by n_chars, duration 10ms/char."""
+    d = _load(spark, sf_dir, "documents")
+    mt = (
+        F.when(F.col("n_chars") % 3 == 0, F.lit("video"))
+        .when(F.col("n_chars") % 3 == 1, F.lit("image"))
+        .otherwise(F.lit("audio"))
+    )
+    return d.select(
+        F.concat(F.lit("asset-"), F.col("doc_id").cast("string")).alias("asset_id"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+        mt.alias("media_type"),
+        F.col("text").cast("binary").alias("payload"),
+        F.struct(
+            F.lit(640).alias("width"),
+            F.lit(480).alias("height"),
+            (F.col("n_chars") * 10).cast("int").alias("duration_ms"),
+            F.lit("h264").alias("codec"),
+        ).alias("meta"),
+    )
+
+
+def _q37_media_features(spark, sf_dir):
+    """Multimodal feature extraction (mapInPandas over binary payloads,
+    deterministic sha256-derived fake decoder — the documented
+    environment stub) oracle-checked end to end: the sha256 pipeline is
+    reproduced in SQL, so the Arrow batching, binary handling and
+    float32 feature storage are all hash-verified."""
+    from horus_spark.operators.multimodal import extract_features
+
+    feats = extract_features(_media_frame(spark, sf_dir), fake=True)
+    return feats.select(
+        "asset_id",
+        "media_type",
+        "feature_version",
+        F.round(F.element_at("features", 1).cast("double"), 6).alias("f0"),
+        F.round(F.element_at("features", 8).cast("double"), 6).alias("f7"),
+    )
+
+
+def _q38_frame_sample(spark, sf_dir):
+    """Video frame-sampling plan (explode of per-asset timestamp
+    sequences; the per-frame decode is the stubbed step, the plan shape
+    is what scales)."""
+    from horus_spark.operators.multimodal import frame_sample
+
+    return frame_sample(_media_frame(spark, sf_dir), every_ms=1000)
+
+
 def _q36_salted_join(spark, sf_dir):
     """Salted skew join: lineitem (fact; at 100 TB a hot l_orderkey would
     straggle one reducer) joined to orders across 16 salt sub-keys —
@@ -726,6 +776,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q34_quantized_ann": _q34_quantized_ann,
         "q35_bucketed_join": _q35_bucketed_join,
         "q36_salted_join": _q36_salted_join,
+        "q37_media_features": _q37_media_features,
+        "q38_frame_sample": _q38_frame_sample,
     }
 
 
@@ -1110,6 +1162,40 @@ def oracle_sql() -> dict[str, str]:
                  CAST(round(sum(CAST(l_quantity AS DECIMAL(30,10))),2) AS DOUBLE) AS total_qty
           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
           GROUP BY 1 ORDER BY 1
+        """,
+        # q37/q38: multimodal path. The fake decoder is sha256-derived, so
+        # the whole mapInPandas feature pipeline (binary payloads, Arrow
+        # batching, float32 feature storage) is reproducible in SQL;
+        # frame sampling is an explode of per-asset timestamp sequences.
+        "q37_media_features": """
+          WITH media AS (
+            SELECT 'asset-' || CAST(doc_id AS VARCHAR) AS asset_id,
+                   CASE WHEN n_chars % 3 = 0 THEN 'video'
+                        WHEN n_chars % 3 = 1 THEN 'image'
+                        ELSE 'audio' END AS media_type,
+                   sha256(text) AS sha
+            FROM documents)
+          SELECT asset_id, media_type, 1 AS feature_version,
+                 round(CAST(CAST(CAST(concat('0x', substring(sha,1,8)) AS BIGINT)
+                       / 4294967296.0 AS REAL) AS DOUBLE), 6) AS f0,
+                 round(CAST(CAST(CAST(concat('0x', substring(sha,57,8)) AS BIGINT)
+                       / 4294967296.0 AS REAL) AS DOUBLE), 6) AS f7
+          FROM media
+        """,
+        "q38_frame_sample": """
+          WITH media AS (
+            SELECT 'asset-' || CAST(doc_id AS VARCHAR) AS asset_id,
+                   CAST(doc_id AS VARCHAR) AS doc_id,
+                   CASE WHEN n_chars % 3 = 0 THEN 'video'
+                        WHEN n_chars % 3 = 1 THEN 'image'
+                        ELSE 'audio' END AS media_type,
+                   n_chars * 10 AS duration_ms
+            FROM documents)
+          SELECT asset_id, doc_id, CAST(u.i * 1000 AS INT) AS frame_ts_ms
+          FROM media,
+               unnest(generate_series(0,
+                 greatest(CAST(floor(duration_ms / 1000.0) AS INT), 1) - 1)) AS u(i)
+          WHERE media_type = 'video'
         """,
         # q35: bucketing changes the PLAN (exchange-free join), never the
         # answer — the oracle is the plain join
