@@ -120,6 +120,7 @@ def main():
         # inverted-index tier stays a small-sf oracle-parity query only
         "q16_simhash",
         "q17_ann_topk",
+        "q34_quantized_ann",  # round 3: the int8 two-tier ANN scale path
     ]
     for name in headline:
         runner = make_runner(qs[name](spark, SF_DIR))  # probe run warms
