@@ -249,6 +249,9 @@ PARTITION_METRICS = StructType(
         StructField("n_docs", LongType()),
         StructField("n_spans", LongType()),
         StructField("n_errors", LongType()),
+        StructField("avg_shred_ms", DoubleType()),
+        StructField("max_shred_ms", DoubleType()),
+        StructField("n_recognizer_failures", LongType()),
         StructField("wall_ms", LongType()),
     ]
 )

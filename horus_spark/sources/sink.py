@@ -191,13 +191,29 @@ def get_persistence_engine(name: str):
 
 
 def _metrics_frame(extracted: DataFrame, run_id: str, chunk: int) -> DataFrame:
+    aggs = [
+        F.count("*").alias("n_docs"),
+        F.sum(F.size("spans_out")).alias("n_spans"),
+        F.sum(F.size("errors")).alias("n_errors"),
+    ]
+    if "time_to_shred_ms" in extracted.columns:
+        # per-doc measured extraction latency (P15), rolled up per task
+        # partition — the reference persists TimeToShred per document
+        # (HorusProcessingEngine.cs:15-16); the partition rollup is what a
+        # 1000-executor operator actually monitors
+        aggs += [
+            F.round(F.avg("time_to_shred_ms"), 3).alias("avg_shred_ms"),
+            F.round(F.max("time_to_shred_ms"), 3).alias("max_shred_ms"),
+        ]
+    if "recognizer_status" in extracted.columns:
+        aggs.append(
+            F.sum((F.col("recognizer_status") != "succeeded").cast("int")).alias(
+                "n_recognizer_failures"
+            )
+        )
     return (
         extracted.groupBy(F.spark_partition_id().alias("partition_id"))
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum(F.size("spans_out")).alias("n_spans"),
-            F.sum(F.size("errors")).alias("n_errors"),
-        )
+        .agg(*aggs)
         .withColumn("run_id", F.lit(run_id))
         .withColumn("chunk", F.lit(chunk))
     )

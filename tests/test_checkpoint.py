@@ -3,6 +3,7 @@ output (the Spark-native equivalent of the reference's durable-function
 replay, DocumentProcessor.cs:52-111)."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from horus_spark.fixtures.generator import corpus_spark
 from horus_spark.sources.sink import read_output, run_checkpointed
@@ -33,6 +34,13 @@ def test_kill_and_resume(spark, tmp_path):
     assert spans.count() == n_total
     metrics = read_output(spark, out, "_metrics")
     assert metrics.groupBy().sum("n_docs").collect()[0][0] == n_total
+    # round-3: measured shred latency + recognizer outcomes roll up into
+    # the metrics sink (nonzero avg, zero failures on the clean corpus)
+    m = metrics.agg(
+        F.min("avg_shred_ms").alias("mn"),
+        F.sum("n_recognizer_failures").alias("nf"),
+    ).collect()[0]
+    assert m.mn > 0 and m.nf == 0
     lineage = read_output(spark, out, "_lineage")
     assert lineage.select("doc_id").distinct().count() == n_total
 
@@ -42,8 +50,6 @@ def test_kill_and_resume(spark, tmp_path):
 
     # P10: PostCode truncated to 10 chars at persist time only
     # (reference HorusSql.cs:235-241)
-    from pyspark.sql import functions as F
-
     assert got.filter(F.length("post_code") > 10).count() == 0
 
 
