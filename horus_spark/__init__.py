@@ -35,7 +35,7 @@ Package map:
   session.py             tuned SparkSession builder
 """
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 
 def __getattr__(name):
@@ -51,6 +51,18 @@ def __getattr__(name):
         "register_model": ("horus_spark.registry", "register_model"),
         "latest_models": ("horus_spark.registry", "latest_models"),
         "get_engine": ("horus_spark.engines", "get_engine"),
+        "write_documents_versioned": (
+            "horus_spark.sources.sink", "write_documents_versioned",
+        ),
+        "read_documents_versioned": (
+            "horus_spark.sources.sink", "read_documents_versioned",
+        ),
+        "stream_extraction": (
+            "horus_spark.streaming.incremental", "stream_extraction",
+        ),
+        "dedup_pipeline": ("horus_spark.operators.dedup", "dedup_pipeline"),
+        "salted_join": ("horus_spark.operators.skew", "salted_join"),
+        "quantized_topk": ("horus_spark.operators.similarity", "quantized_topk"),
     }
     if name in _API:
         import importlib
