@@ -62,6 +62,7 @@ def __getattr__(name):
         ),
         "dedup_pipeline": ("horus_spark.operators.dedup", "dedup_pipeline"),
         "salted_join": ("horus_spark.operators.skew", "salted_join"),
+        "load_documents": ("horus_spark.sources.sink", "load_documents"),
         "quantized_topk": ("horus_spark.operators.similarity", "quantized_topk"),
     }
     if name in _API:

@@ -321,3 +321,81 @@ def read_output(spark, out_dir: str, table: str) -> DataFrame:
     return spark.read.option("basePath", out_dir).parquet(
         os.path.join(out_dir, "chunk=*", table)
     )
+
+
+_LINE_ITEM_COLS = [
+    "line_no", "item_description", "line_quantity", "unit_price", "vat_code",
+    "taxable_indicator", "net_amount", "calculated_line_quantity",
+    "discount_percent",
+]
+_ERROR_COLS = ["code", "severity", "message"]
+
+
+def load_documents(
+    spark, out_dir: str, file_names: list[str] | None = None, chunked: bool = False
+) -> DataFrame:
+    """The reference's LoadDocument read-back
+    (Horus.Functions/HorusSql.cs:312-407): reconstruct the FULL document
+    graph — header plus ordered line_items[] and errors[] — from the
+    persisted relational tables, returning only the LATEST shred per
+    file_name (the reference scans `ORDER BY ShreddingUtcDateTime DESC`
+    and takes the first row).
+
+    Set-oriented where the reference is per-document: one call
+    reassembles every requested file in three scans + two aggregations,
+    instead of three queries per file. `chunked=True` reads the
+    checkpointed `chunk=*` layout; default reads a write_extracted dir.
+    Pass `file_names` to prune (predicate reaches the parquet scan)."""
+    if chunked:
+        rd = lambda t: read_output(spark, out_dir, t)  # noqa: E731
+    else:
+        rd = lambda t: spark.read.parquet(os.path.join(out_dir, t))  # noqa: E731
+    docs = rd("documents_out")
+    if file_names is not None:
+        docs = docs.filter(F.col("file_name").isin(list(file_names)))
+    order = [
+        c for c in ("shredding_utc_datetime", "unique_run_identifier", "doc_id")
+        if c in docs.columns
+    ]
+    w = Window.partitionBy("file_name").orderBy(*[F.desc(c) for c in order])
+    docs = docs.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") == 1
+    ).drop("__rn")
+    # reassemble ordered child arrays: line_no / error_seq are the
+    # persisted order keys, so sort_array over (key, struct) then strip
+    li = rd("line_items").groupBy("doc_id").agg(
+        F.transform(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("line_no").alias("k"),
+                        F.struct(*_LINE_ITEM_COLS).alias("v"),
+                    )
+                )
+            ),
+            lambda s: s["v"],
+        ).alias("line_items")
+    )
+    err = rd("errors").groupBy("doc_id").agg(
+        F.transform(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("error_seq").alias("k"),
+                        F.struct(*_ERROR_COLS).alias("v"),
+                    )
+                )
+            ),
+            lambda s: s["v"],
+        ).alias("errors")
+    )
+    from horus_spark.operators.shred import ERRORS_TYPE, LINE_ITEM_TYPE
+
+    return (
+        docs.join(li, "doc_id", "left")
+        .join(err, "doc_id", "left")
+        .withColumn(
+            "line_items", F.coalesce(F.col("line_items"), F.array().cast(LINE_ITEM_TYPE))
+        )
+        .withColumn("errors", F.coalesce(F.col("errors"), F.array().cast(ERRORS_TYPE)))
+    )
