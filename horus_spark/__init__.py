@@ -17,9 +17,9 @@ Package map:
   operators/fields.py    L3/L4 anchor-based key-value field extraction
   operators/shred.py     P1-P9 document shredder (vectorized pandas)
   operators/boilerplate.py  L5 text-density boilerplate scoring
-  operators/classify.py  L6 span classification -> spans_out
   operators/dedup.py     exact / minhash-LSH / simhash / ngram-jaccard dedup
-  operators/similarity.py  brute-force + LSH-bucketed ANN cosine top-k
+  operators/similarity.py  brute-force / LSH / IVF / int8-quantized ANN
+  operators/skew.py      salted join for hot-key skew
   operators/textstats.py language-ID, quality scoring, token counts,
                          fingerprinting over document text
   operators/multimodal.py  binary media column plumbing (decode stubbed)
@@ -27,7 +27,8 @@ Package map:
   operators/inspection.py  A8 asset-count scoring (capped points)
   registry.py            versioned model/config registry (MAX+1, argmax)
   engines.py             pluggable shredder-engine registry
-  pipeline.py            end-to-end extraction pipeline (one-shuffle design)
+  pipeline.py            end-to-end extraction pipeline (one-shuffle design;
+                         L6 span classification + thumbprint expressions)
   fixtures/generator.py  deterministic seeded synthetic corpus + goldens
   fixtures/reference_fixtures.py  quickstart OCR fixture loaders
   fixtures/oracle_shred.py  independent Python mini-shredder (golden oracle)
