@@ -110,10 +110,13 @@ def _verify_pairs(
         .join(sb, "id_b")
         .filter(F.least("na", "nb") >= threshold * F.greatest("na", "nb"))
     )
+    # ONE consumption of the candidate subtree for the id set: a union of
+    # two selects would execute the whole upstream candidate pipeline
+    # (LSH signatures or inverted index) twice more — column pruning makes
+    # the two branches different subplans, so ReuseExchange cannot merge
+    # them; explode(array(...)) reads candidates once
     cand_ids = (
-        cand.select(F.col("id_a").alias("cid"))
-        .union(cand.select(F.col("id_b").alias("cid")))
-        .distinct()
+        cand.select(F.explode(F.array("id_a", "id_b")).alias("cid")).distinct()
     )
     sh = shingles(
         df.join(cand_ids, F.col(id_col) == F.col("cid"), "left_semi"),
@@ -255,14 +258,30 @@ def minhash_dedup_pairs(
     bands: int = 16,
     threshold: float = 0.5,
     seed: int = 1337,
+    staging_dir: str | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup pipeline: LSH candidates verified by exact
     Jaccard (verify step keeps precision exact; LSH bounds the candidate
     set so nothing is all-pairs). This is the 100 TB near-dup path — no
     inverted-index self-join over raw shingles, so hot shingles cannot fan
-    out, and the bucket join's worst key is a band collision group."""
+    out, and the bucket join's worst key is a band collision group.
+
+    `staging_dir` (recommended for production runs): the candidate pair
+    set feeds THREE verify consumers (id prune + both join legs), and
+    column pruning makes their subplans differ, so pure-lazy execution
+    re-runs the whole shingle->signature->banding pipeline per consumer.
+    Passing a directory stages candidates to parquet ONCE and verify
+    reads them back — the same stage-once pattern as the checkpointed
+    sink. Left off by default so the operator stays side-effect-free
+    (benches/oracles measure the honest single-pass cost)."""
     sigs = minhash_signatures(df, id_col, text_col, n, k, seed)
     cand = lsh_candidate_pairs(sigs, bands)
+    if staging_dir is not None:
+        import os
+
+        path = os.path.join(staging_dir, "minhash_candidates")
+        cand.write.mode("overwrite").parquet(path)
+        cand = df.sparkSession.read.parquet(path)
     return _verify_pairs(cand, df, id_col, text_col, n, threshold)
 
 
