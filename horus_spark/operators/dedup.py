@@ -295,6 +295,7 @@ def dedup_pipeline(
     threshold: float = 0.5,
     seed: int = 1337,
     log_collapsed: bool = True,
+    staging_dir: str | None = None,
 ) -> dict:
     """The documented at-scale dedup recipe composed into ONE operator —
     the module-docstring mass-duplication caveat made executable:
@@ -336,7 +337,10 @@ def dedup_pipeline(
         id_col,
         "left_semi",
     )
-    fuzzy = minhash_dedup_pairs(canonical, id_col, text_col, n, k, bands, threshold, seed)
+    fuzzy = minhash_dedup_pairs(
+        canonical, id_col, text_col, n, k, bands, threshold, seed,
+        staging_dir=staging_dir,
+    )
     return {"exact": exact, "canonical_docs": canonical, "fuzzy_pairs": fuzzy}
 
 
