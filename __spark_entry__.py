@@ -10,6 +10,7 @@ match exactly between both sides.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -28,12 +29,28 @@ def _fanout(df: DataFrame, key: str = "doc_id", factor: int = 2) -> DataFrame:
     whole explode stage on a handful of threads. No-op when the source
     already has enough splits (the 100 TB case), so the extra shuffle of
     the compact input only happens when it is cheap."""
-    target = df.sparkSession.sparkContext.defaultParallelism * factor
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism * factor
     # plan-free split probe: every source file yields >=1 scan split, so
-    # enough files => enough splits (df.rdd.getNumPartitions() would force
-    # full physical planning + an RDD conversion per call)
-    if len(df.inputFiles()) >= target:
-        return df
+    # enough files CAN mean enough splits — but Spark packs many small
+    # files into one FilePartition (maxPartitionBytes + openCostInBytes),
+    # so the file count alone is NOT a lower bound on scan parallelism.
+    # Estimate the packed split count from file sizes (a local stat per
+    # file, still plan-free); if the files can't be statted (remote FS),
+    # pay one physical-plan probe instead of silently under-parallelizing.
+    files = df.inputFiles()
+    if len(files) >= target:
+        try:
+            total = sum(
+                os.path.getsize(p.removeprefix("file:")) for p in files
+            )
+            max_pb = int(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728").removesuffix("b"))
+            open_cost = int(spark.conf.get("spark.sql.files.openCostInBytes", "4194304").removesuffix("b"))
+            est_splits = -(-(total + open_cost * len(files)) // max_pb)
+        except (OSError, ValueError):
+            est_splits = df.rdd.getNumPartitions()
+        if est_splits >= target:
+            return df
     return df.repartition(target, key)
 
 
@@ -464,13 +481,27 @@ def _q25_ivf_topk(spark, sf_dir):
 def _q26_model_registry(spark, sf_dir):
     """S11/A4/J1: versioned model-registry round-trip — MAX+1 registration
     (reference HorusSql.cs:145-208) then the latest-version argmax flag
-    (HorusSql.cs:77-81), over a deterministic registration sequence."""
+    (HorusSql.cs:77-81), over a deterministic registration sequence.
+    One registration goes through register_trained_model so the
+    ModelTraining metadata columns (average_model_accuracy /
+    n_training_docs — the reference's post-training parse,
+    ModelTrainer.cs:186-224) ride the oracle too: its scores frame is a
+    deterministic per-doc 0-100 score derived from the documents table."""
     from horus_spark.config import FORMAT_CONFIGS
-    from horus_spark.registry import bootstrap_registry, register_model
+    from horus_spark.registry import (
+        bootstrap_registry,
+        register_model,
+        register_trained_model,
+    )
 
     reg = bootstrap_registry(spark)
     reg = register_model(reg, "abc", "model-abc-0002", FORMAT_CONFIGS["abc"])
-    reg = register_model(reg, "abc", "model-abc-0003", FORMAT_CONFIGS["abc"])
+    scores = _load(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("n_chars") % 101).cast("double").alias("score")
+    )
+    reg = register_trained_model(
+        reg, "abc", "model-abc-0003", FORMAT_CONFIGS["abc"], scores
+    )
     reg = register_model(reg, "oscorp", "model-oscorp-0002", FORMAT_CONFIGS["oscorp"])
     w = Window.partitionBy("document_format")
     return reg.select(
@@ -478,6 +509,8 @@ def _q26_model_registry(spark, sf_dir):
         "model_id",
         "model_version",
         (F.col("model_version") == F.max("model_version").over(w)).alias("is_latest"),
+        F.round("average_model_accuracy", 6).alias("average_model_accuracy"),
+        "n_training_docs",
     )
 
 
@@ -621,6 +654,23 @@ def _q34_quantized_ann(spark, sf_dir):
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     return quantized_topk(e, q, k=10, rerank=3)
+
+
+def _q39_ivf_quantized_ann(spark, sf_dir):
+    """IVF-SQ: cell-pruned int8 coarse tier (q25's shuffle-free assignment
+    composed with q34's quantized scoring) -> exact float rerank. The
+    coarse tier reads only probed cells AND only int8 payloads — both
+    pruning axes at once. 'lowest_id' centroids = the SQL-parity oracle
+    stand-in; production default is sample-fit k-means."""
+    from horus_spark.operators.similarity import ivf_quantized_topk
+
+    e = _load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return ivf_quantized_topk(
+        e, q, n_centroids=16, n_probe=4, k=10, rerank=3, centroids="lowest_id"
+    )
 
 
 def _q35_bucketed_join(spark, sf_dir):
@@ -774,6 +824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q32_versioned_sink": _q32_versioned_sink,
         "q33_dedup_pipeline": _q33_dedup_pipeline,
         "q34_quantized_ann": _q34_quantized_ann,
+        "q39_ivf_quantized_ann": _q39_ivf_quantized_ann,
         "q35_bucketed_join": _q35_bucketed_join,
         "q36_salted_join": _q36_salted_join,
         "q37_media_features": _q37_media_features,
@@ -1125,7 +1176,8 @@ def oracle_sql() -> dict[str, str]:
         "q34_quantized_ann": f"""
           WITH src AS (
             SELECT vec_id, embedding,
-                   list_max([abs(CAST(x AS DOUBLE)) for x in embedding]) / 127.0 AS scale
+                   greatest(list_max([abs(CAST(x AS DOUBLE)) for x in embedding]) / 127.0,
+                            1e-30) AS scale
             FROM embeddings),
           qv AS (
             SELECT vec_id, embedding,
@@ -1206,16 +1258,26 @@ def oracle_sql() -> dict[str, str]:
           GROUP BY 1 ORDER BY 1
         """,
         "q26_model_registry": """
-          WITH reg(document_format, model_id, seq) AS (VALUES
-            ('abc','model-abc-0001',0), ('nouryon','model-nouryon-0001',0),
-            ('oscorp','model-oscorp-0001',0), ('abc','model-abc-0002',1),
-            ('abc','model-abc-0003',2), ('oscorp','model-oscorp-0002',1)),
+          WITH stats AS (
+            SELECT round(avg(n_chars % 101) / 100.0, 6) AS acc,
+                   CAST(count(*) AS INT) AS n
+            FROM documents),
+          reg(document_format, model_id, seq, acc, n) AS (VALUES
+            ('abc','model-abc-0001',0, 0.95, 0),
+            ('nouryon','model-nouryon-0001',0, 0.95, 0),
+            ('oscorp','model-oscorp-0001',0, 0.95, 0),
+            ('abc','model-abc-0002',1, 0.0, 0),
+            ('abc','model-abc-0003',2, NULL, NULL),
+            ('oscorp','model-oscorp-0002',1, 0.0, 0)),
           v AS (
-            SELECT document_format, model_id,
-                   CAST(row_number() OVER (PARTITION BY document_format ORDER BY seq) AS INT) AS model_version
-            FROM reg)
+            SELECT r.document_format, r.model_id,
+                   CAST(row_number() OVER (PARTITION BY r.document_format ORDER BY r.seq) AS INT) AS model_version,
+                   CAST(round(coalesce(r.acc, s.acc), 6) AS DOUBLE) AS average_model_accuracy,
+                   CAST(coalesce(r.n, s.n) AS INT) AS n_training_docs
+            FROM reg r CROSS JOIN stats s)
           SELECT document_format, model_id, model_version,
-                 model_version = max(model_version) OVER (PARTITION BY document_format) AS is_latest
+                 model_version = max(model_version) OVER (PARTITION BY document_format) AS is_latest,
+                 average_model_accuracy, n_training_docs
           FROM v
         """,
         "q27_score_summary": f"""
@@ -1312,6 +1374,65 @@ def oracle_sql() -> dict[str, str]:
                    round({_cos_sql('a.embedding', 'b.embedding')}, 6) AS cosine
             FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
           WHERE cosine >= 0.2
+        """,
+        "q39_ivf_quantized_ann": f"""
+          WITH cent AS (
+            SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings ORDER BY vec_id LIMIT 16),
+          ac AS (
+            SELECT e.vec_id AS neighbor_id, c.c_id,
+                   row_number() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY round({_cos_sql('e.embedding', 'c.c_vec')}, 6) DESC, c.c_id ASC
+                   ) AS c_rank
+            FROM embeddings e, cent c),
+          assigned AS (SELECT neighbor_id, c_id AS cell FROM ac WHERE c_rank = 1),
+          src AS (
+            SELECT vec_id, embedding,
+                   greatest(list_max([abs(CAST(x AS DOUBLE)) for x in embedding]) / 127.0,
+                            1e-30) AS scale
+            FROM embeddings),
+          qv AS (
+            SELECT vec_id,
+                   [CAST(floor(CAST(x AS DOUBLE)/scale + 0.5) AS BIGINT) for x in embedding] AS qvec
+            FROM src),
+          aq AS (
+            SELECT a.neighbor_id, a.cell, v.qvec
+            FROM assigned a JOIN qv v ON v.vec_id = a.neighbor_id),
+          qc AS (
+            SELECT q.vec_id AS q_id, c.c_id AS cell,
+                   row_number() OVER (
+                     PARTITION BY q.vec_id
+                     ORDER BY round({_cos_sql('q.embedding', 'c.c_vec')}, 6) DESC, c.c_id ASC
+                   ) AS c_rank
+            FROM embeddings q, cent c WHERE q.vec_id < 10),
+          probes AS (
+            SELECT p.q_id, p.cell, v.qvec AS q_qvec
+            FROM (SELECT q_id, cell FROM qc WHERE c_rank <= 4) p
+            JOIN qv v ON v.vec_id = p.q_id),
+          cand AS (
+            SELECT a.neighbor_id, p.q_id,
+                   round(
+                     list_sum([a.qvec[i]*p.q_qvec[i] for i in generate_series(1, len(a.qvec))])
+                     / (sqrt(list_sum([a.qvec[i]*a.qvec[i] for i in generate_series(1, len(a.qvec))]))
+                        * sqrt(list_sum([p.q_qvec[i]*p.q_qvec[i] for i in generate_series(1, len(p.q_qvec))]))),
+                     6) AS qscore
+            FROM aq a JOIN probes p ON a.cell = p.cell
+            WHERE a.neighbor_id <> p.q_id),
+          topm AS (
+            SELECT q_id, neighbor_id FROM (
+              SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY qscore DESC, neighbor_id ASC) AS crank
+              FROM cand)
+            WHERE crank <= 30),
+          scored AS (
+            SELECT t.q_id, t.neighbor_id,
+                   round({_cos_sql('e.embedding', 'q.embedding')}, 6) AS score
+            FROM topm t
+            JOIN embeddings e ON e.vec_id = t.neighbor_id
+            JOIN embeddings q ON q.vec_id = t.q_id)
+          SELECT q_id, neighbor_id, CAST(rank AS INT) AS rank, score FROM (
+            SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, neighbor_id ASC) AS rank
+            FROM scored)
+          WHERE rank <= 10
         """,
         "q25_ivf_topk": f"""
           WITH cent AS (

@@ -294,7 +294,7 @@ def dedup_pipeline(
     bands: int = 16,
     threshold: float = 0.5,
     seed: int = 1337,
-    log_collapsed: bool = True,
+    log_collapsed: bool = False,
     staging_dir: str | None = None,
 ) -> dict:
     """The documented at-scale dedup recipe composed into ONE operator —
@@ -318,14 +318,24 @@ def dedup_pipeline(
 
     Returns {"exact": (id, thumbprint, canonical_id, is_duplicate),
              "canonical_docs": df rows whose id is canonical,
-             "fuzzy_pairs": (id_a, id_b, jaccard) over canonical ids}.
-    log_collapsed (on by default) warns with the number of collapsed
-    clone rows — the counter that shows what the exact tier absorbed."""
+             "fuzzy_pairs": (id_a, id_b, jaccard) over canonical ids,
+             "collapsed_count": lazy frame with one `n_collapsed` row}.
+
+    LAZY throughout: composing the pipeline launches NO Spark job — at
+    100 TB an eager clone-count here would be a second corpus-scale pass
+    before any useful work. The collapsed-clone counter the old
+    `log_collapsed=True` default computed eagerly is now the returned
+    `collapsed_count` one-row frame, priced only when the caller acts on
+    it; set log_collapsed=True to opt back into the eager warn (documented
+    as an extra job, mirroring jaccard_pairs.log_pruned)."""
     exact = exact_dedup(df, id_col, text_col)
+    collapsed = exact.agg(
+        F.sum(F.col("is_duplicate").cast("long")).alias("n_collapsed")
+    )
     if log_collapsed:
         import warnings
 
-        n_dup = exact.filter(F.col("is_duplicate")).count()
+        n_dup = collapsed.collect()[0].n_collapsed or 0
         if n_dup:
             warnings.warn(
                 f"dedup_pipeline: exact tier collapsed {n_dup} clone rows "
@@ -341,7 +351,12 @@ def dedup_pipeline(
         canonical, id_col, text_col, n, k, bands, threshold, seed,
         staging_dir=staging_dir,
     )
-    return {"exact": exact, "canonical_docs": canonical, "fuzzy_pairs": fuzzy}
+    return {
+        "exact": exact,
+        "canonical_docs": canonical,
+        "fuzzy_pairs": fuzzy,
+        "collapsed_count": collapsed,
+    }
 
 
 def simhash_pairs(

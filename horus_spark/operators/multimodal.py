@@ -92,11 +92,24 @@ def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
-def media_stats(media: DataFrame) -> DataFrame:
-    """Metadata-only aggregate — must NOT read payload bytes (column
-    pruning; verify with .explain: ReadSchema excludes 'payload')."""
-    return media.groupBy("media_type").agg(
+def media_stats(media: DataFrame, include_payload_bytes: bool = False) -> DataFrame:
+    """Per-media-type asset stats.
+
+    Default is METADATA-ONLY: the aggregate touches media_type and meta
+    exclusively, so a parquet-backed frame's scan prunes the payload
+    column entirely (ReadSchema excludes 'payload' — asserted by
+    tests/test_multimodal_streaming.py). That is the shape a catalog
+    query over 100 TB of binary assets must have: stats without I/O on
+    the blobs.
+
+    include_payload_bytes=True adds total_bytes = sum(length(payload)),
+    which necessarily READS every payload byte — an explicit opt-in full
+    scan, never the default. (Producers that need cheap size stats should
+    persist a size field in `meta` at ingest.)"""
+    aggs = [
         F.count("*").alias("n_assets"),
-        F.sum(F.length("payload")).alias("total_bytes"),  # length pushed down
         F.avg("meta.width").alias("avg_width"),
-    )
+    ]
+    if include_payload_bytes:
+        aggs.insert(1, F.sum(F.length("payload")).alias("total_bytes"))
+    return media.groupBy("media_type").agg(*aggs)

@@ -368,17 +368,20 @@ def _shred_from_raw(
             if "time_to_shred_ms" in cols
             else F.lit(0.0)
         ).alias("time_to_shred_ms"),
-        # run stamps (HorusSql.cs:244-249), when the pipeline provides them
-        *(
-            [F.col("shredding_utc_datetime")]
+        # run stamps (HorusSql.cs:244-249): emitted unconditionally (NULL
+        # when the pipeline didn't provide them) so every shred output —
+        # including shred_fast outside run_extraction — matches
+        # schema.SHREDDED_DOCUMENT, same as thumbprint/model_id above
+        (
+            F.col("shredding_utc_datetime")
             if "shredding_utc_datetime" in cols
-            else []
-        ),
-        *(
-            [F.col("unique_run_identifier")]
+            else F.lit(None).cast("timestamp")
+        ).alias("shredding_utc_datetime"),
+        (
+            F.col("unique_run_identifier")
             if "unique_run_identifier" in cols
-            else []
-        ),
+            else F.lit(None).cast("string")
+        ).alias("unique_run_identifier"),
         *[F.col(c) for c in carry],
     )
 

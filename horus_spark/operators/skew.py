@@ -12,7 +12,9 @@ Mechanics: every fact row gets a salt in [0, n_salts); the dimension side
 is replicated once per salt value; the equi-join runs on (key, salt), so
 one hot key's rows spread across n_salts shuffle partitions instead of
 one straggler. The salt never appears in the output and cannot change the
-join result — only the partitioning of the work.
+join result — only the partitioning of the work. That transparency only
+holds for join modes whose unmatched rows come from the fact side, so
+right/full outer modes are rejected (see _SAFE_HOW).
 """
 
 from __future__ import annotations
@@ -21,6 +23,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 SALT_COL = "__salt"
+
+# Join modes for which salting is result-preserving. The dim side is
+# REPLICATED n_salts times, so any mode that can emit unmatched DIM rows
+# (right/full outer) would emit each unmatched dim key n_salts times —
+# salting is only transparent when unmatched output rows come exclusively
+# from the fact side (or no unmatched rows at all).
+_SAFE_HOW = {
+    "inner", "cross",
+    "left", "leftouter", "left_outer",
+    "semi", "leftsemi", "left_semi",
+    "anti", "leftanti", "left_anti",
+}
 
 
 def salted_join(
@@ -44,6 +58,14 @@ def salted_join(
     rows are shuffled once, same as a plain join. Use ONLY when a hot
     key actually exists — a plain join is cheaper otherwise, and AQE's
     skewedJoin handles moderate skew without replication."""
+    if how.lower().replace(" ", "") not in _SAFE_HOW:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: the replicated dim "
+            "side would emit each unmatched dim key n_salts times under "
+            "right/full outer joins. Supported: inner, cross, left(_outer), "
+            "left_semi, left_anti. For a skewed right/full outer join, "
+            "swap the sides or rely on AQE skew-join handling."
+        )
     if SALT_COL in fact.columns or SALT_COL in dim.columns:
         raise ValueError(f"{SALT_COL} column already present")
     if on is not None:

@@ -34,7 +34,8 @@ from horus_spark.config import FORMAT_CONFIGS
 
 REGISTRY_SCHEMA = (
     "document_format string, model_id string, model_version int, "
-    "config string, average_model_accuracy double, created_ts timestamp"
+    "config string, average_model_accuracy double, n_training_docs int, "
+    "created_ts timestamp"
 )
 
 _EPOCH = dt.datetime(2026, 1, 1)
@@ -43,7 +44,7 @@ _EPOCH = dt.datetime(2026, 1, 1)
 def bootstrap_registry(spark: SparkSession) -> DataFrame:
     """v1 registry seeded from the built-in per-format configs."""
     rows = [
-        (fmt, f"model-{fmt}-0001", 1, json.dumps(cfg), 0.95, _EPOCH)
+        (fmt, f"model-{fmt}-0001", 1, json.dumps(cfg), 0.95, 0, _EPOCH)
         for fmt, cfg in sorted(FORMAT_CONFIGS.items())
     ]
     return spark.createDataFrame(rows, REGISTRY_SCHEMA)
@@ -55,16 +56,32 @@ def register_model(
     model_id: str,
     config: dict | str,
     accuracy: float = 0.0,
+    n_training_docs: int = 0,
     created_ts: dt.datetime | None = None,
 ) -> DataFrame:
     """Append a new model registration with version = MAX(fmt)+1
     (HorusSql.cs:160-182 semantics). Returns the new registry frame; write
     it back with an append of `result.filter(is_new)` or a full overwrite —
-    versions are assigned by the window, never read-modify-write."""
+    versions are assigned by the window, never read-modify-write.
+
+    `accuracy` / `n_training_docs` are the reference's ModelTraining
+    metadata columns (ModelTrainer.cs:186-224 parses averageModelAccuracy
+    and the trainingDocumentResults count from the training response);
+    register_trained_model derives them from scoring output."""
     spark = registry.sparkSession
     cfg_json = config if isinstance(config, str) else json.dumps(config)
     new_row = spark.createDataFrame(
-        [(document_format, model_id, None, cfg_json, accuracy, created_ts or _EPOCH)],
+        [
+            (
+                document_format,
+                model_id,
+                None,
+                cfg_json,
+                accuracy,
+                n_training_docs,
+                created_ts or _EPOCH,
+            )
+        ],
         REGISTRY_SCHEMA,
     )
     max_v = registry.groupBy("document_format").agg(
@@ -78,6 +95,44 @@ def register_model(
         .select(*registry.columns)
     )
     return registry.unionByName(versioned)
+
+
+def register_trained_model(
+    registry: DataFrame,
+    document_format: str,
+    model_id: str,
+    config: dict | str,
+    scores: DataFrame,
+    score_col: str = "score",
+    created_ts: dt.datetime | None = None,
+) -> DataFrame:
+    """Register a model WITH training metadata derived from scoring
+    output — the engine's analog of the reference's post-training parse
+    (ModelTrainer.cs:186-224: averageModelAccuracy and the count of
+    trainingDocumentResults from the service response). Here "training"
+    is config registration and the metadata comes from the Inspector-
+    style scoring frame (operators/scoring.score_documents: one row per
+    document, score 0-100):
+
+    - average_model_accuracy = avg(score)/100 (the reference stores a
+      0-1 ratio), rounded to 6 places for engine parity
+    - n_training_docs = number of scored documents
+
+    The aggregation is one bounded job over the scores frame (per-doc
+    rows, already tiny relative to the corpus)."""
+    row = scores.agg(
+        F.round(F.avg(score_col) / 100.0, 6).alias("acc"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    return register_model(
+        registry,
+        document_format,
+        model_id,
+        config,
+        accuracy=float(row.acc) if row.acc is not None else 0.0,
+        n_training_docs=int(row.n),
+        created_ts=created_ts,
+    )
 
 
 def latest_models(registry: DataFrame) -> DataFrame:

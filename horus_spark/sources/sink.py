@@ -56,14 +56,22 @@ def write_extracted(extracted: DataFrame, out_dir: str, mode: str = "overwrite")
     # chars at the SQL INSERT; the document graph keeps the full value,
     # like the reference's Cosmos persistence of the Document object)
     _header_frame(full).write.mode(mode).parquet(os.path.join(out_dir, "documents_out"))
+    # child rows carry the shred identity (doc_id, unique_run_identifier):
+    # a re-shredded file appends a SECOND set of children per doc_id, and
+    # load_documents must reassemble only the children of the latest header
+    # row (reference LoadDocument reads children of the one selected row,
+    # HorusSql.cs:312-407) — doc_id alone cannot distinguish the shreds
+    child_keys = ["doc_id"] + (
+        ["unique_run_identifier"] if "unique_run_identifier" in full.columns else []
+    )
     full.select(
-        "doc_id", F.explode("line_items").alias("li")
-    ).select("doc_id", "li.*").write.mode(mode).parquet(
+        *child_keys, F.explode("line_items").alias("li")
+    ).select(*child_keys, "li.*").write.mode(mode).parquet(
         os.path.join(out_dir, "line_items")
     )
     full.select(
-        "doc_id", F.posexplode("errors").alias("error_seq", "e")
-    ).select("doc_id", "error_seq", "e.*").write.mode(mode).parquet(
+        *child_keys, F.posexplode("errors").alias("error_seq", "e")
+    ).select(*child_keys, "error_seq", "e.*").write.mode(mode).parquet(
         os.path.join(out_dir, "errors")
     )
     full.select("doc_id", "spans_out").write.mode(mode).parquet(
@@ -104,6 +112,33 @@ def _upload_ids(vdir: str) -> list[int]:
     )
 
 
+def _version_manifest_dir(vdir: str, upto: int) -> str:
+    return os.path.join(vdir, "_version_base", f"upto_{upto:06d}")
+
+
+def _version_base_frame(spark, vdir: str, prior: list[int]) -> DataFrame | None:
+    """Per-file high-water versions across the `prior` uploads, from the
+    compacted `_version_base/upto_NNNNNN` manifest when available.
+
+    Without the manifest, finding MAX(document_version) per file_name
+    means scanning EVERY prior upload directory per append — O(n_uploads)
+    parquet reads per batch, linear metadata growth at streaming cadence
+    (the r3-flagged scale flaw). The manifest is one small table (one row
+    per file_name), updated atomically per batch with the same tmp+rename
+    pattern as the chunk sink; falls back to the full scan for legacy
+    stores written before the manifest existed."""
+    if not prior:
+        return None
+    mdir = _version_manifest_dir(vdir, prior[-1])
+    if os.path.exists(os.path.join(mdir, "_SUCCESS")):
+        return spark.read.parquet(mdir)
+    return (
+        spark.read.parquet(*[os.path.join(vdir, f"upload_{i:06d}") for i in prior])
+        .groupBy("file_name")
+        .agg(F.max("document_version").alias("__base"))
+    )
+
+
 def write_documents_versioned(
     extracted: DataFrame, out_dir: str, batch_id: int | None = None
 ) -> None:
@@ -130,7 +165,15 @@ def write_documents_versioned(
     the scale-killer at 10^12 docs — and the flag is a pure function of
     the version column, so the store stays APPEND-ONLY and the flag is
     derived at read time by read_documents_versioned (one window,
-    computed on exactly the rows being read)."""
+    computed on exactly the rows being read).
+
+    Base versions come from the compacted `_version_base` manifest (one
+    small table per batch, see _version_base_frame) — NOT a scan of all
+    prior upload directories; each batch also writes the next manifest
+    snapshot `upto_{batch}` (base ∪ this batch, max per file) with the
+    same tmp-dir + atomic-rename pattern as the chunk sink. A replayed
+    batch reads the manifest of the last strictly-earlier upload, so
+    replay idempotency is preserved."""
     vdir = os.path.join(out_dir, "documents_versioned")
     prior = _upload_ids(vdir)
     if batch_id is None:
@@ -139,12 +182,8 @@ def write_documents_versioned(
     header = _header_frame(extracted)
     order_cols = [c for c in ("shredding_utc_datetime", "doc_id") if c in header.columns]
     spark = extracted.sparkSession
-    if prior:
-        base = (
-            spark.read.parquet(*[os.path.join(vdir, f"upload_{i:06d}") for i in prior])
-            .groupBy("file_name")
-            .agg(F.max("document_version").alias("__base"))
-        )
+    base = _version_base_frame(spark, vdir, prior)
+    if base is not None:
         header = header.join(base, "file_name", "left").withColumn(
             "__base", F.coalesce(F.col("__base"), F.lit(0))
         )
@@ -154,9 +193,33 @@ def write_documents_versioned(
     header = header.withColumn(
         "document_version", (F.col("__base") + F.row_number().over(w)).cast("int")
     ).drop("__base")
-    header.write.mode("overwrite").parquet(
-        os.path.join(vdir, f"upload_{batch_id:06d}")
+    udir = os.path.join(vdir, f"upload_{batch_id:06d}")
+    header.write.mode("overwrite").parquet(udir)
+    # compact the new high-water manifest: previous base ∪ this upload's
+    # versions, max per file_name — one row per file ever seen, written
+    # atomically so a crash mid-write leaves the previous snapshot valid
+    # (the next batch then falls back to the prior-manifest-or-scan path)
+    this_upload = (
+        spark.read.parquet(udir)
+        .groupBy("file_name")
+        .agg(F.max("document_version").alias("__base"))
     )
+    if base is not None:
+        manifest = (
+            base.unionByName(this_upload)
+            .groupBy("file_name")
+            .agg(F.max("__base").alias("__base"))
+        )
+    else:
+        manifest = this_upload
+    mdir = _version_manifest_dir(vdir, batch_id)
+    tmp_mdir = os.path.join(vdir, "_version_base", f"_tmp_upto_{batch_id:06d}")
+    if os.path.exists(tmp_mdir):
+        shutil.rmtree(tmp_mdir)
+    manifest.coalesce(1).write.mode("overwrite").parquet(tmp_mdir)
+    if os.path.exists(mdir):
+        shutil.rmtree(mdir)
+    os.rename(tmp_mdir, mdir)
 
 
 def read_documents_versioned(spark, out_dir: str) -> DataFrame:
@@ -227,13 +290,16 @@ def run_checkpointed(
     n_chunks: int = 8,
     fail_after_chunk: int | None = None,
     fail_before_promote: int | None = None,
+    fail_before_manifest: int | None = None,
 ) -> dict:
     """Checkpoint-resumable extraction over hash chunks of the corpus.
 
     Returns {"completed": [...], "skipped": [...]}. `fail_after_chunk`
     injects a crash after N newly-completed chunks; `fail_before_promote`
     crashes the Nth new chunk after its tables are written but BEFORE the
-    atomic promote (for atomicity tests).
+    atomic promote; `fail_before_manifest` crashes the Nth new chunk
+    after the directory promote but BEFORE the snapshot-manifest commit
+    (readers must stay on the previous snapshot; resume redoes the chunk).
 
     Atomic chunk commit: all of a chunk's tables (4 views + _metrics +
     _lineage) are written into a private `_tmp_chunk_NNNN` directory —
@@ -284,6 +350,12 @@ def run_checkpointed(
         extracted = run_extraction(d, w, run_id=run_id)
         chunk_dir = os.path.join(out_dir, f"chunk={chunk:04d}")
         tmp_dir = os.path.join(out_dir, f"_tmp_chunk_{chunk:04d}")
+        if os.path.exists(chunk_dir):
+            # crashed between manifest commit and marker write: retract
+            # the chunk from the snapshot BEFORE deleting its directory,
+            # so concurrent readers never hold a manifest pointing at a
+            # removed path (they fall back to the previous snapshot)
+            _retract_from_table_manifest(out_dir, f"chunk={chunk:04d}")
         for stale in (tmp_dir, chunk_dir):  # leftovers from a crashed run
             if os.path.exists(stale):
                 shutil.rmtree(stale)
@@ -305,6 +377,14 @@ def run_checkpointed(
         if fail_before_promote is not None and n_done + 1 >= fail_before_promote:
             raise RuntimeError(f"injected failure before promoting chunk {chunk}")
         os.rename(tmp_dir, chunk_dir)  # atomic publish of the whole chunk
+        if fail_before_manifest is not None and n_done + 1 >= fail_before_manifest:
+            raise RuntimeError(
+                f"injected failure before manifest commit of chunk {chunk}"
+            )
+        # snapshot commit: the chunk becomes reader-visible only now —
+        # read_output reads the manifest, so a crash between the rename
+        # above and this line leaves readers on the previous snapshot
+        _update_table_manifest(out_dir, f"chunk={chunk:04d}", run_id)
         # marker LAST: a crash before this point leaves the chunk incomplete
         # and the resume overwrites it
         with open(marker, "w") as fh:
@@ -316,8 +396,60 @@ def run_checkpointed(
     return {"completed": completed, "skipped": skipped, "run_id": run_id}
 
 
+_TABLE_MANIFEST = "_table_manifest.json"
+
+
+def _retract_from_table_manifest(out_dir: str, chunk_dirname: str) -> None:
+    m = _read_table_manifest(out_dir)
+    if m is None or chunk_dirname not in m.get("chunks", []):
+        return
+    m["chunks"] = [c for c in m["chunks"] if c != chunk_dirname]
+    m["snapshot"] = int(m.get("snapshot", 0)) + 1
+    tmp = os.path.join(out_dir, _TABLE_MANIFEST + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(m, fh)
+    os.replace(tmp, os.path.join(out_dir, _TABLE_MANIFEST))
+
+
+def _read_table_manifest(out_dir: str) -> dict | None:
+    path = os.path.join(out_dir, _TABLE_MANIFEST)
+    if not os.path.exists(path):
+        return None
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def _update_table_manifest(out_dir: str, chunk_dirname: str, run_id: str) -> None:
+    """Append a committed chunk dir to the snapshot manifest, atomically:
+    the new manifest is written to a tmp file and os.replace'd over the
+    old one (POSIX-atomic), so a reader always sees either the previous
+    or the next complete snapshot — never a partial list. This is the
+    minimal Iceberg-style catalog over the chunk layout: swap this file
+    for a real catalog's snapshot commit when one is configured."""
+    m = _read_table_manifest(out_dir) or {"chunks": [], "snapshot": 0}
+    if chunk_dirname not in m["chunks"]:
+        m["chunks"] = sorted([*m["chunks"], chunk_dirname])
+    m["snapshot"] = int(m.get("snapshot", 0)) + 1
+    m["run_id"] = run_id
+    tmp = os.path.join(out_dir, _TABLE_MANIFEST + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(m, fh)
+    os.replace(tmp, os.path.join(out_dir, _TABLE_MANIFEST))
+
+
 def read_output(spark, out_dir: str, table: str) -> DataFrame:
-    """Read a table across all completed chunk directories."""
+    """Read a table across all committed chunk directories.
+
+    Prefers the `_table_manifest.json` snapshot (the consistent-reader
+    contract: a chunk becomes visible only after its manifest commit, so
+    a reader racing a writer sees the previous complete snapshot, never
+    a half-promoted directory); falls back to the `chunk=*` glob for
+    legacy layouts written before the manifest existed."""
+    m = _read_table_manifest(out_dir)
+    if m is not None and m["chunks"]:
+        return spark.read.option("basePath", out_dir).parquet(
+            *[os.path.join(out_dir, c, table) for c in m["chunks"]]
+        )
     return spark.read.option("basePath", out_dir).parquet(
         os.path.join(out_dir, "chunk=*", table)
     )
@@ -361,9 +493,30 @@ def load_documents(
     docs = docs.withColumn("__rn", F.row_number().over(w)).filter(
         F.col("__rn") == 1
     ).drop("__rn")
+
+    def _latest_children(child: DataFrame) -> DataFrame:
+        # keep only children of the SURVIVING latest header rows: after a
+        # re-upload (mode='append') each doc_id has one child set per
+        # shred, keyed by unique_run_identifier — without this semi-join
+        # every reconstructed array would concatenate all shreds' children.
+        # Legacy layouts without the key column fall back to doc_id-only
+        # (single-shred stores, where the semi-join is a no-op anyway).
+        keys = ["doc_id"] + (
+            ["unique_run_identifier"]
+            if "unique_run_identifier" in child.columns
+            and "unique_run_identifier" in docs.columns
+            else []
+        )
+        latest = docs.select(*keys)
+        cond = None
+        for k in keys:  # null-safe: a NULL run id still matches its header
+            eq = child[k].eqNullSafe(latest[k])
+            cond = eq if cond is None else cond & eq
+        return child.join(latest, cond, "left_semi")
+
     # reassemble ordered child arrays: line_no / error_seq are the
     # persisted order keys, so sort_array over (key, struct) then strip
-    li = rd("line_items").groupBy("doc_id").agg(
+    li = _latest_children(rd("line_items")).groupBy("doc_id").agg(
         F.transform(
             F.sort_array(
                 F.collect_list(
@@ -376,7 +529,7 @@ def load_documents(
             lambda s: s["v"],
         ).alias("line_items")
     )
-    err = rd("errors").groupBy("doc_id").agg(
+    err = _latest_children(rd("errors")).groupBy("doc_id").agg(
         F.transform(
             F.sort_array(
                 F.collect_list(

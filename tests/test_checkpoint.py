@@ -115,3 +115,49 @@ def test_chunk_scan_prunes_staged_partitions(spark, tmp_path):
     mtime = os.path.getmtime(os.path.join(out, "_staging", "documents", "_SUCCESS"))
     run_checkpointed(c["documents"], c["ocr_words"], out, run_id="r2", n_chunks=4)
     assert os.path.getmtime(os.path.join(out, "_staging", "documents", "_SUCCESS")) == mtime
+
+
+def test_manifest_snapshot_isolation(spark, tmp_path):
+    """Snapshot-catalog contract: a chunk becomes reader-visible only at
+    its _table_manifest.json commit. A crash AFTER the directory promote
+    but BEFORE the manifest commit leaves readers on the previous
+    consistent snapshot (even though the directory exists on disk); the
+    resume retracts-then-redoes the chunk with no duplicates."""
+    import json
+    import os
+
+    from horus_spark.sources.sink import _read_table_manifest
+
+    out = str(tmp_path / "out4")
+    c = corpus_spark(spark, 30, partitions=4)
+    docs = c["documents"].cache()
+    words = c["ocr_words"].cache()
+    n_total = docs.count()
+    words.count()
+
+    # crash chunk #2 after its os.rename but before the manifest commit
+    with pytest.raises(RuntimeError, match="before manifest"):
+        run_checkpointed(
+            docs, words, out, run_id="r1", n_chunks=4, fail_before_manifest=2
+        )
+    on_disk = sorted(p for p in os.listdir(out) if p.startswith("chunk="))
+    assert len(on_disk) == 2  # the promoted-but-uncommitted dir exists...
+    m = _read_table_manifest(out)
+    assert len(m["chunks"]) == 1  # ...but the snapshot doesn't list it
+    # readers see exactly the previous snapshot
+    seen = read_output(spark, out, "documents_out")
+    committed_docs = seen.count()
+    assert 0 < committed_docs < n_total
+    chunk_col = {os.path.dirname(os.path.dirname(f)) for f in seen.inputFiles()}
+    assert len(chunk_col) == 1  # one committed chunk dir read, not two
+
+    # resume: the orphaned chunk is retracted, redone, and committed
+    res = run_checkpointed(docs, words, out, run_id="r2", n_chunks=4)
+    assert sorted(res["completed"] + res["skipped"]) == [0, 1, 2, 3]
+    m2 = _read_table_manifest(out)
+    assert len(m2["chunks"]) == 4
+    assert m2["snapshot"] > m["snapshot"]
+    got = read_output(spark, out, "documents_out")
+    assert got.count() == n_total
+    assert got.select("doc_id").distinct().count() == n_total
+    docs.unpersist(); words.unpersist()

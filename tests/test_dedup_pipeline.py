@@ -45,7 +45,7 @@ def test_raw_jaccard_drops_mass_duplicated_cluster(corpus):
 def test_pipeline_preserves_recall(corpus):
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
-        out = dedup_pipeline(corpus, n=3, threshold=0.5)
+        out = dedup_pipeline(corpus, n=3, threshold=0.5, log_collapsed=True)
         exact = out["exact"].cache()
         # exact tier: the 30 clones form ONE group under one canonical id
         groups = {
@@ -70,3 +70,25 @@ def test_pipeline_preserves_recall(corpus):
         assert {(r.id_a, r.id_b) for r in fuzzy} == {("clone-000", "near-dup")}
         assert all(r.jaccard >= 0.5 for r in fuzzy)
         exact.unpersist()
+
+
+def test_pipeline_composition_launches_no_job(corpus):
+    """Composing the pipeline must be free: at 100 TB an eager count()
+    inside the operator is a second corpus-scale pass before any useful
+    work. With the default log_collapsed=False, no Spark job may run
+    until the caller acts on an output; the clone counter is returned as
+    the lazy `collapsed_count` frame instead."""
+    sc = corpus.sparkSession.sparkContext
+    tracker = sc.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None) or []) | {
+        j for j in (tracker.getActiveJobsIds() or [])
+    }
+    n_before = max([*before, -1])
+    out = dedup_pipeline(corpus, n=3, threshold=0.5)
+    after = tracker.getJobIdsForGroup(None) or []
+    new_jobs = [j for j in after if j > n_before] + list(
+        tracker.getActiveJobsIds() or []
+    )
+    assert new_jobs == [], f"dedup_pipeline launched jobs eagerly: {new_jobs}"
+    # the counter is still available — just priced on demand
+    assert out["collapsed_count"].collect()[0].n_collapsed == 29

@@ -55,6 +55,20 @@ def test_latest_shred_wins_and_pruning(spark, written):
     # still ONE row per file (the latest), not two
     assert loaded.count() == extracted.count()
     assert loaded.filter(F.col("unique_run_identifier") != "r2").count() == 0
+    # children of the superseded r1 shred must NOT leak into the arrays:
+    # both shreds share doc_id, so reassembly keyed on doc_id alone would
+    # double every line_items/errors array (reference LoadDocument reads
+    # children of the latest row only)
+    orig = extracted.select(
+        "doc_id",
+        F.size("line_items").alias("e_nli"),
+        F.size("errors").alias("e_nerr"),
+    )
+    doubled = loaded.join(orig, "doc_id").filter(
+        (F.size("line_items") != F.col("e_nli"))
+        | (F.size("errors") != F.col("e_nerr"))
+    )
+    assert doubled.count() == 0
     one = docs.limit(1).collect()[0].doc_id
     sub = load_documents(spark, out, file_names=[one])
     assert sub.count() == 1 and sub.collect()[0].doc_id == one

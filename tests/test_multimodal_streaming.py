@@ -47,9 +47,31 @@ def test_frame_sample_plan(spark, media):
     assert [f.frame_ts_ms for f in frames] == [0, 1000, 2000]
 
 
-def test_media_stats_prunes_payload(spark, media):
+def test_media_stats_prunes_payload(spark, media, tmp_path):
+    """The default media_stats must not read payload bytes: on a
+    parquet-backed frame the scan's ReadSchema excludes 'payload'
+    (column pruning is the point of the metadata-only default — the
+    100 TB catalog query does no blob I/O)."""
     df = media_stats(media)
     assert df.count() == 3
+    loc = str(tmp_path / "media_pq")
+    media.write.parquet(loc)
+    pq = spark.read.parquet(loc)
+    pruned = media_stats(pq)
+    txt = pruned._sc._jvm.PythonSQLUtils.explainString(
+        pruned._jdf.queryExecution(), "formatted"
+    )
+    read_schemas = [ln for ln in txt.splitlines() if "ReadSchema" in ln]
+    assert read_schemas and all("payload" not in ln for ln in read_schemas)
+    # the opt-in variant DOES read payload (and says so in its plan)
+    full = media_stats(pq, include_payload_bytes=True)
+    assert "total_bytes" in full.columns
+    txt2 = full._sc._jvm.PythonSQLUtils.explainString(
+        full._jdf.queryExecution(), "formatted"
+    )
+    assert any("payload" in ln for ln in txt2.splitlines() if "ReadSchema" in ln)
+    got = {r.media_type: r.total_bytes for r in full.collect()}
+    assert got["image"] == len(b"\x89PNGfake1") + len(b"\x89PNGfake2")
 
 
 def test_streaming_available_now(spark, tmp_path):

@@ -71,3 +71,13 @@ def test_salt_column_collision_raises(skewed):
         salted_join(fact.withColumn(SALT_COL, F.lit(0)), dim, on="user_id")
     with pytest.raises(ValueError, match="on_left"):
         salted_join(fact, dim)
+
+
+def test_outer_modes_rejected(skewed):
+    """right/full outer would emit each unmatched dim key n_salts times
+    (one per replica) — salting is only result-preserving when unmatched
+    rows come from the fact side, so those modes must raise."""
+    fact, dim = skewed
+    for how in ("right", "full", "outer", "full_outer", "right_outer"):
+        with pytest.raises(ValueError, match="does not support"):
+            salted_join(fact, dim, on="user_id", how=how)

@@ -4,7 +4,7 @@ HorusProcessingEngine.cs). Each case exercises a PRE000x path or quirk."""
 
 import datetime as dt
 
-from horus_spark.operators.shred import shred
+from horus_spark.operators.shred import shred, shred_fast
 
 
 def _shred_one(spark, fields: dict):
@@ -188,3 +188,30 @@ def test_subword_count_matches_reference_segmentation(spark):
     got = [r.n for r in df.select(subword_count_expr(F.col("text")).alias("n")).collect()]
     exp = [len(re.findall(SUBWORD_RE, t)) for t in texts]
     assert got == exp
+
+
+def test_shred_fast_schema_has_run_stamps(spark):
+    """shred_fast output must match schema.SHREDDED_DOCUMENT even when the
+    caller provides no run stamps: shredding_utc_datetime /
+    unique_run_identifier are emitted unconditionally (NULL), like
+    thumbprint/model_id."""
+    df = spark.createDataFrame(
+        [("d1", {"order_number": "PO1", "order_date": None, "tax_date": None,
+                 "inv": "INV1", "account": None, "net_total": None,
+                 "vat_amount": None, "shipping_total": None,
+                 "grand_total": None, "post_code": None}, [])],
+        "doc_id string, header_raw struct<order_number:string,order_date:string,"
+        "tax_date:string,inv:string,account:string,net_total:string,"
+        "vat_amount:string,shipping_total:string,grand_total:string,"
+        "post_code:string>, lines_raw array<struct<drug:string,qty:string,"
+        "unit:string,vat:string,disc:string,taxable:string,net:string>>",
+    )
+    out = shred_fast(df)
+    assert "shredding_utc_datetime" in out.columns
+    assert "unique_run_identifier" in out.columns
+    dt_types = dict(out.dtypes)
+    assert dt_types["shredding_utc_datetime"] == "timestamp"
+    assert dt_types["unique_run_identifier"] == "string"
+    row = out.collect()[0]
+    assert row.shredding_utc_datetime is None
+    assert row.unique_run_identifier is None

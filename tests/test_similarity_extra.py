@@ -8,6 +8,8 @@ Properties checked:
   top-k (probing every cell scores every vector).
 """
 
+import re
+
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
@@ -226,3 +228,84 @@ def test_quantized_topk_recall_and_integrity(emb_df):
     for r in quantized_topk(df, q, k=5, rerank=3).collect():
         if (r.q_id, r.neighbor_id) in bf:
             assert r.score == bf[(r.q_id, r.neighbor_id)]
+
+
+def test_quantize_zero_vector_no_nulls(spark):
+    """An all-zero vector has scale max|x|/127 = 0; without the divisor
+    clamp Spark's x/0 would yield an all-NULL qvec (and NULL candidate
+    scores downstream). The clamp maps it to an all-zero qvec."""
+    from horus_spark.operators.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0, 0.0]), (1, [1.0, -2.0, 0.5])],
+        "vec_id int, embedding array<double>",
+    )
+    rows = {r.id: r for r in quantize_embeddings(df).collect()}
+    assert rows[0].qvec == [0, 0, 0]
+    assert all(v is not None for v in rows[1].qvec)
+
+
+def test_ivf_quantized_plan_and_recall(spark, emb_df):
+    """IVF-SQ composition: the coarse tier must be behind the cell
+    equi-join (broadcast hash join on `cell`) — never a
+    BroadcastNestedLoopJoin / cross join over the full corpus (the
+    r3-flagged q34 flaw) — and its corpus rows must carry int8 qvecs,
+    not the float payload. Recall vs brute force stays high."""
+    from horus_spark.operators.similarity import brute_force_topk, ivf_quantized_topk
+
+    df, V = emb_df
+    q = df.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    res = ivf_quantized_topk(
+        df, q, n_centroids=8, n_probe=4, k=5, rerank=3, centroids="lowest_id"
+    )
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+    def topsets(r):
+        out = {}
+        for row in r.collect():
+            out.setdefault(row.q_id, set()).add(row.neighbor_id)
+        return out
+
+    truth = topsets(brute_force_topk(df, q, k=5))
+    got = topsets(res)
+    recall = sum(len(got.get(k_, set()) & v) / len(v) for k_, v in truth.items()) / len(truth)
+    assert recall >= 0.8  # n_probe=4 of 8 cells + int8 coarse ordering
+
+
+def test_lsh_pairs_candidate_join_carries_ids_only(spark, emb_df):
+    """q24's fix: the bucket self-join must Exchange (id, band, bucket)
+    ints only — embedding arrays join back by id AFTER candidate
+    generation. Detect payload shipping by checking that no Exchange in
+    the candidate subtree carries an array column named vec_a/vec_b."""
+    from horus_spark.operators.similarity import (
+        lsh_cosine_pairs,
+        lsh_cosine_pairs_multiband,
+    )
+
+    df, V = emb_df
+    planes = np.random.RandomState(7).randn(4, V.shape[1]).tolist()
+    single = lsh_cosine_pairs(df, planes, threshold=0.2)
+    multi = lsh_cosine_pairs_multiband(df, [planes], threshold=0.2)
+    # single-band IS the one-band multiband now: identical results
+    assert sorted(map(tuple, single.collect())) == sorted(map(tuple, multi.collect()))
+    # the bucket-join Exchanges (hashpartitioning on band, bucket) must
+    # carry exactly (id, band, bucket) — the old implementation shipped
+    # two copies of every embedding through this shuffle
+    txt = single._sc._jvm.PythonSQLUtils.explainString(
+        single._jdf.queryExecution(), "formatted"
+    )
+    blocks = re.split(r"\n\(\d+\) ", txt)
+    bucket_exchanges = [
+        b for b in blocks
+        if b.startswith("Exchange") and "hashpartitioning(band" in b
+    ]
+    assert bucket_exchanges, "expected bucket-join Exchanges in the plan"
+    for b in bucket_exchanges:
+        m = re.search(r"Input \[\d+\]: \[(.*?)\]", b)
+        cols = m.group(1)
+        assert "embedding" not in cols and "vec" not in cols, cols
+        assert len(cols.split(",")) == 3  # id, band, bucket — nothing else

@@ -111,3 +111,41 @@ def test_streaming_reupload_bumps_version(spark, tmp_path):
     assert re_doc.collect()[0].latest_version_indicator is True
     # the other docs keep version 1 as latest
     assert v2.filter(F.col("latest_version_indicator")).count() == n
+
+
+def test_base_read_uses_compacted_manifest(spark, tmp_path):
+    """After many uploads, the write path's base-version computation must
+    read ONE compacted manifest snapshot, not every prior upload directory
+    (O(n_uploads) scans per append was the r3-flagged metadata growth).
+    Also: a store whose manifests are deleted falls back to the full scan
+    and yields the same bases."""
+    import os
+
+    from horus_spark.sources.sink import _version_base_frame
+
+    out = str(tmp_path / "vs")
+    c = corpus_spark(spark, 6, partitions=2)
+    ex = run_extraction(c["documents"], c["ocr_words"], run_id="m1")
+    n_uploads = 12
+    for _ in range(n_uploads):
+        write_documents_versioned(ex, out)
+    vdir = os.path.join(out, "documents_versioned")
+    prior = list(range(n_uploads))
+    base = _version_base_frame(spark, vdir, prior)
+    files = base.inputFiles()
+    # one coalesced manifest file — NOT n_uploads directories of parts
+    assert len(files) == 1, files
+    assert "_version_base" in files[0]
+    got = {r["file_name"]: r["__base"] for r in base.collect()}
+    assert set(got.values()) == {n_uploads}
+    # fallback parity: remove manifests -> scan path, same bases
+    import shutil
+
+    shutil.rmtree(os.path.join(vdir, "_version_base"))
+    scan = _version_base_frame(spark, vdir, prior)
+    assert len(scan.inputFiles()) > 1
+    assert {r["file_name"]: r["__base"] for r in scan.collect()} == got
+    # and the next upload after manifest loss still versions correctly
+    write_documents_versioned(ex, out)
+    v = read_documents_versioned(spark, out)
+    assert v.agg(F.max("document_version")).collect()[0][0] == n_uploads + 1
