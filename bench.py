@@ -121,6 +121,7 @@ def main():
         "q16_simhash",
         "q17_ann_topk",
         "q34_quantized_ann",  # round 3: the int8 two-tier ANN scale path
+        "q39_ivf_quantized_ann",  # round 4: IVF-SQ — cell-pruned int8 tier
     ]
     for name in headline:
         runner = make_runner(qs[name](spark, SF_DIR))  # probe run warms

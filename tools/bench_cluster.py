@@ -294,8 +294,21 @@ def main() -> None:
     _make_pkg_zip()
     for d in ("/tmp/horus_cluster_work_0", "/tmp/horus_cluster_work_1"):
         shutil.rmtree(d, ignore_errors=True)
+    # incremental protocol: results merge into BENCH_CLUSTER.json so
+    # topologies can run one at a time (HORUS_CLUSTER_TOPOLOGIES=a,b)
+    out_path = os.path.join(REPO, "BENCH_CLUSTER.json")
     out: dict = {"n_docs": N_DOCS, "topologies": {}}
+    if os.path.exists(out_path):
+        with open(out_path) as fh:
+            prev = json.load(fh)
+        if prev.get("n_docs") == N_DOCS:
+            out = prev
+    selected = os.environ.get(
+        "HORUS_CLUSTER_TOPOLOGIES", ",".join(TOPOLOGIES)
+    ).split(",")
     for topo, (worker_ranges, _ec) in TOPOLOGIES.items():
+        if topo not in selected:
+            continue
         procs = _start_cluster(worker_ranges) if worker_ranges else []
         try:
             rows = [_run_child(topo, s) for s in STAGES]
@@ -314,9 +327,9 @@ def main() -> None:
         out["arrow_boundary_split_1x16_over_2x8"] = round(
             one["min_sec"] / two["min_sec"], 3
         )
-    except StopIteration:
+    except (StopIteration, KeyError):
         pass
-    with open(os.path.join(REPO, "BENCH_CLUSTER.json"), "w") as fh:
+    with open(out_path, "w") as fh:
         json.dump(out, fh, indent=1)
     print("WROTE BENCH_CLUSTER.json")
 
