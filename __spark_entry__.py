@@ -734,6 +734,26 @@ def _q33_dedup_pipeline(spark, sf_dir):
     ]
 
 
+def _q40_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERS: the q21 minhash pairs closed transitively via
+    alternating large-star/small-star connected components (O(log n)
+    rounds), every document mapped to its cluster's canonical (minimum)
+    id with the cluster size — the keep-one-per-group step a 100 TB dedup
+    pipeline runs after pair generation. Singletons map to themselves."""
+    from horus_spark.operators.components import assign_clusters
+    from horus_spark.operators.dedup import minhash_dedup_pairs
+
+    d = _fanout(
+        _load(spark, sf_dir, "documents").withColumn(
+            "doc_id", F.col("doc_id").cast("string")
+        )
+    )
+    pairs = minhash_dedup_pairs(d, n=3, k=64, bands=16, threshold=0.3)
+    return assign_clusters(d, pairs).select(
+        F.col("id").alias("doc_id"), "cluster_id", "cluster_size"
+    )
+
+
 def _q32_versioned_sink(spark, sf_dir):
     """W1+S4 end-to-end: the versioning semantics stamped on the engine's
     OWN sink output (reference HorusSql.cs:221-249, SQL Patch/Add document
@@ -825,6 +845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q33_dedup_pipeline": _q33_dedup_pipeline,
         "q34_quantized_ann": _q34_quantized_ann,
         "q39_ivf_quantized_ann": _q39_ivf_quantized_ann,
+        "q40_dedup_clusters": _q40_dedup_clusters,
         "q35_bucketed_join": _q35_bucketed_join,
         "q36_salted_join": _q36_salted_join,
         "q37_media_features": _q37_media_features,
@@ -922,7 +943,7 @@ def oracle_sql() -> dict[str, str]:
         )
         for b in range(16)
     )
-    minhash_body = f"""
+    minhash_ctes = f"""
           , bh AS (
             SELECT id, CAST(concat('0x', substring(md5(shingle),1,7)) AS BIGINT) AS h
             FROM sh
@@ -940,12 +961,42 @@ def oracle_sql() -> dict[str, str]:
             JOIN sh a ON a.id = c.id_a
             JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
             GROUP BY 1, 2)
+        """
+    minhash_select = """
           SELECT id_a, id_b,
                  round(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
           FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
           WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= 0.3
         """
+    minhash_body = minhash_ctes + minhash_select
     minhash_sql = shingle_cte + minhash_body
+    # q40: transitive closure of the q21 pairs — min reachable id per node
+    # via a recursive CTE (the graph is symmetrized, so the min over the
+    # reachable set IS the component minimum), singletons from the full
+    # corpus, cluster size as a window count.
+    q40_sql = (
+        shingle_cte.replace("WITH ", "WITH RECURSIVE ", 1)
+        + minhash_ctes
+        + f", pairs AS ({minhash_select})"
+        + """
+          , edges AS (
+            SELECT id_a AS u, id_b AS v FROM pairs
+            UNION
+            SELECT id_b, id_a FROM pairs
+          ), nodes AS (
+            SELECT DISTINCT CAST(doc_id AS VARCHAR) AS id FROM documents
+          ), reach(id, r) AS (
+            SELECT id, id FROM nodes
+            UNION
+            SELECT e.v, reach.r FROM edges e JOIN reach ON e.u = reach.id
+          ), comp AS (
+            SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+          )
+          SELECT doc_id, cluster_id,
+                 CAST(count(*) OVER (PARTITION BY cluster_id) AS INT) AS cluster_size
+          FROM comp
+        """
+    )
     # q33: the identical minhash pipeline over CANONICAL representatives
     # only (lexicographic-min doc_id per md5(text) group — exactly
     # dedup.exact_dedup's canonical choice)
@@ -1170,6 +1221,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q21_minhash_pairs": minhash_sql,
         "q33_dedup_pipeline": q33_sql,
+        "q40_dedup_clusters": q40_sql,
         # q34: int8 scalar quantization (floor(x/scale + 0.5) half-up — the
         # one rounding rule bit-identical across engines), integer-dot
         # candidate cosine, exact float rerank of top 30

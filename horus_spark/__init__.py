@@ -20,6 +20,8 @@ Package map:
   operators/dedup.py     exact / minhash-LSH / simhash / ngram-jaccard dedup
   operators/similarity.py  brute-force / LSH / IVF / int8-quantized ANN
   operators/skew.py      salted join for hot-key skew
+  operators/components.py  connected components (large-star/small-star)
+                         — near-dup pairs -> canonical clusters
   operators/textstats.py language-ID, quality scoring, token counts,
                          fingerprinting over document text
   operators/multimodal.py  binary media column plumbing (decode stubbed)
@@ -65,6 +67,15 @@ def __getattr__(name):
         "salted_join": ("horus_spark.operators.skew", "salted_join"),
         "load_documents": ("horus_spark.sources.sink", "load_documents"),
         "quantized_topk": ("horus_spark.operators.similarity", "quantized_topk"),
+        "ivf_quantized_topk": (
+            "horus_spark.operators.similarity", "ivf_quantized_topk",
+        ),
+        "connected_components": (
+            "horus_spark.operators.components", "connected_components",
+        ),
+        "assign_clusters": (
+            "horus_spark.operators.components", "assign_clusters",
+        ),
     }
     if name in _API:
         import importlib
