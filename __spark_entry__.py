@@ -808,6 +808,103 @@ def _q30_multiband_cosine(spark, sf_dir):
     return lsh_cosine_pairs_multiband(e, _q30_planes(), threshold=0.2)
 
 
+def _q41_sequence_packing(spark, sf_dir):
+    """Training-sequence packing: shard-parallel greedy next-fit over
+    whitespace token counts (budget 512 tokens, 8 md5-derived shards).
+    Only (shard, doc_id, n_tokens) crosses the packing shuffle — the
+    payload joins back by id. Oracle replays the exact algorithm as a
+    recursive CTE."""
+    from horus_spark.operators.packing import pack_sequences
+    from horus_spark.operators.textstats import token_count_expr
+
+    d = _load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        token_count_expr(F.col("text")).alias("n_tokens"),
+    )
+    return pack_sequences(d, "doc_id", "n_tokens", budget=512, n_shards=8)
+
+
+def _q42_stratified_sample(spark, sf_dir):
+    """Deterministic corpus curation: per-language hash sampling (en 0.8,
+    de 0.5, fr 0.25, others 0.1) composed with a 20-doc cap per source —
+    both decisions derived from md5(doc_id), so the sample is identical
+    on every engine/run/partitioning. The sample filter is map-side
+    (zero shuffle); the cap plans as WindowGroupLimit."""
+    from horus_spark.operators.sampling import cap_per_key, stratified_sample
+
+    d = _load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "lang", "source"
+    )
+    s = stratified_sample(
+        d,
+        "lang",
+        {"en": 0.8, "de": 0.5, "fr": 0.25},
+        key_col="doc_id",
+        default_rate=0.1,
+        salt="s42",
+    )
+    return cap_per_key(s, ["source"], 20, ["doc_id"])
+
+
+def _q43_asof_join(spark, sf_dir):
+    """Point-in-time join: each purchase event matched to the latest view
+    event at-or-before it for the same user (NULLs when none) — the
+    union-and-carry as-of join: ONE shuffle of |left|+|right| rows, no
+    inequality-join row explosion. Oracle is DuckDB's native ASOF JOIN."""
+    from horus_spark.operators.asof import asof_join
+
+    ev = _load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_event_id"))
+    )
+    j = asof_join(
+        purchases, views, on=["user_id"], left_ts="ts", right_ts="ts"
+    )
+    return j.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("asof_ts").alias("view_ts"),
+        F.col("asof_view_event_id").alias("view_event_id"),
+    )
+
+
+def _q44_interval_join(spark, sf_dir):
+    """Range join: click events falling inside the 2-hour window after an
+    error event of the same user — bucketized to an equi-join on
+    (user, time-bucket) so the plan is an ordinary hash join (no
+    BroadcastNestedLoopJoin, no per-key pair explosion)."""
+    from horus_spark.operators.rangejoin import interval_join
+
+    ev = _load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end_ts"),
+    )
+    j = interval_join(
+        clicks,
+        errors,
+        on=["user_id"],
+        left_ts="click_ts",
+        right_start="start_ts",
+        right_end="end_ts",
+        bucket_width_s=7200,
+    )
+    return j.select("click_id", "user_id", "click_ts", "error_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -850,6 +947,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q36_salted_join": _q36_salted_join,
         "q37_media_features": _q37_media_features,
         "q38_frame_sample": _q38_frame_sample,
+        "q41_sequence_packing": _q41_sequence_packing,
+        "q42_stratified_sample": _q42_stratified_sample,
+        "q43_asof_join": _q43_asof_join,
+        "q44_interval_join": _q44_interval_join,
     }
 
 
@@ -1513,5 +1614,77 @@ def oracle_sql() -> dict[str, str]:
             SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, neighbor_id ASC) AS rank
             FROM scored)
           WHERE rank <= 10
+        """,
+        # q41: the packing algorithm replayed exactly — per md5-shard,
+        # ascending doc_id, greedy next-fit at budget 512 — as a
+        # recursive CTE stepping row_number-by-row_number within shards.
+        "q41_sequence_packing": """
+          WITH RECURSIVE docs AS (
+            SELECT CAST(doc_id AS VARCHAR) AS id,
+                   CASE WHEN len(trim(text)) = 0 THEN 0
+                        ELSE len(string_split(trim(text), ' ')) END AS n_tokens,
+                   CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8 AS INT) AS shard
+            FROM documents
+          ), ord AS (
+            SELECT *, row_number() OVER (PARTITION BY shard ORDER BY id) AS rn
+            FROM docs
+          ), pack AS (
+            SELECT shard, rn, id, n_tokens,
+                   0 AS seq_id, 0 AS seq_pos, n_tokens AS run
+            FROM ord WHERE rn = 1
+            UNION ALL
+            SELECT o.shard, o.rn, o.id, o.n_tokens,
+                   CASE WHEN p.run + o.n_tokens > 512 THEN p.seq_id + 1 ELSE p.seq_id END,
+                   CASE WHEN p.run + o.n_tokens > 512 THEN 0 ELSE p.seq_pos + 1 END,
+                   CASE WHEN p.run + o.n_tokens > 512 THEN o.n_tokens ELSE p.run + o.n_tokens END
+            FROM ord o JOIN pack p ON o.shard = p.shard AND o.rn = p.rn + 1
+          )
+          SELECT id AS doc_id, shard, CAST(seq_id AS INT) AS seq_id,
+                 CAST(seq_pos AS INT) AS seq_pos,
+                 CAST(n_tokens AS BIGINT) AS n_tokens
+          FROM pack
+        """,
+        # q42: same md5-uniform construction as the Spark side (first 15
+        # hex chars = 60 bits, scaled by 2^60), CASE rate per language,
+        # then the per-source cap as a row_number window.
+        "q42_stratified_sample": """
+          WITH u AS (
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id, lang, source,
+                   CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR) || 's42'), 1, 15)) AS BIGINT)
+                     / 1152921504606846976.0 AS u
+            FROM documents
+          ), s AS (
+            SELECT doc_id, lang, source FROM u
+            WHERE u < CASE lang WHEN 'en' THEN 0.8 WHEN 'de' THEN 0.5
+                                WHEN 'fr' THEN 0.25 ELSE 0.1 END
+          ), r AS (
+            SELECT *, row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+            FROM s
+          )
+          SELECT doc_id, lang, source FROM r WHERE rn <= 20
+        """,
+        # q43: DuckDB's native ASOF JOIN (inclusive >=, latest right row
+        # at-or-before each left row) — the independent semantics check
+        # for the union-and-carry implementation.
+        "q43_asof_join": """
+          WITH p AS (
+            SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+          ), v AS (
+            SELECT user_id, ts, max(event_id) AS view_event_id
+            FROM events WHERE event_type = 'view' GROUP BY 1, 2
+          )
+          SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+                 v.ts AS view_ts, v.view_event_id
+          FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+        """,
+        # q44: the bucketization is an implementation detail — the oracle
+        # is the plain inequality join the operator must be equivalent to.
+        "q44_interval_join": """
+          SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+                 e.event_id AS error_id
+          FROM events c JOIN events e
+            ON c.user_id = e.user_id
+           AND c.event_type = 'click' AND e.event_type = 'error'
+           AND c.ts >= e.ts AND c.ts <= e.ts + INTERVAL 2 HOUR
         """,
     }

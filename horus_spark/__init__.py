@@ -22,6 +22,12 @@ Package map:
   operators/skew.py      salted join for hot-key skew
   operators/components.py  connected components (large-star/small-star)
                          — near-dup pairs -> canonical clusters
+  operators/sampling.py  deterministic hash / stratified sampling,
+                         per-key contribution caps
+  operators/packing.py   token-budget training-sequence packing
+                         (shard-parallel next-fit)
+  operators/asof.py      as-of (point-in-time) join, union-and-carry
+  operators/rangejoin.py interval containment join, bucketized
   operators/textstats.py language-ID, quality scoring, token counts,
                          fingerprinting over document text
   operators/multimodal.py  binary media column plumbing (decode stubbed)
@@ -76,6 +82,14 @@ def __getattr__(name):
         "assign_clusters": (
             "horus_spark.operators.components", "assign_clusters",
         ),
+        "hash_sample": ("horus_spark.operators.sampling", "hash_sample"),
+        "stratified_sample": (
+            "horus_spark.operators.sampling", "stratified_sample",
+        ),
+        "cap_per_key": ("horus_spark.operators.sampling", "cap_per_key"),
+        "pack_sequences": ("horus_spark.operators.packing", "pack_sequences"),
+        "asof_join": ("horus_spark.operators.asof", "asof_join"),
+        "interval_join": ("horus_spark.operators.rangejoin", "interval_join"),
     }
     if name in _API:
         import importlib
