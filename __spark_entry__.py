@@ -905,6 +905,36 @@ def _q44_interval_join(spark, sf_dir):
     return j.select("click_id", "user_id", "click_ts", "error_id")
 
 
+def _q45_repetition(spark, sf_dir):
+    """Gopher/MassiveText repetition filter signals per document: top
+    n-gram occupancy and duplicate-n-gram occurrence fraction for
+    n in {2,3} — explode -> per-(doc,gram) count -> per-doc aggregate,
+    partial aggregation ahead of each exchange."""
+    from horus_spark.operators.textstats import repetition_stats
+
+    d = _fanout(
+        _load(spark, sf_dir, "documents").withColumn(
+            "doc_id", F.col("doc_id").cast("string")
+        )
+    )
+    return repetition_stats(d, "doc_id", "text", ns=(2, 3))
+
+
+def _q46_weighted_sample(spark, sf_dir):
+    """Weighted sample without replacement, 10 docs per language with
+    probability proportional to n_chars: Efraimidis-Spirakis exponential
+    sort over deterministic md5 uniforms — reproducible across engines
+    and partitionings, planned as WindowGroupLimit top-k."""
+    from horus_spark.operators.sampling import weighted_sample_per_key
+
+    d = _load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        "lang",
+        F.col("n_chars").cast("double").alias("w"),
+    )
+    return weighted_sample_per_key(d, ["lang"], "w", 10, "doc_id", salt="s46")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -951,6 +981,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q42_stratified_sample": _q42_stratified_sample,
         "q43_asof_join": _q43_asof_join,
         "q44_interval_join": _q44_interval_join,
+        "q45_repetition": _q45_repetition,
+        "q46_weighted_sample": _q46_weighted_sample,
     }
 
 
@@ -1686,5 +1718,65 @@ def oracle_sql() -> dict[str, str]:
             ON c.user_id = e.user_id
            AND c.event_type = 'click' AND e.event_type = 'error'
            AND c.ts >= e.ts AND c.ts <= e.ts + INTERVAL 2 HOUR
+        """,
+        # q45: identical n-gram construction (adjacent token windows),
+        # per-(doc, gram) counts, per-doc top/dup occupancy; docs too
+        # short for n-grams come back as 0.0 via the left join.
+        "q45_repetition": """
+          WITH tok AS (
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   string_split(trim(text), ' ') AS t
+            FROM documents
+          ),
+          g2 AS (
+            SELECT doc_id, unnest([t[i] || ' ' || t[i+1]
+                                   for i in generate_series(1, len(t)-1)]) AS g
+            FROM tok WHERE len(t) >= 2
+          ),
+          c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+          s2 AS (
+            SELECT doc_id,
+                   round(max(c) * 1.0 / sum(c), 6) AS top2gram_ratio,
+                   round(sum(CASE WHEN c > 1 THEN c ELSE 0 END) * 1.0 / sum(c), 6) AS dup2gram_frac
+            FROM c2 GROUP BY 1
+          ),
+          g3 AS (
+            SELECT doc_id, unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                   for i in generate_series(1, len(t)-2)]) AS g
+            FROM tok WHERE len(t) >= 3
+          ),
+          c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+          s3 AS (
+            SELECT doc_id,
+                   round(max(c) * 1.0 / sum(c), 6) AS top3gram_ratio,
+                   round(sum(CASE WHEN c > 1 THEN c ELSE 0 END) * 1.0 / sum(c), 6) AS dup3gram_frac
+            FROM c3 GROUP BY 1
+          )
+          SELECT d.doc_id,
+                 coalesce(s2.top2gram_ratio, 0.0) AS top2gram_ratio,
+                 coalesce(s2.dup2gram_frac, 0.0) AS dup2gram_frac,
+                 coalesce(s3.top3gram_ratio, 0.0) AS top3gram_ratio,
+                 coalesce(s3.dup3gram_frac, 0.0) AS dup3gram_frac
+          FROM (SELECT CAST(doc_id AS VARCHAR) AS doc_id FROM documents) d
+          LEFT JOIN s2 USING (doc_id) LEFT JOIN s3 USING (doc_id)
+        """,
+        # q46: the identical Efraimidis-Spirakis draw — same md5 uniform,
+        # same clamp, same 9-dp rounding, same (e, id) tie-break.
+        "q46_weighted_sample": """
+          WITH x AS (
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id, lang,
+                   CAST(n_chars AS DOUBLE) AS w,
+                   greatest(
+                     CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR) || 's46'), 1, 15)) AS BIGINT)
+                       / 1152921504606846976.0,
+                     1e-18) AS u
+            FROM documents WHERE n_chars > 0
+          ), e AS (
+            SELECT doc_id, lang, w, round(-ln(u) / w, 9) AS e FROM x
+          ), r AS (
+            SELECT *, row_number() OVER (PARTITION BY lang ORDER BY e, doc_id) AS rn
+            FROM e
+          )
+          SELECT doc_id, lang, w FROM r WHERE rn <= 10
         """,
     }

@@ -87,6 +87,12 @@ def __getattr__(name):
             "horus_spark.operators.sampling", "stratified_sample",
         ),
         "cap_per_key": ("horus_spark.operators.sampling", "cap_per_key"),
+        "weighted_sample_per_key": (
+            "horus_spark.operators.sampling", "weighted_sample_per_key",
+        ),
+        "repetition_stats": (
+            "horus_spark.operators.textstats", "repetition_stats",
+        ),
         "pack_sequences": ("horus_spark.operators.packing", "pack_sequences"),
         "asof_join": ("horus_spark.operators.asof", "asof_join"),
         "interval_join": ("horus_spark.operators.rangejoin", "interval_join"),

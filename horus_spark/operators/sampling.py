@@ -105,3 +105,39 @@ def cap_per_key(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def weighted_sample_per_key(
+    df: DataFrame,
+    key_cols: list[str],
+    weight_col: str,
+    k: int,
+    id_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Weighted random sample WITHOUT replacement of k rows per key:
+    Efraimidis-Spirakis exponential-sort — each row draws
+    e = -ln(u) / w (u from the deterministic md5 uniform, w > 0 its
+    weight) and the k SMALLEST e per key win. Inclusion probability is
+    proportional to weight, the draw is reproducible across engines and
+    partitionings, and the plan is the same WindowGroupLimit top-k as
+    cap_per_key — one shuffle, map-side pre-pruning.
+
+    e is rounded to 9 decimals before ranking (ids break residual ties)
+    so rank order is stable under cross-engine floating-point jitter in
+    ln(); rows with w <= 0 are excluded (zero weight = never sampled)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql.window import Window
+
+    # clamp away u = 0 (probability 2^-60, but ln(0) is engine-dependent)
+    u = F.greatest(hash_uniform(F.col(id_col), salt), F.lit(1e-18))
+    e = F.round(-F.log(u) / F.col(weight_col), 9)
+    w = Window.partitionBy(*key_cols).orderBy(F.col("_e"), F.col(id_col))
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("_e", e)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_e", "_rn")
+    )

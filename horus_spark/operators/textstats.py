@@ -119,3 +119,52 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             "fingerprint": fingerprint_expr(t),
         }
     )
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    ns: tuple = (2, 3),
+) -> DataFrame:
+    """Gopher/MassiveText-style repetition filter signals, per document:
+    for each n in `ns`, the fraction of all n-gram occurrences taken by
+    the single most frequent n-gram (`top{n}gram_ratio`) and the
+    fraction of occurrences whose n-gram appears more than once
+    (`dup{n}gram_frac`). High values flag boilerplate/spam for removal.
+
+    Shape at scale: token split is map-side; each n adds one explode ->
+    per-(doc, gram) count -> per-doc aggregate — the same
+    shuffle-then-combine pattern as the shingle pipeline, with partial
+    aggregation before each exchange. Empty/short docs yield 0.0 (no
+    n-grams => nothing repeated)."""
+    tokenized = df.select(id_col, tokens_expr(F.col(text_col)).alias("_toks"))
+    toks = F.col("_toks")
+    out = df.select(id_col)
+    for n in ns:
+        grams = F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.slice(toks, 1, F.size(toks) - (n - 1)),
+                lambda _x, i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        per_gram = (
+            tokenized.select(id_col, F.explode(grams).alias("g"))
+            .groupBy(id_col, "g")
+            .agg(F.count("*").alias("c"))
+        )
+        stats = per_gram.groupBy(id_col).agg(
+            F.round(F.max("c") / F.sum("c"), 6).alias(f"top{n}gram_ratio"),
+            F.round(
+                F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0)))
+                / F.sum("c"),
+                6,
+            ).alias(f"dup{n}gram_frac"),
+        )
+        out = out.join(stats, id_col, "left")
+    fills = {}
+    for n in ns:
+        fills[f"top{n}gram_ratio"] = 0.0
+        fills[f"dup{n}gram_frac"] = 0.0
+    return out.fillna(fills)

@@ -156,3 +156,82 @@ def test_pack_sequences_shuffle_carries_no_payload(spark):
     # the exchange feeding the packer must not carry the text column
     exchange = plan[plan.index("Exchange"):]
     assert "text" not in exchange.split("Scan")[0]
+
+
+def test_weighted_sample_per_key_differential(spark):
+    import math
+
+    from horus_spark.operators.sampling import weighted_sample_per_key
+
+    rows = [(f"d{i:03d}", f"k{i % 3}", float(1 + (i * 7) % 50)) for i in range(200)]
+    df = spark.createDataFrame(rows, "id string, key string, w double")
+    got = {
+        (r.key, r.id) for r in weighted_sample_per_key(df, ["key"], "w", 5, "id", "sx").collect()
+    }
+    # python replay of the exact formula
+    by_key = {}
+    for i, k, w in rows:
+        u = max(_py_uniform(i, "sx"), 1e-18)
+        e = round(-math.log(u) / w, 9)
+        by_key.setdefault(k, []).append((e, i))
+    exp = set()
+    for k, es in by_key.items():
+        for _e, i in sorted(es)[:5]:
+            exp.add((k, i))
+    assert got == exp
+    assert len(got) == 15
+
+
+def test_weighted_sample_zero_weight_excluded(spark):
+    from horus_spark.operators.sampling import weighted_sample_per_key
+
+    df = spark.createDataFrame(
+        [("a", "k", 0.0), ("b", "k", -1.0), ("c", "k", 2.0)],
+        "id string, key string, w double",
+    )
+    out = weighted_sample_per_key(df, ["key"], "w", 10, "id").collect()
+    assert [r.id for r in out] == ["c"]
+
+
+def test_weighted_sample_favors_heavy_rows(spark):
+    from horus_spark.operators.sampling import weighted_sample_per_key
+
+    # one row weighted 1000x the rest: across 40 independent salts it
+    # must be sampled far more often than a light row
+    rows = [("heavy", "k", 1000.0)] + [(f"l{i}", "k", 1.0) for i in range(49)]
+    df = spark.createDataFrame(rows, "id string, key string, w double")
+    heavy_hits = 0
+    for s in range(40):
+        ids = {
+            r.id
+            for r in weighted_sample_per_key(df, ["key"], "w", 1, "id", f"s{s}").collect()
+        }
+        heavy_hits += "heavy" in ids
+    # P(heavy wins) = 1000/1049 per draw; 40 draws -> binomial tail makes
+    # < 30 hits astronomically unlikely
+    assert heavy_hits >= 30
+
+
+def test_repetition_stats(spark):
+    from horus_spark.operators.textstats import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            ("r", "a a a b"),     # 2-grams: [a a, a a, a b] ; 3-grams: [a a a, a a b]
+            ("u", "w x y z"),     # all unique
+            ("s", "one"),         # too short for any n-gram
+            ("e", ""),            # empty
+        ],
+        "doc_id string, text string",
+    )
+    got = {r.doc_id: r.asDict() for r in repetition_stats(df).collect()}
+    assert got["r"]["top2gram_ratio"] == pytest.approx(2 / 3, abs=1e-6)
+    assert got["r"]["dup2gram_frac"] == pytest.approx(2 / 3, abs=1e-6)
+    assert got["r"]["top3gram_ratio"] == pytest.approx(0.5, abs=1e-6)
+    assert got["r"]["dup3gram_frac"] == 0.0
+    assert got["u"]["top2gram_ratio"] == pytest.approx(1 / 3, abs=1e-6)
+    assert got["u"]["dup2gram_frac"] == 0.0
+    for d in ("s", "e"):
+        assert got[d]["top2gram_ratio"] == 0.0
+        assert got[d]["dup3gram_frac"] == 0.0
+    assert len(got) == 4

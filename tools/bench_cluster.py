@@ -59,6 +59,12 @@ TOPOLOGIES = {
     "local16": (None, 16),
     "standalone_1x16": (["0-15"], 16),
     "standalone_2x8": (["0-7", "8-15"], 8),
+    # north-rule N -> 4N EXECUTORS pair (same executor size, 4x the
+    # executor count) in the unsaturated regime where per-core work
+    # dominates the host-global Arrow boundary cost:
+    "standalone_1x2": (["0-1"], 2),
+    "standalone_2x2": (["0-1", "2-3"], 2),
+    "standalone_4x2": (["0-1", "2-3", "4-5", "6-7"], 2),
 }
 
 
@@ -180,7 +186,9 @@ def _child(topology: str, stage: str) -> None:
         extra.update(
             {
                 "spark.executor.cores": str(exec_cores),
-                "spark.executor.memory": "24g",
+                # small executors request proportionally less heap so a
+                # 4-executor topology fits the host comfortably
+                "spark.executor.memory": "24g" if exec_cores >= 8 else "6g",
                 "spark.cores.max": str(total_cores),
                 "spark.submit.pyFiles": PKG_ZIP,
                 # wait for the full executor set before any stage runs:
@@ -295,8 +303,12 @@ def main() -> None:
     for d in ("/tmp/horus_cluster_work_0", "/tmp/horus_cluster_work_1"):
         shutil.rmtree(d, ignore_errors=True)
     # incremental protocol: results merge into BENCH_CLUSTER.json so
-    # topologies can run one at a time (HORUS_CLUSTER_TOPOLOGIES=a,b)
-    out_path = os.path.join(REPO, "BENCH_CLUSTER.json")
+    # topologies can run one at a time (HORUS_CLUSTER_TOPOLOGIES=a,b);
+    # corpus-size sweeps write elsewhere via HORUS_CLUSTER_OUT so the
+    # canonical 100k file is never clobbered by an n_docs mismatch
+    out_path = os.environ.get(
+        "HORUS_CLUSTER_OUT", os.path.join(REPO, "BENCH_CLUSTER.json")
+    )
     out: dict = {"n_docs": N_DOCS, "topologies": {}}
     if os.path.exists(out_path):
         with open(out_path) as fh:
@@ -326,6 +338,20 @@ def main() -> None:
         )
         out["arrow_boundary_split_1x16_over_2x8"] = round(
             one["min_sec"] / two["min_sec"], 3
+        )
+    except (StopIteration, KeyError):
+        pass
+    # headline: real executor-count N->4N scaling efficiency (full stage,
+    # 1 executor x 2 cores -> 4 executors x 2 cores, min estimator)
+    try:
+        one = next(
+            r for r in out["topologies"]["standalone_1x2"] if r["stage"] == "full"
+        )
+        four = next(
+            r for r in out["topologies"]["standalone_4x2"] if r["stage"] == "full"
+        )
+        out["executor_scaling_eff_1x2_to_4x2"] = round(
+            one["min_sec"] / (4.0 * four["min_sec"]), 3
         )
     except (StopIteration, KeyError):
         pass
