@@ -935,6 +935,49 @@ def _q46_weighted_sample(spark, sf_dir):
     return weighted_sample_per_key(d, ["lang"], "w", 10, "doc_id", salt="s46")
 
 
+def _q47_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (GPT-3/Gopher recipe): normalized word
+    5-grams of every corpus doc probed against the distinct 5-gram set
+    of a benchmark slice (doc_id % 20 == 0), broadcast md5-digest join,
+    per-doc collision counts. Corpus rows never shuffle on gram keys."""
+    from horus_spark.operators.decontam import decontaminate
+
+    d = _fanout(_load(spark, sf_dir, "documents"))
+    bench = d.filter(F.col("doc_id") % 20 == 0)
+    corpus = d.filter(F.col("doc_id") % 20 != 0).withColumn(
+        "doc_id", F.col("doc_id").cast("string")
+    )
+    return decontaminate(corpus, bench, n=5, min_collisions=1, normalize=True)
+
+
+def _q48_semantic_dedup(spark, sf_dir):
+    """SemDeDup: IVF cell assignment (map-side argmax, zero corpus
+    Exchange) -> within-cell cosine-threshold pairs -> large-star/
+    small-star closure -> canonical cluster per embedding. 'lowest_id'
+    centroids are the deterministic SQL-parity stand-in; production
+    default is sample-fit k-means (see semdedup docstring)."""
+    from horus_spark.operators.semdedup import semantic_dedup
+
+    e = _load(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        e, n_centroids=8, threshold=0.35, centroids="lowest_id"
+    )
+
+
+def _q49_top_ngrams(spark, sf_dir):
+    """Corpus-wide top-50 word bigrams by occurrence, with distinct-doc
+    spread: explode -> per-(doc, gram) pre-aggregate -> per-gram
+    aggregate -> TakeOrderedAndProject top-k (never a full sort)."""
+    from horus_spark.operators.textstats import top_ngrams
+
+    d = _fanout(
+        _load(spark, sf_dir, "documents").withColumn(
+            "doc_id", F.col("doc_id").cast("string")
+        )
+    )
+    return top_ngrams(d, "doc_id", "text", n=2, k=50)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -983,6 +1026,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q44_interval_join": _q44_interval_join,
         "q45_repetition": _q45_repetition,
         "q46_weighted_sample": _q46_weighted_sample,
+        "q47_decontaminate": _q47_decontaminate,
+        "q48_semantic_dedup": _q48_semantic_dedup,
+        "q49_top_ngrams": _q49_top_ngrams,
     }
 
 
@@ -1778,5 +1824,78 @@ def oracle_sql() -> dict[str, str]:
             FROM e
           )
           SELECT doc_id, lang, w FROM r WHERE rn <= 10
+        """,
+        # q47: identical normalization (lower, strip non-alnum, collapse
+        # spaces), distinct 5-grams per doc; the md5-digest join on the
+        # Spark side is equality-equivalent to this raw-string join.
+        "q47_decontaminate": """
+          WITH norm AS (
+            SELECT doc_id AS did, CAST(doc_id AS VARCHAR) AS id,
+                   trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS t
+            FROM documents
+          ), tok AS (SELECT did, id, string_split(t, ' ') AS w FROM norm),
+          grams AS (
+            SELECT did, id, unnest(list_distinct([array_to_string(w[i:i+4], ' ')
+                     for i in generate_series(1, len(w)-4)])) AS g
+            FROM tok WHERE len(w) >= 5
+          ),
+          bench AS (SELECT DISTINCT g AS bg FROM grams WHERE did % 20 = 0),
+          corp AS (SELECT id, g FROM grams WHERE did % 20 <> 0),
+          agg AS (
+            SELECT id, count(*) AS n_sh, count(b.bg) AS n_col
+            FROM corp LEFT JOIN bench b ON corp.g = b.bg GROUP BY id
+          )
+          SELECT n.id AS doc_id,
+                 CAST(coalesce(a.n_sh, 0) AS BIGINT) AS n_shingles,
+                 CAST(coalesce(a.n_col, 0) AS BIGINT) AS n_collisions,
+                 round(CASE WHEN coalesce(a.n_sh, 0) > 0
+                            THEN coalesce(a.n_col, 0) * 1.0 / a.n_sh ELSE 0.0 END, 6) AS contam_frac,
+                 coalesce(a.n_col, 0) >= 1 AS is_contaminated
+          FROM (SELECT id FROM norm WHERE did % 20 <> 0) n LEFT JOIN agg a ON n.id = a.id
+        """,
+        # q48: same lowest-id centroid stand-in + rounded-argmax cell
+        # assignment as q25, within-cell threshold pairs, component
+        # minimum via recursive transitive closure (as q40).
+        "q48_semantic_dedup": f"""
+          WITH RECURSIVE cent AS (
+            SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings ORDER BY vec_id LIMIT 8),
+          ac AS (
+            SELECT e.vec_id AS id, e.embedding AS vec, c.c_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY round({_cos_sql('e.embedding', 'c.c_vec')}, 6) DESC, c.c_id ASC) AS c_rank
+            FROM embeddings e, cent c),
+          assigned AS (SELECT id, vec, c_id AS cell FROM ac WHERE c_rank = 1),
+          pairs AS (
+            SELECT a.id AS id_a, b.id AS id_b
+            FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.id < b.id
+            WHERE round({_cos_sql('a.vec', 'b.vec')}, 6) >= 0.35),
+          edges AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+          nodes AS (SELECT vec_id AS id FROM embeddings),
+          reach(id, r) AS (
+            SELECT id, id FROM nodes
+            UNION
+            SELECT e.v, reach.r FROM edges e JOIN reach ON e.u = reach.id),
+          comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+          SELECT id AS vec_id, cluster_id,
+                 CAST(count(*) OVER (PARTITION BY cluster_id) AS INT) AS cluster_size,
+                 id <> cluster_id AS is_duplicate
+          FROM comp
+        """,
+        # q49: same bigram construction as q45's g2 CTE; per-(doc, gram)
+        # pre-aggregate makes n_docs a plain count; ties at the k-th
+        # boundary broken deterministically by gram.
+        "q49_top_ngrams": """
+          WITH tok AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+          g AS (
+            SELECT doc_id, unnest([w[i] || ' ' || w[i+1]
+                                   for i in generate_series(1, len(w)-1)]) AS gram
+            FROM tok WHERE len(w) >= 2),
+          pd AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+          agg AS (
+            SELECT gram, CAST(sum(c) AS BIGINT) AS n_occurrences,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM pd GROUP BY gram)
+          SELECT gram, n_occurrences, n_docs
+          FROM agg ORDER BY n_occurrences DESC, gram ASC LIMIT 50
         """,
     }

@@ -96,6 +96,10 @@ def __getattr__(name):
         "pack_sequences": ("horus_spark.operators.packing", "pack_sequences"),
         "asof_join": ("horus_spark.operators.asof", "asof_join"),
         "interval_join": ("horus_spark.operators.rangejoin", "interval_join"),
+        "decontaminate": ("horus_spark.operators.decontam", "decontaminate"),
+        "semantic_dedup": ("horus_spark.operators.semdedup", "semantic_dedup"),
+        "semantic_pairs": ("horus_spark.operators.semdedup", "semantic_pairs"),
+        "top_ngrams": ("horus_spark.operators.textstats", "top_ngrams"),
     }
     if name in _API:
         import importlib

@@ -52,11 +52,17 @@ def minhash_params(k: int, seed: int = 1337) -> tuple[list[int], list[int]]:
 
 def _shingle_array(text_col: str, n: int) -> "F.Column":
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
     sh = F.transform(
         idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + k + 1).cast("int")) for k in range(n)])
     )
-    return F.array_distinct(sh)
+    # CASE WHEN is lazily evaluated per row, so the sequence expression
+    # (invalid when size < n: descending [0..size-n] would index past the
+    # array under ANSI mode) only runs on docs long enough to shingle;
+    # shorter docs get an empty shingle set instead of a runtime error.
+    return F.when(F.size(toks) >= n, F.array_distinct(sh)).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:

@@ -168,3 +168,47 @@ def repetition_stats(
         fills[f"top{n}gram_ratio"] = 0.0
         fills[f"dup{n}gram_frac"] = 0.0
     return out.fillna(fills)
+
+
+def top_ngrams(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    n: int = 2, k: int = 20,
+) -> DataFrame:
+    """Corpus-wide most frequent word n-grams: (gram, n_occurrences,
+    n_docs), the top k by occurrence count with a deterministic (count
+    desc, gram asc) tie-break. The vocabulary/boilerplate-survey query a
+    corpus audit starts with; n_docs separates corpus-wide boilerplate
+    (high doc spread) from one spammy document repeating itself.
+
+    Shape at scale: explode -> per-(doc, gram) pre-aggregate (map-side
+    combine collapses within-doc repeats before any Exchange) -> one
+    hash aggregate keyed by gram (count distinct docs is a plain count
+    here because the pre-aggregate made (doc, gram) unique) -> global
+    top-k via TakeOrderedAndProject (per-partition heap of k, never a
+    full sort). Hot grams ("of the") are ONE reduce-side row each —
+    heavy but bounded; there is no join for them to skew."""
+    tokenized = df.select(id_col, tokens_expr(F.col(text_col)).alias("_toks"))
+    toks = F.col("_toks")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.slice(toks, 1, F.size(toks) - (n - 1)),
+            lambda _x, i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    per_doc = (
+        tokenized.select(id_col, F.explode(grams).alias("gram"))
+        .groupBy(id_col, "gram")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        per_doc.groupBy("gram")
+        .agg(
+            F.sum("c").alias("n_occurrences"),
+            F.count("*").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("gram"))
+        .limit(k)
+    )
