@@ -978,6 +978,64 @@ def _q49_top_ngrams(spark, sf_dir):
     return top_ngrams(d, "doc_id", "text", n=2, k=50)
 
 
+def _q50_bloom_decontaminate(spark, sf_dir):
+    """q47's decontamination with the bloom pre-filter tier in front of
+    the exact digest join: benchmark grams -> compact m/64-long bitmap
+    (bounded collect BY CONSTRUCTION, 8 KiB at m=2^16) -> map-side
+    bitmap-literal probe prunes corpus grams BEFORE any join. Same
+    answer as the exact path (no false negatives), which is exactly what
+    the oracle verifies — the SQL is q47's exact recipe verbatim."""
+    from horus_spark.operators.bloom import bloom_decontaminate
+
+    d = _fanout(_load(spark, sf_dir, "documents"))
+    bench = d.filter(F.col("doc_id") % 20 == 0)
+    corpus = d.filter(F.col("doc_id") % 20 != 0).withColumn(
+        "doc_id", F.col("doc_id").cast("string")
+    )
+    return bloom_decontaminate(
+        corpus, bench, n=5, min_collisions=1, normalize=True,
+        m_bits=1 << 16, k_hashes=4,
+    )
+
+
+def _q51_kmv_distinct(spark, sf_dir):
+    """KMV distinct-count sketch: estimated distinct document texts per
+    language (near-exact-dup rate survey). Stage 1 keeps k smallest
+    md5-uniform hashes per group per Arrow batch (bounded state, zero
+    shuffle); stage 2 merges <= batches*k rows. Estimate is (k-1)/h_k —
+    deterministic, partitioning-invariant, identical math in DuckDB."""
+    from horus_spark.operators.sketches import kmv_distinct
+
+    d = _fanout(_load(spark, sf_dir, "documents"))
+    return kmv_distinct(d, ["lang"], "text", k=32, salt="s51")
+
+
+def _q52_bm25(spark, sf_dir):
+    """BM25 top-25 documents for a fixed query. Query terms are pruned
+    map-side before the tf aggregation (the corpus-wide posting list is
+    never built); corpus stats ride a broadcast scalar aggregate; top-k
+    resolves as TakeOrderedAndProject."""
+    from horus_spark.operators.ranking import bm25_topk
+
+    d = _fanout(
+        _load(spark, sf_dir, "documents").withColumn(
+            "doc_id", F.col("doc_id").cast("string")
+        )
+    )
+    return bm25_topk(d, "spark hash join window", k=25)
+
+
+def _q53_doc_chunks(spark, sf_dir):
+    """Training-window chunking: 8-token windows at stride 6 (overlap 2)
+    over every document — a single map-side projection (split, sequence,
+    transform, slice, explode), ZERO shuffles, zero Python; chunks
+    inherit the scan's partitioning."""
+    from horus_spark.operators.chunking import chunk_documents
+
+    d = _fanout(_load(spark, sf_dir, "documents"))
+    return chunk_documents(d, "doc_id", "text", window=8, stride=6)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -1029,6 +1087,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q47_decontaminate": _q47_decontaminate,
         "q48_semantic_dedup": _q48_semantic_dedup,
         "q49_top_ngrams": _q49_top_ngrams,
+        "q50_bloom_decontaminate": _q50_bloom_decontaminate,
+        "q51_kmv_distinct": _q51_kmv_distinct,
+        "q52_bm25": _q52_bm25,
+        "q53_doc_chunks": _q53_doc_chunks,
     }
 
 
@@ -1071,7 +1133,7 @@ _LANGS_SQL = {
 }
 
 
-def oracle_sql() -> dict[str, str]:
+def _oracle_sql_literals() -> dict[str, str]:
     toks = "string_split(trim(text), ' ')"
 
     def shingle_cte_src(src: str = "documents") -> str:
@@ -1898,4 +1960,87 @@ def oracle_sql() -> dict[str, str]:
           SELECT gram, n_occurrences, n_docs
           FROM agg ORDER BY n_occurrences DESC, gram ASC LIMIT 50
         """,
+        # q51: identical KMV math — same md5-uniform construction
+        # ((h+1)/2^60, salt 's51'), distinct hashes per group, k=32
+        # smallest, estimate (k-1)/h_k, exact below k.
+        "q51_kmv_distinct": """
+          WITH h AS (
+            SELECT DISTINCT lang,
+                   (CAST(concat('0x', substring(md5(text || 's51'), 1, 15)) AS BIGINT) + 1.0)
+                     / 1152921504606846976.0 AS u
+            FROM documents
+          ), r AS (
+            SELECT lang, u, row_number() OVER (PARTITION BY lang ORDER BY u) AS rn
+            FROM h
+          ), agg AS (
+            SELECT lang, count(*) AS cnt,
+                   max(u) FILTER (WHERE rn <= 32) AS uk
+            FROM r GROUP BY lang
+          )
+          SELECT lang,
+                 CAST(least(32, cnt) AS INT) AS n_seen_min,
+                 round(CASE WHEN cnt < 32 THEN cnt * 1.0 ELSE 31.0 / uk END, 4)
+                   AS est_distinct
+          FROM agg
+        """,
+        # q52: Okapi BM25, same normalization as q47 (lower, strip
+        # non-alnum, collapse spaces), k1=1.2 b=0.75, deterministic
+        # tie-break by doc_id.
+        "q52_bm25": """
+          WITH norm AS (
+            SELECT CAST(doc_id AS VARCHAR) AS id,
+                   trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS t
+            FROM documents
+          ), base AS (
+            SELECT id, CASE WHEN length(t) > 0 THEN len(string_split(t, ' ')) ELSE 0 END AS dl,
+                   string_split(t, ' ') AS w
+            FROM norm
+          ), stats AS (
+            SELECT count(*) * 1.0 AS n_docs, avg(dl) AS avgdl FROM base
+          ), matched AS (
+            SELECT id, dl, unnest(w) AS term FROM base
+          ), tf AS (
+            SELECT id, dl, term, count(*) AS tf FROM matched
+            WHERE term IN ('spark', 'hash', 'join', 'window')
+            GROUP BY 1, 2, 3
+          ), dft AS (
+            SELECT term, count(*) * 1.0 AS df FROM tf GROUP BY term
+          ), scored AS (
+            SELECT tf.id,
+                   round(sum(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                         * tf.tf * 2.2
+                         / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl))), 6) AS score,
+                   count(*) AS n_matched_terms
+            FROM tf JOIN dft d ON tf.term = d.term CROSS JOIN stats s
+            GROUP BY tf.id
+          )
+          SELECT id AS doc_id, score, n_matched_terms
+          FROM scored ORDER BY score DESC, doc_id ASC LIMIT 25
+        """,
+        # q53: same windows — starts every 6 tokens, 8-token slices
+        # (DuckDB list slicing is 1-based inclusive, hence i..i+7).
+        "q53_doc_chunks": """
+          WITH tok AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+            FROM documents WHERE length(trim(text)) > 0
+          ), starts AS (
+            SELECT doc_id, w, unnest(generate_series(1, len(w), 6)) AS i
+            FROM tok
+          )
+          SELECT doc_id,
+                 CAST((i - 1) / 6 AS BIGINT) AS chunk_id,
+                 CAST(least(8, len(w) - (i - 1)) AS BIGINT) AS n_tokens,
+                 array_to_string(w[i : i + 7], ' ') AS chunk_text
+          FROM starts
+        """,
     }
+
+
+def oracle_sql() -> dict[str, str]:
+    d = _oracle_sql_literals()
+    # q50 is q47's decontamination behind a bloom pre-filter tier; the
+    # bloom has no false negatives and false positives die in the exact
+    # join, so the ANSWER must be bit-identical to the exact recipe —
+    # the oracle IS q47's SQL, and the hash match is the proof.
+    d["q50_bloom_decontaminate"] = d["q47_decontaminate"]
+    return d

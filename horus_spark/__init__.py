@@ -30,6 +30,12 @@ Package map:
   operators/rangejoin.py interval containment join, bucketized
   operators/textstats.py language-ID, quality scoring, token counts,
                          fingerprinting over document text
+  operators/decontam.py  benchmark decontamination (n-gram collision)
+  operators/bloom.py     bloom pre-filter tier for decontamination
+  operators/sketches.py  KMV / HLL++ distinct-count sketches
+  operators/ranking.py   BM25 corpus ranking (query-term pruned)
+  operators/chunking.py  token-window chunking (map-side only)
+  operators/semdedup.py  SemDeDup embedding-cluster dedup
   operators/multimodal.py  binary media column plumbing (decode stubbed)
   operators/scoring.py   Inspector-style accuracy scoring + summary/flip
   operators/inspection.py  A8 asset-count scoring (capped points)
@@ -100,6 +106,18 @@ def __getattr__(name):
         "semantic_dedup": ("horus_spark.operators.semdedup", "semantic_dedup"),
         "semantic_pairs": ("horus_spark.operators.semdedup", "semantic_pairs"),
         "top_ngrams": ("horus_spark.operators.textstats", "top_ngrams"),
+        "bloom_decontaminate": (
+            "horus_spark.operators.bloom", "bloom_decontaminate",
+        ),
+        "build_bloom": ("horus_spark.operators.bloom", "build_bloom"),
+        "kmv_distinct": ("horus_spark.operators.sketches", "kmv_distinct"),
+        "approx_distinct": (
+            "horus_spark.operators.sketches", "approx_distinct",
+        ),
+        "bm25_topk": ("horus_spark.operators.ranking", "bm25_topk"),
+        "chunk_documents": (
+            "horus_spark.operators.chunking", "chunk_documents",
+        ),
     }
     if name in _API:
         import importlib

@@ -1,0 +1,111 @@
+"""BM25 corpus ranking: score documents against a query term set.
+
+The standard Okapi BM25 formula (Robertson & Walker; the Lucene/
+Elasticsearch default retrieval model):
+
+    score(d, q) = sum over t in q of
+        idf(t) * tf(t,d) * (k1 + 1) / (tf(t,d) + k1 * (1 - b + b * |d|/avgdl))
+    idf(t) = ln( (N - df(t) + 0.5) / (df(t) + 0.5) + 1 )
+
+Shape at scale (the 100 TB direction):
+- query terms are pruned MAP-SIDE before anything aggregates: the
+  explode -> isin(query_terms) filter means only rows for query terms
+  ever reach a shuffle. The corpus-wide posting list is never built.
+- tf is one (doc, term) hash aggregation with map-side combine; df(t)
+  is a second aggregation over the already-tiny tf frame.
+- corpus stats (N, avgdl) are a scalar aggregate crossJoin-broadcast —
+  no driver-side collect in the plan.
+- df/idf per query term is at most |q| rows — broadcast back onto tf.
+- top-k resolves as TakeOrderedAndProject (never a full sort).
+
+Tokenization mirrors decontam's normalization (lower, strip
+non-alphanumerics, collapse whitespace) so ranking and contamination
+probes agree on what a "term" is.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from horus_spark.operators.decontam import _norm_text
+
+
+def normalize_query(query: str) -> list[str]:
+    """Driver-side twin of _norm_text + split: distinct query terms."""
+    norm = re.sub(r" +", " ", re.sub(r"[^a-z0-9 ]", "", query.lower())).strip()
+    seen: dict[str, None] = {}
+    for t in norm.split(" "):
+        if t:
+            seen.setdefault(t, None)
+    return list(seen)
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k documents by BM25 score for `query`. Returns
+    (id_col, score, n_matched_terms), deterministic tie-break by id.
+    Documents matching no query term never appear (score would be 0)."""
+    terms = normalize_query(query)
+    if not terms:
+        raise ValueError("query has no terms after normalization")
+
+    toks = F.split(_norm_text(F.col(text_col)), " ")
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.when(F.length(_norm_text(F.col(text_col))) > 0, F.size(toks))
+        .otherwise(F.lit(0))
+        .alias("dl"),
+        toks.alias("_toks"),
+    )
+
+    # corpus stats: scalar aggregate, broadcast — no driver action
+    stats = F.broadcast(
+        base.agg(
+            F.count("*").cast("double").alias("n_docs"),
+            F.avg("dl").alias("avgdl"),
+        )
+    )
+
+    # map-side prune to query terms BEFORE the tf aggregation
+    matched = (
+        base.select("id", "dl", F.explode("_toks").alias("term"))
+        .filter(F.col("term").isin(terms))
+    )
+    tf = matched.groupBy("id", "dl", "term").agg(F.count("*").alias("tf"))
+    df_t = F.broadcast(tf.groupBy("term").agg(F.count("*").cast("double").alias("df")))
+
+    scored = (
+        tf.join(df_t, "term")
+        .crossJoin(stats)
+        .withColumn(
+            "idf",
+            F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0),
+        )
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * F.col("tf")
+            * (k1 + 1.0)
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+        .groupBy("id")
+        .agg(
+            F.round(F.sum("term_score"), 6).alias("score"),
+            F.count("*").alias("n_matched_terms"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("score"), F.asc("id"))
+        .limit(k)
+        .select(F.col("id").alias(id_col), "score", "n_matched_terms")
+    )

@@ -1,0 +1,117 @@
+"""Distinct-count sketching: KMV (k-minimum-values) over md5 uniforms.
+
+The production Spark answer for approximate COUNT(DISTINCT) is the
+built-in `approx_count_distinct` (HyperLogLog++, constant state, one
+pass) — exposed here as `approx_distinct` for completeness. Its
+estimates are engine-specific, so it cannot be oracle-matched against
+DuckDB; `kmv_distinct` is the deterministic sibling built on the same
+md5-uniform construction the sampling operators use: both engines see
+identical hashes, identical k-th minima, identical estimates.
+
+KMV recap (Bar-Yossef et al. 2002): hash every value to a uniform in
+(0, 1]; keep the k smallest DISTINCT hashes; if fewer than k distinct
+values exist the sketch is exact, otherwise estimate n ~= (k-1)/h_(k).
+
+Shape at scale (the 100 TB direction):
+- stage 1 is an Arrow-batched mapInPandas kernel that keeps, per input
+  batch and group, only the k smallest distinct hashes — bounded state,
+  zero shuffle. Correctness of the cut is the KMV merge property: every
+  one of the global k smallest distinct hashes is within its own
+  batch's k smallest, so pruning the rest cannot change the result —
+  which also makes the operator PARTITIONING-INVARIANT (repartition the
+  input any way you like, same answer; pinned by a pytest).
+- stage 2 shuffles at most (n_batches x k) rows per group — not the
+  corpus — then resolves the global k minima with array expressions.
+
+Compare the naive exact shape (groupBy(group, value).distinct) whose
+shuffle carries every distinct value: KMV's shuffle is O(batches x k)
+regardless of cardinality.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# 15 hex chars = 60 bits; uniforms are h / 2^60 in (0, 1]
+_HASH_SPAN = float(1 << 60)
+
+
+def _uniform_expr(value: F.Column, salt: str) -> F.Column:
+    h = F.conv(F.substring(F.md5(F.concat(value, F.lit(salt))), 1, 15), 16, 10)
+    return (h.cast("double") + F.lit(1.0)) / F.lit(_HASH_SPAN)
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 64,
+    salt: str = "",
+) -> DataFrame:
+    """Per group: KMV distinct-count estimate of `value_col`.
+
+    Returns (group_cols..., n_seen_min: int  — number of sketch slots
+    filled, = min(k, true distinct), est_distinct: double — exact count
+    when the sketch is not full, else (k-1)/h_k). Deterministic for a
+    fixed salt; invariant to input partitioning.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    groups = [F.col(c) for c in group_cols]
+    hashed = df.select(
+        *groups, _uniform_expr(F.col(value_col).cast("string"), salt).alias("_h")
+    )
+
+    out_fields = ", ".join(f"`{c}` string" for c in group_cols)
+    kernel_schema = f"{out_fields}, _h double"
+    gcols = list(group_cols)
+
+    def _batch_minima(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            # per group: distinct hashes, k smallest — bounded output
+            dedup = pdf.drop_duplicates(subset=gcols + ["_h"])
+            yield (
+                dedup.sort_values("_h")
+                .groupby(gcols, sort=False)
+                .head(k)[gcols + ["_h"]]
+                .astype({c: str for c in gcols})
+            )
+
+    # group cols pass through the kernel as strings (stable Arrow types);
+    # callers group on string-typed keys anyway (lang, source, ...)
+    str_in = hashed.select(
+        *[F.col(c).cast("string").alias(c) for c in gcols], "_h"
+    )
+    minima = str_in.mapInPandas(_batch_minima, schema=kernel_schema)
+
+    merged = minima.groupBy(*gcols).agg(
+        F.slice(F.array_sort(F.collect_set("_h")), 1, k).alias("_mins")
+    )
+    n_seen = F.size("_mins")
+    kth = F.element_at("_mins", k)
+    return merged.select(
+        *gcols,
+        n_seen.alias("n_seen_min"),
+        F.round(
+            F.when(n_seen < k, n_seen.cast("double")).otherwise(
+                F.lit(float(k - 1)) / kth
+            ),
+            4,
+        ).alias("est_distinct"),
+    )
+
+
+def approx_distinct(
+    df: DataFrame, group_cols: list[str], value_col: str, rsd: float = 0.05
+) -> DataFrame:
+    """Built-in HLL++ tier (constant state, one pass, no kernel) — the
+    default at 100 TB when cross-engine determinism is not required."""
+    return df.groupBy(*group_cols).agg(
+        F.approx_count_distinct(value_col, rsd).alias("approx_distinct")
+    )

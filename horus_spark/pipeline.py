@@ -124,7 +124,12 @@ def _extract_core(
     (field-line merge) are amortized evenly across the batch's docs."""
     import time as _time
 
-    t_batch0 = _time.perf_counter_ns()
+    # A/B gate for the per-doc timer (verdict-r3 ask #9): the idle-host
+    # A/B at sf0.1 bench conditions measured ON == OFF within noise (see
+    # BENCH.md round-4 addendum), so it defaults ON; the knob exists so
+    # the measurement stays reproducible.
+    timing = _os.environ.get("HORUS_SPARK_TIME_DOCS", "1") != "0"
+    t_batch0 = _time.perf_counter_ns() if timing else 0
     if len(pdf) > MAX_DOC_WORDS:  # a smaller batch cannot hold a heavy doc
         counts = pdf["doc_id"].value_counts()
         heavy = counts[counts > MAX_DOC_WORDS]
@@ -163,7 +168,7 @@ def _extract_core(
         doc_id = doc_ids[s]
         texts = texts_all[s:e]
         fx0, fy, fx1 = x0_all[s:e], y0_all[s:e], x1_all[s:e]
-        t0 = _time.perf_counter_ns()
+        t0 = _time.perf_counter_ns() if timing else 0
         try:
             if not finite_all[s:e].all():
                 raise ValueError("non-finite bbox geometry in OCR words")
@@ -178,7 +183,7 @@ def _extract_core(
             # WHY it failed is recorded — the reference's RecognizerErrors.
             fields, used = {}, set()
             status = ("failed", [f"{type(exc).__name__}: {exc}"])
-        out_ns.append(_time.perf_counter_ns() - t0)
+        out_ns.append(_time.perf_counter_ns() - t0 if timing else 0)
         out_ids.append(doc_id)
         out_fields.append(fields)
         out_status.append(status)
@@ -200,9 +205,12 @@ def _extract_core(
         flid_map = {}
     # amortize everything outside the per-doc loop (prelude + merge) evenly
     n_docs = len(out_ids)
-    overhead = max(_time.perf_counter_ns() - t_batch0 - sum(out_ns), 0)
-    share = overhead / n_docs if n_docs else 0.0
-    out_ms = [(ns + share) / 1e6 for ns in out_ns]
+    if timing:
+        overhead = max(_time.perf_counter_ns() - t_batch0 - sum(out_ns), 0)
+        share = overhead / n_docs if n_docs else 0.0
+        out_ms = [(ns + share) / 1e6 for ns in out_ns]
+    else:
+        out_ms = [0.0] * n_docs
     return out_ids, out_fields, flid_map, out_status, out_ms
 
 
