@@ -1036,6 +1036,72 @@ def _q53_doc_chunks(spark, sf_dir):
     return chunk_documents(d, "doc_id", "text", window=8, stride=6)
 
 
+def _q54_pii(spark, sf_dir):
+    """PII detection over text: emails / card-shaped digit runs / phones
+    / IPs counted per doc via regexp_count — a pure map-side projection
+    (zero shuffle, zero Python). The corpus text carries no PII, so the
+    query plants deterministic PII spans by doc_id%3 with the SAME
+    expression as the oracle; the operator sees realistic mixed text."""
+    from horus_spark.operators.pii import pii_stats
+
+    d = _fanout(_load(spark, sf_dir, "documents"))
+    planted = d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@example.com now")),
+            )
+            .when(F.col("doc_id") % 3 == 1, F.lit(" call +1 555-123-4567 or ping 10.0.0.1"))
+            .otherwise(F.lit(" pay 4111 1111 1111 1111 today")),
+        ).alias("text"),
+    )
+    return pii_stats(planted)
+
+
+def _q55_domain_counts(spark, sf_dir):
+    """Per-domain corpus survey (doc counts, distinct normalized URLs,
+    mean path depth) — drives per-domain caps/blocklists. URLs are
+    derived deterministically from (source, doc_id) with the same
+    expression as the oracle; normalization strips fragments, default
+    ports, and trailing slashes before the countDistinct."""
+    from horus_spark.operators.urls import domain_counts
+
+    d = _fanout(_load(spark, sf_dir, "documents"))
+    with_url = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            (F.col("doc_id") % 40).cast("string"),
+            F.lit(".example.com"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(":443")).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(F.lit("/docs/p"), F.col("doc_id").cast("string"), F.lit("/")),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("#frag")).otherwise(F.lit("")),
+        ).alias("url"),
+    )
+    return domain_counts(with_url)
+
+
+def _q56_dup_paragraphs(spark, sf_dir):
+    """Cross-document duplicated-passage stats (CCNet-style): disjoint
+    4-token windows (chunk_documents composition, map-side) -> md5
+    digests -> ONE digest aggregation (16-byte keys through the shuffle,
+    never chunk text) -> per-doc duplicated fraction."""
+    from horus_spark.operators.paragraphs import duplicate_paragraph_stats
+
+    d = _fanout(
+        _load(spark, sf_dir, "documents").withColumn(
+            "doc_id", F.col("doc_id").cast("string")
+        )
+    )
+    return duplicate_paragraph_stats(d, window=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -1091,6 +1157,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51_kmv_distinct": _q51_kmv_distinct,
         "q52_bm25": _q52_bm25,
         "q53_doc_chunks": _q53_doc_chunks,
+        "q54_pii": _q54_pii,
+        "q55_domain_counts": _q55_domain_counts,
+        "q56_dup_paragraphs": _q56_dup_paragraphs,
     }
 
 
@@ -2032,6 +2101,89 @@ def _oracle_sql_literals() -> dict[str, str]:
                  CAST(least(8, len(w) - (i - 1)) AS BIGINT) AS n_tokens,
                  array_to_string(w[i : i + 7], ' ') AS chunk_text
           FROM starts
+        """,
+        # q54: same planted-PII construction; RE2 (DuckDB) and Java
+        # (Spark) agree on these ASCII-class + \b patterns; counts via
+        # len(regexp_extract_all) == regexp_count.
+        "q54_pii": r"""
+          WITH planted AS (
+            SELECT CAST(doc_id AS VARCHAR) AS id,
+                   text || CASE
+                     WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+                     WHEN doc_id % 3 = 1 THEN ' call +1 555-123-4567 or ping 10.0.0.1'
+                     ELSE ' pay 4111 1111 1111 1111 today' END AS t
+            FROM documents
+          ), c AS (
+            SELECT id,
+                   CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+                   CAST(len(regexp_extract_all(t, '\b[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}\b')) AS BIGINT) AS n_card,
+                   CAST(len(regexp_extract_all(t, '\+?[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}[- ]?[0-9]{0,4}\b')) AS BIGINT) AS n_phone,
+                   CAST(len(regexp_extract_all(t, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ip
+            FROM planted
+          )
+          SELECT id AS doc_id, n_email, n_card, n_phone, n_ip,
+                 n_email + n_card + n_phone + n_ip AS n_pii
+          FROM c
+        """,
+        # q55: same derived URLs; normalization = strip fragment, lower
+        # scheme/host, drop :80/:443, strip trailing slash; host = lower
+        # authority minus port; depth = non-empty path segments.
+        "q55_domain_counts": r"""
+          WITH u AS (
+            SELECT doc_id,
+                   'https://' || source || CAST(doc_id % 40 AS VARCHAR) || '.example.com'
+                   || CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END
+                   || CASE WHEN doc_id % 2 = 0 THEN '/docs/p' || CAST(doc_id AS VARCHAR) || '/' ELSE '' END
+                   || CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END AS url
+            FROM documents
+          ), parts AS (
+            SELECT doc_id,
+                   lower(regexp_replace(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1), ':[0-9]+$', '')) AS domain,
+                   lower(regexp_extract(regexp_replace(url, '#.*$', ''), '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) || '://'
+                     || regexp_replace(lower(regexp_extract(regexp_replace(url, '#.*$', ''), '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), ':(80|443)$', '')
+                     || regexp_replace(regexp_extract(regexp_replace(url, '#.*$', ''), '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(.*)$', 1), '/$', '') AS norm_url,
+                   regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path
+            FROM u
+          ), depth AS (
+            SELECT doc_id, domain, norm_url,
+                   CASE WHEN regexp_replace(regexp_replace(path, '^/+', ''), '/+$', '') = ''
+                        THEN 0
+                        ELSE len(string_split(regexp_replace(regexp_replace(path, '^/+', ''), '/+$', ''), '/'))
+                   END AS d
+            FROM parts
+          )
+          SELECT domain,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(count(DISTINCT norm_url) AS BIGINT) AS n_urls,
+                 round(avg(d), 6) AS avg_path_depth
+          FROM depth GROUP BY domain
+        """,
+        # q56: q53's disjoint-window construction at window=4, digest ->
+        # distinct-doc counts, per-doc duplicated fraction; zero-chunk
+        # docs keep a zero row via the left join back.
+        "q56_dup_paragraphs": r"""
+          WITH tok AS (
+            SELECT CAST(doc_id AS VARCHAR) AS id, string_split_regex(trim(text), '\s+') AS w
+            FROM documents WHERE length(trim(text)) > 0
+          ), starts AS (
+            SELECT id, w, unnest(generate_series(1, len(w), 4)) AS i FROM tok
+          ), ch AS (
+            SELECT id, md5(array_to_string(w[i : i + 3], ' ')) AS digest FROM starts
+          ), dc AS (
+            SELECT digest, count(DISTINCT id) AS nd FROM ch GROUP BY digest
+          ), per_doc AS (
+            SELECT ch.id, count(*) AS n_chunks,
+                   sum(CASE WHEN dc.nd > 1 THEN 1 ELSE 0 END) AS n_dup
+            FROM ch JOIN dc USING (digest) GROUP BY ch.id
+          )
+          SELECT b.id AS doc_id,
+                 CAST(coalesce(p.n_chunks, 0) AS BIGINT) AS n_chunks,
+                 CAST(coalesce(p.n_dup, 0) AS BIGINT) AS n_dup_chunks,
+                 round(CASE WHEN coalesce(p.n_chunks, 0) > 0
+                            THEN coalesce(p.n_dup, 0) * 1.0 / p.n_chunks
+                            ELSE 0.0 END, 6) AS dup_frac
+          FROM (SELECT CAST(doc_id AS VARCHAR) AS id FROM documents) b
+          LEFT JOIN per_doc p ON b.id = p.id
         """,
     }
 

@@ -35,6 +35,9 @@ Package map:
   operators/sketches.py  KMV / HLL++ distinct-count sketches
   operators/ranking.py   BM25 corpus ranking (query-term pruned)
   operators/chunking.py  token-window chunking (map-side only)
+  operators/pii.py       PII detection/redaction (map-side regexp)
+  operators/urls.py      URL normalization + per-domain survey
+  operators/paragraphs.py  cross-doc duplicated-passage stats
   operators/semdedup.py  SemDeDup embedding-cluster dedup
   operators/multimodal.py  binary media column plumbing (decode stubbed)
   operators/scoring.py   Inspector-style accuracy scoring + summary/flip
@@ -117,6 +120,12 @@ def __getattr__(name):
         "bm25_topk": ("horus_spark.operators.ranking", "bm25_topk"),
         "chunk_documents": (
             "horus_spark.operators.chunking", "chunk_documents",
+        ),
+        "pii_stats": ("horus_spark.operators.pii", "pii_stats"),
+        "redact_pii": ("horus_spark.operators.pii", "redact_pii"),
+        "domain_counts": ("horus_spark.operators.urls", "domain_counts"),
+        "duplicate_paragraph_stats": (
+            "horus_spark.operators.paragraphs", "duplicate_paragraph_stats",
         ),
     }
     if name in _API:

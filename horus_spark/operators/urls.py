@@ -1,0 +1,68 @@
+"""URL / domain operators for web-corpus curation: normalize URLs,
+extract the host, and survey per-domain document mass — the inputs to
+domain-level policy (per-domain contribution caps, blocklists, crawl
+dedup by canonical URL).
+
+All pure JVM regexp/string expressions — zero Python. `domain_counts`
+is one hash aggregation whose shuffle carries (domain, count) pairs
+after map-side combine; everything else is a map-side projection. The
+per-domain cap itself is `sampling.cap_per_key` (compose: normalize ->
+host_of -> cap_per_key(keys=[domain])).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalize_url_expr(url: Column) -> Column:
+    """Canonical form: lowercase scheme+host, strip fragment, strip
+    trailing slash, drop default ports. Query strings are KEPT (they can
+    be content-bearing); strip them upstream if policy says so."""
+    u = F.regexp_replace(url, r"#.*$", "")  # fragment
+    # lowercase scheme://host only (path stays case-sensitive)
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    host = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    rest = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(.*)$", 1)
+    host = F.regexp_replace(host, r":(80|443)$", "")  # default ports
+    rest = F.regexp_replace(rest, r"/$", "")  # trailing slash
+    return F.when(scheme == "", u).otherwise(F.concat(scheme, F.lit("://"), host, rest))
+
+
+def host_of_expr(url: Column) -> Column:
+    """Host part of a URL ('' when no scheme present)."""
+    return F.lower(
+        F.regexp_replace(
+            F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1),
+            r":[0-9]+$",
+            "",
+        )
+    )
+
+
+def path_depth_expr(url: Column) -> Column:
+    """Number of non-empty path segments."""
+    path = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    trimmed = F.regexp_replace(F.regexp_replace(path, r"^/+", ""), r"/+$", "")
+    return F.when(trimmed == "", F.lit(0)).otherwise(
+        F.size(F.split(trimmed, "/"))
+    ).cast("long")
+
+
+def domain_counts(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per domain: document count, distinct normalized URLs, mean path
+    depth — the survey that drives per-domain caps and blocklists."""
+    base = df.select(
+        F.col(id_col),
+        host_of_expr(F.col(url_col)).alias("domain"),
+        normalize_url_expr(F.col(url_col)).alias("norm_url"),
+        path_depth_expr(F.col(url_col)).alias("depth"),
+    )
+    return base.groupBy("domain").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("norm_url").alias("n_urls"),
+        F.round(F.avg("depth"), 6).alias("avg_path_depth"),
+    )

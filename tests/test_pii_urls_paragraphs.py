@@ -1,0 +1,140 @@
+"""PII detection/redaction, URL/domain ops, duplicated-paragraph stats
+(q54/q55/q56 units)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_pii_stats_counts(spark):
+    from horus_spark.operators.pii import pii_stats
+
+    df = spark.createDataFrame(
+        [
+            ("d1", "mail me at a.b+c@test.org or x@y.co"),
+            ("d2", "call +44 207-946-0958 and 1 555-0100"),
+            ("d3", "server at 192.168.0.1 paid with 4111 1111 1111 1111"),
+            ("d4", "no pii here at all"),
+            ("d5", ""),
+        ],
+        "doc_id string, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_email"], r["n_card"], r["n_phone"], r["n_ip"], r["n_pii"])
+        for r in pii_stats(df).collect()
+    }
+    assert out["d1"] == (2, 0, 0, 0, 2)
+    assert out["d2"][2] >= 1 and out["d2"][0] == 0
+    assert out["d3"] == (0, 1, 0, 1, 2)
+    assert out["d4"] == (0, 0, 0, 0, 0)
+    assert out["d5"] == (0, 0, 0, 0, 0)
+
+
+def test_redact_pii_rewrites_and_preserves(spark):
+    from horus_spark.operators.pii import pii_stats, redact_pii
+
+    df = spark.createDataFrame(
+        [("d1", "email a@b.com ip 10.0.0.1 card 4111 1111 1111 1111 end", 7)],
+        "doc_id string, text string, keep int",
+    )
+    [row] = redact_pii(df).collect()
+    assert row["redacted"] == "email <EMAIL> ip <IP> card <CARD> end"
+    assert row["keep"] == 7 and row["text"].startswith("email a@b.com")
+    # redacted text must scan clean
+    clean = redact_pii(df).select("doc_id", F.col("redacted").alias("text"))
+    [c] = pii_stats(clean).collect()
+    assert c["n_pii"] == 0
+
+
+def test_pii_plan_is_map_side(spark):
+    from horus_spark.operators.pii import pii_stats
+
+    df = spark.createDataFrame([("d", "x")], "doc_id string, text string")
+    plan = pii_stats(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_url_normalization_and_host(spark):
+    from horus_spark.operators.urls import host_of_expr, normalize_url_expr, path_depth_expr
+
+    df = spark.createDataFrame(
+        [
+            ("HTTPS://Ex.COM:443/A/b/#frag", "https://ex.com/A/b", "ex.com", 2),
+            ("http://a.org:8080/x", "http://a.org:8080/x", "a.org", 1),
+            ("https://plain.net/", "https://plain.net", "plain.net", 0),
+            ("https://q.io/p?k=v#f", "https://q.io/p?k=v", "q.io", 1),
+            ("no-scheme-text", "no-scheme-text", "", 0),
+        ],
+        "url string, exp_norm string, exp_host string, exp_depth int",
+    )
+    rows = df.select(
+        "url", "exp_norm", "exp_host", "exp_depth",
+        normalize_url_expr(F.col("url")).alias("norm"),
+        host_of_expr(F.col("url")).alias("host"),
+        path_depth_expr(F.col("url")).alias("depth"),
+    ).collect()
+    for r in rows:
+        assert r["norm"] == r["exp_norm"], r["url"]
+        assert r["host"] == r["exp_host"], r["url"]
+        assert r["depth"] == r["exp_depth"], r["url"]
+
+
+def test_domain_counts(spark):
+    from horus_spark.operators.urls import domain_counts
+
+    df = spark.createDataFrame(
+        [
+            ("d1", "https://a.com/x"),
+            ("d2", "https://A.com/x/"),  # same normalized URL as d1
+            ("d3", "https://a.com/y/z"),
+            ("d4", "https://b.org"),
+        ],
+        "doc_id string, url string",
+    )
+    out = {r["domain"]: (r["n_docs"], r["n_urls"], r["avg_path_depth"])
+           for r in domain_counts(df).collect()}
+    assert out["a.com"] == (3, 2, round((1 + 1 + 2) / 3, 6))
+    assert out["b.org"] == (1, 1, 0.0)
+
+
+def test_duplicate_paragraph_stats(spark):
+    from horus_spark.operators.paragraphs import duplicate_paragraph_stats
+
+    shared = "alpha beta gamma delta"
+    df = spark.createDataFrame(
+        [
+            ("d1", f"{shared} one two three four"),
+            ("d2", f"{shared} five six seven eight"),
+            ("d3", "nine ten eleven twelve"),
+            ("d4", ""),  # no chunks -> zero row survives
+            # within-doc repetition only: NOT cross-doc duplicated
+            ("d5", "rep rep rep rep rep rep rep rep"),
+        ],
+        "doc_id string, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_chunks"], r["n_dup_chunks"], r["dup_frac"])
+        for r in duplicate_paragraph_stats(df, window=4).collect()
+    }
+    assert out["d1"] == (2, 1, 0.5)
+    assert out["d2"] == (2, 1, 0.5)
+    assert out["d3"] == (1, 0, 0.0)
+    assert out["d4"] == (0, 0, 0.0)
+    assert out["d5"] == (2, 0, 0.0)
+
+
+def test_duplicate_paragraph_shuffle_carries_digests_only(spark):
+    # the digest aggregation's exchange must not move chunk text
+    from horus_spark.operators.paragraphs import duplicate_paragraph_stats
+
+    df = spark.createDataFrame(
+        [("d", "a b c d e f g h")], "doc_id string, text string"
+    )
+    plan = (
+        duplicate_paragraph_stats(df, window=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "chunk_text" not in line
