@@ -1102,6 +1102,21 @@ def _q56_dup_paragraphs(spark, sf_dir):
     return duplicate_paragraph_stats(d, window=4)
 
 
+def _q57_lm_score(spark, sf_dir):
+    """CCNet-style corpus-model quality scoring: unigram LM fit on the
+    corpus (one vocab-sized aggregation), every doc scored by mean token
+    log-probability (broadcast token join + one per-doc agg). Micro-int
+    logprob summation makes the mean summation-order-deterministic."""
+    from horus_spark.operators.lm_score import lm_score
+
+    d = _fanout(
+        _load(spark, sf_dir, "documents").withColumn(
+            "doc_id", F.col("doc_id").cast("string")
+        )
+    )
+    return lm_score(d)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -1160,6 +1175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q54_pii": _q54_pii,
         "q55_domain_counts": _q55_domain_counts,
         "q56_dup_paragraphs": _q56_dup_paragraphs,
+        "q57_lm_score": _q57_lm_score,
     }
 
 
@@ -2184,6 +2200,36 @@ def _oracle_sql_literals() -> dict[str, str]:
                             ELSE 0.0 END, 6) AS dup_frac
           FROM (SELECT CAST(doc_id AS VARCHAR) AS id FROM documents) b
           LEFT JOIN per_doc p ON b.id = p.id
+        """,
+        # q57: identical unigram model (Laplace alpha=1, ln probabilities)
+        # and the same micro-int aggregation — round(logp*1e6) as BIGINT
+        # summed exactly, so the mean is independent of summation order.
+        "q57_lm_score": r"""
+          WITH tok AS (
+            SELECT CAST(doc_id AS VARCHAR) AS id,
+                   unnest(string_split_regex(trim(text), '\s+')) AS token
+            FROM documents WHERE length(trim(text)) > 0
+          ), counts AS (
+            SELECT token, count(*) AS c FROM tok GROUP BY token
+          ), stats AS (
+            SELECT sum(c) * 1.0 AS total, count(*) * 1.0 AS vocab FROM counts
+          ), model AS (
+            SELECT token,
+                   CAST(round(ln((c + 1.0) / (total + 1.0 * (vocab + 1.0))) * 1e6) AS BIGINT) AS mlogp
+            FROM counts CROSS JOIN stats
+          ), scored AS (
+            SELECT t.id, count(*) AS n_tokens,
+                   round(sum(m.mlogp) / (count(*) * 1e6), 6) AS mean_logp,
+                   sum(CASE WHEN m.mlogp IS NULL THEN 1 ELSE 0 END) AS n_oov
+            FROM tok t LEFT JOIN model m ON t.token = m.token
+            GROUP BY t.id
+          )
+          SELECT b.id AS doc_id,
+                 CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+                 coalesce(s.mean_logp, 0.0) AS mean_logp,
+                 CAST(coalesce(s.n_oov, 0) AS BIGINT) AS n_oov
+          FROM (SELECT CAST(doc_id AS VARCHAR) AS id FROM documents) b
+          LEFT JOIN scored s ON b.id = s.id
         """,
     }
 

@@ -38,6 +38,7 @@ Package map:
   operators/pii.py       PII detection/redaction (map-side regexp)
   operators/urls.py      URL normalization + per-domain survey
   operators/paragraphs.py  cross-doc duplicated-passage stats
+  operators/lm_score.py  unigram-LM quality scoring (CCNet-style)
   operators/semdedup.py  SemDeDup embedding-cluster dedup
   operators/multimodal.py  binary media column plumbing (decode stubbed)
   operators/scoring.py   Inspector-style accuracy scoring + summary/flip
@@ -126,6 +127,14 @@ def __getattr__(name):
         "domain_counts": ("horus_spark.operators.urls", "domain_counts"),
         "duplicate_paragraph_stats": (
             "horus_spark.operators.paragraphs", "duplicate_paragraph_stats",
+        ),
+        "lm_score": ("horus_spark.operators.lm_score", "lm_score"),
+        "exact_dedup": ("horus_spark.operators.dedup", "exact_dedup"),
+        "minhash_dedup_pairs": (
+            "horus_spark.operators.dedup", "minhash_dedup_pairs",
+        ),
+        "fit_unigram_model": (
+            "horus_spark.operators.lm_score", "fit_unigram_model",
         ),
     }
     if name in _API:
