@@ -130,6 +130,11 @@ def __getattr__(name):
         ),
         "lm_score": ("horus_spark.operators.lm_score", "lm_score"),
         "exact_dedup": ("horus_spark.operators.dedup", "exact_dedup"),
+        "stream_dedup": (
+            "horus_spark.streaming.incremental", "stream_dedup",
+        ),
+        "read_output": ("horus_spark.sources.sink", "read_output"),
+        "list_snapshots": ("horus_spark.sources.sink", "list_snapshots"),
         "minhash_dedup_pairs": (
             "horus_spark.operators.dedup", "minhash_dedup_pairs",
         ),

@@ -399,16 +399,32 @@ def run_checkpointed(
 _TABLE_MANIFEST = "_table_manifest.json"
 
 
+def _write_table_manifest(out_dir: str, m: dict) -> None:
+    """Atomically publish a manifest: the current pointer is tmp-written
+    and os.replace'd (POSIX-atomic), and the SAME content is archived
+    under _snapshots/snapshot_NNNNNN.json — the retained history that
+    makes read_output(..., snapshot=N) time travel work. The archive is
+    written first so a published pointer always has its history entry."""
+    snap_dir = os.path.join(out_dir, "_snapshots")
+    os.makedirs(snap_dir, exist_ok=True)
+    snap = os.path.join(snap_dir, f"snapshot_{int(m['snapshot']):06d}.json")
+    tmp_snap = snap + ".tmp"
+    with open(tmp_snap, "w") as fh:
+        json.dump(m, fh)
+    os.replace(tmp_snap, snap)
+    tmp = os.path.join(out_dir, _TABLE_MANIFEST + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(m, fh)
+    os.replace(tmp, os.path.join(out_dir, _TABLE_MANIFEST))
+
+
 def _retract_from_table_manifest(out_dir: str, chunk_dirname: str) -> None:
     m = _read_table_manifest(out_dir)
     if m is None or chunk_dirname not in m.get("chunks", []):
         return
     m["chunks"] = [c for c in m["chunks"] if c != chunk_dirname]
     m["snapshot"] = int(m.get("snapshot", 0)) + 1
-    tmp = os.path.join(out_dir, _TABLE_MANIFEST + ".tmp")
-    with open(tmp, "w") as fh:
-        json.dump(m, fh)
-    os.replace(tmp, os.path.join(out_dir, _TABLE_MANIFEST))
+    _write_table_manifest(out_dir, m)
 
 
 def _read_table_manifest(out_dir: str) -> dict | None:
@@ -431,20 +447,52 @@ def _update_table_manifest(out_dir: str, chunk_dirname: str, run_id: str) -> Non
         m["chunks"] = sorted([*m["chunks"], chunk_dirname])
     m["snapshot"] = int(m.get("snapshot", 0)) + 1
     m["run_id"] = run_id
-    tmp = os.path.join(out_dir, _TABLE_MANIFEST + ".tmp")
-    with open(tmp, "w") as fh:
-        json.dump(m, fh)
-    os.replace(tmp, os.path.join(out_dir, _TABLE_MANIFEST))
+    _write_table_manifest(out_dir, m)
 
 
-def read_output(spark, out_dir: str, table: str) -> DataFrame:
+def list_snapshots(out_dir: str) -> list[int]:
+    """Snapshot ids retained under _snapshots/, ascending."""
+    snap_dir = os.path.join(out_dir, "_snapshots")
+    if not os.path.isdir(snap_dir):
+        return []
+    out = []
+    for name in os.listdir(snap_dir):
+        if name.startswith("snapshot_") and name.endswith(".json"):
+            out.append(int(name[len("snapshot_"):-len(".json")]))
+    return sorted(out)
+
+
+def read_output(
+    spark, out_dir: str, table: str, snapshot: int | None = None
+) -> DataFrame:
     """Read a table across all committed chunk directories.
 
     Prefers the `_table_manifest.json` snapshot (the consistent-reader
     contract: a chunk becomes visible only after its manifest commit, so
     a reader racing a writer sees the previous complete snapshot, never
     a half-promoted directory); falls back to the `chunk=*` glob for
-    legacy layouts written before the manifest existed."""
+    legacy layouts written before the manifest existed.
+
+    `snapshot=N` time-travels: reads the chunk list as of snapshot N
+    (every manifest commit archives its content under _snapshots/).
+    Retracted chunk DIRECTORIES may have been deleted by the writer, so
+    a historical snapshot is readable as long as its chunks still exist
+    — same contract as an expired Iceberg snapshot."""
+    if snapshot is not None:
+        path = os.path.join(
+            out_dir, "_snapshots", f"snapshot_{int(snapshot):06d}.json"
+        )
+        if not os.path.exists(path):
+            raise ValueError(
+                f"snapshot {snapshot} not found; available: {list_snapshots(out_dir)}"
+            )
+        with open(path) as fh:
+            m = json.load(fh)
+        if not m["chunks"]:
+            raise ValueError(f"snapshot {snapshot} is empty")
+        return spark.read.option("basePath", out_dir).parquet(
+            *[os.path.join(out_dir, c, table) for c in m["chunks"]]
+        )
     m = _read_table_manifest(out_dir)
     if m is not None and m["chunks"]:
         return spark.read.option("basePath", out_dir).parquet(

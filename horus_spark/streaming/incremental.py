@@ -196,3 +196,21 @@ def windowed_event_metrics(
             "total_value",
         )
     )
+
+
+def stream_dedup(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup with BOUNDED state: emit the first row seen
+    per key; duplicates arriving within the watermark horizon are
+    dropped, and key state is evicted once the watermark passes it
+    (dropDuplicatesWithinWatermark — without the watermark variant,
+    dedup state grows forever, which no 10^12-document stream survives).
+    Keys may recur after eviction: the contract is "no duplicates within
+    the horizon", the same guarantee the versioned sink's replay-
+    idempotent batches rely on; cross-horizon dedup belongs to the batch
+    exact_dedup pass downstream."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)

@@ -161,3 +161,32 @@ def test_manifest_snapshot_isolation(spark, tmp_path):
     assert got.count() == n_total
     assert got.select("doc_id").distinct().count() == n_total
     docs.unpersist(); words.unpersist()
+
+
+def test_snapshot_time_travel(spark, tmp_path):
+    # round-4: every manifest commit archives its content; read_output
+    # (snapshot=N) reconstructs the table as of that commit.
+    from horus_spark.sources.sink import list_snapshots
+
+    out = str(tmp_path / "tt")
+    c = corpus_spark(spark, 24, partitions=4)
+    docs, words = c["documents"].cache(), c["ocr_words"].cache()
+    n_total = docs.count()
+    words.count()
+
+    run_checkpointed(docs, words, out, run_id="tt1", n_chunks=3)
+    snaps = list_snapshots(out)
+    assert snaps == [1, 2, 3]  # one snapshot per committed chunk
+
+    latest = read_output(spark, out, "documents_out").count()
+    assert latest == n_total
+    s1 = read_output(spark, out, "documents_out", snapshot=1)
+    s2 = read_output(spark, out, "documents_out", snapshot=2)
+    assert 0 < s1.count() < s2.count() < n_total
+    # snapshots compose: chunk sets are strict prefixes
+    ids1 = {r["doc_id"] for r in s1.select("doc_id").collect()}
+    ids2 = {r["doc_id"] for r in s2.select("doc_id").collect()}
+    assert ids1 < ids2
+
+    with pytest.raises(ValueError, match="snapshot 99 not found"):
+        read_output(spark, out, "documents_out", snapshot=99)

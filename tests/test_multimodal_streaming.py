@@ -121,3 +121,40 @@ def test_windowed_event_metrics_batch_semantics(spark):
     ).select(F.col("ts_s").cast("timestamp").alias("ts"), "event_type", "value")
     out = windowed_event_metrics(e).collect()
     assert {(r.event_type, r.n_events) for r in out} == {("click", 2), ("view", 1)}
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    # duplicates arriving in LATER micro-batches within the watermark
+    # horizon are dropped; state stays bounded (watermark eviction).
+    import datetime
+
+    from horus_spark.streaming.incremental import stream_dedup
+
+    in_dir = str(tmp_path / "dedup_in")
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+
+    def batch(rows, name):
+        spark.createDataFrame(
+            [(k, t0 + datetime.timedelta(seconds=s)) for k, s in rows],
+            "doc_key string, ts timestamp",
+        ).coalesce(1).write.mode("append").parquet(in_dir)
+
+    batch([("a", 0), ("b", 1), ("a", 2)], "b0")  # dup within one batch
+    batch([("b", 3), ("c", 4)], "b1")  # cross-batch dup of b
+
+    stream = spark.readStream.schema("doc_key string, ts timestamp").option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(in_dir)
+    deduped = stream_dedup(stream, ["doc_key"], ts_col="ts", watermark="1 hour")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql("select doc_key from dedup_sink").collect()
+    keys = sorted(r["doc_key"] for r in got)
+    assert keys == ["a", "b", "c"]
