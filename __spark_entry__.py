@@ -40,18 +40,29 @@ def _fanout(df: DataFrame, key: str = "doc_id", factor: int = 2) -> DataFrame:
     # pay one physical-plan probe instead of silently under-parallelizing.
     files = df.inputFiles()
     if len(files) >= target:
-        try:
-            total = sum(
-                os.path.getsize(p.removeprefix("file:")) for p in files
-            )
-            max_pb = int(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728").removesuffix("b"))
-            open_cost = int(spark.conf.get("spark.sql.files.openCostInBytes", "4194304").removesuffix("b"))
-            est_splits = -(-(total + open_cost * len(files)) // max_pb)
-        except (OSError, ValueError):
-            est_splits = df.rdd.getNumPartitions()
+        # memoize per file set: the stat() sweep is a serial driver-side
+        # syscall per file, and every oracle query funnels through here —
+        # with 10^5 input files an uncached sweep would add seconds of
+        # driver latency per query BUILD
+        cache_key = (tuple(sorted(files)), target)
+        est_splits = _fanout._cache.get(cache_key)
+        if est_splits is None:
+            try:
+                total = sum(
+                    os.path.getsize(p.removeprefix("file:")) for p in files
+                )
+                max_pb = int(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728").removesuffix("b"))
+                open_cost = int(spark.conf.get("spark.sql.files.openCostInBytes", "4194304").removesuffix("b"))
+                est_splits = -(-(total + open_cost * len(files)) // max_pb)
+            except (OSError, ValueError):
+                est_splits = df.rdd.getNumPartitions()
+            _fanout._cache[cache_key] = est_splits
         if est_splits >= target:
             return df
     return df.repartition(target, key)
+
+
+_fanout._cache = {}
 
 
 def _spans_from_text(docs: DataFrame) -> DataFrame:
@@ -1978,7 +1989,7 @@ def _oracle_sql_literals() -> dict[str, str]:
         "q47_decontaminate": """
           WITH norm AS (
             SELECT doc_id AS did, CAST(doc_id AS VARCHAR) AS id,
-                   trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS t
+                   trim(regexp_replace(regexp_replace(regexp_replace(lower(text), '\\s+', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS t
             FROM documents
           ), tok AS (SELECT did, id, string_split(t, ' ') AS w FROM norm),
           grams AS (
@@ -2074,7 +2085,7 @@ def _oracle_sql_literals() -> dict[str, str]:
         "q52_bm25": """
           WITH norm AS (
             SELECT CAST(doc_id AS VARCHAR) AS id,
-                   trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS t
+                   trim(regexp_replace(regexp_replace(regexp_replace(lower(text), '\\s+', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS t
             FROM documents
           ), base AS (
             SELECT id, CASE WHEN length(t) > 0 THEN len(string_split(t, ' ')) ELSE 0 END AS dl,

@@ -19,8 +19,11 @@ and AQE handles skewed keys like any other window.
 Tie semantics: a right row at exactly the left row's timestamp MATCHES
 (inclusive, DuckDB `ASOF JOIN ... ON l.ts >= r.ts` semantics) — the
 union sorts right rows before left rows at equal timestamps. Multiple
-right rows at the same (key, ts) are resolved by `tie_break_col`
-(largest wins) so results stay deterministic.
+right rows at the same (key, ts) are resolved by taking the greatest
+carried payload struct — field order (right ts, then right_cols in
+declaration order) defines the comparison — so results stay
+deterministic; reorder right_cols if a different column should break
+ties.
 """
 
 from __future__ import annotations

@@ -50,9 +50,10 @@ def _bit_expr(pos: F.Column) -> F.Column:
 
 def _position(gram: F.Column, i: int, m_bits: int) -> F.Column:
     """i-th bloom position for a gram digest: md5-derived uniform in
-    [0, m_bits). 15 hex chars = 60 bits, fits a long, always positive."""
-    h = F.conv(F.substring(F.md5(F.concat(gram, F.lit(f"#{i}"))), 1, 15), 16, 10)
-    return (h.cast("long") % m_bits).cast("long")
+    [0, m_bits) via the package-wide sampling.md5_long construction."""
+    from horus_spark.operators.sampling import md5_long
+
+    return (md5_long(gram, f"#{i}") % m_bits).cast("long")
 
 
 def _positions_array(gram: F.Column, k_hashes: int, m_bits: int) -> F.Column:

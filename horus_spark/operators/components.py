@@ -130,8 +130,17 @@ def connected_components(
             f"connected_components did not converge in {max_iter} rounds"
         )
     # fixpoint is a union of stars: every non-root points at its
-    # component min; roots appear only on the v side
-    return edges.select(F.col("u").alias("id"), F.col("v").alias("cluster_id"))
+    # component min; roots appear only on the v side — union in the
+    # (root, root) rows so EVERY id appearing in pairs gets a row (the
+    # documented contract; without them, `id == cluster_id` selects no
+    # canonical member and per-cluster counts are off by one)
+    stars = edges.select(F.col("u").alias("id"), F.col("v").alias("cluster_id"))
+    roots = edges.select(
+        F.col("v").alias("id"), F.col("v").alias("cluster_id")
+    ).distinct()
+    return stars.unionByName(roots).groupBy("id").agg(
+        F.min("cluster_id").alias("cluster_id")
+    )
 
 
 def assign_clusters(

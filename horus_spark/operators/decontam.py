@@ -35,7 +35,12 @@ from horus_spark.operators.dedup import _shingle_array
 
 
 def _norm_text(col: F.Column) -> F.Column:
-    norm = F.regexp_replace(F.lower(col), r"[^a-z0-9 ]", "")
+    # whitespace (incl. newlines/tabs) becomes a SPACE before the
+    # non-alphanumeric strip — deleting a '\n' outright would merge the
+    # words around a line break ('fox\njumps' -> 'foxjumps') and hide
+    # contamination that differs only in line wrapping
+    norm = F.regexp_replace(F.lower(col), r"\s+", " ")
+    norm = F.regexp_replace(norm, r"[^a-z0-9 ]", "")
     return F.trim(F.regexp_replace(norm, r" +", " "))
 
 

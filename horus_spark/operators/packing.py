@@ -36,18 +36,13 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from horus_spark.operators.sampling import _HASH_HEX
+from horus_spark.operators.sampling import md5_long
 
 
 def shard_expr(key, n_shards: int, salt: str = ""):
     """Deterministic shard id in [0, n_shards): md5-derived, portable
-    across engines (same construction as sampling.hash_uniform)."""
-    h = F.conv(
-        F.substring(F.md5(F.concat(key.cast("string"), F.lit(salt))), 1, _HASH_HEX),
-        16,
-        10,
-    ).cast("long")
-    return (h % n_shards).cast("int")
+    across engines (sampling.md5_long construction)."""
+    return (md5_long(key, salt) % n_shards).cast("int")
 
 
 def pack_sequences(
@@ -85,6 +80,13 @@ def pack_sequences(
 
     def pack_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("_id", kind="mergesort").reset_index(drop=True)
+        if pdf["_tokens"].isna().any():
+            # a NULL count arrives as NaN, and NaN poisons the running
+            # total silently (run + t > budget is False forever after) —
+            # the whole remaining shard would pack into one unbounded
+            # sequence; fail loudly instead
+            bad = pdf.loc[pdf["_tokens"].isna(), "_id"].iloc[0]
+            raise ValueError(f"null {tokens_col} for id {bad!r}")
         toks = pdf["_tokens"].to_numpy()
         seq_ids = np.empty(len(toks), dtype=np.int32)
         seq_pos = np.empty(len(toks), dtype=np.int32)

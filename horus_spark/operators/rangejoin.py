@@ -56,6 +56,12 @@ def interval_join(
     if clash:
         raise ValueError(f"rename clashing non-key columns first: {sorted(clash)}")
     w_us = int(bucket_width_s * 1_000_000)
+    if w_us < 1:
+        # sub-microsecond widths truncate to 0 and the bucket floor
+        # would divide by zero (NULL buckets -> silently empty join)
+        raise ValueError(
+            f"bucket_width_s={bucket_width_s} is below 1 microsecond"
+        )
 
     def _bucket(c: str):
         # cast normalizes TIMESTAMP_NTZ -> TIMESTAMP (unix_micros only

@@ -35,7 +35,8 @@ from horus_spark.operators.decontam import _norm_text
 
 def normalize_query(query: str) -> list[str]:
     """Driver-side twin of _norm_text + split: distinct query terms."""
-    norm = re.sub(r" +", " ", re.sub(r"[^a-z0-9 ]", "", query.lower())).strip()
+    norm = re.sub(r"\s+", " ", query.lower())
+    norm = re.sub(r" +", " ", re.sub(r"[^a-z0-9 ]", "", norm)).strip()
     seen: dict[str, None] = {}
     for t in norm.split(" "):
         if t:

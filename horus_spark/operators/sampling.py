@@ -39,17 +39,25 @@ _HASH_HEX = _HASH_BITS // 4
 _HASH_DEN = float(1 << _HASH_BITS)
 
 
-def hash_uniform(key: Column, salt: str = "") -> Column:
-    """Deterministic uniform [0,1) draw from a row key: the first 60 bits
-    of md5(key || salt) scaled down. Engine-portable (md5 hex is
-    bit-identical in Spark, DuckDB, Python) and salt-composable —
-    independent decisions need distinct salts."""
-    h = F.conv(
+def md5_long(key: Column, salt: str = "") -> Column:
+    """THE package-wide deterministic hash: first 60 bits of
+    md5(key || salt) as a non-negative long. Engine-portable (md5 hex is
+    bit-identical in Spark, DuckDB, Python — oracle SQL twin:
+    CAST(concat('0x', substring(md5(k || salt), 1, 15)) AS BIGINT)) and
+    salt-composable — independent decisions need distinct salts. Every
+    operator needing a portable hash (sampling, packing shards, bloom
+    positions, KMV uniforms) derives from this one construction."""
+    return F.conv(
         F.substring(F.md5(F.concat(key.cast("string"), F.lit(salt))), 1, _HASH_HEX),
         16,
         10,
     ).cast("long")
-    return h / F.lit(_HASH_DEN)
+
+
+def hash_uniform(key: Column, salt: str = "") -> Column:
+    """Deterministic uniform [0,1) draw from a row key: md5_long scaled
+    down by 2^60."""
+    return md5_long(key, salt) / F.lit(_HASH_DEN)
 
 
 def hash_sample(

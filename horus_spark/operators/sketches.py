@@ -36,13 +36,13 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# 15 hex chars = 60 bits; uniforms are h / 2^60 in (0, 1]
-_HASH_SPAN = float(1 << 60)
+from horus_spark.operators.sampling import _HASH_DEN, md5_long
 
 
 def _uniform_expr(value: F.Column, salt: str) -> F.Column:
-    h = F.conv(F.substring(F.md5(F.concat(value, F.lit(salt))), 1, 15), 16, 10)
-    return (h.cast("double") + F.lit(1.0)) / F.lit(_HASH_SPAN)
+    # (h+1)/2^60 in (0, 1] — strictly positive so (k-1)/h_k never
+    # divides by zero; same md5_long construction as every operator
+    return (md5_long(value, salt).cast("double") + F.lit(1.0)) / F.lit(_HASH_DEN)
 
 
 def kmv_distinct(
@@ -74,13 +74,15 @@ def kmv_distinct(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            # per group: distinct hashes, k smallest — bounded output
+            # per group: distinct hashes, k smallest — bounded output.
+            # dropna=False: pandas groupby silently drops NULL-keyed
+            # groups by default, which would make a NULL group vanish
+            # from the output (Spark's own groupBy keeps it)
             dedup = pdf.drop_duplicates(subset=gcols + ["_h"])
             yield (
                 dedup.sort_values("_h")
-                .groupby(gcols, sort=False)
+                .groupby(gcols, sort=False, dropna=False)
                 .head(k)[gcols + ["_h"]]
-                .astype({c: str for c in gcols})
             )
 
     # group cols pass through the kernel as strings (stable Arrow types);

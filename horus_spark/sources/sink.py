@@ -494,10 +494,19 @@ def read_output(
             *[os.path.join(out_dir, c, table) for c in m["chunks"]]
         )
     m = _read_table_manifest(out_dir)
-    if m is not None and m["chunks"]:
+    if m is not None:
+        if not m["chunks"]:
+            # an EMPTY manifest is a committed (empty) snapshot — falling
+            # through to the glob here would read retracted/half-state
+            # chunk dirs, exactly what the manifest commit exists to hide
+            raise ValueError(
+                f"{out_dir} has no committed chunks at snapshot "
+                f"{m.get('snapshot', 0)}"
+            )
         return spark.read.option("basePath", out_dir).parquet(
             *[os.path.join(out_dir, c, table) for c in m["chunks"]]
         )
+    # legacy layouts written before the manifest existed
     return spark.read.option("basePath", out_dir).parquet(
         os.path.join(out_dir, "chunk=*", table)
     )

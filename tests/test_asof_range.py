@@ -175,3 +175,24 @@ def test_interval_join_is_hash_equi_join(spark):
         .toString()
     )
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_interval_join_rejects_submicrosecond_width(spark):
+    from horus_spark.operators.rangejoin import interval_join
+
+    left = spark.createDataFrame(
+        [("k", "2026-01-01 00:00:00")], "key string, ts string"
+    ).selectExpr("key", "cast(ts as timestamp) as ts")
+    right = spark.createDataFrame(
+        [("k", "2026-01-01 00:00:00", "2026-01-01 01:00:00")],
+        "key string, start string, end string",
+    ).selectExpr(
+        "key", "cast(start as timestamp) as start", "cast(end as timestamp) as end"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="below 1 microsecond"):
+        interval_join(
+            left, right, on=["key"], left_ts="ts", right_start="start",
+            right_end="end", bucket_width_s=1e-7,
+        )

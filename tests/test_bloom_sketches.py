@@ -169,3 +169,18 @@ def test_approx_distinct_runs(spark):
     )
     [row] = approx_distinct(df, ["g"], "v").collect()
     assert 150 <= row["approx_distinct"] <= 250
+
+
+def test_kmv_null_group_key_kept(spark):
+    # pandas groupby drops NULL keys by default; the kernel must not —
+    # Spark's own groupBy (and approx_distinct) keeps the NULL group.
+    from horus_spark.operators.sketches import kmv_distinct
+
+    df = spark.createDataFrame(
+        [("en", "a"), ("en", "b"), (None, "x"), (None, "y"), (None, "x")],
+        "g string, v string",
+    )
+    rows = {r["g"]: (r["n_seen_min"], r["est_distinct"])
+            for r in kmv_distinct(df, ["g"], "v", k=8).collect()}
+    assert rows["en"] == (2, 2.0)
+    assert rows[None] == (2, 2.0)

@@ -36,11 +36,13 @@ def _check_graph(spark, n_nodes, edges):
         for r in connected_components(pairs).collect()
     }
     expected = _union_find(n_nodes, edges)
-    for v in sorted({x for e in edges for x in e}):
+    touched = sorted({x for e in edges for x in e if e[0] != e[1]})
+    # the documented contract: one row for EVERY id appearing in pairs,
+    # including each component's root (root maps to itself)
+    assert set(got) == {f"d{v:04d}" for v in touched}
+    for v in touched:
         want = f"d{expected[v]:04d}"
-        # roots appear only as cluster_id targets, so they default to self
-        have = got.get(f"d{v:04d}", f"d{v:04d}")
-        assert have == want, (v, have, want)
+        assert got[f"d{v:04d}"] == want, (v, got[f"d{v:04d}"], want)
 
 
 def test_random_graph_matches_union_find(spark):
@@ -60,7 +62,8 @@ def test_chain_converges_in_log_rounds(spark):
     )
     got = connected_components(pairs, max_iter=12).collect()
     assert all(r.cluster_id == "d0000" for r in got)
-    assert {r.id for r in got} == {f"d{i:04d}" for i in range(1, 61)}
+    # every id in pairs gets a row, INCLUDING the root (round-4 contract)
+    assert {r.id for r in got} == {f"d{i:04d}" for i in range(0, 61)}
 
 
 def test_two_components_and_duplicate_reversed_edges(spark):

@@ -122,3 +122,22 @@ def test_top_ngrams_counts_and_tiebreak(spark):
         ("b a", 1, 1),  # ties at 1 broken by gram ascending
         ("b c", 1, 1),
     ]
+
+
+def test_decontaminate_line_wrapping_still_collides(spark):
+    # '\n' must normalize to a SPACE, not vanish: deleting it would fuse
+    # the words around a line break and hide verbatim contamination.
+    from horus_spark.operators.decontam import decontaminate
+
+    bench = spark.createDataFrame(
+        [("b1", "the quick brown fox jumps over the lazy dog")],
+        "doc_id string, text string",
+    )
+    corpus = spark.createDataFrame(
+        [("c1", "prefix the quick brown\nfox jumps over the lazy dog suffix"),
+         ("c2", "tab\tseparated words only here nothing shared at all")],
+        "doc_id string, text string",
+    )
+    out = {r["doc_id"]: r["is_contaminated"]
+           for r in decontaminate(corpus, bench, n=5).collect()}
+    assert out == {"c1": True, "c2": False}

@@ -235,3 +235,17 @@ def test_repetition_stats(spark):
         assert got[d]["top2gram_ratio"] == 0.0
         assert got[d]["dup3gram_frac"] == 0.0
     assert len(got) == 4
+
+
+def test_pack_sequences_rejects_null_tokens(spark):
+    # NaN would silently poison the running total and pack the rest of
+    # the shard into one unbounded sequence
+    from horus_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [("a", 5), ("b", None), ("c", 7)], "doc_id string, n_tokens int"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="null n_tokens"):
+        pack_sequences(df, "doc_id", "n_tokens", budget=16, n_shards=1).collect()
