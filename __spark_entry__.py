@@ -1128,6 +1128,30 @@ def _q57_lm_score(spark, sf_dir):
     return lm_score(d)
 
 
+def _q58_top_per_key(spark, sf_dir):
+    """Group-wise top-k: 3 longest documents per language. The
+    row_number-filter plans as WindowGroupLimit — every scan partition
+    keeps its local top-3 per lang BEFORE the exchange, so the shuffle
+    carries at most partitions*k rows per key (pytest asserts the node)."""
+    from horus_spark.operators.topk import top_k_per_key
+
+    d = _fanout(_load(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "n_chars"
+    )
+    return top_k_per_key(d, ["lang"], "n_chars", k=3, tie_col="doc_id")
+
+
+def _q59_label_centroids(spark, sf_dir):
+    """Embedding mean-pool per label (class centroids): posexplode ->
+    one (label, pos) aggregation whose shuffle carries dims*labels
+    partial sums — never vectors — with exact micro-int accumulation so
+    the centroid is bit-stable under any partitioning."""
+    from horus_spark.operators.pooling import mean_pool
+
+    e = _load(spark, sf_dir, "embeddings")
+    return mean_pool(e, ["label"], "embedding")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -1187,6 +1211,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q55_domain_counts": _q55_domain_counts,
         "q56_dup_paragraphs": _q56_dup_paragraphs,
         "q57_lm_score": _q57_lm_score,
+        "q58_top_per_key": _q58_top_per_key,
+        "q59_label_centroids": _q59_label_centroids,
     }
 
 
@@ -2241,6 +2267,35 @@ def _oracle_sql_literals() -> dict[str, str]:
                  CAST(coalesce(s.n_oov, 0) AS BIGINT) AS n_oov
           FROM (SELECT CAST(doc_id AS VARCHAR) AS id FROM documents) b
           LEFT JOIN scored s ON b.id = s.id
+        """,
+        # q58: same window + deterministic doc_id tie-break.
+        "q58_top_per_key": """
+          SELECT doc_id, lang, n_chars, CAST(rank AS INT) AS rank FROM (
+            SELECT doc_id, lang, n_chars,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY n_chars DESC, doc_id ASC) AS rank
+            FROM documents
+          ) WHERE rank <= 3
+        """,
+        # q59: identical micro-int accumulation (round(val*1e6) summed
+        # as BIGINT) so the centroid is summation-order independent.
+        "q59_label_centroids": """
+          WITH pv AS (
+            SELECT label, embedding,
+                   unnest(generate_series(1, len(embedding))) AS i
+            FROM embeddings
+          ), micro AS (
+            SELECT label, i AS pos,
+                   CAST(round(embedding[i] * 1e6) AS BIGINT) AS mv
+            FROM pv
+          ), per_pos AS (
+            SELECT label, pos, sum(mv) AS s, count(*) AS n
+            FROM micro GROUP BY label, pos
+          )
+          SELECT label,
+                 CAST(min(n) AS BIGINT) AS n_vecs,
+                 list(round(s / (n * 1e6), 9) ORDER BY pos) AS centroid
+          FROM per_pos GROUP BY label
         """,
     }
 

@@ -39,6 +39,8 @@ Package map:
   operators/urls.py      URL normalization + per-domain survey
   operators/paragraphs.py  cross-doc duplicated-passage stats
   operators/lm_score.py  unigram-LM quality scoring (CCNet-style)
+  operators/topk.py      group-wise top-k (WindowGroupLimit pruning)
+  operators/pooling.py   embedding mean-pool (deterministic micro-int)
   operators/semdedup.py  SemDeDup embedding-cluster dedup
   operators/multimodal.py  binary media column plumbing (decode stubbed)
   operators/scoring.py   Inspector-style accuracy scoring + summary/flip
@@ -129,6 +131,8 @@ def __getattr__(name):
             "horus_spark.operators.paragraphs", "duplicate_paragraph_stats",
         ),
         "lm_score": ("horus_spark.operators.lm_score", "lm_score"),
+        "top_k_per_key": ("horus_spark.operators.topk", "top_k_per_key"),
+        "mean_pool": ("horus_spark.operators.pooling", "mean_pool"),
         "exact_dedup": ("horus_spark.operators.dedup", "exact_dedup"),
         "stream_dedup": (
             "horus_spark.streaming.incremental", "stream_dedup",
