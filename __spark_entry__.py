@@ -1152,6 +1152,63 @@ def _q59_label_centroids(spark, sf_dir):
     return mean_pool(e, ["label"], "embedding")
 
 
+def _q60_dsir_weights(spark, sf_dir):
+    """DSIR importance resampling weights (Xie et al. 2023): hashed
+    unigram+bigram bucket models (md5, engine-portable) for the lang='en'
+    target slice vs the whole corpus; per-doc log weight accumulated as
+    micro-ints so the score is partitioning/engine deterministic. The
+    B-row log-ratio table broadcasts; scoring is ONE per-doc agg."""
+    from horus_spark.operators.dsir import dsir_log_weights
+
+    d = _fanout(
+        _load(spark, sf_dir, "documents").withColumn(
+            "doc_id", F.col("doc_id").cast("string")
+        )
+    )
+    return dsir_log_weights(d, F.col("lang") == "en", n_buckets=1024)
+
+
+def _q61_dup_spans(spark, sf_dir):
+    """Sliding-window exact-substring duplication coverage (Lee et al.
+    2022 ExactSubstr shape): every 4-token window hashed map-side, one
+    digest-only corpus aggregation, per-doc interval-union coverage of
+    windows that occur in >= 2 documents."""
+    from horus_spark.operators.paragraphs import duplicate_span_coverage
+
+    d = _fanout(
+        _load(spark, sf_dir, "documents").withColumn(
+            "doc_id", F.col("doc_id").cast("string")
+        )
+    )
+    return duplicate_span_coverage(d, window=4)
+
+
+def _q62_domain_mixture(spark, sf_dir):
+    """Temperature-scaled domain mixture (mT5/UniMax alpha-sampling):
+    per-source token masses -> p_mix ∝ p_raw^0.3 -> token allocation of
+    a 1M-token budget + implied epochs. One corpus aggregation; the
+    normalizer sums micro-int weights so shares are order-independent."""
+    from horus_spark.operators.mixture import temperature_mixture
+
+    d = _fanout(_load(spark, sf_dir, "documents"))
+    return temperature_mixture(d, "source", alpha=0.3, token_budget=1_000_000)
+
+
+def _q63_quality_filter(spark, sf_dir):
+    """Gopher-rule composed quality gate (Rae et al. 2021 A.1.1):
+    word-count/mean-word-length/symbol/bullet/ellipsis/alpha/stopword
+    rules as named boolean columns + the conjunction verdict. Pure
+    codegen expressions — a map-side filter that fuses into the scan."""
+    from horus_spark.operators.quality_filter import gopher_quality_filter
+
+    d = _fanout(
+        _load(spark, sf_dir, "documents").withColumn(
+            "doc_id", F.col("doc_id").cast("string")
+        )
+    )
+    return gopher_quality_filter(d, min_words=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -1213,6 +1270,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q57_lm_score": _q57_lm_score,
         "q58_top_per_key": _q58_top_per_key,
         "q59_label_centroids": _q59_label_centroids,
+        "q60_dsir_weights": _q60_dsir_weights,
+        "q61_dup_spans": _q61_dup_spans,
+        "q62_domain_mixture": _q62_domain_mixture,
+        "q63_quality_filter": _q63_quality_filter,
     }
 
 
@@ -2276,6 +2337,184 @@ def _oracle_sql_literals() -> dict[str, str]:
                                       ORDER BY n_chars DESC, doc_id ASC) AS rank
             FROM documents
           ) WHERE rank <= 3
+        """,
+        # q60: identical hashed-feature construction (same md5 60-bit
+        # bucket hash, same unigram+bigram features, same Laplace model
+        # and micro-int log-ratio accumulation) — the hash match proves
+        # the whole DSIR pipeline end to end.
+        "q60_dsir_weights": r"""
+          WITH base AS (
+            SELECT CAST(doc_id AS VARCHAR) AS id, (lang = 'en') AS is_t,
+                   trim(text) AS t
+            FROM documents
+          ), tok AS (
+            SELECT id, is_t, string_split_regex(t, '\s+') AS w
+            FROM base WHERE length(t) > 0
+          ), feats AS (
+            SELECT id, is_t,
+                   unnest(list_concat(
+                     w, [w[i] || ' ' || w[i + 1] FOR i IN range(1, len(w))]
+                   )) AS f
+            FROM tok
+          ), bucketed AS (
+            SELECT id, is_t,
+                   CAST(concat('0x', substring(md5(f || 'dsir'), 1, 15)) AS BIGINT)
+                     % 1024 AS bucket
+            FROM feats
+          ), docbuck AS (
+            SELECT id, bucket, count(*) AS c FROM bucketed GROUP BY id, bucket
+          ), raw AS (
+            SELECT bucket, sum(c) AS cb FROM docbuck GROUP BY bucket
+          ), rawstats AS (
+            SELECT sum(cb) * 1.0 AS total FROM raw
+          ), tgt AS (
+            SELECT bucket, count(*) AS cb FROM bucketed WHERE is_t GROUP BY bucket
+          ), tstats AS (
+            SELECT sum(cb) * 1.0 AS total FROM tgt
+          ), ratio AS (
+            SELECT bucket,
+                   CAST(round((
+                     ln((coalesce(g.cb, 0) + 1.0) / (tstats.total + 1.0 * 1024))
+                     - ln((coalesce(r.cb, 0) + 1.0) / (rawstats.total + 1.0 * 1024))
+                   ) * 1e6) AS BIGINT) AS mratio
+            FROM raw r FULL JOIN tgt g USING (bucket)
+            CROSS JOIN rawstats CROSS JOIN tstats
+          ), scored AS (
+            SELECT d.id, sum(d.c) AS n_feats,
+                   round(sum(d.c * ratio.mratio) / 1e6, 6) AS log_weight
+            FROM docbuck d JOIN ratio USING (bucket) GROUP BY d.id
+          )
+          SELECT b.id AS doc_id,
+                 CAST(coalesce(s.n_feats, 0) AS BIGINT) AS n_feats,
+                 coalesce(s.log_weight, 0.0) AS log_weight
+          FROM (SELECT CAST(doc_id AS VARCHAR) AS id FROM documents) b
+          LEFT JOIN scored s ON b.id = s.id
+        """,
+        # q61: same sliding 4-token windows (1-based list_slice twin of
+        # Spark's slice), same cross-doc distinct count, same
+        # interval-union via lead() — coverage is exact, not hit-count.
+        "q61_dup_spans": r"""
+          WITH base AS (
+            SELECT CAST(doc_id AS VARCHAR) AS id,
+                   string_split_regex(trim(text), '\s+') AS w
+            FROM documents WHERE length(trim(text)) > 0
+          ), wins AS (
+            SELECT id, w, unnest(range(1, len(w) - 2)) AS i
+            FROM base WHERE len(w) >= 4
+          ), digests AS (
+            SELECT id, i - 1 AS pos,
+                   md5(array_to_string(list_slice(w, i, i + 3), ' ')) AS digest
+            FROM wins
+          ), dupd AS (
+            SELECT digest FROM (
+              SELECT digest, count(DISTINCT id) AS nd FROM digests GROUP BY digest
+            ) WHERE nd > 1
+          ), hits AS (
+            SELECT d.id, d.pos FROM digests d JOIN dupd USING (digest)
+          ), covp AS (
+            SELECT id, pos,
+                   least(4, coalesce(
+                     lead(pos) OVER (PARTITION BY id ORDER BY pos) - pos, 4
+                   )) AS cv
+            FROM hits
+          ), cov AS (
+            SELECT id, count(*) AS n_dup_windows, sum(cv) AS covered
+            FROM covp GROUP BY id
+          ), toks AS (
+            SELECT id, len(w) AS n_tokens FROM base
+          )
+          SELECT b.id AS doc_id,
+                 CAST(coalesce(t.n_tokens, 0) AS BIGINT) AS n_tokens,
+                 CAST(greatest(0, coalesce(t.n_tokens, 0) - 3) AS BIGINT) AS n_windows,
+                 CAST(coalesce(c.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+                 CAST(coalesce(c.covered, 0) AS BIGINT) AS covered_tokens,
+                 round(CASE WHEN coalesce(t.n_tokens, 0) > 0
+                            THEN coalesce(c.covered, 0) * 1.0 / t.n_tokens
+                            ELSE 0.0 END, 6) AS dup_frac
+          FROM (SELECT CAST(doc_id AS VARCHAR) AS id FROM documents) b
+          LEFT JOIN toks t USING (id) LEFT JOIN cov c USING (id)
+        """,
+        # q62: same per-domain token masses, same pow(p,0.3) micro-int
+        # (x1e9) weight normalization, same budget arithmetic.
+        "q62_domain_mixture": r"""
+          WITH per AS (
+            SELECT source AS domain, count(*) AS n_docs,
+                   sum(CASE WHEN length(trim(text)) > 0
+                            THEN len(string_split_regex(trim(text), '\s+'))
+                            ELSE 0 END) AS n_tokens
+            FROM documents GROUP BY source
+          ), tot AS (
+            SELECT sum(n_tokens) * 1.0 AS total FROM per
+          ), w AS (
+            SELECT domain, n_docs, n_tokens, total,
+                   CAST(round(pow(n_tokens / total, 0.3) * 1e9) AS BIGINT) AS mw
+            FROM per CROSS JOIN tot
+          ), norm AS (
+            SELECT sum(mw) AS msum FROM w
+          )
+          SELECT domain,
+                 CAST(n_docs AS BIGINT) AS n_docs,
+                 CAST(n_tokens AS BIGINT) AS n_tokens,
+                 round(n_tokens / total, 6) AS p_raw,
+                 round(mw * 1.0 / msum, 6) AS p_mix,
+                 CAST(round(1000000.0 * mw / msum) AS BIGINT) AS target_tokens,
+                 round(CASE WHEN n_tokens > 0
+                            THEN 1000000.0 * mw / msum / n_tokens
+                            ELSE 0.0 END, 6) AS epochs
+          FROM w CROSS JOIN norm
+        """,
+        # q63: same rule battery over exact long counts — every ratio is
+        # long/long division, so the booleans are bit-identical.
+        "q63_quality_filter": r"""
+          WITH base AS (
+            SELECT CAST(doc_id AS VARCHAR) AS id,
+                   CASE WHEN length(trim(text)) > 0
+                        THEN string_split_regex(trim(text), '\s+')
+                        ELSE []::VARCHAR[] END AS w,
+                   string_split_regex(text, '\n') AS ln,
+                   lower(trim(text)) AS lt
+            FROM documents
+          ), sized AS (
+            SELECT id,
+                   len(w) AS n_words,
+                   coalesce(list_sum([length(x) FOR x IN w]), 0) AS sum_wlen,
+                   len(list_filter(w, x -> regexp_matches(x, '[#…]')
+                                        OR contains(x, '...'))) AS n_symbol_words,
+                   len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS n_alpha_words,
+                   len(list_filter(ln, x -> regexp_matches(trim(x), '^[-*•]'))) AS n_bullet_lines,
+                   len(list_filter(ln, x -> regexp_matches(trim(x), '(\.\.\.|…)$'))) AS n_ellipsis_lines,
+                   len(ln) AS n_lines,
+                   len(list_intersect(
+                     list_distinct(string_split_regex(lt, '\s+')),
+                     ['the','be','to','of','and','that','have','with']
+                   )) AS n_stopwords
+            FROM base
+          )
+          SELECT id AS doc_id,
+                 CAST(n_words AS BIGINT) AS n_words,
+                 round(CASE WHEN n_words > 0 THEN sum_wlen * 1.0 / n_words ELSE 0.0 END, 6) AS mean_wlen,
+                 round(CASE WHEN n_words > 0 THEN n_symbol_words * 1.0 / n_words ELSE 0.0 END, 6) AS symbol_ratio,
+                 round(CASE WHEN n_lines > 0 THEN n_bullet_lines * 1.0 / n_lines ELSE 0.0 END, 6) AS bullet_ratio,
+                 round(CASE WHEN n_lines > 0 THEN n_ellipsis_lines * 1.0 / n_lines ELSE 0.0 END, 6) AS ellipsis_ratio,
+                 round(CASE WHEN n_words > 0 THEN n_alpha_words * 1.0 / n_words ELSE 0.0 END, 6) AS alpha_ratio,
+                 CAST(n_stopwords AS BIGINT) AS n_stopwords,
+                 (n_words BETWEEN 5 AND 100000) AS r_word_count,
+                 (n_words > 0 AND sum_wlen * 1.0 / n_words >= 3.0
+                              AND sum_wlen * 1.0 / n_words <= 10.0) AS r_mean_wlen,
+                 (CASE WHEN n_words > 0 THEN n_symbol_words * 1.0 / n_words ELSE 0.0 END <= 0.1) AS r_symbol,
+                 (CASE WHEN n_lines > 0 THEN n_bullet_lines * 1.0 / n_lines ELSE 0.0 END <= 0.9) AS r_bullet,
+                 (CASE WHEN n_lines > 0 THEN n_ellipsis_lines * 1.0 / n_lines ELSE 0.0 END <= 0.3) AS r_ellipsis,
+                 (n_words > 0 AND n_alpha_words * 1.0 / n_words >= 0.8) AS r_alpha,
+                 (n_stopwords >= 2) AS r_stopwords,
+                 ((n_words BETWEEN 5 AND 100000)
+                  AND (n_words > 0 AND sum_wlen * 1.0 / n_words >= 3.0
+                                   AND sum_wlen * 1.0 / n_words <= 10.0)
+                  AND (CASE WHEN n_words > 0 THEN n_symbol_words * 1.0 / n_words ELSE 0.0 END <= 0.1)
+                  AND (CASE WHEN n_lines > 0 THEN n_bullet_lines * 1.0 / n_lines ELSE 0.0 END <= 0.9)
+                  AND (CASE WHEN n_lines > 0 THEN n_ellipsis_lines * 1.0 / n_lines ELSE 0.0 END <= 0.3)
+                  AND (n_words > 0 AND n_alpha_words * 1.0 / n_words >= 0.8)
+                  AND (n_stopwords >= 2)) AS keep
+          FROM sized
         """,
         # q59: identical micro-int accumulation (round(val*1e6) summed
         # as BIGINT) so the centroid is summation-order independent.

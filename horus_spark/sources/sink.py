@@ -30,6 +30,7 @@ import datetime as dt
 import json
 import os
 import shutil
+import threading
 import time
 
 from pyspark.sql import DataFrame
@@ -399,55 +400,95 @@ def run_checkpointed(
 _TABLE_MANIFEST = "_table_manifest.json"
 
 
-def _write_table_manifest(out_dir: str, m: dict) -> None:
-    """Atomically publish a manifest: the current pointer is tmp-written
-    and os.replace'd (POSIX-atomic), and the SAME content is archived
-    under _snapshots/snapshot_NNNNNN.json — the retained history that
-    makes read_output(..., snapshot=N) time travel work. The archive is
-    written first so a published pointer always has its history entry."""
+def _commit_table_manifest(out_dir: str, mutate, run_id: str | None = None) -> dict:
+    """Optimistic-concurrency snapshot commit (the concurrent-WRITER
+    contract; readers already had snapshot isolation via the pointer).
+
+    Protocol — the same shape as an Iceberg catalog's compare-and-swap:
+    read the current manifest, apply `mutate(m)` (return the new dict,
+    or None for a no-op), then CLAIM snapshot id current+1 by
+    hard-linking a tmp file to `_snapshots/snapshot_{N}.json`. os.link
+    fails with FileExistsError iff another writer claimed N first — the
+    loser re-reads the winner's manifest and replays its mutation on
+    top, so concurrent commits serialize and no update is ever lost
+    (the old read-modify-write + os.replace could silently drop a
+    racing writer's chunk). Snapshot ids are therefore unique, gapless,
+    and totally ordered; the `_table_manifest.json` pointer is only a
+    cache, published after the claim — readers prefer the max archived
+    snapshot, so a stale/crashed pointer can never roll a reader back."""
     snap_dir = os.path.join(out_dir, "_snapshots")
     os.makedirs(snap_dir, exist_ok=True)
-    snap = os.path.join(snap_dir, f"snapshot_{int(m['snapshot']):06d}.json")
-    tmp_snap = snap + ".tmp"
-    with open(tmp_snap, "w") as fh:
-        json.dump(m, fh)
-    os.replace(tmp_snap, snap)
-    tmp = os.path.join(out_dir, _TABLE_MANIFEST + ".tmp")
-    with open(tmp, "w") as fh:
-        json.dump(m, fh)
-    os.replace(tmp, os.path.join(out_dir, _TABLE_MANIFEST))
+    for attempt in range(1000):
+        cur = _read_table_manifest(out_dir) or {"chunks": [], "snapshot": 0}
+        new = mutate({**cur, "chunks": list(cur.get("chunks", []))})
+        if new is None:
+            return cur
+        new["snapshot"] = int(cur.get("snapshot", 0)) + 1
+        if run_id is not None:
+            new["run_id"] = run_id
+        snap = os.path.join(snap_dir, f"snapshot_{new['snapshot']:06d}.json")
+        tmp = f"{snap}.tmp.{os.getpid()}.{threading.get_ident()}"
+        with open(tmp, "w") as fh:
+            json.dump(new, fh)
+        try:
+            os.link(tmp, snap)  # the CAS: EEXIST = lost the race, retry
+        except FileExistsError:
+            os.unlink(tmp)
+            continue
+        os.unlink(tmp)
+        ptmp = os.path.join(
+            out_dir, f"{_TABLE_MANIFEST}.tmp.{os.getpid()}.{threading.get_ident()}"
+        )
+        with open(ptmp, "w") as fh:
+            json.dump(new, fh)
+        os.replace(ptmp, os.path.join(out_dir, _TABLE_MANIFEST))
+        return new
+    raise RuntimeError(f"manifest commit contention in {out_dir}: 1000 CAS retries")
 
 
 def _retract_from_table_manifest(out_dir: str, chunk_dirname: str) -> None:
-    m = _read_table_manifest(out_dir)
-    if m is None or chunk_dirname not in m.get("chunks", []):
-        return
-    m["chunks"] = [c for c in m["chunks"] if c != chunk_dirname]
-    m["snapshot"] = int(m.get("snapshot", 0)) + 1
-    _write_table_manifest(out_dir, m)
+    def mutate(m: dict) -> dict | None:
+        if chunk_dirname not in m["chunks"]:
+            return None
+        m["chunks"] = [c for c in m["chunks"] if c != chunk_dirname]
+        return m
+
+    _commit_table_manifest(out_dir, mutate)
 
 
 def _read_table_manifest(out_dir: str) -> dict | None:
+    """Current manifest = the highest archived snapshot (source of
+    truth under the CAS protocol); the `_table_manifest.json` pointer
+    is consulted first as a cache and trusted only when it is at least
+    as new as the newest archive entry."""
     path = os.path.join(out_dir, _TABLE_MANIFEST)
-    if not os.path.exists(path):
-        return None
-    with open(path) as fh:
-        return json.load(fh)
+    m = None
+    if os.path.exists(path):
+        with open(path) as fh:
+            m = json.load(fh)
+    snaps = list_snapshots(out_dir)
+    if snaps and (m is None or int(m.get("snapshot", 0)) < snaps[-1]):
+        with open(
+            os.path.join(out_dir, "_snapshots", f"snapshot_{snaps[-1]:06d}.json")
+        ) as fh:
+            m = json.load(fh)
+    return m
 
 
 def _update_table_manifest(out_dir: str, chunk_dirname: str, run_id: str) -> None:
-    """Append a committed chunk dir to the snapshot manifest, atomically:
-    the new manifest is written to a tmp file and os.replace'd over the
-    old one (POSIX-atomic), so a reader always sees either the previous
-    or the next complete snapshot — never a partial list. This is the
-    minimal Iceberg-style catalog over the chunk layout: swap this file
-    for a real catalog's snapshot commit when one is configured."""
-    m = _read_table_manifest(out_dir) or {"chunks": [], "snapshot": 0}
-    if chunk_dirname not in m["chunks"]:
-        m["chunks"] = sorted([*m["chunks"], chunk_dirname])
-    m["snapshot"] = int(m.get("snapshot", 0)) + 1
-    m["run_id"] = run_id
-    _write_table_manifest(out_dir, m)
+    """Append a committed chunk dir to the snapshot manifest via the CAS
+    commit — a reader always sees either the previous or the next
+    complete snapshot, and a concurrent writer's chunks survive the
+    race. This is the minimal Iceberg-style catalog over the chunk
+    layout: swap the CAS for a real catalog's snapshot commit when one
+    is configured."""
+
+    def mutate(m: dict) -> dict:
+        if chunk_dirname not in m["chunks"]:
+            m["chunks"] = sorted([*m["chunks"], chunk_dirname])
+        return m
+
+    _commit_table_manifest(out_dir, mutate, run_id=run_id)
 
 
 def list_snapshots(out_dir: str) -> list[int]:

@@ -190,3 +190,91 @@ def test_snapshot_time_travel(spark, tmp_path):
 
     with pytest.raises(ValueError, match="snapshot 99 not found"):
         read_output(spark, out, "documents_out", snapshot=99)
+
+
+def test_manifest_cas_concurrent_writers(tmp_path):
+    """The commit protocol is a compare-and-swap on the snapshot id:
+    N racing writers each appending a distinct chunk must all survive —
+    the pre-CAS read-modify-write would silently drop losers' chunks.
+    No Spark needed; the catalog layer is pure-python by design."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from horus_spark.sources.sink import (
+        _read_table_manifest,
+        _update_table_manifest,
+        list_snapshots,
+    )
+
+    out = str(tmp_path / "out")
+    import os
+
+    os.makedirs(out)
+    chunks = [f"chunk={i:04d}" for i in range(24)]
+    with ThreadPoolExecutor(max_workers=12) as ex:
+        list(ex.map(lambda c: _update_table_manifest(out, c, "run-x"), chunks))
+
+    m = _read_table_manifest(out)
+    assert sorted(m["chunks"]) == sorted(chunks)  # no lost update
+    snaps = list_snapshots(out)
+    # snapshot ids are unique AND gapless: one claim per commit
+    assert snaps == list(range(1, len(chunks) + 1))
+    assert m["snapshot"] == len(chunks)
+    # no leaked tmp files from lost CAS rounds
+    leaked = [
+        f
+        for f in os.listdir(os.path.join(out, "_snapshots"))
+        if ".tmp." in f
+    ]
+    assert leaked == []
+
+
+def test_manifest_reader_prefers_newest_snapshot_over_stale_pointer(tmp_path):
+    """A crash between the snapshot claim and the pointer publish (or a
+    stale pointer overwrite by a slow writer) must not roll readers
+    back: the max archived snapshot is the source of truth."""
+    import json
+    import os
+
+    from horus_spark.sources.sink import (
+        _TABLE_MANIFEST,
+        _read_table_manifest,
+        _update_table_manifest,
+    )
+
+    out = str(tmp_path / "out")
+    os.makedirs(out)
+    _update_table_manifest(out, "chunk=0000", "r1")
+    _update_table_manifest(out, "chunk=0001", "r1")
+    # regress the pointer to snapshot 1 (simulated stale publish)
+    with open(os.path.join(out, "_snapshots", "snapshot_000001.json")) as fh:
+        old = json.load(fh)
+    with open(os.path.join(out, _TABLE_MANIFEST), "w") as fh:
+        json.dump(old, fh)
+    m = _read_table_manifest(out)
+    assert m["snapshot"] == 2 and "chunk=0001" in m["chunks"]
+    # pointer missing entirely: still reads the newest archive
+    os.unlink(os.path.join(out, _TABLE_MANIFEST))
+    m = _read_table_manifest(out)
+    assert m["snapshot"] == 2 and sorted(m["chunks"]) == [
+        "chunk=0000",
+        "chunk=0001",
+    ]
+
+
+def test_manifest_noop_retract_does_not_bump(tmp_path):
+    import os
+
+    from horus_spark.sources.sink import (
+        _read_table_manifest,
+        _retract_from_table_manifest,
+        _update_table_manifest,
+    )
+
+    out = str(tmp_path / "out")
+    os.makedirs(out)
+    _update_table_manifest(out, "chunk=0000", "r1")
+    _retract_from_table_manifest(out, "chunk=9999")  # not present: no-op
+    assert _read_table_manifest(out)["snapshot"] == 1
+    _retract_from_table_manifest(out, "chunk=0000")
+    m = _read_table_manifest(out)
+    assert m["snapshot"] == 2 and m["chunks"] == []
