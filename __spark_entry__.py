@@ -1209,6 +1209,38 @@ def _q63_quality_filter(spark, sf_dir):
     return gopher_quality_filter(d, min_words=5)
 
 
+def _q64_dedup_keep_best(spark, sf_dir):
+    """The dedup DECISION recipe: q21's minhash pairs -> connected
+    components -> per-cluster argmax-quality winner (n_chars, min-id
+    tie-break). Every doc gets a row with its cluster, size and keep
+    verdict — filter keep for the surviving corpus. The winner window
+    plans as WindowGroupLimit (map-side top-1 per cluster)."""
+    from horus_spark.operators.components import keep_best_per_cluster
+    from horus_spark.operators.dedup import minhash_dedup_pairs
+
+    d = _fanout(
+        _load(spark, sf_dir, "documents").withColumn(
+            "doc_id", F.col("doc_id").cast("string")
+        )
+    )
+    pairs = minhash_dedup_pairs(d, n=3, k=64, bands=16, threshold=0.3)
+    return keep_best_per_cluster(d, pairs, "n_chars")
+
+
+def _q65_containment_pairs(spark, sf_dir):
+    """Asymmetric n-gram containment pairs (Broder's second resemblance
+    measure): catches subset/superset duplication Jaccard misses. Exact
+    tier over the pruned inverted index, both directions reported."""
+    from horus_spark.operators.dedup import containment_pairs
+
+    d = _fanout(
+        _load(spark, sf_dir, "documents").withColumn(
+            "doc_id", F.col("doc_id").cast("string")
+        )
+    )
+    return containment_pairs(d, n=3, threshold=0.5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -1274,6 +1306,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q61_dup_spans": _q61_dup_spans,
         "q62_domain_mixture": _q62_domain_mixture,
         "q63_quality_filter": _q63_quality_filter,
+        "q64_dedup_keep_best": _q64_dedup_keep_best,
+        "q65_containment_pairs": _q65_containment_pairs,
     }
 
 
@@ -1419,6 +1453,39 @@ def _oracle_sql_literals() -> dict[str, str]:
           SELECT doc_id, cluster_id,
                  CAST(count(*) OVER (PARTITION BY cluster_id) AS INT) AS cluster_size
           FROM comp
+        """
+    )
+    # q64: q40's closure + per-cluster argmax(n_chars, min doc_id) winner
+    q64_sql = (
+        shingle_cte.replace("WITH ", "WITH RECURSIVE ", 1)
+        + minhash_ctes
+        + f", pairs AS ({minhash_select})"
+        + """
+          , edges AS (
+            SELECT id_a AS u, id_b AS v FROM pairs
+            UNION
+            SELECT id_b, id_a FROM pairs
+          ), nodes AS (
+            SELECT DISTINCT CAST(doc_id AS VARCHAR) AS id FROM documents
+          ), reach(id, r) AS (
+            SELECT id, id FROM nodes
+            UNION
+            SELECT e.v, reach.r FROM edges e JOIN reach ON e.u = reach.id
+          ), comp AS (
+            SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+          ), sized AS (
+            SELECT c.doc_id, c.cluster_id,
+                   CAST(count(*) OVER (PARTITION BY c.cluster_id) AS INT) AS cluster_size,
+                   d.n_chars
+            FROM comp c
+            JOIN (SELECT CAST(doc_id AS VARCHAR) AS doc_id, n_chars
+                  FROM documents) d USING (doc_id)
+          )
+          SELECT doc_id, cluster_id, cluster_size,
+                 CAST(n_chars AS BIGINT) AS n_chars,
+                 (row_number() OVER (PARTITION BY cluster_id
+                                     ORDER BY n_chars DESC, doc_id ASC) = 1) AS keep
+          FROM sized
         """
     )
     # q33: the identical minhash pipeline over CANONICAL representatives
@@ -1646,6 +1713,20 @@ def _oracle_sql_literals() -> dict[str, str]:
         "q21_minhash_pairs": minhash_sql,
         "q33_dedup_pipeline": q33_sql,
         "q40_dedup_clusters": q40_sql,
+        "q64_dedup_keep_best": q64_sql,
+        # q65: exact all-pairs containment — both directions from one
+        # inverted-index intersection; threshold on the unrounded ratios.
+        "q65_containment_pairs": shingle_cte + """
+          , pairs AS (
+            SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+            GROUP BY 1,2)
+          SELECT id_a, id_b,
+                 round(inter * 1.0 / sa.n_sh, 6) AS containment_a,
+                 round(inter * 1.0 / sb.n_sh, 6) AS containment_b
+          FROM pairs JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+          WHERE greatest(inter * 1.0 / sa.n_sh, inter * 1.0 / sb.n_sh) >= 0.5
+        """,
         # q34: int8 scalar quantization (floor(x/scale + 0.5) half-up — the
         # one rounding rule bit-identical across engines), integer-dot
         # candidate cosine, exact float rerank of top 30

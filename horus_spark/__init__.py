@@ -37,8 +37,13 @@ Package map:
   operators/chunking.py  token-window chunking (map-side only)
   operators/pii.py       PII detection/redaction (map-side regexp)
   operators/urls.py      URL normalization + per-domain survey
-  operators/paragraphs.py  cross-doc duplicated-passage stats
+  operators/paragraphs.py  cross-doc duplicated-passage stats +
+                         sliding-window exact-substring span coverage
   operators/lm_score.py  unigram-LM quality scoring (CCNet-style)
+  operators/dsir.py      DSIR importance-resampling weights (hashed
+                         n-gram bucket models, broadcast ratio table)
+  operators/mixture.py   temperature-scaled domain mixture allocation
+  operators/quality_filter.py  Gopher-rule composed quality gate
   operators/topk.py      group-wise top-k (WindowGroupLimit pruning)
   operators/pooling.py   embedding mean-pool (deterministic micro-int)
   operators/semdedup.py  SemDeDup embedding-cluster dedup
@@ -144,6 +149,22 @@ def __getattr__(name):
         ),
         "fit_unigram_model": (
             "horus_spark.operators.lm_score", "fit_unigram_model",
+        ),
+        "dsir_log_weights": ("horus_spark.operators.dsir", "dsir_log_weights"),
+        "duplicate_span_coverage": (
+            "horus_spark.operators.paragraphs", "duplicate_span_coverage",
+        ),
+        "temperature_mixture": (
+            "horus_spark.operators.mixture", "temperature_mixture",
+        ),
+        "gopher_quality_filter": (
+            "horus_spark.operators.quality_filter", "gopher_quality_filter",
+        ),
+        "keep_best_per_cluster": (
+            "horus_spark.operators.components", "keep_best_per_cluster",
+        ),
+        "containment_pairs": (
+            "horus_spark.operators.dedup", "containment_pairs",
         ),
     }
     if name in _API:

@@ -167,3 +167,48 @@ def assign_clusters(
     return assigned.withColumn(
         "cluster_size", F.count(F.lit(1)).over(w).cast("int")
     )
+
+
+def keep_best_per_cluster(
+    df: DataFrame,
+    pairs: DataFrame,
+    quality_col: str,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """The dedup DECISION: close the near-dup pair graph into clusters
+    and keep, per cluster, the single highest-quality document (ties
+    broken by minimum id, so the choice is deterministic). This is what
+    a curation pipeline actually executes after pair generation — "drop
+    duplicates, but keep the best copy, not an arbitrary one" (RefinedWeb
+    §3.4 keeps by earliest crawl; the quality column parameterizes that
+    choice).
+
+    Output: (id_col, cluster_id, cluster_size, quality_col, keep) for
+    EVERY input row — filter on `keep` for the surviving corpus, or
+    audit the dropped rows by cluster. Scale shape: clusters from the
+    O(log n) large-star/small-star rounds; the winner selection is a
+    row_number window that Spark plans as WindowGroupLimit (map-side
+    top-1 per cluster before the exchange)."""
+    assigned = assign_clusters(
+        df, pairs, id_col=id_col, id_a=id_a, id_b=id_b, max_iter=max_iter
+    )
+    q = df.select(F.col(id_col).alias("id"), F.col(quality_col).alias("_q"))
+    rn = F.row_number().over(
+        Window.partitionBy("cluster_id").orderBy(
+            F.col("_q").desc(), F.col("id").asc()
+        )
+    )
+    return (
+        assigned.join(q, "id")
+        .withColumn("keep", rn == 1)
+        .select(
+            F.col("id").alias(id_col),
+            "cluster_id",
+            "cluster_size",
+            F.col("_q").alias(quality_col),
+            "keep",
+        )
+    )

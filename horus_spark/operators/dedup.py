@@ -92,6 +92,40 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+def _pair_intersections(
+    cand: DataFrame, df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """Exact shared-shingle counts for candidate pairs carrying sizes:
+    (id_a, id_b, na, nb) -> + inter. The verification explode covers ONLY
+    docs appearing in a surviving candidate pair (semi-join prune) —
+    candidates << corpus, so the exploded joins touch a sliver of the
+    data. ONE consumption of the candidate subtree for the id set: a
+    union of two selects would execute the whole upstream candidate
+    pipeline (LSH signatures or inverted index) twice more — column
+    pruning makes the two branches different subplans, so ReuseExchange
+    cannot merge them; explode(array(...)) reads candidates once."""
+    cand_ids = (
+        cand.select(F.explode(F.array("id_a", "id_b")).alias("cid")).distinct()
+    )
+    sh = shingles(
+        df.join(cand_ids, F.col(id_col) == F.col("cid"), "left_semi"),
+        id_col,
+        text_col,
+        n,
+    )
+    return (
+        cand.select("id_a", "id_b", "na", "nb")
+        .join(sh.select(F.col("id").alias("id_a"), "shingle"), "id_a")
+        .join(
+            sh.select(F.col("id").alias("id_b"), F.col("shingle").alias("shingle_b")),
+            "id_b",
+        )
+        .filter(F.col("shingle") == F.col("shingle_b"))
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count("*").alias("inter"))
+    )
+
+
 def _verify_pairs(
     candidates: DataFrame,
     df: DataFrame,
@@ -116,31 +150,7 @@ def _verify_pairs(
         .join(sb, "id_b")
         .filter(F.least("na", "nb") >= threshold * F.greatest("na", "nb"))
     )
-    # ONE consumption of the candidate subtree for the id set: a union of
-    # two selects would execute the whole upstream candidate pipeline
-    # (LSH signatures or inverted index) twice more — column pruning makes
-    # the two branches different subplans, so ReuseExchange cannot merge
-    # them; explode(array(...)) reads candidates once
-    cand_ids = (
-        cand.select(F.explode(F.array("id_a", "id_b")).alias("cid")).distinct()
-    )
-    sh = shingles(
-        df.join(cand_ids, F.col(id_col) == F.col("cid"), "left_semi"),
-        id_col,
-        text_col,
-        n,
-    )
-    inter = (
-        cand.select("id_a", "id_b", "na", "nb")
-        .join(sh.select(F.col("id").alias("id_a"), "shingle"), "id_a")
-        .join(
-            sh.select(F.col("id").alias("id_b"), F.col("shingle").alias("shingle_b")),
-            "id_b",
-        )
-        .filter(F.col("shingle") == F.col("shingle_b"))
-        .groupBy("id_a", "id_b", "na", "nb")
-        .agg(F.count("*").alias("inter"))
-    )
+    inter = _pair_intersections(cand, df, id_col, text_col, n)
     return (
         inter.withColumn(
             "jaccard", F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6)
@@ -193,6 +203,64 @@ def jaccard_pairs(
         .distinct()
     )
     return _verify_pairs(pairs, df, id_col, text_col, n, threshold)
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int = 256,
+) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT near-dup pairs (Broder 1997's
+    second resemblance measure): C(a⊂b) = |S(a) ∩ S(b)| / |S(a)| and the
+    mirror C(b⊂a); a pair is kept when EITHER side >= threshold. This
+    catches subset/superset duplication that Jaccard structurally
+    misses — a 100-shingle doc embedded verbatim in a 10,000-shingle
+    page has jaccard ≈ 0.01 but containment 1.0 (quoted articles,
+    boilerplate-wrapped reposts, partial crawl re-fetches).
+
+    Returns (id_a, id_b, containment_a, containment_b) with id_a < id_b,
+    both ratios rounded to 6dp; containment_a = fraction of a's shingles
+    found in b. Candidate generation is jaccard_pairs' pruned inverted
+    index (hot shingles with doc-frequency > max_doc_freq dropped from
+    CANDIDATES only; verification is exact over full shingle sets).
+    Deliberately NO size-ratio prefilter — wildly different sizes are
+    exactly the regime containment exists for. Exact-tier oracle query
+    at small sf; at 100 TB compose behind exact_dedup-first like the
+    other inverted-index tiers (the hot-shingle caveat in the module
+    docstring applies unchanged)."""
+    sh = shingles(df, id_col, text_col, n)
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("df_"))
+    pruned = sh.join(freq.filter(F.col("df_") <= max_doc_freq), "shingle")
+    pairs = (
+        pruned.alias("a")
+        .join(pruned.alias("b"), "shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sizes = shingle_sizes(df, id_col, text_col, n)
+    cand = pairs.join(
+        sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na")), "id_a"
+    ).join(
+        sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb")), "id_b"
+    )
+    inter = _pair_intersections(cand, df, id_col, text_col, n)
+    # threshold on the UNROUNDED ratios (the 6dp rounding is display-only;
+    # filtering on rounded values would admit pairs the exact math rejects)
+    ca = F.col("inter") / F.col("na")
+    cb = F.col("inter") / F.col("nb")
+    return (
+        inter.filter(F.greatest(ca, cb) >= F.lit(float(threshold)))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(ca, 6).alias("containment_a"),
+            F.round(cb, 6).alias("containment_b"),
+        )
+    )
 
 
 def minhash_base_hash() -> "F.Column":
