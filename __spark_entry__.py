@@ -1241,6 +1241,102 @@ def _q65_containment_pairs(spark, sf_dir):
     return containment_pairs(d, n=3, threshold=0.5)
 
 
+def _q66_pagerank(spark, sf_dir):
+    """Fixed-iteration PageRank over a deterministic synthetic link
+    graph (two edge rules over doc_id mod 211; src % 23 == 0 edges
+    dropped so those nodes are DANGLING — exercising the redistribution
+    path). All arithmetic is integer micro-units, so the 8-iteration
+    rank vector is bit-identical across partitionings and engines; the
+    oracle replays the same recursion in a recursive CTE."""
+    from horus_spark.operators.graph import pagerank
+
+    d = _load(spark, sf_dir, "documents")
+    edges = (
+        d.select(
+            (F.col("doc_id") % 211).alias("src"),
+            ((F.col("doc_id") * 31 + 7) % 211).alias("dst"),
+        )
+        .unionAll(
+            d.select(
+                (F.col("doc_id") % 211).alias("src"),
+                ((F.col("doc_id") * 17 + 3) % 211).alias("dst"),
+            )
+        )
+        .filter(F.col("src") % 23 != 0)
+    )
+    return pagerank(edges, n_iter=8)
+
+
+def _q67_heavy_hitters(spark, sf_dir):
+    """Exact phi-heavy-hitter tokens (count >= 0.3% of the stream) via
+    the two-pass Misra-Gries recipe: bounded per-partition candidate
+    summaries, then an exact count over the semi-join-pruned survivors
+    only. The candidate SET depends on partitioning; the ANSWER is
+    exact and does not (the threshold compare is pure integer math)."""
+    from horus_spark.operators.sketches import heavy_hitters
+
+    d = _fanout(_load(spark, sf_dir, "documents"))
+    toks = d.select(
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    return heavy_hitters(toks, "token", threshold_ppm=3000)
+
+
+def _q68_time_rollup(spark, sf_dir):
+    """Hypertable-style continuous aggregate: 6-hour buckets per
+    event_type with gap-fill over the global extent and LOCF of the
+    value sum across silent buckets. Micro-int sums keep the rollup
+    engine-deterministic; the gap-fill dimension is built from two tiny
+    aggregates, never from corpus rows."""
+    from horus_spark.operators.rollup import time_bucket_rollup
+
+    e = _load(spark, sf_dir, "events")
+    return time_bucket_rollup(
+        e, "ts", "event_type", "value", width_s=21600
+    )
+
+
+def _q69_zorder_key(spark, sf_dir):
+    """Z-order (Morton) layout keys over (user_id, event_id) bucket
+    coordinates — the clustering key for 2-D parquet data skipping
+    (Delta OPTIMIZE ZORDER BY's math). Pure shift/mask long expressions;
+    the oracle replays the same five bit-spreads."""
+    from horus_spark.operators.zorder import zorder_key_expr
+
+    e = _load(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        (F.col("user_id") % 65536).alias("zx"),
+        (F.col("event_id") % 65536).alias("zy"),
+    ).withColumn("z_key", zorder_key_expr(F.col("zx"), F.col("zy")))
+
+
+def _q70_grouped_quantiles(spark, sf_dir):
+    """Exact grouped quantiles (p25/p50/p75/p90) of event value per
+    type. Values are cast to integer cents FIRST so the linear
+    interpolation at dyadic fractions is exact in double arithmetic —
+    that is what makes Spark's percentile() and DuckDB's
+    quantile_cont() bit-identical here (function-parity coverage for
+    the reference's summary statistics tier)."""
+    e = _load(spark, sf_dir, "events")
+    return (
+        e.select(
+            "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.expr("percentile(cents, array(0.25D, 0.5D, 0.75D, 0.9D))").alias("p")
+        )
+        .select(
+            "event_type",
+            F.round(F.col("p")[0] / 100, 6).alias("p25"),
+            F.round(F.col("p")[1] / 100, 6).alias("p50"),
+            F.round(F.col("p")[2] / 100, 6).alias("p75"),
+            F.round(F.col("p")[3] / 100, 6).alias("p90"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -1308,6 +1404,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q63_quality_filter": _q63_quality_filter,
         "q64_dedup_keep_best": _q64_dedup_keep_best,
         "q65_containment_pairs": _q65_containment_pairs,
+        "q66_pagerank": _q66_pagerank,
+        "q67_heavy_hitters": _q67_heavy_hitters,
+        "q68_time_rollup": _q68_time_rollup,
+        "q69_zorder_key": _q69_zorder_key,
+        "q70_grouped_quantiles": _q70_grouped_quantiles,
     }
 
 
@@ -2616,6 +2717,130 @@ def _oracle_sql_literals() -> dict[str, str]:
                  CAST(min(n) AS BIGINT) AS n_vecs,
                  list(round(s / (n * 1e6), 9) ORDER BY pos) AS centroid
           FROM per_pos GROUP BY label
+        """,
+        # q66: the SAME integer recursion as operators/graph.pagerank —
+        # ranks in 1e-12 units, contributions rank//outdeg, damping
+        # (x*85)//100, dangling mass D//n. Long addition is order-free,
+        # so 8 iterations replayed by the recursive CTE hash-match the
+        # DataFrame loop exactly. (`//` floors, Spark `div` truncates —
+        # identical on the non-negative ranks here.)
+        "q66_pagerank": """
+          WITH RECURSIVE
+          edges AS (
+            SELECT src, dst FROM (
+              SELECT (doc_id % 211)::BIGINT AS src,
+                     ((doc_id*31+7) % 211)::BIGINT AS dst FROM documents
+              UNION ALL
+              SELECT (doc_id % 211)::BIGINT,
+                     ((doc_id*17+3) % 211)::BIGINT FROM documents)
+            WHERE src % 23 <> 0 GROUP BY src, dst),
+          nodes AS (SELECT DISTINCT node FROM
+            (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+          outdeg AS (SELECT src AS node, count(*)::BIGINT AS deg
+                     FROM edges GROUP BY 1),
+          nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
+          ranks(iter, node, r) AS (
+            SELECT 0, node, (1000000000000 // nn.n)::BIGINT FROM nodes, nn
+            UNION ALL
+            SELECT iter + 1, node, r FROM (
+              WITH prev AS (SELECT * FROM ranks),
+              contrib AS (
+                SELECT e.dst AS node, SUM(p.r // o.deg)::BIGINT AS c
+                FROM prev p JOIN edges e ON e.src = p.node
+                JOIN outdeg o ON o.node = p.node
+                GROUP BY 1),
+              dangling AS (
+                SELECT COALESCE(SUM(p.r), 0)::BIGINT AS d
+                FROM prev p LEFT JOIN outdeg o ON o.node = p.node
+                WHERE o.node IS NULL)
+              SELECT p.iter, p.node,
+                ((1000000000000 - (1000000000000 * 85) // 100) // nn.n
+                 + ((COALESCE(c.c, 0) + dg.d // nn.n) * 85) // 100)::BIGINT AS r
+              FROM prev p LEFT JOIN contrib c ON c.node = p.node
+              CROSS JOIN nn CROSS JOIN dangling dg
+            ) WHERE iter + 1 <= 8)
+          SELECT node, r AS rank_micro FROM ranks WHERE iter = 8
+        """,
+        # q67: the oracle is the NAIVE exact plan; the engine's
+        # Misra-Gries candidate tier may admit different survivors into
+        # the verify pass under different partitionings, but the exact
+        # integer threshold (count*1e6 >= total*ppm) makes the ANSWER
+        # partitioning-invariant — the hash match is the proof.
+        "q67_heavy_hitters": """
+          WITH tok AS (
+            SELECT unnest(string_split(trim(text), ' ')) AS token FROM documents),
+          tok2 AS (SELECT token FROM tok WHERE token <> ''),
+          tot AS (SELECT count(*)::BIGINT AS n_total FROM tok2)
+          SELECT token, count(*)::BIGINT AS n_occurrences,
+                 (SELECT n_total FROM tot) AS n_total
+          FROM tok2 GROUP BY token
+          HAVING count(*) * 1000000 >= (SELECT n_total FROM tot) * 3000
+        """,
+        # q68: floor(epoch) == Spark's unix_timestamp truncation (epochs
+        # positive); micro-int sums; gap-fill from the scalar-list
+        # generate_series; LOCF via last_value IGNORE NULLS.
+        "q68_time_rollup": """
+          WITH base AS (
+            SELECT event_type AS k,
+                   ((CAST(floor(epoch(ts)) AS BIGINT) // 21600) * 21600)::BIGINT
+                     AS bucket_start,
+                   CAST(round(value * 1000000) AS BIGINT) AS vm
+            FROM events),
+          agg AS (SELECT k, bucket_start, count(*)::BIGINT AS n_events,
+                         SUM(vm)::BIGINT AS sm
+                  FROM base GROUP BY 1, 2),
+          span AS (SELECT min(bucket_start) AS lo, max(bucket_start) AS hi
+                   FROM base),
+          dims AS (
+            SELECT k, unnest(generate_series(span.lo, span.hi, 21600))::BIGINT
+                     AS bucket_start
+            FROM (SELECT DISTINCT k FROM base), span),
+          joined AS (
+            SELECT d.k, d.bucket_start,
+                   COALESCE(a.n_events, 0)::BIGINT AS n_events, a.sm
+            FROM dims d LEFT JOIN agg a
+              ON a.k = d.k AND a.bucket_start = d.bucket_start)
+          SELECT k AS event_type, bucket_start, n_events,
+                 CAST(round(sm / 1000000.0, 6) AS DOUBLE) AS value_sum,
+                 CAST(round(last_value(sm IGNORE NULLS) OVER (
+                   PARTITION BY k ORDER BY bucket_start
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   / 1000000.0, 6) AS DOUBLE) AS value_filled
+          FROM joined
+        """,
+        # q69: the same five magic-number bit spreads as zorder.py
+        # (masks 0x00FF00FF / 0x0F0F0F0F / 0x33333333 / 0x55555555 in
+        # decimal) — 64-bit integer ops are engine-identical.
+        "q69_zorder_key": """
+          WITH c AS (SELECT event_id, (user_id % 65536)::BIGINT AS zx,
+                            (event_id % 65536)::BIGINT AS zy FROM events),
+          sx AS (SELECT event_id, zx, zy,
+            ((zx | (zx << 8)) & 16711935) AS x1,
+            ((zy | (zy << 8)) & 16711935) AS y1 FROM c),
+          s2 AS (SELECT event_id, zx, zy,
+            ((x1 | (x1 << 4)) & 252645135) AS x2,
+            ((y1 | (y1 << 4)) & 252645135) AS y2 FROM sx),
+          s3 AS (SELECT event_id, zx, zy,
+            ((x2 | (x2 << 2)) & 858993459) AS x3,
+            ((y2 | (y2 << 2)) & 858993459) AS y3 FROM s2),
+          s4 AS (SELECT event_id, zx, zy,
+            ((x3 | (x3 << 1)) & 1431655765) AS x4,
+            ((y3 | (y3 << 1)) & 1431655765) AS y4 FROM s3)
+          SELECT event_id, zx, zy, (x4 | (y4 << 1))::BIGINT AS z_key FROM s4
+        """,
+        # q70: cents-cast BEFORE the quantile makes the interpolation at
+        # dyadic fractions exact in doubles, so Spark percentile() and
+        # DuckDB quantile_cont() agree bit-for-bit.
+        "q70_grouped_quantiles": """
+          WITH c AS (SELECT event_type,
+                            CAST(round(value * 100) AS BIGINT) AS cents
+                     FROM events)
+          SELECT event_type,
+            CAST(round(quantile_cont(cents, 0.25) / 100.0, 6) AS DOUBLE) AS p25,
+            CAST(round(quantile_cont(cents, 0.5)  / 100.0, 6) AS DOUBLE) AS p50,
+            CAST(round(quantile_cont(cents, 0.75) / 100.0, 6) AS DOUBLE) AS p75,
+            CAST(round(quantile_cont(cents, 0.9)  / 100.0, 6) AS DOUBLE) AS p90
+          FROM c GROUP BY event_type
         """,
     }
 

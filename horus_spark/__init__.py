@@ -166,6 +166,13 @@ def __getattr__(name):
         "containment_pairs": (
             "horus_spark.operators.dedup", "containment_pairs",
         ),
+        "pagerank": ("horus_spark.operators.graph", "pagerank"),
+        "heavy_hitters": ("horus_spark.operators.sketches", "heavy_hitters"),
+        "time_bucket_rollup": (
+            "horus_spark.operators.rollup", "time_bucket_rollup",
+        ),
+        "zorder_layout": ("horus_spark.operators.zorder", "zorder_layout"),
+        "zorder_key_expr": ("horus_spark.operators.zorder", "zorder_key_expr"),
     }
     if name in _API:
         import importlib

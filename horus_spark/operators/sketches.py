@@ -117,3 +117,93 @@ def approx_distinct(
     return df.groupBy(*group_cols).agg(
         F.approx_count_distinct(value_col, rsd).alias("approx_distinct")
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    threshold_ppm: int = 1000,
+    k: int | None = None,
+) -> DataFrame:
+    """EXACT phi-heavy-hitters (all values whose count is >= phi of the
+    total, phi = threshold_ppm / 1e6) with a Misra-Gries candidate tier
+    so the exact aggregation never shuffles the full value distribution.
+
+    The naive exact plan — groupBy(value).count() then filter — shuffles
+    one (value, partial) row per distinct value per map task; over a
+    100 TB token stream that is the vocabulary times the task count. The
+    classic two-pass alternative (Misra & Gries 1982):
+
+    - pass 1: per PARTITION, a bounded Misra-Gries summary with k
+      counters (mapInPandas kernel with dict state across the
+      partition's batches — at most k candidate values emitted per
+      partition, amortized O(1) per row).
+    - pass 2: exact counts for the candidate union only — the groupBy
+      is semi-join-pruned map-side by the broadcast candidate set, so
+      the shuffle carries at most (distinct candidates x tasks) rows.
+
+    Candidate completeness (why the answer is EXACT, not approximate):
+    Misra-Gries with k counters over a partition of n_p items keeps
+    every value whose local count exceeds n_p/(k+1). If a value has
+    global share >= phi then by averaging it has local share >= phi in
+    at least one partition, so with k >= 1/phi (the default sets
+    k = 2*ceil(1e6/threshold_ppm)) it survives pass 1 somewhere. Values
+    below phi may also survive; pass 2's exact filter removes them —
+    the candidate SET varies with partitioning, the ANSWER never does
+    (same contract as bloom.py's pre-filter tier; pinned by pytest).
+
+    The threshold compare is pure integer math
+    (count * 1_000_000 >= n_total * threshold_ppm) — no float share, so
+    any engine replays it bit-identically.
+
+    Returns (value_col, n_occurrences, n_total), one row per heavy
+    hitter. Two passes over the input by design; persist the projected
+    value column upstream if the producing plan is expensive.
+    """
+    if threshold_ppm < 1:
+        raise ValueError("threshold_ppm must be >= 1")
+    if k is None:
+        k = 2 * ((1_000_000 + threshold_ppm - 1) // threshold_ppm)
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    vals = df.select(F.col(value_col).cast("string").alias("v")).filter(
+        F.col("v").isNotNull()
+    )
+
+    def _mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for v in pdf["v"]:
+                c = counters.get(v)
+                if c is not None:
+                    counters[v] = c + 1
+                elif len(counters) < k:
+                    counters[v] = 1
+                else:
+                    # decrement-all: pairs each decrement with a prior
+                    # increment, so total work is amortized O(1)/row
+                    for t in list(counters):
+                        nc = counters[t] - 1
+                        if nc:
+                            counters[t] = nc
+                        else:
+                            del counters[t]
+            assert len(counters) <= k, "Misra-Gries state exceeded k"
+        if counters:
+            yield pd.DataFrame({"v": list(counters.keys())})
+
+    candidates = vals.mapInPandas(_mg, "v string").distinct()
+    total = vals.agg(F.count(F.lit(1)).alias("n_total"))
+    counts = (
+        vals.join(F.broadcast(candidates), "v", "left_semi")
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("n_occurrences") * F.lit(1_000_000)
+            >= F.col("n_total") * F.lit(threshold_ppm)
+        )
+        .select(F.col("v").alias(value_col), "n_occurrences", "n_total")
+    )
