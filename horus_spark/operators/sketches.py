@@ -142,6 +142,12 @@ def heavy_hitters(
       is semi-join-pruned map-side by the broadcast candidate set, so
       the shuffle carries at most (distinct candidates x tasks) rows.
 
+    The stream total needed by the threshold ALSO comes out of pass 1:
+    the kernel emits each partition's row count alongside its
+    candidates (one sentinel row per partition), so the operator costs
+    exactly two corpus passes, not three — an earlier draft ran a
+    separate count(1) job and the plan showed a third full scan.
+
     Candidate completeness (why the answer is EXACT, not approximate):
     Misra-Gries with k counters over a partition of n_p items keeps
     every value whose local count exceeds n_p/(k+1). If a value has
@@ -172,7 +178,9 @@ def heavy_hitters(
 
     def _mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict[str, int] = {}
+        n_rows = 0
         for pdf in batches:
+            n_rows += len(pdf)
             for v in pdf["v"]:
                 c = counters.get(v)
                 if c is not None:
@@ -189,11 +197,27 @@ def heavy_hitters(
                         else:
                             del counters[t]
             assert len(counters) <= k, "Misra-Gries state exceeded k"
-        if counters:
-            yield pd.DataFrame({"v": list(counters.keys())})
+        # sentinel row (v NULL) carries the partition's row count so the
+        # stream total rides pass 1 instead of costing a third scan
+        yield pd.DataFrame(
+            {
+                "v": list(counters.keys()) + [None],
+                "n_part": [0] * len(counters) + [n_rows],
+            }
+        )
 
-    candidates = vals.mapInPandas(_mg, "v string").distinct()
-    total = vals.agg(F.count(F.lit(1)).alias("n_total"))
+    # two consumers (candidate set + stream total) read the kernel
+    # output; without lineage sharing Spark would run the MG pass twice
+    # (no common-subplan reuse across different exchanges). The summary
+    # is tiny (<= (k+1) x partitions rows), so localCheckpoint shares
+    # one computed copy — the same trick components.py uses.
+    summary = vals.mapInPandas(_mg, "v string, n_part long").localCheckpoint(
+        eager=False
+    )
+    candidates = summary.filter(F.col("v").isNotNull()).select("v").distinct()
+    total = summary.filter(F.col("v").isNull()).agg(
+        F.coalesce(F.sum("n_part"), F.lit(0)).alias("n_total")
+    )
     counts = (
         vals.join(F.broadcast(candidates), "v", "left_semi")
         .groupBy("v")
