@@ -1337,6 +1337,38 @@ def _q70_grouped_quantiles(spark, sf_dir):
     )
 
 
+def _q71_corpus_split(spark, sf_dir):
+    """Deterministic train/val/test split survey: every doc assigned by
+    md5(doc_id||salt) % 1e6 against cumulative ppm boundaries (98/1/1),
+    rolled up per (split, lang). Pure integer map-side assignment — a
+    document's split never changes when the corpus grows, the property
+    leakage audits need and randomSplit lacks."""
+    from horus_spark.operators.sampling import split_assign
+
+    d = _load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "lang"
+    )
+    return (
+        split_assign(d, "doc_id")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _q72_global_rownum(spark, sf_dir):
+    """Global row numbering in event_id order WITHOUT the single-task
+    global window: range-repartition + sortWithinPartitions, local index
+    free from monotonically_increasing_id's packed (pid, local) layout,
+    per-partition counts cumsum'd into offsets and broadcast back. One
+    corpus shuffle total (the second consumer rides ReusedExchange)."""
+    from horus_spark.operators.indexing import global_row_number
+
+    e = _load(spark, sf_dir, "events").select("event_id", "user_id")
+    return global_row_number(e, ["event_id"]).select(
+        "event_id", "user_id", "row_num"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -1409,6 +1441,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q68_time_rollup": _q68_time_rollup,
         "q69_zorder_key": _q69_zorder_key,
         "q70_grouped_quantiles": _q70_grouped_quantiles,
+        "q71_corpus_split": _q71_corpus_split,
+        "q72_global_rownum": _q72_global_rownum,
     }
 
 
@@ -2841,6 +2875,30 @@ def _oracle_sql_literals() -> dict[str, str]:
             CAST(round(quantile_cont(cents, 0.75) / 100.0, 6) AS DOUBLE) AS p75,
             CAST(round(quantile_cont(cents, 0.9)  / 100.0, 6) AS DOUBLE) AS p90
           FROM c GROUP BY event_type
+        """,
+        # q71: identical md5-bucket construction (the package-wide
+        # md5_long twin) and the same cumulative integer boundaries.
+        "q71_corpus_split": """
+          WITH b AS (
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id, lang,
+                   CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)
+                     || 'split'), 1, 15)) AS BIGINT) % 1000000 AS bucket
+            FROM documents),
+          lab AS (
+            SELECT lang, CASE WHEN bucket < 980000 THEN 'train'
+                              WHEN bucket < 990000 THEN 'val'
+                              ELSE 'test' END AS split
+            FROM b)
+          SELECT split, lang, count(*)::BIGINT AS n_docs
+          FROM lab GROUP BY 1, 2
+        """,
+        # q72: the oracle is the textbook global window — correct at any
+        # scale in DuckDB, the single-task bottleneck in Spark; the
+        # engine's distributed two-level recipe must hash-match it.
+        "q72_global_rownum": """
+          SELECT event_id, user_id,
+                 row_number() OVER (ORDER BY event_id) AS row_num
+          FROM events
         """,
     }
 

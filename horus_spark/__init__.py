@@ -173,6 +173,10 @@ def __getattr__(name):
         ),
         "zorder_layout": ("horus_spark.operators.zorder", "zorder_layout"),
         "zorder_key_expr": ("horus_spark.operators.zorder", "zorder_key_expr"),
+        "split_assign": ("horus_spark.operators.sampling", "split_assign"),
+        "global_row_number": (
+            "horus_spark.operators.indexing", "global_row_number",
+        ),
     }
     if name in _API:
         import importlib

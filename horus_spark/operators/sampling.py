@@ -149,3 +149,50 @@ def weighted_sample_per_key(
         .filter(F.col("_rn") <= k)
         .drop("_e", "_rn")
     )
+
+
+def split_assign(
+    df: DataFrame,
+    key_col: str,
+    splits_ppm: dict[str, int] | None = None,
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test (or any named) split assignment.
+
+    Every row gets a split label derived from md5_long(key) % 1e6
+    against cumulative parts-per-million boundaries — pure integer
+    math, so the assignment is exactly reproducible on any engine, any
+    run, any partitioning, and STABLE UNDER CORPUS GROWTH: a document's
+    split never changes when other documents are added or removed
+    (the property `df.randomSplit` lacks, and the reason leakage audits
+    can trust the label). Distinct salts give independent splits.
+
+    splits_ppm maps label -> parts-per-million; must sum to 1_000_000
+    (default 980k/10k/10k train/val/test). Map-side projection only —
+    fuses into the scan, zero shuffle.
+    """
+    if splits_ppm is None:
+        splits_ppm = {"train": 980_000, "val": 10_000, "test": 10_000}
+    if sum(splits_ppm.values()) != 1_000_000:
+        raise ValueError(
+            f"splits_ppm must sum to 1_000_000, got {sum(splits_ppm.values())}"
+        )
+    if any(v < 0 for v in splits_ppm.values()):
+        raise ValueError("splits_ppm values must be non-negative")
+    bucket = md5_long(F.col(key_col), salt) % F.lit(1_000_000)
+    expr = None
+    cum = 0
+    # deterministic boundary order = insertion order of the dict
+    items = list(splits_ppm.items())
+    for label, ppm in items[:-1]:
+        cum += ppm
+        cond = bucket < F.lit(cum)
+        expr = (
+            F.when(cond, F.lit(label))
+            if expr is None
+            else expr.when(cond, F.lit(label))
+        )
+    last_label = items[-1][0]
+    expr = F.lit(last_label) if expr is None else expr.otherwise(F.lit(last_label))
+    return df.withColumn(out_col, expr)
