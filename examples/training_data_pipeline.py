@@ -5,7 +5,8 @@ stage one horus_spark operator:
     exact dedup -> fuzzy (minhash) dedup w/ cluster closure ->
     benchmark decontamination (bloom tier) -> PII redaction ->
     quality gates (unigram-LM score + heuristics + duplicated-passage
-    fraction) -> token-window chunking -> sequence packing
+    fraction) -> train/val/test split -> token-window chunking ->
+    sequence packing -> global sequence numbering (shard cursors)
 
 Runs locally in ~1 minute:
 
@@ -73,23 +74,49 @@ def main() -> None:
     )
     docs5 = docs4.join(gates.select("doc_id"), "doc_id", "left_semi")
 
-    # 6. chunk to training windows, then pack to a token budget
-    chunks = h.chunk_documents(docs5, window=64, stride=64).withColumn(
+    # 6. deterministic split: labels are a pure function of doc_id, so
+    #    they survive corpus growth (no leakage when the crawl refreshes)
+    docs6 = h.split_assign(docs5, "doc_id")
+    train = docs6.filter(F.col("split") == "train")
+
+    # 7. chunk to training windows, then pack to a token budget
+    chunks = h.chunk_documents(train, window=64, stride=64).withColumn(
         "chunk_key", F.concat_ws("#", "doc_id", F.col("chunk_id").cast("string"))
     )
     packed = h.pack_sequences(
         chunks, "chunk_key", "n_tokens", budget=256, n_shards=8
     )
 
+    # 8. global sequence numbering: a stable cursor over the packed
+    #    corpus (resume points, shard boundary math) with no
+    #    single-task sort
+    seqs = packed.groupBy("shard", "seq_id").agg(
+        F.sum("n_tokens").alias("seq_tokens")
+    )
+    numbered = h.global_row_number(
+        seqs.withColumn(
+            "order_key",
+            F.col("shard").cast("long") * 1_000_000_000
+            + F.col("seq_id").cast("long"),
+        ),
+        ["order_key"],
+        out_col="global_seq",
+    )
+
     n5, nc = docs5.count(), chunks.count()
-    npk = packed.agg(F.countDistinct("shard", "seq_id")).first()[0]
+    npk = numbered.count()
+    splits = {
+        r["split"]: r["n"]
+        for r in docs6.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
     print(f"documents in           : {n0}")
     print(f"after exact dedup      : {docs1.count()}")
     print(f"after fuzzy dedup      : {docs2.count()}")
     print(f"after decontamination  : {docs3.count()}")
     print(f"after quality gates    : {n5}")
+    print(f"split sizes            : {splits}")
     print(f"training chunks        : {nc}")
-    print(f"packed sequences (256) : {npk}")
+    print(f"packed+numbered seqs   : {npk}")
     spark.stop()
 
 
