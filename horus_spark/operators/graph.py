@@ -30,8 +30,12 @@ Scale shape (per iteration, the Pregel-on-DataFrames pattern):
 - `localCheckpoint(eager=False)` truncates the iterative lineage the
   same way `components.py` does (swap for `checkpoint()` against
   reliable storage on a real cluster).
-- Rank state is (node, long) — 16 bytes/node; the edge relation is
-  re-joined each round and never mutated, so Spark can cache it once.
+- Rank state is (node, long) — 16 bytes/node. The edge relation is
+  static across rounds, so it is checkpointed ONCE up front — without
+  that, every iteration re-embeds the edge-producing subplan and the
+  final plan scans the edge source n_iter times (on a real cluster,
+  `.persist()`/pre-partition by src instead so each round's join reuses
+  the layout).
 
 Reference parity note: the reference engine has no graph stage; this
 extends the LLM-data-pipeline tier (cited shape: Page et al. 1999; the
@@ -74,6 +78,10 @@ def pagerank(
         .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
         .distinct()
     )
+    if use_local_checkpoint:
+        # static across rounds: one materialization instead of n_iter
+        # re-scans of the edge-producing plan
+        e = e.localCheckpoint(eager=False)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionAll(e.select(F.col("dst").alias("node")))
