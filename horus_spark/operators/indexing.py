@@ -77,10 +77,23 @@ def global_row_number(
         F.min(lead).alias("_lo"), F.max(lead).alias("_hi")
     )
 
-    # monotone, value-determined bucket in [0, n_parts)
+    # monotone, value-determined bucket in [0, n_parts). A NULL leading
+    # key would bucket to NULL and silently VANISH in the offsets join —
+    # fail loudly instead (the row has no place in a total order).
     span = F.col("_hi") - F.col("_lo")
     bucket = (
-        F.when(span <= F.lit(0.0), F.lit(0))
+        F.when(
+            lead.isNull(),
+            F.raise_error(
+                F.lit(
+                    f"global_row_number: leading order column "
+                    f"'{order_cols[0]}' contains NULLs — a NULL has no "
+                    "position in the total order; filter or coalesce "
+                    "upstream"
+                )
+            ).cast("int"),
+        )
+        .when(span <= F.lit(0.0), F.lit(0))
         .otherwise(
             F.least(
                 F.lit(n_parts - 1),

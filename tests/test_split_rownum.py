@@ -153,6 +153,17 @@ def test_global_row_number_degenerate_and_negative_keys(spark):
     }
 
 
+def test_global_row_number_null_key_fails_loudly(spark):
+    # a NULL leading key has no position in a total order; it must
+    # error, not silently vanish in the offsets join
+    from horus_spark.operators.indexing import global_row_number
+
+    df = spark.createDataFrame([(1,), (None,), (3,)], "k long")
+    with pytest.raises(Exception) as exc:
+        global_row_number(df, ["k"]).collect()
+    assert "NULL" in str(exc.value)
+
+
 def test_global_row_number_rejects_empty_order(spark):
     from horus_spark.operators.indexing import global_row_number
 
