@@ -1369,6 +1369,20 @@ def _q72_global_rownum(spark, sf_dir):
     )
 
 
+def _q73_kmeans_clusters(spark, sf_dir):
+    """Full-corpus distributed Lloyd k-means (5 iterations, k=8): the
+    cluster-update arithmetic is exact (micro-int sums, exact-integer
+    double division between iterations), so the final centroids are a
+    pure function of the data and the recursive-CTE oracle replays all
+    five iterations bit-identically. Assignment is a zero-Exchange
+    map-side argmin over literal centroids; the update shuffle carries
+    k x d partials, never vectors."""
+    from horus_spark.operators.kmeans import kmeans_clusters
+
+    e = _load(spark, sf_dir, "embeddings")
+    return kmeans_clusters(e, k=8, n_iter=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -1443,6 +1457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q70_grouped_quantiles": _q70_grouped_quantiles,
         "q71_corpus_split": _q71_corpus_split,
         "q72_global_rownum": _q72_global_rownum,
+        "q73_kmeans_clusters": _q73_kmeans_clusters,
     }
 
 
@@ -2899,6 +2914,65 @@ def _oracle_sql_literals() -> dict[str, str]:
           SELECT event_id, user_id,
                  row_number() OVER (ORDER BY event_id) AS row_num
           FROM events
+        """,
+        # q73: the recursive CTE replays ALL FIVE Lloyd iterations with
+        # the engine's exact arithmetic — micro-int sums, exact-integer
+        # double division for the next centroids, (dist, cluster)
+        # tie-break = the engine's first-min array_position. The hash
+        # match proves the distributed loop is a pure function of data.
+        "q73_kmeans_clusters": """
+          WITH RECURSIVE
+          pts AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+                  FROM embeddings WHERE embedding IS NOT NULL),
+          init AS (
+            SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cluster,
+                   v AS c
+            FROM (SELECT vec_id, v FROM pts ORDER BY vec_id LIMIT 8)),
+          kc(iter, cluster, c) AS (
+            SELECT 0, cluster, c FROM init
+            UNION ALL
+            SELECT iter + 1, cluster, c FROM (
+              WITH prev AS (SELECT * FROM kc),
+              dists AS (
+                SELECT p.vec_id, p.v, pr.cluster,
+                       list_sum([(p.v[i] - pr.c[i]) * (p.v[i] - pr.c[i])
+                                 for i in generate_series(1, len(p.v))]) AS dist
+                FROM pts p, prev pr),
+              assign AS (
+                SELECT vec_id, v, cluster FROM (
+                  SELECT vec_id, v, cluster,
+                         row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY dist, cluster) AS rn
+                  FROM dists) WHERE rn = 1),
+              upd AS (
+                SELECT a.cluster, i.i AS dim,
+                       SUM(CAST(round(a.v[i.i] * 1000000) AS BIGINT)) AS s,
+                       COUNT(*) AS n
+                FROM assign a, generate_series(1, 64) i(i)
+                GROUP BY 1, 2),
+              newc AS (
+                SELECT cluster, list(s / (n * 1000000.0) ORDER BY dim) AS c
+                FROM upd GROUP BY cluster)
+              SELECT pr.iter, pr.cluster, COALESCE(n.c, pr.c) AS c
+              FROM prev pr LEFT JOIN newc n ON n.cluster = pr.cluster
+            ) WHERE iter + 1 <= 5
+          ),
+          final AS (SELECT cluster, c FROM kc WHERE iter = 5),
+          fd AS (
+            SELECT p.vec_id, f.cluster,
+                   list_sum([(p.v[i] - f.c[i]) * (p.v[i] - f.c[i])
+                             for i in generate_series(1, len(p.v))]) AS dist
+            FROM pts p, final f),
+          fa AS (SELECT vec_id, cluster FROM (
+            SELECT vec_id, cluster,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cluster) AS rn
+            FROM fd) WHERE rn = 1)
+          SELECT g.cluster AS cluster_id, g.n_points,
+                 [round(x, 9) for x in f.c] AS centroid
+          FROM (SELECT cluster, count(*)::BIGINT AS n_points
+                FROM fa GROUP BY 1) g
+          JOIN final f ON f.cluster = g.cluster
         """,
     }
 
