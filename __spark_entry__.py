@@ -1383,6 +1383,18 @@ def _q73_kmeans_clusters(spark, sf_dir):
     return kmeans_clusters(e, k=8, n_iter=5)
 
 
+def _q74_epoch_shuffle(spark, sf_dir):
+    """Deterministic epoch-1 training shuffle: every document's position
+    in the epoch's permutation = global row number over (md5(id ||
+    'epoch1'), id). Reproducible, resumable, and independent across
+    epochs — the hash key's uniformity is exactly what the two-level
+    numbering's extent bucketing wants."""
+    from horus_spark.operators.indexing import epoch_shuffle
+
+    d = _load(spark, sf_dir, "documents").select("doc_id")
+    return epoch_shuffle(d, "doc_id", epoch=1)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -1458,6 +1470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q71_corpus_split": _q71_corpus_split,
         "q72_global_rownum": _q72_global_rownum,
         "q73_kmeans_clusters": _q73_kmeans_clusters,
+        "q74_epoch_shuffle": _q74_epoch_shuffle,
     }
 
 
@@ -2973,6 +2986,19 @@ def _oracle_sql_literals() -> dict[str, str]:
           FROM (SELECT cluster, count(*)::BIGINT AS n_points
                 FROM fa GROUP BY 1) g
           JOIN final f ON f.cluster = g.cluster
+        """,
+        # q74: same md5_long construction; the oracle is the textbook
+        # global window over the hash order (single-task in Spark, fine
+        # in DuckDB) — the engine's two-level recipe must hash-match it.
+        "q74_epoch_shuffle": """
+          WITH k AS (
+            SELECT doc_id,
+                   CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)
+                     || 'epoch1'), 1, 15)) AS BIGINT) AS hk
+            FROM documents)
+          SELECT doc_id,
+                 row_number() OVER (ORDER BY hk, doc_id) AS shuffle_pos
+          FROM k
         """,
     }
 

@@ -177,6 +177,7 @@ def __getattr__(name):
         "global_row_number": (
             "horus_spark.operators.indexing", "global_row_number",
         ),
+        "epoch_shuffle": ("horus_spark.operators.indexing", "epoch_shuffle"),
         "kmeans_fit_full": ("horus_spark.operators.kmeans", "kmeans_fit_full"),
         "kmeans_clusters": ("horus_spark.operators.kmeans", "kmeans_clusters"),
         "kmeans_assign": ("horus_spark.operators.kmeans", "kmeans_assign"),

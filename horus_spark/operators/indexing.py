@@ -126,3 +126,36 @@ def global_row_number(
         )
         .drop("_bucket", "_local", "_offset", "_lo", "_hi")
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str,
+    epoch: int,
+    out_col: str = "shuffle_pos",
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Deterministic per-epoch corpus permutation: every row gets its
+    position in epoch `epoch`'s shuffle order, computed as the global
+    row number over (md5(id || epoch-salt), id).
+
+    This is how a training pipeline shuffles 100 TB: not by sorting on
+    an RNG draw (non-reproducible, not resumable), but by a hash order
+    that is a pure function of (row identity, epoch) — any worker can
+    recompute any row's position, a crashed epoch resumes mid-stream,
+    and different epochs give independent permutations (distinct salts).
+    The md5-derived key is uniform by construction, which is exactly the
+    leading-key distribution `global_row_number`'s extent bucketing
+    wants — the composition inherits its one-corpus-shuffle plan.
+
+    The id column must uniquely key the rows (it is also the tie-break,
+    so even a 60-bit hash collision cannot make the order ambiguous).
+    """
+    from horus_spark.operators.sampling import md5_long
+
+    keyed = df.withColumn(
+        "_shuffle_key", md5_long(F.col(id_col), f"epoch{int(epoch)}")
+    )
+    return global_row_number(
+        keyed, ["_shuffle_key", id_col], out_col=out_col, n_parts=n_parts
+    ).drop("_shuffle_key")

@@ -170,3 +170,48 @@ def test_global_row_number_rejects_empty_order(spark):
     df = spark.createDataFrame([(1,)], "k long")
     with pytest.raises(ValueError):
         global_row_number(df, [])
+
+
+# ---------------------------------------------------------- epoch shuffle
+
+
+def test_epoch_shuffle_matches_python_and_is_reproducible(spark):
+    from horus_spark.operators.indexing import epoch_shuffle
+
+    ids = [f"d{i}" for i in range(300)]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id string")
+
+    def py_order(epoch):
+        keyed = sorted(
+            ids,
+            key=lambda s: (
+                int(
+                    hashlib.md5((s + f"epoch{epoch}").encode()).hexdigest()[:15],
+                    16,
+                ),
+                s,
+            ),
+        )
+        return {s: i + 1 for i, s in enumerate(keyed)}
+
+    got1 = {
+        r["doc_id"]: r["shuffle_pos"]
+        for r in epoch_shuffle(df, "doc_id", epoch=1).collect()
+    }
+    assert got1 == py_order(1)
+    # same epoch again -> identical permutation (reproducible/resumable)
+    got1b = {
+        r["doc_id"]: r["shuffle_pos"]
+        for r in epoch_shuffle(df.repartition(16), "doc_id", epoch=1).collect()
+    }
+    assert got1b == got1
+    # a different epoch -> a genuinely different permutation
+    got2 = {
+        r["doc_id"]: r["shuffle_pos"]
+        for r in epoch_shuffle(df, "doc_id", epoch=2).collect()
+    }
+    assert got2 == py_order(2)
+    assert got2 != got1
+    # both are complete permutations of 1..n
+    assert sorted(got1.values()) == list(range(1, 301))
+    assert sorted(got2.values()) == list(range(1, 301))
