@@ -178,6 +178,9 @@ def __getattr__(name):
             "horus_spark.operators.indexing", "global_row_number",
         ),
         "epoch_shuffle": ("horus_spark.operators.indexing", "epoch_shuffle"),
+        "compact_chunks": ("horus_spark.sources.sink", "compact_chunks"),
+        "expire_snapshots": ("horus_spark.sources.sink", "expire_snapshots"),
+        "vacuum_chunks": ("horus_spark.sources.sink", "vacuum_chunks"),
         "kmeans_fit_full": ("horus_spark.operators.kmeans", "kmeans_fit_full"),
         "kmeans_clusters": ("horus_spark.operators.kmeans", "kmeans_clusters"),
         "kmeans_assign": ("horus_spark.operators.kmeans", "kmeans_assign"),

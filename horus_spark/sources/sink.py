@@ -650,3 +650,166 @@ def load_documents(
         )
         .withColumn("errors", F.coalesce(F.col("errors"), F.array().cast(ERRORS_TYPE)))
     )
+
+
+# ------------------------------------------------------- table maintenance
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
+def compact_chunks(
+    spark,
+    out_dir: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    min_group: int = 2,
+) -> dict:
+    """Small-file compaction over the snapshot catalog — the
+    `rewrite_data_files` half of a table format's maintenance story.
+
+    Committed chunk directories smaller than `target_bytes` are grouped
+    greedily (in manifest order, groups capped at `target_bytes`) and
+    each group is rewritten as ONE new chunk directory, then swapped
+    into the manifest with a single CAS snapshot commit: readers racing
+    the compaction see either the pre-compact or the post-compact
+    snapshot, never a mixture, and a concurrent writer's freshly
+    committed chunks survive the race (the CAS loser replays its
+    mutation). If any group member was retracted by another process
+    between planning and commit, that group's commit aborts cleanly and
+    its rewritten directory is removed — compaction never resurrects a
+    retracted chunk.
+
+    OLD chunk directories are NOT deleted: historical snapshots keep
+    time-traveling until `expire_snapshots` + `vacuum_chunks` reclaim
+    them (the Iceberg expire/remove-orphans split). Returns
+    {"groups": [...], "snapshot": latest-id-or-None}.
+
+    Why this matters at 100 TB: a streaming/checkpointed writer lands
+    many small chunks; every read then pays per-file open cost and the
+    scan's split planning degrades. Compaction is one column-pruned
+    read + write per group — no shuffle (coalesce only narrows
+    partitions) — and the catalog swap is O(1).
+    """
+    m = _read_table_manifest(out_dir)
+    if not m or not m.get("chunks"):
+        return {"groups": [], "snapshot": (m or {}).get("snapshot")}
+    sizes = {
+        c: _dir_bytes(os.path.join(out_dir, c)) for c in m["chunks"]
+    }
+    groups: list[list[str]] = []
+    cur: list[str] = []
+    cur_bytes = 0
+    for c in m["chunks"]:
+        if sizes[c] >= target_bytes:
+            if len(cur) >= min_group:
+                groups.append(cur)
+            cur, cur_bytes = [], 0
+            continue
+        if cur and cur_bytes + sizes[c] > target_bytes:
+            if len(cur) >= min_group:
+                groups.append(cur)
+            cur, cur_bytes = [], 0
+        cur.append(c)
+        cur_bytes += sizes[c]
+    if len(cur) >= min_group:
+        groups.append(cur)
+
+    done = []
+    base_snap = int(m.get("snapshot", 0))
+    for gi, group in enumerate(groups):
+        new_name = f"chunk=compact-{base_snap:06d}-{gi:02d}"
+        suffix = 0
+        while os.path.exists(os.path.join(out_dir, new_name)):
+            suffix += 1
+            new_name = f"chunk=compact-{base_snap:06d}-{gi:02d}r{suffix}"
+        tmp_dir = os.path.join(out_dir, f"_tmp_{new_name.replace('=', '_')}")
+        if os.path.exists(tmp_dir):
+            shutil.rmtree(tmp_dir)
+        # every table present in any member chunk, merged column-for-column
+        tables = sorted(
+            {
+                t
+                for c in group
+                for t in os.listdir(os.path.join(out_dir, c))
+                if os.path.isdir(os.path.join(out_dir, c, t))
+            }
+        )
+        for t in tables:
+            paths = [
+                os.path.join(out_dir, c, t)
+                for c in group
+                if os.path.isdir(os.path.join(out_dir, c, t))
+            ]
+            # members are < target_bytes each by selection; one output
+            # file per table keeps the open-cost win that motivated the
+            # compaction (raise for multi-file outputs at bigger targets)
+            spark.read.parquet(*paths).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(tmp_dir, t))
+        os.rename(tmp_dir, os.path.join(out_dir, new_name))
+
+        group_set = set(group)
+
+        def mutate(mm: dict) -> dict | None:
+            if not group_set.issubset(set(mm["chunks"])):
+                return None  # a member was retracted under us: abort
+            mm["chunks"] = sorted(
+                [c for c in mm["chunks"] if c not in group_set] + [new_name]
+            )
+            return mm
+
+        committed = _commit_table_manifest(out_dir, mutate)
+        if new_name in committed.get("chunks", []):
+            done.append({"members": group, "new": new_name})
+        else:
+            shutil.rmtree(os.path.join(out_dir, new_name))
+    latest = _read_table_manifest(out_dir)
+    return {
+        "groups": done,
+        "snapshot": (latest or {}).get("snapshot"),
+    }
+
+
+def expire_snapshots(out_dir: str, keep_last: int = 2) -> list[int]:
+    """Drop archived snapshot manifests older than the newest
+    `keep_last` (the current snapshot is always retained). Time travel
+    to an expired snapshot stops working — by contract, exactly like
+    Iceberg's expireSnapshots. Returns the expired ids."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    snaps = list_snapshots(out_dir)
+    expired = snaps[:-keep_last]
+    for sid in expired:
+        os.unlink(os.path.join(out_dir, "_snapshots", f"snapshot_{sid:06d}.json"))
+    return expired
+
+
+def vacuum_chunks(out_dir: str) -> list[str]:
+    """Delete chunk directories referenced by NO retained snapshot —
+    the remove-orphan-files half of maintenance, safe to run any time
+    AFTER expire_snapshots: every retained snapshot (and therefore
+    every reader holding one) keeps all of its directories. Returns the
+    removed directory names."""
+    referenced: set[str] = set()
+    for sid in list_snapshots(out_dir):
+        with open(
+            os.path.join(out_dir, "_snapshots", f"snapshot_{sid:06d}.json")
+        ) as fh:
+            referenced.update(json.load(fh).get("chunks", []))
+    m = _read_table_manifest(out_dir)
+    if m:
+        referenced.update(m.get("chunks", []))
+    removed = []
+    for name in sorted(os.listdir(out_dir)):
+        if name.startswith("chunk=") and name not in referenced:
+            shutil.rmtree(os.path.join(out_dir, name))
+            removed.append(name)
+    return removed
