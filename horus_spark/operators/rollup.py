@@ -73,6 +73,8 @@ def time_bucket_rollup(
     - value_filled: value_sum with LOCF applied (NULL until the key's
       first observed bucket); equals value_sum when locf=False
     """
+    if width_s < 1:
+        raise ValueError(f"width_s must be >= 1, got {width_s}")
     base = df.select(
         F.col(key_col).alias("k"),
         time_bucket_expr(ts_col, width_s).alias("bucket_start"),

@@ -68,6 +68,8 @@ def zorder_layout(
     plane in compact blocks — rectangle predicates on EITHER column
     prune most files via parquet min/max stats (asserted by pytest
     against a 1-D row-order layout on the same data)."""
+    if n_files < 1:
+        raise ValueError(f"n_files must be >= 1, got {n_files}")
     keyed = df.withColumn(
         key_name, zorder_key_expr(F.col(x_col), F.col(y_col))
     )

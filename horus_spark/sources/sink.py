@@ -698,6 +698,10 @@ def compact_chunks(
     read + write per group — no shuffle (coalesce only narrows
     partitions) — and the catalog swap is O(1).
     """
+    if target_bytes < 1:
+        raise ValueError(f"target_bytes must be >= 1, got {target_bytes}")
+    if min_group < 2:
+        raise ValueError(f"min_group must be >= 2, got {min_group}")
     m = _read_table_manifest(out_dir)
     if not m or not m.get("chunks"):
         return {"groups": [], "snapshot": (m or {}).get("snapshot")}

@@ -148,3 +148,12 @@ def test_expire_rejects_bad_keep(spark, tmp_path):
 
     with pytest.raises(ValueError):
         expire_snapshots(str(tmp_path), keep_last=0)
+
+
+def test_compact_rejects_bad_params(spark, tmp_path):
+    from horus_spark.sources.sink import compact_chunks
+
+    with pytest.raises(ValueError):
+        compact_chunks(spark, str(tmp_path), target_bytes=0)
+    with pytest.raises(ValueError):
+        compact_chunks(spark, str(tmp_path), min_group=1)

@@ -262,3 +262,17 @@ def test_zorder_layout_improves_2d_skipping(spark):
     # z-order boxes tile the plane -> strictly fewer, near files/16
     assert z_hit < lin_hit
     assert z_hit <= files // 4
+
+
+def test_rollup_and_zorder_param_guards(spark):
+    from horus_spark.operators.rollup import time_bucket_rollup
+    from horus_spark.operators.zorder import zorder_layout
+
+    df = spark.createDataFrame(
+        [("a", "1970-01-01 00:00:10", 1.0)], "k string, ts string, value double"
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"), "value")
+    with pytest.raises(ValueError):
+        time_bucket_rollup(df, "ts", "k", "value", width_s=0)
+    pts = spark.createDataFrame([(1, 2)], "x long, y long")
+    with pytest.raises(ValueError):
+        zorder_layout(pts, "x", "y", n_files=0)
