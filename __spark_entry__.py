@@ -1395,6 +1395,22 @@ def _q74_epoch_shuffle(spark, sf_dir):
     return epoch_shuffle(d, "doc_id", epoch=1)
 
 
+def _q75_ccnet_tiers(spark, sf_dir):
+    """CCNet head/middle/tail quality tiering: rank by unigram-LM mean
+    log-probability, cut by integer RANK arithmetic (((rank-1)*3) div n)
+    rather than interpolated tercile boundaries — 1/3 is not dyadic, so
+    value interpolation is not engine-portable; ranks are. The ranking
+    rides global_row_number's two-level recipe (no single-task sort)."""
+    from horus_spark.operators.lm_score import ccnet_tiers
+
+    d = _fanout(
+        _load(spark, sf_dir, "documents").withColumn(
+            "doc_id", F.col("doc_id").cast("string")
+        )
+    )
+    return ccnet_tiers(d)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -1471,6 +1487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q72_global_rownum": _q72_global_rownum,
         "q73_kmeans_clusters": _q73_kmeans_clusters,
         "q74_epoch_shuffle": _q74_epoch_shuffle,
+        "q75_ccnet_tiers": _q75_ccnet_tiers,
     }
 
 
@@ -2986,6 +3003,42 @@ def _oracle_sql_literals() -> dict[str, str]:
           FROM (SELECT cluster, count(*)::BIGINT AS n_points
                 FROM fa GROUP BY 1) g
           JOIN final f ON f.cluster = g.cluster
+        """,
+        # q75: q57's scored CTE + rank-arithmetic tercile cut. The tier
+        # comes from ((rn-1)*3)//n over (mean_logp DESC, doc_id) — pure
+        # integer math, so no interpolated-boundary ULP risk.
+        "q75_ccnet_tiers": r"""
+          WITH tok AS (
+            SELECT CAST(doc_id AS VARCHAR) AS id,
+                   unnest(string_split_regex(trim(text), '\s+')) AS token
+            FROM documents WHERE length(trim(text)) > 0
+          ), counts AS (
+            SELECT token, count(*) AS c FROM tok GROUP BY token
+          ), stats AS (
+            SELECT sum(c) * 1.0 AS total, count(*) * 1.0 AS vocab FROM counts
+          ), model AS (
+            SELECT token,
+                   CAST(round(ln((c + 1.0) / (total + 1.0 * (vocab + 1.0))) * 1e6) AS BIGINT) AS mlogp
+            FROM counts CROSS JOIN stats
+          ), scored AS (
+            SELECT t.id, count(*) AS n_tokens,
+                   round(sum(m.mlogp) / (count(*) * 1e6), 6) AS mean_logp
+            FROM tok t LEFT JOIN model m ON t.token = m.token
+            GROUP BY t.id
+          ), alldocs AS (
+            SELECT b.id AS doc_id,
+                   CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   coalesce(s.mean_logp, 0.0) AS mean_logp
+            FROM (SELECT CAST(doc_id AS VARCHAR) AS id FROM documents) b
+            LEFT JOIN scored s ON b.id = s.id
+          ), ranked AS (
+            SELECT *, row_number() OVER (ORDER BY -mean_logp, doc_id) AS rn,
+                   count(*) OVER () AS n
+            FROM alldocs)
+          SELECT doc_id, n_tokens, mean_logp,
+                 CASE ((rn - 1) * 3) // n WHEN 0 THEN 'head'
+                      WHEN 1 THEN 'middle' ELSE 'tail' END AS tier
+          FROM ranked
         """,
         # q74: same md5_long construction; the oracle is the textbook
         # global window over the hash order (single-task in Spark, fine

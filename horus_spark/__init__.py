@@ -178,6 +178,7 @@ def __getattr__(name):
             "horus_spark.operators.indexing", "global_row_number",
         ),
         "epoch_shuffle": ("horus_spark.operators.indexing", "epoch_shuffle"),
+        "ccnet_tiers": ("horus_spark.operators.lm_score", "ccnet_tiers"),
         "compact_chunks": ("horus_spark.sources.sink", "compact_chunks"),
         "expire_snapshots": ("horus_spark.sources.sink", "expire_snapshots"),
         "vacuum_chunks": ("horus_spark.sources.sink", "vacuum_chunks"),

@@ -103,3 +103,51 @@ def lm_score(
         F.coalesce("mean_logp", F.lit(0.0)).alias("mean_logp"),
         F.coalesce("n_oov", F.lit(0)).cast("long").alias("n_oov"),
     )
+
+
+def ccnet_tiers(
+    docs: DataFrame,
+    model: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """The CCNet quality DECISION: rank every document by its unigram-LM
+    mean log-probability and cut the corpus into head / middle / tail
+    thirds (Wenzek et al. 2020 keep the head, sometimes the middle, and
+    drop the tail).
+
+    The cut is RANK-based, not value-interpolated: tier =
+    ((rank-1) * 3) div n over the total order (mean_logp descending,
+    id ascending). Interpolated tercile BOUNDARIES (percentile at 1/3)
+    are not engine-portable — 1/3 is not a dyadic fraction, so two
+    engines' interpolation formulas can disagree by an ULP and flip a
+    boundary document; integer rank arithmetic cannot. The ranking
+    itself is `global_row_number`'s two-level recipe (no single-task
+    sort), keyed on the negated score so the best documents rank first.
+
+    Output: (id_col, n_tokens, mean_logp, tier) with tier in
+    {'head', 'middle', 'tail'}; every input document gets a row.
+    """
+    scored = lm_score(
+        docs, model=model, id_col=id_col, text_col=text_col, alpha=alpha
+    )
+    from horus_spark.operators.indexing import global_row_number
+
+    ranked = global_row_number(
+        scored.withColumn("_neg", -F.col("mean_logp")),
+        ["_neg", id_col],
+        out_col="_rank",
+    ).drop("_neg")
+    total = F.broadcast(scored.agg(F.count(F.lit(1)).alias("_n")))
+    tier_idx = F.expr("((_rank - 1) * 3) div _n")
+    return (
+        ranked.crossJoin(total)
+        .withColumn(
+            "tier",
+            F.when(tier_idx == 0, F.lit("head"))
+            .when(tier_idx == 1, F.lit("middle"))
+            .otherwise(F.lit("tail")),
+        )
+        .select(id_col, "n_tokens", "mean_logp", "tier")
+    )

@@ -79,3 +79,36 @@ def test_lm_score_partitioning_invariant(spark):
     one = sorted(map(tuple, lm_score(df.coalesce(1)).collect()))
     many = sorted(map(tuple, lm_score(df.repartition(16)).collect()))
     assert one == many
+
+
+def test_ccnet_tiers_rank_cut_and_coverage(spark):
+    from horus_spark.operators.lm_score import ccnet_tiers
+
+    # 9 docs with clearly separated scores: common tokens rank higher
+    # under the self-fit unigram model than rare ones
+    docs = [(f"d{i}", " ".join(["common"] * 5 + [f"rare{i}"] * i)) for i in range(9)]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    rows = ccnet_tiers(df).collect()
+    assert len(rows) == 9
+    tiers = {r["doc_id"]: r["tier"] for r in rows}
+    from collections import Counter
+
+    assert Counter(tiers.values()) == {"head": 3, "middle": 3, "tail": 3}
+    # the rank order must follow mean_logp descending with id tie-break
+    by_score = sorted(rows, key=lambda r: (-r["mean_logp"], r["doc_id"]))
+    seen = [r["tier"] for r in by_score]
+    assert seen == ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+
+
+def test_ccnet_tiers_uneven_counts(spark):
+    from collections import Counter
+
+    from horus_spark.operators.lm_score import ccnet_tiers
+
+    df = spark.createDataFrame(
+        [(f"d{i}", f"tok{i} tok{i}") for i in range(7)],
+        "doc_id string, text string",
+    )
+    tiers = Counter(r["tier"] for r in ccnet_tiers(df).collect())
+    # ((rank-1)*3) div 7: ranks 1-3 head, 4-5 middle, 6-7 tail
+    assert tiers == {"head": 3, "middle": 2, "tail": 2}
