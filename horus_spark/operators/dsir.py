@@ -131,6 +131,25 @@ def dsir_log_weights(
             tgt.agg(F.min("logp_tgt_den").alias("_tden"))
         )
     )
+    # an empty target slice would make _tden NULL, every ratio NULL, and
+    # the final coalesce would hand back log_weight 0.0 for EVERY doc —
+    # a silent uniform sampler. Fail loudly instead (lazily, riding the
+    # plan: the floors frame is one row, so the check costs nothing).
+    tden = F.when(
+        F.col("_tden").isNull(),
+        F.raise_error(
+            F.lit(
+                "dsir_log_weights: is_target matched zero rows — the "
+                "target model is empty; check the predicate"
+            )
+        ).cast("double"),
+    ).otherwise(F.col("_tden"))
+    rden = F.when(
+        F.col("_rden").isNull(),
+        F.raise_error(
+            F.lit("dsir_log_weights: corpus produced zero features")
+        ).cast("double"),
+    ).otherwise(F.col("_rden"))
     ratio = (
         raw.join(tgt, "bucket", "outer")
         .crossJoin(floors)
@@ -138,12 +157,8 @@ def dsir_log_weights(
             "bucket",
             F.round(
                 (
-                    F.coalesce(
-                        F.col("logp_tgt"), F.log(F.lit(alpha) / F.col("_tden"))
-                    )
-                    - F.coalesce(
-                        F.col("logp_raw"), F.log(F.lit(alpha) / F.col("_rden"))
-                    )
+                    F.coalesce(F.col("logp_tgt"), F.log(F.lit(alpha) / tden))
+                    - F.coalesce(F.col("logp_raw"), F.log(F.lit(alpha) / rden))
                 )
                 * 1e6
             )

@@ -29,8 +29,13 @@ def mean_pool(
     scale: float = 1e6,
 ) -> DataFrame:
     """Per key: element-wise mean vector and the vector count. Returns
-    (keys..., n_vecs, centroid: array<double>). Vectors in a group must
-    share one dimensionality (enforced: mismatched dims raise)."""
+    (keys..., n_vecs, centroid: array<double>). Every vector in a group
+    must share one NON-ZERO dimensionality (enforced: ragged dims,
+    empty vectors, and NULL vectors all raise — posexplode silently
+    emits no rows for empty/NULL arrays, so the per-position counts are
+    additionally checked against the group's true ROW count; the
+    original min==max check alone let an empty vector vanish from both
+    the count and the mean)."""
     pos_val = df.select(
         *[F.col(c) for c in keys],
         F.posexplode(F.col(vec_col)).alias("pos", "val"),
@@ -39,6 +44,7 @@ def mean_pool(
     per_pos = pos_val.groupBy(*keys, "pos").agg(
         F.sum(micro).alias("s"), F.count("*").alias("n")
     )
+    rows = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("_rows"))
     out = per_pos.groupBy(*keys).agg(
         F.min("n").alias("_n_min"),
         F.max("n").alias("_n_max"),
@@ -50,14 +56,19 @@ def mean_pool(
             ),
             lambda x: F.round(x["m"], 9),
         ).alias("centroid"),
+    ).join(rows, keys)
+    ok = (F.col("_n_min") == F.col("_n_max")) & (
+        F.col("_n_max") == F.col("_rows")
     )
     return out.select(
         *keys,
-        F.when(F.col("_n_min") == F.col("_n_max"), F.col("_n_min"))
+        F.when(ok, F.col("_rows"))
         .otherwise(
             F.raise_error(
                 F.concat(
-                    F.lit("mean_pool: ragged vector dims in group: "),
+                    F.lit(
+                        "mean_pool: ragged, empty, or NULL vectors in group: "
+                    ),
                     F.concat_ws(",", *[F.col(c).cast("string") for c in keys]),
                 )
             )

@@ -50,6 +50,26 @@ def bootstrap_registry(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(rows, REGISTRY_SCHEMA)
 
 
+def migrate_registry(registry: DataFrame) -> DataFrame:
+    """Upgrade a registry frame persisted under an older schema: any
+    REGISTRY_SCHEMA column the frame lacks is added as typed NULLs
+    (the reference's ALTER TABLE ... ADD analog). Round-2/3 registries
+    predate `average_model_accuracy`/`n_training_docs`; without this,
+    re-loading one and registering into it would silently drop the new
+    metadata (the select(*registry.columns) projection) or break
+    consumers selecting the new columns."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    want = _parse_datatype_string(REGISTRY_SCHEMA)
+    out = registry
+    for field in want.fields:
+        if field.name not in out.columns:
+            out = out.withColumn(
+                field.name, F.lit(None).cast(field.dataType)
+            )
+    return out.select(*[f.name for f in want.fields])
+
+
 def register_model(
     registry: DataFrame,
     document_format: str,
@@ -68,6 +88,7 @@ def register_model(
     metadata columns (ModelTrainer.cs:186-224 parses averageModelAccuracy
     and the trainingDocumentResults count from the training response);
     register_trained_model derives them from scoring output."""
+    registry = migrate_registry(registry)
     spark = registry.sparkSession
     cfg_json = config if isinstance(config, str) else json.dumps(config)
     new_row = spark.createDataFrame(

@@ -796,14 +796,35 @@ def expire_snapshots(out_dir: str, keep_last: int = 2) -> list[int]:
     return expired
 
 
-def vacuum_chunks(out_dir: str) -> list[str]:
+def vacuum_chunks(out_dir: str, grace_s: float = 86400.0) -> list[str]:
     """Delete chunk directories referenced by NO retained snapshot —
-    the remove-orphan-files half of maintenance, safe to run any time
-    AFTER expire_snapshots: every retained snapshot (and therefore
-    every reader holding one) keeps all of its directories. Returns the
-    removed directory names."""
+    the remove-orphan-files half of maintenance, run AFTER
+    expire_snapshots: every retained snapshot (and therefore every
+    reader holding one) keeps all of its directories. Returns the
+    removed directory names.
+
+    Two safety rails (both were review findings, not theory):
+
+    - A LEGACY store (pre-manifest layout: chunk dirs, no _snapshots/)
+      has an empty referenced set, so a naive sweep would delete the
+      ENTIRE dataset. Vacuuming a store with no snapshot catalog is
+      refused with an error.
+    - A writer promotes a chunk directory (os.rename) BEFORE its
+      manifest commit, so a concurrent vacuum could see the new dir as
+      unreferenced, delete it, and leave the writer committing a
+      snapshot that points at nothing. Directories modified within
+      `grace_s` seconds are skipped (Iceberg's remove-orphan-files
+      `older_than` contract); the promote->commit window is
+      milliseconds, so the default 24h grace is conservative.
+    """
+    snaps = list_snapshots(out_dir)
+    if not snaps:
+        raise ValueError(
+            f"{out_dir} has no snapshot catalog — refusing to vacuum a "
+            "legacy chunk store (every chunk dir would count as an orphan)"
+        )
     referenced: set[str] = set()
-    for sid in list_snapshots(out_dir):
+    for sid in snaps:
         with open(
             os.path.join(out_dir, "_snapshots", f"snapshot_{sid:06d}.json")
         ) as fh:
@@ -811,9 +832,18 @@ def vacuum_chunks(out_dir: str) -> list[str]:
     m = _read_table_manifest(out_dir)
     if m:
         referenced.update(m.get("chunks", []))
+    now = time.time()
     removed = []
     for name in sorted(os.listdir(out_dir)):
-        if name.startswith("chunk=") and name not in referenced:
-            shutil.rmtree(os.path.join(out_dir, name))
-            removed.append(name)
+        if not name.startswith("chunk=") or name in referenced:
+            continue
+        path = os.path.join(out_dir, name)
+        try:
+            age = now - os.path.getmtime(path)
+        except OSError:
+            continue  # concurrently removed
+        if age < grace_s:
+            continue  # possibly a promote awaiting its manifest commit
+        shutil.rmtree(path)
+        removed.append(name)
     return removed

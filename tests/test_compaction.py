@@ -125,7 +125,7 @@ def test_expire_and_vacuum_reclaim_old_chunk_dirs(spark, tmp_path):
 
     # vacuum BEFORE expiry removes nothing: old snapshots still reference
     # the original dirs
-    assert vacuum_chunks(out) == []
+    assert vacuum_chunks(out, grace_s=0) == []
     old_dirs = [
         n for n in os.listdir(out)
         if n.startswith("chunk=") and not n.startswith("chunk=compact-")
@@ -134,7 +134,7 @@ def test_expire_and_vacuum_reclaim_old_chunk_dirs(spark, tmp_path):
 
     expired = expire_snapshots(out, keep_last=1)
     assert expired and list_snapshots(out)[-1] not in expired
-    removed = vacuum_chunks(out)
+    removed = vacuum_chunks(out, grace_s=0)
     assert sorted(removed) == sorted(old_dirs)
     # the live snapshot still reads perfectly
     assert _doc_ids(spark, out) == before_ids
@@ -157,3 +157,39 @@ def test_compact_rejects_bad_params(spark, tmp_path):
         compact_chunks(spark, str(tmp_path), target_bytes=0)
     with pytest.raises(ValueError):
         compact_chunks(spark, str(tmp_path), min_group=1)
+
+
+def test_vacuum_refuses_legacy_store(spark, tmp_path):
+    # a pre-manifest layout has no snapshot catalog: every chunk dir
+    # would count as an orphan and the WHOLE dataset would be deleted
+    from horus_spark.sources.sink import vacuum_chunks
+
+    legacy = tmp_path / "legacy"
+    (legacy / "chunk=0000").mkdir(parents=True)
+    (legacy / "chunk=0000" / "part-0.parquet").write_bytes(b"x")
+    with pytest.raises(ValueError) as exc:
+        vacuum_chunks(str(legacy), grace_s=0)
+    assert "legacy" in str(exc.value)
+    assert (legacy / "chunk=0000").exists()
+
+
+def test_vacuum_grace_skips_fresh_dirs(spark, tmp_path):
+    # the promote->manifest-commit window: a just-renamed chunk dir is
+    # not yet referenced; the grace period must protect it
+    from horus_spark.fixtures.generator import corpus_spark
+    from horus_spark.sources.sink import (
+        compact_chunks,
+        expire_snapshots,
+        run_checkpointed,
+        vacuum_chunks,
+    )
+
+    out = str(tmp_path / "o")
+    c = corpus_spark(spark, 30, partitions=2)
+    run_checkpointed(c["documents"], c["ocr_words"], out, n_chunks=2, run_id="runG")
+    compact_chunks(spark, out, target_bytes=1 << 30)
+    expire_snapshots(out, keep_last=1)
+    # default grace: the old dirs were modified seconds ago -> untouched
+    assert vacuum_chunks(out) == []
+    # grace elapsed (simulated) -> reclaimed
+    assert len(vacuum_chunks(out, grace_s=0)) == 2

@@ -207,3 +207,19 @@ def test_gopher_filter_plan_is_map_side(spark):
     df = spark.createDataFrame([("a", "the cat"), ], "doc_id string, text string")
     plan = gopher_quality_filter(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_dsir_empty_target_fails_loudly(spark):
+    # an empty target slice previously NULLed every ratio and the final
+    # coalesce emitted log_weight 0.0 for every doc — a silent uniform
+    # sampler; it must raise instead
+    from horus_spark.operators.dsir import dsir_log_weights
+
+    df = spark.createDataFrame(
+        [("d1", "hello world", "en"), ("d2", "foo bar", "de")],
+        "doc_id string, text string, lang string",
+    )
+    out = dsir_log_weights(df, F.col("lang") == "zz", n_buckets=64)
+    with pytest.raises(Exception) as exc:
+        out.collect()
+    assert "is_target matched zero rows" in str(exc.value)

@@ -154,3 +154,30 @@ def test_registered_config_json_roundtrip(spark):
     reg = bootstrap_registry(spark)
     cfgs = {r.document_format: json.loads(r.config) for r in reg.collect()}
     assert cfgs == {k: v for k, v in FORMAT_CONFIGS.items()}
+
+
+def test_register_model_migrates_old_schema(spark):
+    # registries persisted before the training-metadata columns existed
+    # must round-trip: missing columns become typed NULLs, registration
+    # keeps the new metadata instead of silently projecting it away
+    import json as _json
+
+    from horus_spark.registry import latest_models, migrate_registry, register_model
+
+    old = spark.createDataFrame(
+        [("fmt-a", "model-a-0001", 1, _json.dumps({"x": 1}))],
+        "document_format string, model_id string, model_version int, config string",
+    )
+    out = register_model(
+        old, "fmt-a", "model-a-0002", {"x": 2}, accuracy=0.87, n_training_docs=12
+    )
+    assert "average_model_accuracy" in out.columns
+    rows = {r["model_id"]: r for r in out.collect()}
+    assert rows["model-a-0001"]["average_model_accuracy"] is None
+    assert rows["model-a-0002"]["average_model_accuracy"] == 0.87
+    assert rows["model-a-0002"]["n_training_docs"] == 12
+    assert rows["model-a-0002"]["model_version"] == 2
+    [latest] = latest_models(out).filter(F.col("document_format") == "fmt-a").collect()
+    assert latest["model_id"] == "model-a-0002"
+    # idempotent on an already-current frame
+    assert migrate_registry(out).columns == out.columns

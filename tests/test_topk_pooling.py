@@ -81,5 +81,25 @@ def test_mean_pool_ragged_dims_raise(spark):
     df = spark.createDataFrame(
         [("a", [1.0, 2.0]), ("a", [3.0])], "g string, embedding array<double>"
     )
-    with pytest.raises(Exception, match="ragged vector dims"):
+    with pytest.raises(Exception, match="ragged, empty, or NULL"):
         mean_pool(df, ["g"]).collect()
+
+
+def test_mean_pool_rejects_empty_and_null_vectors(spark):
+    # posexplode silently drops empty/NULL arrays; the guard must not
+    from horus_spark.operators.pooling import mean_pool
+
+    df = spark.createDataFrame(
+        [("a", [1.0, 2.0]), ("a", [])],
+        "k string, embedding array<double>",
+    )
+    with pytest.raises(Exception) as exc:
+        mean_pool(df, ["k"]).collect()
+    assert "empty" in str(exc.value) or "ragged" in str(exc.value)
+
+    df2 = spark.createDataFrame(
+        [("a", [1.0, 2.0]), ("a", None)],
+        "k string, embedding array<double>",
+    )
+    with pytest.raises(Exception):
+        mean_pool(df2, ["k"]).collect()
