@@ -98,6 +98,12 @@ def score_documents(
     qty_direct = F.bround(
         F.coalesce(F.expr("try_cast(a_qty as double)"), F.lit(0.0)), 2
     ) == F.bround("e_qty", 2)
+    # Reference parity: Inspector.cs:392-398 computes the DIRECT compare first
+    # (TryParse(LineQuantity) else 0 — so an unparseable/empty quantity
+    # comparing equal to an expected 0 MATCHES, by reference design) and
+    # runs the CalculatedLineQuantity compare iff the direct one failed.
+    # "direct, else calculated" has the truth table of a plain OR, which
+    # is what b2i(qty_direct | qty_fallback) encodes below.
     qty_fallback = F.bround("a_calc_qty", 2) == F.bround("e_qty", 2)
     line_matches = F.when(
         F.col("a_desc").isNotNull() | F.col("a_price").isNotNull(),

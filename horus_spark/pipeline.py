@@ -222,7 +222,15 @@ def _extract_batch(
     """pandas-output assembly over _extract_core (mapInPandas path and
     tests; the hot path is _extract_batch_arrow)."""
     if len(pdf) == 0:
-        return pd.DataFrame({"doc_id": [], "fields": [], "field_line_ids": []})
+        # empty frame must still match the declared output shape
+        # (FIELDS_SCHEMA [+ fields]) — an earlier guard emitted a
+        # 3-column stub that would fail Arrow serialization under
+        # mapInPandas instead of producing a well-typed empty batch
+        cols = [
+            "doc_id", "header_raw", "lines_raw", "field_line_ids",
+            "recognizer_status", "recognizer_errors", "time_to_shred_ms",
+        ] + (["fields"] if with_fields_map else [])
+        return pd.DataFrame({c: [] for c in cols})
     out_ids, out_fields, flid_map, out_status, out_ms = _extract_core(pdf, configs)
     raws = [_raw_views(fd) for fd in out_fields]
     out = pd.DataFrame(

@@ -50,8 +50,31 @@ def write_extracted(extracted: DataFrame, out_dir: str, mode: str = "overwrite")
     whole extracted frame in executor storage memory (an unbounded .cache()
     at 10^12 docs was the previous design's scale-killer)."""
     wide_dir = os.path.join(out_dir, "documents_full")
+    # append mode: the derived views must come from THIS batch's rows
+    # only — re-reading the whole wide table would append every PRIOR
+    # shred's children again (quadratic duplication across appends; a
+    # review finding). Snapshot the part files before the write and read
+    # only the new ones; cheap (one listing) and exact.
+    local_wide = wide_dir.removeprefix("file:")
+    pre_files: set[str] = set()
+    if mode == "append" and os.path.isdir(local_wide):
+        pre_files = {
+            f for f in os.listdir(local_wide) if not f.startswith(("_", "."))
+        }
     extracted.write.mode(mode).parquet(wide_dir)
-    full = extracted.sparkSession.read.parquet(wide_dir)
+    if pre_files:
+        new_files = [
+            os.path.join(wide_dir, f)
+            for f in os.listdir(local_wide)
+            if not f.startswith(("_", ".")) and f not in pre_files
+        ]
+        full = (
+            extracted.sparkSession.read.parquet(*new_files)
+            if new_files
+            else extracted.sparkSession.read.parquet(wide_dir).limit(0)
+        )
+    else:
+        full = extracted.sparkSession.read.parquet(wide_dir)
     # persist-time-only PostCode truncation inside _header_frame, exactly
     # like the reference (Horus.Functions/HorusSql.cs:235-241 trims to 10
     # chars at the SQL INSERT; the document graph keeps the full value,
@@ -328,12 +351,48 @@ def run_checkpointed(
     # one scan+write per input table, amortized across all chunks and kept
     # across resumes.
     staging = os.path.join(out_dir, "_staging")
+    # the staged layout is physically keyed by pmod(hash, n_chunks): a
+    # resume with a DIFFERENT n_chunks would read only __chunk 0..n-1 of
+    # an older, wider layout and silently drop the rest (review
+    # finding). Pin the modulus in a staging meta file and refuse a
+    # mismatched resume; legacy stagings without the meta are checked
+    # against their partition directories.
+    meta_path = os.path.join(staging, "_meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            staged_n = json.load(fh).get("n_chunks")
+        if staged_n != n_chunks:
+            raise ValueError(
+                f"staged input under {staging} was partitioned with "
+                f"n_chunks={staged_n}; resume with the same n_chunks or "
+                "delete the staging directory to re-stage"
+            )
+    elif os.path.isdir(os.path.join(staging, "documents")):
+        # legacy staging without the meta: partition dirs exist only for
+        # non-empty chunks, so only the strict data-loss direction (a
+        # staged value the loop would never read) can be detected
+        vals = [
+            int(d.split("=", 1)[1])
+            for d in os.listdir(os.path.join(staging, "documents"))
+            if d.startswith("__chunk=")
+        ]
+        if vals and max(vals) + 1 > n_chunks:
+            raise ValueError(
+                f"staged input under {staging} holds chunk ids up to "
+                f"{max(vals)} but the resume asked for n_chunks="
+                f"{n_chunks}; resume with the original n_chunks or "
+                "delete the staging directory to re-stage"
+            )
     for name, df in (("documents", documents), ("ocr_words", ocr_words)):
         sdir = os.path.join(staging, name)
         if not os.path.exists(os.path.join(sdir, "_SUCCESS")):
             df.withColumn("__chunk", chunk_of_doc).write.mode(
                 "overwrite"
             ).partitionBy("__chunk").parquet(sdir)
+    if not os.path.exists(meta_path):
+        os.makedirs(staging, exist_ok=True)
+        with open(meta_path, "w") as fh:
+            json.dump({"n_chunks": n_chunks}, fh)
     docs_c = spark.read.parquet(os.path.join(staging, "documents"))
     words_c = spark.read.parquet(os.path.join(staging, "ocr_words"))
 

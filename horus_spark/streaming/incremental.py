@@ -111,7 +111,11 @@ def stateful_sessionize(
     soon as a later event proves the gap (append semantics); the open
     session is held in state and emitted when the state times out after
     `state_timeout_ms` of no new data. Late events beyond a closed session
-    start a new session (at-scale choice: no unbounded reopen state).
+    start a new session (at-scale choice: no unbounded reopen state). A
+    cross-batch straggler landing INSIDE the open session's envelope
+    [start - gap, end + gap] merges into it (extending either end); one
+    landing more than a gap BEFORE the open session is emitted as its own
+    closed single-event session rather than silently absorbed.
 
     Output: (user_id, session_start, session_end, n_events, total_value).
     """
@@ -147,8 +151,21 @@ def stateful_sessionize(
                 for t, v in zip(ts, vals):
                     if start is None:
                         start, end, n, total = t, t, 1, float(v)
+                    elif t < start - gap_seconds:
+                        # a cross-batch straggler from BEFORE the open
+                        # session, separated by more than the gap: it is
+                        # its own (already provably closed) session — a
+                        # negative t-end would otherwise absorb it into
+                        # a session it does not belong to (review
+                        # finding)
+                        closed.append((user_id, t, t, 1, float(v)))
                     elif t - end <= gap_seconds:
-                        end, n, total = max(end, t), n + 1, total + float(v)
+                        # within the session envelope: extend BOTH ends
+                        # (an out-of-order event inside [start-gap, end]
+                        # can stretch session_start backward)
+                        start, end, n, total = (
+                            min(start, t), max(end, t), n + 1, total + float(v)
+                        )
                     else:
                         closed.append((user_id, start, end, n, total))
                         start, end, n, total = t, t, 1, float(v)

@@ -278,3 +278,55 @@ def test_manifest_noop_retract_does_not_bump(tmp_path):
     _retract_from_table_manifest(out, "chunk=0000")
     m = _read_table_manifest(out)
     assert m["snapshot"] == 2 and m["chunks"] == []
+
+
+def test_resume_rejects_changed_n_chunks(spark, tmp_path):
+    """Review finding: a resume with a smaller n_chunks than the staged
+    layout silently read only a prefix of the chunks — half the corpus
+    vanished with no error. It must raise instead."""
+    import pytest as _pytest
+
+    from horus_spark.fixtures.generator import corpus_spark
+    from horus_spark.sources.sink import run_checkpointed
+
+    out = str(tmp_path / "o")
+    c = corpus_spark(spark, 30, partitions=2)
+    with _pytest.raises(RuntimeError):
+        run_checkpointed(
+            c["documents"], c["ocr_words"], out, n_chunks=4,
+            run_id="runN", fail_after_chunk=1,
+        )
+    with _pytest.raises(ValueError) as exc:
+        run_checkpointed(
+            c["documents"], c["ocr_words"], out, n_chunks=2, run_id="runN"
+        )
+    assert "n_chunks" in str(exc.value)
+    # same n_chunks resumes cleanly and completes the remaining chunks
+    res = run_checkpointed(
+        c["documents"], c["ocr_words"], out, n_chunks=4, run_id="runN"
+    )
+    assert sorted(res["completed"] + res["skipped"]) == [0, 1, 2, 3]
+
+
+def test_append_writes_only_the_new_batch_children(spark, tmp_path):
+    """Review finding: append mode re-derived the child views from the
+    WHOLE wide table, duplicating every prior batch's children on each
+    append (quadratic growth). Three appends must give exactly three
+    sets of children."""
+    from horus_spark.fixtures.generator import corpus_spark
+    from horus_spark.pipeline import run_extraction
+    from horus_spark.sources.sink import write_extracted
+
+    out = str(tmp_path / "o")
+    c = corpus_spark(spark, 10, partitions=2)
+    extracted = run_extraction(c["documents"], c["ocr_words"])
+    one_docs = extracted.count()
+    one_lines = extracted.selectExpr("explode(line_items)").count()
+    for i in range(3):
+        write_extracted(extracted, out, mode="append")
+    got_full = spark.read.parquet(f"{out}/documents_full").count()
+    got_docs = spark.read.parquet(f"{out}/documents_out").count()
+    got_lines = spark.read.parquet(f"{out}/line_items").count()
+    assert got_full == 3 * one_docs
+    assert got_docs == 3 * one_docs  # was 6x under the defect (1+2+3)
+    assert got_lines == 3 * one_lines

@@ -242,3 +242,21 @@ def test_multi_seed_span_and_field_parity(spark, seed, base):
             assert round(r.grand_total, 2) == exp["grand_total"], d["doc_id"]
     finally:
         out.unpersist()
+
+
+def test_extract_batch_empty_input_matches_schema(spark):
+    """Review finding: the empty-input early return emitted a 3-column
+    stub that matched neither declared output schema; it must mirror
+    the non-empty shape exactly (with and without the fields map)."""
+    import pandas as pd
+
+    from horus_spark.fixtures.generator import corpus_pandas
+    from horus_spark.pipeline import _extract_batch
+
+    fixture = corpus_pandas(2)
+    words = fixture["ocr_words"]
+    for with_map in (False, True):
+        full = _extract_batch(words, with_fields_map=with_map)
+        empty = _extract_batch(words.iloc[0:0], with_fields_map=with_map)
+        assert list(empty.columns) == list(full.columns)
+        assert len(empty) == 0

@@ -86,3 +86,61 @@ def test_stateful_sessionize(spark, tmp_path):
         assert ("u1", 1, 7.0) in got       # u1's last open session flushed
     finally:
         q.stop()
+
+
+def test_stateful_sessionize_out_of_order_straggler(spark, tmp_path):
+    """Cross-batch straggler semantics (review finding): an event more
+    than a gap BEFORE the open session must emit as its own closed
+    session (not be silently absorbed), and one inside the envelope
+    must merge while extending session_start backward."""
+    from horus_spark.streaming.incremental import stateful_sessionize
+
+    src = str(tmp_path / "events_in")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src, exist_ok=True)
+    t0 = dt.datetime(2026, 6, 1, 12, 0, 0)
+
+    def ts(sec):
+        return t0 + dt.timedelta(seconds=sec)
+
+    stream = spark.readStream.schema(
+        "user_id string, ts timestamp, value double"
+    ).parquet(src)
+    sessions = stateful_sessionize(stream, gap_seconds=1800, state_timeout_ms=15_000)
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sessions_straggler")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        _write_events(spark, src, [("u3", ts(10000), 1.0)])
+        _poll(spark, "sessions_straggler", lambda g: False, timeout_s=3)
+        # batch 2: ts(3000) is 7000s BEFORE the open session's start ->
+        # its own closed session; ts(9000) is within the gap before
+        # start -> merges and stretches session_start back to ts(9000)
+        _write_events(spark, src, [("u3", ts(3000), 5.0), ("u3", ts(9000), 2.0)])
+        got = _poll(
+            spark, "sessions_straggler", lambda g: ("u3", 1, 5.0) in g
+        )
+        assert ("u3", 1, 5.0) in got  # straggler emitted, not absorbed
+        # idle flush: the merged open session has 2 events and the
+        # extended start
+        deadline = time.time() + 60
+        rows = []
+        while time.time() < deadline:
+            rows = spark.sql(
+                "select * from sessions_straggler where n_events = 2"
+            ).collect()
+            if rows:
+                break
+            time.sleep(0.5)
+        assert rows, "merged session never flushed"
+        [r] = rows
+        assert r.total_value == 3.0
+        assert r.session_start == ts(9000)
+        assert r.session_end == ts(10000)
+    finally:
+        q.stop()
