@@ -10,7 +10,8 @@ into seeded numpy. Layout geometry mirrors the measured golden fixture
 8.2639x11.6806in, 7-column line-item grid with x-cuts
 [0.992,1.385,3.747,4.141,4.928,5.322,5.714,7.289], 4x1 totals table.
 
-Every document is generated from RandomState(seed ^ doc_number) so any
+Every document is generated from
+RandomState((seed * 1_000_003 + doc_number) % (2**31 - 1)) so any
 subset can be generated independently on any executor (order-free,
 shuffle-free, resumable).
 

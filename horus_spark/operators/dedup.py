@@ -82,13 +82,27 @@ def shingle_sizes(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact dedup via content hash: every row keyed by its thumbprint with
-    the canonical (minimum) id and the duplicate-group size."""
+    the canonical (minimum) id and the duplicate-group size.
+
+    NULL-text rows get thumbprint NULL and stand as their own singleton
+    groups (canonical = self, is_duplicate = false). They must not
+    vanish: md5(NULL) is NULL and an inner join on the thumbprint never
+    matches NULL keys, so the original inner-join shape silently DROPPED
+    null-text docs from the output — and therefore from
+    dedup_pipeline's surviving corpus (review finding, confirmed by
+    execution). Nor should they group together: two absent texts are
+    not byte-identical content."""
     h = df.select(F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("thumbprint"))
-    groups = h.groupBy("thumbprint").agg(
+    groups = h.filter(F.col("thumbprint").isNotNull()).groupBy("thumbprint").agg(
         F.min("id").alias("canonical_id"), F.count("*").alias("group_size")
     )
-    return h.join(groups, "thumbprint").select(
-        "id", "thumbprint", "canonical_id", (F.col("id") != F.col("canonical_id")).alias("is_duplicate")
+    return h.join(groups, "thumbprint", "left").select(
+        "id",
+        "thumbprint",
+        F.coalesce("canonical_id", "id").alias("canonical_id"),
+        F.coalesce(
+            F.col("id") != F.col("canonical_id"), F.lit(False)
+        ).alias("is_duplicate"),
     )
 
 
@@ -290,10 +304,31 @@ def minhash_signatures(
     return mins.select("id", F.array(*[f"h{i}" for i in range(k)]).alias("sig"))
 
 
-def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16) -> DataFrame:
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 16, k: int | None = None
+) -> DataFrame:
     """Band the signatures and bucket-join: docs sharing any band bucket are
     candidates. Buckets are the band's value string (not re-hashed) so the
-    SQL oracle reproduces candidate sets exactly. (id_a < id_b distinct.)"""
+    SQL oracle reproduces candidate sets exactly. (id_a < id_b distinct.)
+
+    `k` (the signature length) is validated when given: bands must
+    divide k, and bands > k is an error — with rows_per_band floored to
+    0 every bucket would be the empty string and the self-join would
+    silently degenerate to ALL-PAIRS, the exact O(n^2) explosion LSH
+    exists to prevent (review finding, confirmed by execution). Callers
+    going through minhash_dedup_pairs always pass k."""
+    if k is not None:
+        if bands > k:
+            raise ValueError(
+                f"bands={bands} > signature length k={k}: every band "
+                "bucket would be empty and candidates degenerate to "
+                "all-pairs"
+            )
+        if k % bands != 0:
+            raise ValueError(
+                f"bands={bands} must divide the signature length k={k} "
+                f"({k % bands} hashes would be silently ignored)"
+            )
     sig = signatures
     rows_per_band = F.floor(F.size("sig") / bands).cast("int")
     banded = sig.select(
@@ -349,7 +384,7 @@ def minhash_dedup_pairs(
     sink. Left off by default so the operator stays side-effect-free
     (benches/oracles measure the honest single-pass cost)."""
     sigs = minhash_signatures(df, id_col, text_col, n, k, seed)
-    cand = lsh_candidate_pairs(sigs, bands)
+    cand = lsh_candidate_pairs(sigs, bands, k=k)
     if staging_dir is not None:
         import os
 
@@ -450,6 +485,17 @@ def simhash_pairs(
     Requires max_hamming <= bands - 1 for the exactness guarantee."""
     if max_hamming > bands - 1:
         raise ValueError("exactness requires max_hamming <= bands - 1")
+    if bands > bits:
+        # block = bits // bands would floor to 0 and mask to 0: every
+        # fingerprint buckets to 0 in every band and the join silently
+        # degenerates to all-pairs (the lsh_candidate_pairs failure
+        # mode; review finding)
+        raise ValueError(f"bands={bands} > bits={bits}: bands must be <= bits")
+    if bits % bands != 0:
+        raise ValueError(
+            f"bands={bands} must divide bits={bits} "
+            f"({bits % bands} bits would be silently ignored)"
+        )
     sig = simhash(df, id_col, text_col, bits)
     block = bits // bands
     mask = (1 << block) - 1

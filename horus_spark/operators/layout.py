@@ -284,7 +284,7 @@ def infer_grid_arrays(texts: list, fx0: np.ndarray, fy: np.ndarray, fx1: np.ndar
     hdr_ids = [
         i
         for i in range(n)
-        if table_top - 0.75 < fy_l[i] < table_top
+        if table_top - 0.45 < fy_l[i] < table_top
         and fx1_l[i] > col_lo[0] - 0.05
         and fx0_l[i] < col_hi[-1] + 0.05
     ]

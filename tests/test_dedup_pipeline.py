@@ -92,3 +92,46 @@ def test_pipeline_composition_launches_no_job(corpus):
     assert new_jobs == [], f"dedup_pipeline launched jobs eagerly: {new_jobs}"
     # the counter is still available — just priced on demand
     assert out["collapsed_count"].collect()[0].n_collapsed == 29
+
+
+def test_exact_dedup_keeps_null_text_rows(spark):
+    """Review finding (execution-confirmed): md5(NULL) is NULL and the
+    inner join on thumbprint dropped null-text docs entirely. They must
+    survive as their own singletons — and must NOT group together (two
+    absent texts are not identical content)."""
+    from horus_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [("d1", "same"), ("d2", None), ("d3", None), ("d4", "same")],
+        "doc_id string, text string",
+    )
+    rows = {r["id"]: r for r in exact_dedup(df).collect()}
+    assert set(rows) == {"d1", "d2", "d3", "d4"}
+    assert rows["d2"]["canonical_id"] == "d2" and not rows["d2"]["is_duplicate"]
+    assert rows["d3"]["canonical_id"] == "d3" and not rows["d3"]["is_duplicate"]
+    assert rows["d4"]["canonical_id"] == "d1" and rows["d4"]["is_duplicate"]
+
+
+def test_banding_guards_reject_degenerate_configs(spark):
+    """Review finding (execution-confirmed): bands > k floored every
+    band bucket to the empty string and the bucket join degenerated to
+    ALL-PAIRS — the O(n^2) explosion banding exists to prevent."""
+    from horus_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        simhash_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(f"d{i}", f"text number {i} entirely distinct") for i in range(4)],
+        "doc_id string, text string",
+    )
+    sigs = minhash_signatures(df, k=8)
+    with pytest.raises(ValueError):
+        lsh_candidate_pairs(sigs, bands=16, k=8)
+    with pytest.raises(ValueError):
+        lsh_candidate_pairs(sigs, bands=3, k=8)  # remainder hashes ignored
+    with pytest.raises(ValueError):
+        simhash_pairs(df, bits=32, bands=33, max_hamming=3)
+    with pytest.raises(ValueError):
+        simhash_pairs(df, bits=32, bands=3, max_hamming=2)

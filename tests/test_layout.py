@@ -60,3 +60,29 @@ def test_empty_words():
     )
     cl = cluster_lines(empty)
     assert len(cl) == 0
+
+
+def test_header_band_excludes_preamble_lines():
+    """Review finding (execution-confirmed): the 0.75in header band
+    swallowed the oscorp 'Taxpoint:' preamble line, contaminating the
+    rendered header cell ('Taxpoint: ... Description'). The tightened
+    band must keep headers clean across the synthetic corpus while the
+    fixture-parity tests above stay exact."""
+    from horus_spark.fixtures.generator import corpus_pandas
+    from horus_spark.operators.layout import (
+        cluster_lines,
+        fragments_view,
+        grid_to_tables,
+        infer_grid,
+    )
+
+    fx = corpus_pandas(60)
+    for doc_id, g in fx["ocr_words"].groupby("doc_id"):
+        frags = fragments_view(cluster_lines(g), with_words=True)
+        grid = infer_grid(frags)
+        if not grid:
+            continue
+        for t in grid_to_tables(frags, grid):
+            for c in t["cells"]:
+                if c["rowIndex"] == 0:
+                    assert "Taxpoint" not in c.get("text", ""), (doc_id, c)
