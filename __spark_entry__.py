@@ -39,23 +39,34 @@ def _fanout(df: DataFrame, key: str = "doc_id", factor: int = 2) -> DataFrame:
     # file, still plan-free); if the files can't be statted (remote FS),
     # pay one physical-plan probe instead of silently under-parallelizing.
     files = df.inputFiles()
-    if len(files) >= target:
-        # memoize per file set: the stat() sweep is a serial driver-side
+    if files:
+        # run the estimate whenever the source is file-backed — a single
+        # large SPLITTABLE file can scan as many FilePartitions, so the
+        # old `len(files) >= target` gate forced a full repartition
+        # exchange on exactly the inputs that least needed one.
+        # Memoize per file set: the stat() sweep is a serial driver-side
         # syscall per file, and every oracle query funnels through here —
         # with 10^5 input files an uncached sweep would add seconds of
-        # driver latency per query BUILD
-        cache_key = (tuple(sorted(files)), target)
+        # driver latency per query BUILD. The cache is bounded and keyed
+        # by (paths, total bytes) so an in-place rewrite with different
+        # sizes cannot serve a stale estimate.
+        try:
+            total = sum(os.path.getsize(p.removeprefix("file:")) for p in files)
+        except OSError:
+            total = -1
+        cache_key = (tuple(sorted(files)), total, target)
         est_splits = _fanout._cache.get(cache_key)
         if est_splits is None:
             try:
-                total = sum(
-                    os.path.getsize(p.removeprefix("file:")) for p in files
-                )
+                if total < 0:
+                    raise OSError("unstattable input files")
                 max_pb = int(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728").removesuffix("b"))
                 open_cost = int(spark.conf.get("spark.sql.files.openCostInBytes", "4194304").removesuffix("b"))
                 est_splits = -(-(total + open_cost * len(files)) // max_pb)
             except (OSError, ValueError):
                 est_splits = df.rdd.getNumPartitions()
+            if len(_fanout._cache) >= 128:
+                _fanout._cache.clear()
             _fanout._cache[cache_key] = est_splits
         if est_splits >= target:
             return df
@@ -441,10 +452,18 @@ def _q21_minhash_pairs(spark, sf_dir):
     return minhash_dedup_pairs(d, n=3, k=64, bands=16, threshold=0.3)
 
 
-def _q22_planes() -> list[list[float]]:
+def _planes(seed: int, n_sets: int = 1):
+    """Deterministic hyperplane sets (n_sets x 6 planes x 64 dims) — one
+    recipe for every LSH query; distinct seeds give independent sets."""
     import numpy as np
 
-    return np.random.RandomState(7).randn(6, 64).tolist()
+    rng = np.random.RandomState(seed)
+    sets = [rng.randn(6, 64).tolist() for _ in range(n_sets)]
+    return sets[0] if n_sets == 1 else sets
+
+
+def _q22_planes() -> list[list[float]]:
+    return _planes(7)
 
 
 def _q22_lsh_ann(spark, sf_dir):
@@ -465,9 +484,7 @@ def _q23_cosine_neardup(spark, sf_dir):
 
 
 def _lsh_planes() -> list[list[float]]:
-    import numpy as np
-
-    return np.random.RandomState(11).randn(6, 64).tolist()
+    return _planes(11)
 
 
 def _q24_lsh_cosine_pairs(spark, sf_dir):
@@ -804,10 +821,7 @@ def _q32_versioned_sink(spark, sf_dir):
 
 
 def _q30_planes() -> list:
-    import numpy as np
-
-    rng = np.random.RandomState(23)
-    return [rng.randn(6, 64).tolist() for _ in range(3)]
+    return _planes(23, n_sets=3)
 
 
 def _q30_multiband_cosine(spark, sf_dir):
@@ -1531,7 +1545,7 @@ _LANGS_SQL = {
 
 
 def _oracle_sql_literals() -> dict[str, str]:
-    toks = "string_split(trim(text), ' ')"
+    toks = r"string_split_regex(trim(text), '\s+')"
 
     def shingle_cte_src(src: str = "documents") -> str:
         """Shingle/sizes CTE prelude over any (doc_id, text) source."""
@@ -1721,7 +1735,7 @@ def _oracle_sql_literals() -> dict[str, str]:
     qstats = f"""
       SELECT CAST(doc_id AS VARCHAR) AS doc_id,
              CASE WHEN len(trim(text))=0 THEN 0 ELSE len({toks}) END AS n_tok,
-             len(list_filter(string_split(trim(lower(text)),' '), x -> list_contains({_STOPWORDS_SQL}, x)))
+             len(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> list_contains({_STOPWORDS_SQL}, x)))
                * 1.0 / greatest(len({toks}), 1) AS stop_ratio,
              (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) * 1.0
                / greatest(length(text),1) AS punct_ratio
@@ -1837,7 +1851,7 @@ def _oracle_sql_literals() -> dict[str, str]:
         """,
         "q16_simhash": """
           WITH tok AS (
-            SELECT CAST(doc_id AS VARCHAR) AS id, unnest(string_split(trim(lower(text)), ' ')) AS tok
+            SELECT CAST(doc_id AS VARCHAR) AS id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
             FROM documents),
           h AS (SELECT id, CAST(concat('0x', substring(md5(tok),1,14)) AS BIGINT) AS h FROM tok),
           bits AS (
@@ -2071,7 +2085,7 @@ def _oracle_sql_literals() -> dict[str, str]:
         """)(_q30_planes()),
         "q31_simhash_pairs": """
           WITH tok AS (
-            SELECT CAST(doc_id AS VARCHAR) AS id, unnest(string_split(trim(lower(text)), ' ')) AS tok
+            SELECT CAST(doc_id AS VARCHAR) AS id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
             FROM documents),
           h AS (SELECT id, CAST(concat('0x', substring(md5(tok),1,14)) AS BIGINT) AS h FROM tok),
           bits AS (
@@ -2206,7 +2220,7 @@ def _oracle_sql_literals() -> dict[str, str]:
           WITH RECURSIVE docs AS (
             SELECT CAST(doc_id AS VARCHAR) AS id,
                    CASE WHEN len(trim(text)) = 0 THEN 0
-                        ELSE len(string_split(trim(text), ' ')) END AS n_tokens,
+                        ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
                    CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8 AS INT) AS shard
             FROM documents
           ), ord AS (
@@ -2277,7 +2291,7 @@ def _oracle_sql_literals() -> dict[str, str]:
         "q45_repetition": """
           WITH tok AS (
             SELECT CAST(doc_id AS VARCHAR) AS doc_id,
-                   string_split(trim(text), ' ') AS t
+                   string_split_regex(trim(text), '\s+') AS t
             FROM documents
           ),
           g2 AS (
@@ -2391,7 +2405,7 @@ def _oracle_sql_literals() -> dict[str, str]:
         # pre-aggregate makes n_docs a plain count; ties at the k-th
         # boundary broken deterministically by gram.
         "q49_top_ngrams": """
-          WITH tok AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+          WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
           g AS (
             SELECT doc_id, unnest([w[i] || ' ' || w[i+1]
                                    for i in generate_series(1, len(w)-1)]) AS gram
@@ -2847,7 +2861,7 @@ def _oracle_sql_literals() -> dict[str, str]:
         # partitioning-invariant — the hash match is the proof.
         "q67_heavy_hitters": """
           WITH tok AS (
-            SELECT unnest(string_split(trim(text), ' ')) AS token FROM documents),
+            SELECT unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents),
           tok2 AS (SELECT token FROM tok WHERE token <> ''),
           tot AS (SELECT count(*)::BIGINT AS n_total FROM tok2)
           SELECT token, count(*)::BIGINT AS n_occurrences,

@@ -179,6 +179,7 @@ def __getattr__(name):
         ),
         "epoch_shuffle": ("horus_spark.operators.indexing", "epoch_shuffle"),
         "ccnet_tiers": ("horus_spark.operators.lm_score", "ccnet_tiers"),
+        "ocr_parse_errors": ("horus_spark.sources.ocr_json", "ocr_parse_errors"),
         "compact_chunks": ("horus_spark.sources.sink", "compact_chunks"),
         "expire_snapshots": ("horus_spark.sources.sink", "expire_snapshots"),
         "vacuum_chunks": ("horus_spark.sources.sink", "vacuum_chunks"),

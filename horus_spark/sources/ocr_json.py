@@ -69,3 +69,35 @@ def ocr_words_from_json(
         F.col("w.boundingBox").cast("array<float>").alias("bbox"),
         F.col("w.confidence").cast("float").alias("confidence"),
     )
+
+
+def ocr_parse_errors(
+    blobs: DataFrame, json_col: str = "ocr_json", doc_id_col: str = "doc_id"
+) -> DataFrame:
+    """The error channel for the ingestion path: (doc_id, error) for
+    every blob that parses to nothing — from_json yields NULL for
+    malformed JSON and NULL readResults for schema-mismatched JSON, and
+    in both cases `ocr_words_from_json`'s explode drops the document
+    with zero rows and zero diagnostics (review finding). Run this
+    alongside the parse (same scan, one pass each) and route the rows
+    to the errors sink like any PRE-code failure; a corrupted upload is
+    then traceable instead of masquerading as an empty document."""
+    parsed = blobs.select(
+        F.col(doc_id_col).alias("doc_id"),
+        F.col(json_col).isNull().alias("_null_blob"),
+        F.from_json(F.col(json_col), OCR_JSON_SCHEMA).alias("j"),
+    )
+    # PERMISSIVE from_json yields a null-FIELDED struct (not NULL) for
+    # malformed JSON, so malformed and schema-mismatched blobs are not
+    # distinguishable here without a corrupt-record column — one label
+    # covers both; the blob itself is in the source row for triage.
+    return parsed.filter(
+        F.col("_null_blob")
+        | F.col("j").isNull()
+        | F.col("j.analyzeResult.readResults").isNull()
+    ).select(
+        "doc_id",
+        F.when(F.col("_null_blob"), F.lit("OCR_BLOB_NULL"))
+        .otherwise(F.lit("OCR_JSON_UNPARSEABLE"))
+        .alias("error"),
+    )

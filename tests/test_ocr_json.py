@@ -64,3 +64,52 @@ def test_json_source_feeds_layout_engine(spark):
         .tolist()
     )
     assert got_lines == [l["text"] for l in exp]
+
+
+def test_ocr_parse_errors_surface_bad_blobs(spark):
+    """Review finding: a malformed blob silently produced zero ocr_words
+    rows and no diagnostic. The companion error channel must surface
+    null and unparseable/mismatched blobs; good blobs stay out."""
+    import json as _json
+
+    from horus_spark.sources.ocr_json import ocr_parse_errors, ocr_words_from_json
+
+    good = _json.dumps(
+        {
+            "analyzeResult": {
+                "readResults": [
+                    {
+                        "page": 1, "angle": 0.0, "width": 8.5, "height": 11.0,
+                        "unit": "inch",
+                        "lines": [
+                            {
+                                "text": "hi", "boundingBox": [0, 0, 1, 0, 1, 1, 0, 1],
+                                "words": [
+                                    {"text": "hi",
+                                     "boundingBox": [0, 0, 1, 0, 1, 1, 0, 1],
+                                     "confidence": 0.99}
+                                ],
+                            }
+                        ],
+                    }
+                ]
+            }
+        }
+    )
+    blobs = spark.createDataFrame(
+        [
+            ("ok", good),
+            ("nul", None),
+            ("garbage", "{not json at all"),
+            ("mismatch", _json.dumps({"somethingElse": 1})),
+        ],
+        "doc_id string, ocr_json string",
+    )
+    words = ocr_words_from_json(blobs)
+    assert {r["doc_id"] for r in words.collect()} == {"ok"}
+    errs = {r["doc_id"]: r["error"] for r in ocr_parse_errors(blobs).collect()}
+    assert errs == {
+        "nul": "OCR_BLOB_NULL",
+        "garbage": "OCR_JSON_UNPARSEABLE",
+        "mismatch": "OCR_JSON_UNPARSEABLE",
+    }
