@@ -841,6 +841,184 @@ def compact_chunks(
     }
 
 
+def _carry_table_files(out_dir: str, members: list[str], table: str, dest: str) -> None:
+    """Carry a table's data files from member chunk dirs into `dest`
+    unchanged — hard links (fallback: copy) with a member prefix so
+    part-file names from different chunks cannot collide. On an object
+    store this is the manifest-reference step of a real table format
+    (new snapshot points at the old data files); on a filesystem a link
+    is the exact analog: zero data movement, and vacuuming the old
+    chunk dir later cannot strand the new one (inode refcount)."""
+    os.makedirs(dest, exist_ok=True)
+    for mi, member in enumerate(members):
+        src = os.path.join(out_dir, member, table)
+        if not os.path.isdir(src):
+            continue
+        for name in sorted(os.listdir(src)):
+            if not name.endswith(".parquet"):
+                continue
+            target = os.path.join(dest, f"m{mi:03d}-{name}")
+            try:
+                os.link(os.path.join(src, name), target)
+            except OSError:
+                shutil.copy2(os.path.join(src, name), target)
+
+
+def merge_upsert(
+    spark,
+    out_dir: str,
+    table: str,
+    updates: DataFrame,
+    key_cols: list[str],
+) -> dict:
+    """Row-level MERGE (upsert) on one table of the chunk catalog —
+    copy-on-write, the `MERGE INTO` half of the table-format contract
+    (matched keys are replaced by the update row, unmatched keys are
+    inserted). The reference's per-document upsert is HorusSql.cs's
+    transactional delete+insert per DocumentNumber (HorusSql.cs:210-311);
+    this is the set-oriented equivalent: ONE scan finds the affected
+    chunk directories, only those are rewritten, and a single CAS
+    snapshot commit swaps them for the rewritten chunk — readers racing
+    the merge see the pre- or post-merge snapshot, never a mixture, and
+    time travel to the pre-merge snapshot keeps working until
+    expire+vacuum reclaim it.
+
+    Scale shape: the touched-chunk probe is a column-pruned scan of
+    (key_cols, chunk) semi-joined to the broadcast update keys — chunks
+    without matches are NEVER rewritten (with per-chunk key min/max in
+    the manifest this probe becomes pure metadata pruning; noted as the
+    upgrade path). OTHER tables living in the affected chunk dirs are
+    carried over by hard link (object-store analog: the new snapshot
+    references the old data files) — zero data movement for tables the
+    merge does not touch; their rows are intentionally untouched, so
+    child tables keyed to replaced rows must be merged separately.
+
+    `updates` must carry exactly the target table's columns and at most
+    one row per key (ambiguous merges are an error, same as Iceberg's
+    MERGE cardinality check). Returns {"matched": n, "inserted": n,
+    "affected": [...], "new": name-or-None, "snapshot": id}.
+    """
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    m = _read_table_manifest(out_dir)
+    if m is None:
+        raise ValueError(
+            f"{out_dir} has no snapshot catalog — merge_upsert requires "
+            "the manifest layout (legacy chunk stores have no snapshot "
+            "to swap atomically)"
+        )
+    chunks = list(m.get("chunks", []))
+    target_cols = None
+    if chunks:
+        target_cols = read_output(spark, out_dir, table).drop("chunk").columns
+        missing = [c for c in key_cols if c not in target_cols]
+        if missing:
+            raise ValueError(f"key columns {missing} not in table {table}")
+        if sorted(updates.columns) != sorted(target_cols):
+            raise ValueError(
+                f"updates columns {sorted(updates.columns)} != table "
+                f"columns {sorted(target_cols)}"
+            )
+    dup = (
+        updates.groupBy(*key_cols).count().filter(F.col("count") > 1).limit(1).collect()
+    )
+    if dup:
+        raise ValueError(
+            f"updates carry multiple rows for key {tuple(dup[0][k] for k in key_cols)}"
+            " — MERGE cardinality violation"
+        )
+    n_updates = updates.count()
+    if n_updates == 0:
+        return {
+            "matched": 0, "inserted": 0, "affected": [], "new": None,
+            "snapshot": int(m.get("snapshot", 0)),
+        }
+
+    keys = updates.select(*key_cols)
+    affected: list[str] = []
+    matched = 0
+    if chunks:
+        # one column-pruned probe: which committed chunks hold any key?
+        probe = (
+            read_output(spark, out_dir, table)
+            .select("chunk", *key_cols)
+            .join(F.broadcast(keys), key_cols)
+        )
+        hit_vals = {str(r["chunk"]) for r in probe.select("chunk").distinct().collect()}
+
+        def _hit(name: str) -> bool:
+            # partition-value inference may strip leading zeros
+            # ("chunk=0000" reads back as 0); match on either spelling
+            v = name.split("=", 1)[1]
+            if v in hit_vals:
+                return True
+            return v.lstrip("0") in hit_vals or (
+                v.strip("0") == "" and "0" in hit_vals
+            )
+
+        affected = [c for c in chunks if _hit(c)]
+        matched = int(probe.select(*key_cols).distinct().count())
+
+    base_snap = int(m.get("snapshot", 0))
+    new_name = f"chunk=merge-{base_snap:06d}"
+    suffix = 0
+    while os.path.exists(os.path.join(out_dir, new_name)):
+        suffix += 1
+        new_name = f"chunk=merge-{base_snap:06d}r{suffix}"
+    tmp_dir = os.path.join(out_dir, f"_tmp_{new_name.replace('=', '_')}")
+    if os.path.exists(tmp_dir):
+        shutil.rmtree(tmp_dir)
+
+    if affected:
+        survivors = (
+            spark.read.option("basePath", out_dir)
+            .parquet(*[os.path.join(out_dir, c, table) for c in affected])
+            .drop("chunk")
+            .join(F.broadcast(keys), key_cols, "left_anti")
+        )
+        merged = survivors.select(*updates.columns).unionByName(updates)
+    else:
+        merged = updates
+    merged.write.mode("overwrite").parquet(os.path.join(tmp_dir, table))
+    # carry the tables this merge does not touch (link, not rewrite)
+    other_tables = sorted(
+        {
+            t
+            for c in affected
+            for t in os.listdir(os.path.join(out_dir, c))
+            if t != table and os.path.isdir(os.path.join(out_dir, c, t))
+        }
+    )
+    for t in other_tables:
+        _carry_table_files(out_dir, affected, t, os.path.join(tmp_dir, t))
+    os.rename(tmp_dir, os.path.join(out_dir, new_name))
+
+    affected_set = set(affected)
+
+    def mutate(mm: dict) -> dict | None:
+        if not affected_set.issubset(set(mm["chunks"])):
+            return None  # an affected member was retracted under us: abort
+        mm["chunks"] = sorted(
+            [c for c in mm["chunks"] if c not in affected_set] + [new_name]
+        )
+        return mm
+
+    committed = _commit_table_manifest(out_dir, mutate)
+    if new_name not in committed.get("chunks", []):
+        shutil.rmtree(os.path.join(out_dir, new_name))
+        raise RuntimeError(
+            f"merge aborted: an affected chunk was retracted concurrently "
+            f"(affected={affected})"
+        )
+    return {
+        "matched": matched,
+        "inserted": int(n_updates - matched),
+        "affected": affected,
+        "new": new_name,
+        "snapshot": int(committed.get("snapshot", 0)),
+    }
+
+
 def expire_snapshots(out_dir: str, keep_last: int = 2) -> list[int]:
     """Drop archived snapshot manifests older than the newest
     `keep_last` (the current snapshot is always retained). Time travel

@@ -1,0 +1,168 @@
+"""merge_upsert: copy-on-write row-level MERGE over the chunk catalog."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def merge_store(spark, tmp_path):
+    from horus_spark.fixtures.generator import corpus_spark
+    from horus_spark.sources.sink import run_checkpointed
+
+    out = str(tmp_path / "merge_out")
+    c = corpus_spark(spark, 40, partitions=4)
+    res = run_checkpointed(
+        c["documents"], c["ocr_words"], out, n_chunks=4, run_id="runM"
+    )
+    assert len(res["completed"]) == 4
+    return out
+
+
+def _docs(spark, out, **kw):
+    from horus_spark.sources.sink import read_output
+
+    return read_output(spark, out, "documents_out", **kw)
+
+
+def test_merge_replaces_matched_and_inserts_new(spark, merge_store):
+    from horus_spark.sources.sink import _read_table_manifest, merge_upsert
+
+    out = merge_store
+    before = _docs(spark, out)
+    cols = [c for c in before.columns if c != "chunk"]
+    two = [r.asDict() for r in before.select(*cols).orderBy("doc_id").limit(2).collect()]
+    pre_snap = _read_table_manifest(out)["snapshot"]
+    pre_ids = sorted(r["doc_id"] for r in before.select("doc_id").collect())
+
+    upd = spark.createDataFrame(
+        [
+            {**two[0], "account": "MERGED-A"},
+            {**two[1], "account": "MERGED-B"},
+            {**two[0], "doc_id": "brand-new-doc", "file_name": "brand-new.pdf",
+             "account": "NEW"},
+        ],
+        schema=before.select(*cols).schema,
+    )
+    res = merge_upsert(spark, out, "documents_out", upd, ["doc_id"])
+    assert res["matched"] == 2
+    assert res["inserted"] == 1
+    assert res["snapshot"] == pre_snap + 1
+    assert res["new"].startswith("chunk=merge-")
+
+    after = _docs(spark, out)
+    got = {
+        r["doc_id"]: r["account"]
+        for r in after.filter(
+            F.col("doc_id").isin(two[0]["doc_id"], two[1]["doc_id"], "brand-new-doc")
+        ).collect()
+    }
+    assert got == {
+        two[0]["doc_id"]: "MERGED-A",
+        two[1]["doc_id"]: "MERGED-B",
+        "brand-new-doc": "NEW",
+    }
+    # row SET: every pre-merge id survives exactly once, plus the insert
+    ids = sorted(r["doc_id"] for r in after.select("doc_id").collect())
+    assert ids == sorted(pre_ids + ["brand-new-doc"])
+    # time travel: the pre-merge snapshot still reads the old rows
+    old = _docs(spark, out, snapshot=pre_snap)
+    assert sorted(r["doc_id"] for r in old.select("doc_id").collect()) == pre_ids
+
+
+def test_merge_rewrites_only_affected_chunks(spark, merge_store):
+    from horus_spark.sources.sink import (
+        _read_table_manifest,
+        merge_upsert,
+        read_output,
+    )
+
+    out = merge_store
+    before_m = _read_table_manifest(out)
+    before = _docs(spark, out)
+    cols = [c for c in before.columns if c != "chunk"]
+    one = before.select(*cols).orderBy("doc_id").limit(1).collect()[0].asDict()
+    upd = spark.createDataFrame([{**one, "account": "X"}],
+                                schema=before.select(*cols).schema)
+    res = merge_upsert(spark, out, "documents_out", upd, ["doc_id"])
+    # one doc lives in exactly one hash chunk: only that chunk is swapped
+    assert len(res["affected"]) == 1
+    after_m = _read_table_manifest(out)
+    untouched = set(before_m["chunks"]) - set(res["affected"])
+    assert untouched.issubset(set(after_m["chunks"]))
+    # carried tables keep their full row sets (line_items was not merged)
+    li_before = read_output(spark, out, "line_items", snapshot=before_m["snapshot"])
+    assert read_output(spark, out, "line_items").count() == li_before.count()
+
+
+def test_merge_insert_only_and_validation(spark, merge_store):
+    from horus_spark.sources.sink import merge_upsert
+
+    out = merge_store
+    before = _docs(spark, out)
+    cols = [c for c in before.columns if c != "chunk"]
+    one = before.select(*cols).orderBy("doc_id").limit(1).collect()[0].asDict()
+    schema = before.select(*cols).schema
+
+    # insert-only: no chunk is rewritten, a new chunk carries the row
+    ins = spark.createDataFrame(
+        [{**one, "doc_id": "only-insert", "file_name": "oi.pdf"}], schema=schema
+    )
+    res = merge_upsert(spark, out, "documents_out", ins, ["doc_id"])
+    assert res["matched"] == 0 and res["inserted"] == 1 and res["affected"] == []
+    assert _docs(spark, out).filter(F.col("doc_id") == "only-insert").count() == 1
+
+    # MERGE cardinality: two update rows for one key is an error
+    dup = spark.createDataFrame([{**one, "account": "A"}, {**one, "account": "B"}],
+                                schema=schema)
+    with pytest.raises(ValueError, match="multiple rows"):
+        merge_upsert(spark, out, "documents_out", dup, ["doc_id"])
+
+    # schema drift is an error, not silent column loss
+    with pytest.raises(ValueError, match="columns"):
+        merge_upsert(spark, out, "documents_out", ins.drop("account"), ["doc_id"])
+
+    # empty updates: no-op, snapshot unchanged
+    from horus_spark.sources.sink import _read_table_manifest
+
+    snap = _read_table_manifest(out)["snapshot"]
+    res = merge_upsert(spark, out, "documents_out", ins.limit(0), ["doc_id"])
+    assert res["new"] is None
+    assert _read_table_manifest(out)["snapshot"] == snap
+
+
+def test_merge_legacy_store_refused(spark, tmp_path):
+    from horus_spark.sources.sink import merge_upsert
+
+    out = str(tmp_path / "legacy")
+    os.makedirs(out)
+    df = spark.range(1).select(F.col("id").cast("string").alias("doc_id"))
+    with pytest.raises(ValueError, match="snapshot catalog"):
+        merge_upsert(spark, out, "documents_out", df, ["doc_id"])
+
+
+def test_merge_survives_vacuum_of_old_chunks(spark, merge_store):
+    """Hard-linked carried tables must outlive vacuuming the replaced
+    chunk dirs (inode refcount — the object-store manifest-reference
+    analog)."""
+    from horus_spark.sources.sink import (
+        expire_snapshots,
+        merge_upsert,
+        read_output,
+        vacuum_chunks,
+    )
+
+    out = merge_store
+    before = _docs(spark, out)
+    cols = [c for c in before.columns if c != "chunk"]
+    one = before.select(*cols).orderBy("doc_id").limit(1).collect()[0].asDict()
+    upd = spark.createDataFrame([{**one, "account": "V"}],
+                                schema=before.select(*cols).schema)
+    merge_upsert(spark, out, "documents_out", upd, ["doc_id"])
+    li_count = read_output(spark, out, "line_items").count()
+    expire_snapshots(out, keep_last=1)
+    removed = vacuum_chunks(out, grace_s=0.0)
+    assert removed, "vacuum should reclaim the replaced chunk dir"
+    # the carried line_items files still read back in full
+    assert read_output(spark, out, "line_items").count() == li_count
