@@ -1425,6 +1425,30 @@ def _q75_ccnet_tiers(spark, sf_dir):
     return ccnet_tiers(d)
 
 
+def _q76_incremental_dedup(spark, sf_dir):
+    """Incremental dedup of a NEW ingest batch against a persisted corpus
+    fingerprint index (id, content_md5, minhash sig) — per-batch cost is
+    O(batch + matched slice), the corpus TEXT is never re-read. Four
+    verdict tiers (exact vs index, exact in-batch, LSH+signature-verified
+    near vs index, near in-batch), first hit wins, partner = min
+    qualifying id. The batch is the hash-split new slice plus exact
+    clones of every md5%7 doc ('-copy' ids), so both exact tiers fire:
+    clones of existing-side docs land exact_existing, clones of
+    batch-side docs land exact_batch."""
+    from horus_spark.operators.dedup import build_dedup_index, incremental_dedup
+
+    d = _load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    hmod = F.conv(F.substring(F.md5(F.col("doc_id")), 1, 7), 16, 10).cast("long")
+    existing = d.filter(hmod % 5 != 0)
+    clones = d.filter(hmod % 7 == 0).select(
+        F.concat(F.col("doc_id"), F.lit("-copy")).alias("doc_id"), "text"
+    )
+    batch = d.filter(hmod % 5 == 0).unionByName(clones)
+    return incremental_dedup(batch, build_dedup_index(existing))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -1502,6 +1526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q73_kmeans_clusters": _q73_kmeans_clusters,
         "q74_epoch_shuffle": _q74_epoch_shuffle,
         "q75_ccnet_tiers": _q75_ccnet_tiers,
+        "q76_incremental_dedup": _q76_incremental_dedup,
     }
 
 
@@ -1692,6 +1717,58 @@ def _oracle_sql_literals() -> dict[str, str]:
           FROM documents)
         WHERE CAST(doc_id AS VARCHAR) = cid) canon"""
     q33_sql = shingle_cte_src(canonical_src) + minhash_body
+    # q76: incremental dedup — the same mins/bands fragments over the
+    # corpus UNIONed with its '-copy' clone slice, then four verdict
+    # tiers (exact vs existing, exact in-batch, signature-verified near
+    # vs existing, near in-batch) priority-coalesced. Near verification
+    # is the SIGNATURE-estimated Jaccard (agreeing components >=
+    # ceil(threshold*k)) — an integer compare, so engine-portable.
+    q76_mm = -(-int(0.3 * 64 * 1000000) // 1000000)
+    q76_match_sum = "(" + " + ".join(
+        f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)" for i in range(64)
+    ) + ")"
+    q76_src = """(
+        SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+        UNION ALL
+        SELECT CAST(doc_id AS VARCHAR) || '-copy' AS doc_id, text FROM documents
+        WHERE CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)),1,7)) AS BIGINT) % 7 = 0
+      ) uni"""
+    q76_sql = shingle_cte_src(q76_src) + minhash_ctes + f"""
+      , q76base AS (
+          SELECT CAST(doc_id AS VARCHAR) AS id, md5(text) AS cmd5,
+                 CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)),1,7)) AS BIGINT) AS hm
+          FROM documents)
+      , ex AS (SELECT id, cmd5 FROM q76base WHERE hm % 5 <> 0)
+      , nw AS (SELECT id, cmd5 FROM q76base WHERE hm % 5 = 0
+               UNION ALL
+               SELECT id || '-copy', cmd5 FROM q76base WHERE hm % 7 = 0)
+      , t1 AS (SELECT n.id, min(e.id) AS p1 FROM nw n JOIN ex e ON e.cmd5 = n.cmd5 GROUP BY n.id)
+      , t2 AS (SELECT x.id, min(y.id) AS p2 FROM nw x JOIN nw y ON y.cmd5 = x.cmd5 AND y.id < x.id GROUP BY x.id)
+      , resolved AS (SELECT id FROM t1 UNION SELECT id FROM t2)
+      , nb AS (SELECT bd.* FROM bands bd JOIN nw n ON n.id = bd.id
+               WHERE bd.id NOT IN (SELECT id FROM resolved))
+      , eb AS (SELECT bd.* FROM bands bd JOIN ex e ON e.id = bd.id)
+      , cand3 AS (SELECT DISTINCT n.id AS nid, e.id AS pid
+                  FROM nb n JOIN eb e ON n.band = e.band AND n.bucket = e.bucket)
+      , t3 AS (SELECT c.nid AS id, min(c.pid) AS p3 FROM cand3 c
+               JOIN mins a ON a.id = c.nid JOIN mins b ON b.id = c.pid
+               WHERE {q76_match_sum} >= {q76_mm} GROUP BY c.nid)
+      , cand4 AS (SELECT DISTINCT x.id AS nid, y.id AS pid
+                  FROM nb x JOIN nb y ON x.band = y.band AND x.bucket = y.bucket AND y.id < x.id)
+      , t4 AS (SELECT c.nid AS id, min(c.pid) AS p4 FROM cand4 c
+               JOIN mins a ON a.id = c.nid JOIN mins b ON b.id = c.pid
+               WHERE {q76_match_sum} >= {q76_mm} GROUP BY c.nid)
+      SELECT n.id AS doc_id,
+             CASE WHEN t1.p1 IS NOT NULL THEN 'exact_existing'
+                  WHEN t2.p2 IS NOT NULL THEN 'exact_batch'
+                  WHEN t3.p3 IS NOT NULL THEN 'near_existing'
+                  WHEN t4.p4 IS NOT NULL THEN 'near_batch'
+                  ELSE 'unique' END AS verdict,
+             COALESCE(t1.p1, t2.p2, t3.p3, t4.p4) AS partner_id
+      FROM nw n
+      LEFT JOIN t1 ON t1.id = n.id LEFT JOIN t2 ON t2.id = n.id
+      LEFT JOIN t3 ON t3.id = n.id LEFT JOIN t4 ON t4.id = n.id
+    """
     # q22: sign-pattern bucket + the p+1 probe buckets (exact bucket, then
     # every single-bit flip), exactly similarity.lsh_topk's probe set.
     q22_planes = _q22_planes()
@@ -1906,6 +1983,7 @@ def _oracle_sql_literals() -> dict[str, str]:
         """,
         "q21_minhash_pairs": minhash_sql,
         "q33_dedup_pipeline": q33_sql,
+        "q76_incremental_dedup": q76_sql,
         "q40_dedup_clusters": q40_sql,
         "q64_dedup_keep_best": q64_sql,
         # q65: exact all-pairs containment — both directions from one

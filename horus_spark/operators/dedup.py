@@ -304,6 +304,31 @@ def minhash_signatures(
     return mins.select("id", F.array(*[f"h{i}" for i in range(k)]).alias("sig"))
 
 
+def _band_buckets(signatures: DataFrame, bands: int) -> DataFrame:
+    """(id, band, bucket) banding projection of (id, sig) — the band's
+    value string is the bucket (not re-hashed) so SQL oracles reproduce
+    candidate sets exactly. Callers validate bands against k."""
+    rows_per_band = F.floor(F.size("sig") / bands).cast("int")
+    return signatures.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(F.col("sig"), (b * rows_per_band + 1).cast("int"), rows_per_band),
+                            lambda v: v.cast("string"),
+                        ),
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame, bands: int = 16, k: int | None = None
 ) -> DataFrame:
@@ -329,26 +354,7 @@ def lsh_candidate_pairs(
                 f"bands={bands} must divide the signature length k={k} "
                 f"({k % bands} hashes would be silently ignored)"
             )
-    sig = signatures
-    rows_per_band = F.floor(F.size("sig") / bands).cast("int")
-    banded = sig.select(
-        "id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.concat_ws(
-                        ",",
-                        F.transform(
-                            F.slice(F.col("sig"), (b * rows_per_band + 1).cast("int"), rows_per_band),
-                            lambda v: v.cast("string"),
-                        ),
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    banded = _band_buckets(signatures, bands)
     return (
         banded.alias("a")
         .join(banded.alias("b"), ["band", "bucket"])
@@ -555,3 +561,182 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits:
         term = F.when(F.col(f"b{i}") > 0, F.lit(2 ** i).cast("long")).otherwise(F.lit(0).cast("long"))
         sim = term if sim is None else sim + term
     return agg.select("id", sim.alias("simhash"))
+
+
+def build_dedup_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 64,
+    seed: int = 1337,
+) -> DataFrame:
+    """Persistable corpus fingerprint for INCREMENTAL dedup:
+    (id, content_md5, sig array<long>[k]).
+
+    ~0.6 KB/doc regardless of document size — at 10^12 documents the
+    index is a few hundred GB of parquet, so a new crawl batch can be
+    deduplicated against the whole corpus without ever re-reading the
+    corpus TEXT. Docs too short to shingle (< n tokens) carry a NULL
+    sig and participate only in the exact tier; NULL-text docs carry a
+    NULL content_md5 and never exact-match anything (the exact_dedup
+    singleton convention)."""
+    base = df.select(
+        F.col(id_col).cast("string").alias("id"),
+        F.md5(F.col(text_col)).alias("content_md5"),
+    )
+    sigs = minhash_signatures(df, id_col, text_col, n, k, seed)
+    return base.join(sigs, "id", "left")
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 64,
+    bands: int = 16,
+    threshold: float = 0.3,
+    seed: int = 1337,
+) -> DataFrame:
+    """Deduplicate a NEW batch against an existing corpus index
+    (build_dedup_index output) WITHOUT touching the corpus text — the
+    production shape for continuous ingestion: per-batch cost is
+    O(batch + matched index slice), never O(corpus).
+
+    Verdict per batch doc, first tier that fires wins:
+      exact_existing  content_md5 matches an indexed doc
+      exact_batch     content_md5 matches a smaller-id batch doc
+      near_existing   shares an LSH band bucket with an indexed doc and
+                      signature agreement >= ceil(threshold*k)/k
+      near_batch      same vs a smaller-id batch doc
+      unique          none of the above
+    partner_id = the smallest qualifying id in the verdict's tier.
+
+    Near verification uses the SIGNATURE-estimated Jaccard (fraction of
+    agreeing minhash components) as an integer compare (matches >=
+    ceil(threshold*k)) — deterministic, SQL-expressible, and the only
+    option when the corpus text is not at hand; k bounds the estimator's
+    resolution at 1/k. Near tiers run only over docs the exact tiers
+    left unresolved (exact clones are collapsed first — the same
+    frequency-honesty argument as dedup_pipeline).
+
+    Returns (doc_id, verdict, partner_id). Extend the index with
+    extend_dedup_index before ingesting the next batch.
+    """
+    if bands > k:
+        raise ValueError(f"bands={bands} > signature length k={k}")
+    if k % bands != 0:
+        raise ValueError(f"bands={bands} must divide k={k}")
+    min_matches = -(-int(threshold * k * 1000000) // 1000000)  # ceil w/o float ulp
+    bidx = build_dedup_index(batch, id_col, text_col, n, k, seed)
+    eidx = index.select("id", "content_md5", "sig")
+
+    # exact tiers (md5 join: NULL text never matches)
+    t1 = (
+        bidx.join(
+            eidx.select(F.col("id").alias("eid"), "content_md5"), "content_md5"
+        )
+        .groupBy("id")
+        .agg(F.min("eid").alias("p1"))
+    )
+    b_md5 = bidx.select("id", "content_md5")
+    t2 = (
+        b_md5.alias("a")
+        .join(b_md5.alias("b"), "content_md5")
+        .filter(F.col("b.id") < F.col("a.id"))
+        .groupBy(F.col("a.id").alias("id"))
+        .agg(F.min(F.col("b.id")).alias("p2"))
+    )
+
+    # near tiers over exact-unresolved batch docs with signatures
+    resolved = t1.select("id").union(t2.select("id")).distinct()
+    open_sigs = (
+        bidx.filter(F.col("sig").isNotNull())
+        .join(resolved, "id", "left_anti")
+        .select("id", "sig")
+    )
+    nb = _band_buckets(open_sigs, bands)
+    eb = _band_buckets(eidx.filter(F.col("sig").isNotNull()).select("id", "sig"), bands)
+
+    def _verified(cand: DataFrame, left_sigs: DataFrame, right_sigs: DataFrame) -> DataFrame:
+        sl = left_sigs.select(F.col("id").alias("nid"), F.col("sig").alias("sig_n"))
+        sr = right_sigs.select(F.col("id").alias("pid"), F.col("sig").alias("sig_p"))
+        agree = F.aggregate(
+            F.zip_with("sig_n", "sig_p", lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        return (
+            cand.join(sl, "nid").join(sr, "pid")
+            .withColumn("agree", agree)
+            .filter(F.col("agree") >= F.lit(min_matches))
+            .select("nid", "pid")
+        )
+
+    cand3 = (
+        nb.alias("n")
+        .join(eb.alias("e"), ["band", "bucket"])
+        .select(F.col("n.id").alias("nid"), F.col("e.id").alias("pid"))
+        .distinct()
+    )
+    t3 = (
+        _verified(cand3, open_sigs, eidx)
+        .groupBy(F.col("nid").alias("id"))
+        .agg(F.min("pid").alias("p3"))
+    )
+    cand4 = (
+        nb.alias("a")
+        .join(nb.alias("b"), ["band", "bucket"])
+        .filter(F.col("b.id") < F.col("a.id"))
+        .select(F.col("a.id").alias("nid"), F.col("b.id").alias("pid"))
+        .distinct()
+    )
+    t4 = (
+        _verified(cand4, open_sigs, open_sigs)
+        .groupBy(F.col("nid").alias("id"))
+        .agg(F.min("pid").alias("p4"))
+    )
+
+    out = (
+        bidx.select("id")
+        .join(t1, "id", "left")
+        .join(t2, "id", "left")
+        .join(t3, "id", "left")
+        .join(t4, "id", "left")
+    )
+    verdict = (
+        F.when(F.col("p1").isNotNull(), F.lit("exact_existing"))
+        .when(F.col("p2").isNotNull(), F.lit("exact_batch"))
+        .when(F.col("p3").isNotNull(), F.lit("near_existing"))
+        .when(F.col("p4").isNotNull(), F.lit("near_batch"))
+        .otherwise(F.lit("unique"))
+    )
+    return out.select(
+        F.col("id").alias("doc_id"),
+        verdict.alias("verdict"),
+        F.coalesce("p1", "p2", "p3", "p4").alias("partner_id"),
+    )
+
+
+def extend_dedup_index(
+    index: DataFrame,
+    batch: DataFrame,
+    verdicts: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 64,
+    seed: int = 1337,
+) -> DataFrame:
+    """index ∪ fingerprints of the batch docs judged `unique` — the
+    append that keeps the rolling index canonical (duplicates never
+    enter it, so its per-doc frequencies stay honest across batches).
+    Persist the result (or just append the new slice) before the next
+    incremental_dedup call."""
+    uniq = verdicts.filter(F.col("verdict") == "unique").select(
+        F.col("doc_id").alias("id")
+    )
+    fresh = build_dedup_index(batch, id_col, text_col, n, k, seed).join(uniq, "id")
+    return index.select("id", "content_md5", "sig").unionByName(fresh)
