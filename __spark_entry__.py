@@ -1449,6 +1449,18 @@ def _q76_incremental_dedup(spark, sf_dir):
     return incremental_dedup(batch, build_dedup_index(existing))
 
 
+def _q77_cluster_balanced_sample(spark, sf_dir):
+    """Diversity-preserving downsample: equal per-cluster quota (5) from
+    the q73 bit-exact k-means clustering, picked in the deterministic
+    md5-hash order within each cluster — a uniform draw that cannot
+    over-represent the corpus's dense modes. The oracle replays the
+    five Lloyd iterations recursively and applies the same window."""
+    from horus_spark.operators.kmeans import cluster_balanced_sample
+
+    e = _load(spark, sf_dir, "embeddings")
+    return cluster_balanced_sample(e, k=8, n_iter=5, per_cluster=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -1527,6 +1539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q74_epoch_shuffle": _q74_epoch_shuffle,
         "q75_ccnet_tiers": _q75_ccnet_tiers,
         "q76_incremental_dedup": _q76_incremental_dedup,
+        "q77_cluster_balanced_sample": _q77_cluster_balanced_sample,
     }
 
 
@@ -1768,6 +1781,58 @@ def _oracle_sql_literals() -> dict[str, str]:
       FROM nw n
       LEFT JOIN t1 ON t1.id = n.id LEFT JOIN t2 ON t2.id = n.id
       LEFT JOIN t3 ON t3.id = n.id LEFT JOIN t4 ON t4.id = n.id
+    """
+    # shared by q73/q77: the recursive CTE replaying all five Lloyd
+    # iterations with the engine's exact arithmetic, ending at `fa`
+    # (final per-point assignments) + `final` (final centroids).
+    kmeans_fa_cte = """
+          WITH RECURSIVE
+          pts AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+                  FROM embeddings WHERE embedding IS NOT NULL),
+          init AS (
+            SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cluster,
+                   v AS c
+            FROM (SELECT vec_id, v FROM pts ORDER BY vec_id LIMIT 8)),
+          kc(iter, cluster, c) AS (
+            SELECT 0, cluster, c FROM init
+            UNION ALL
+            SELECT iter + 1, cluster, c FROM (
+              WITH prev AS (SELECT * FROM kc),
+              dists AS (
+                SELECT p.vec_id, p.v, pr.cluster,
+                       list_sum([(p.v[i] - pr.c[i]) * (p.v[i] - pr.c[i])
+                                 for i in generate_series(1, len(p.v))]) AS dist
+                FROM pts p, prev pr),
+              assign AS (
+                SELECT vec_id, v, cluster FROM (
+                  SELECT vec_id, v, cluster,
+                         row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY dist, cluster) AS rn
+                  FROM dists) WHERE rn = 1),
+              upd AS (
+                SELECT a.cluster, i.i AS dim,
+                       SUM(CAST(round(a.v[i.i] * 1000000) AS BIGINT)) AS s,
+                       COUNT(*) AS n
+                FROM assign a, generate_series(1, 64) i(i)
+                GROUP BY 1, 2),
+              newc AS (
+                SELECT cluster, list(s / (n * 1000000.0) ORDER BY dim) AS c
+                FROM upd GROUP BY cluster)
+              SELECT pr.iter, pr.cluster, COALESCE(n.c, pr.c) AS c
+              FROM prev pr LEFT JOIN newc n ON n.cluster = pr.cluster
+            ) WHERE iter + 1 <= 5
+          ),
+          final AS (SELECT cluster, c FROM kc WHERE iter = 5),
+          fd AS (
+            SELECT p.vec_id, f.cluster,
+                   list_sum([(p.v[i] - f.c[i]) * (p.v[i] - f.c[i])
+                             for i in generate_series(1, len(p.v))]) AS dist
+            FROM pts p, final f),
+          fa AS (SELECT vec_id, cluster FROM (
+            SELECT vec_id, cluster,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cluster) AS rn
+            FROM fd) WHERE rn = 1)
     """
     # q22: sign-pattern bucket + the p+1 probe buckets (exact bucket, then
     # every single-bit flip), exactly similarity.lsh_topk's probe set.
@@ -3042,59 +3107,28 @@ def _oracle_sql_literals() -> dict[str, str]:
         # double division for the next centroids, (dist, cluster)
         # tie-break = the engine's first-min array_position. The hash
         # match proves the distributed loop is a pure function of data.
-        "q73_kmeans_clusters": """
-          WITH RECURSIVE
-          pts AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
-                  FROM embeddings WHERE embedding IS NOT NULL),
-          init AS (
-            SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cluster,
-                   v AS c
-            FROM (SELECT vec_id, v FROM pts ORDER BY vec_id LIMIT 8)),
-          kc(iter, cluster, c) AS (
-            SELECT 0, cluster, c FROM init
-            UNION ALL
-            SELECT iter + 1, cluster, c FROM (
-              WITH prev AS (SELECT * FROM kc),
-              dists AS (
-                SELECT p.vec_id, p.v, pr.cluster,
-                       list_sum([(p.v[i] - pr.c[i]) * (p.v[i] - pr.c[i])
-                                 for i in generate_series(1, len(p.v))]) AS dist
-                FROM pts p, prev pr),
-              assign AS (
-                SELECT vec_id, v, cluster FROM (
-                  SELECT vec_id, v, cluster,
-                         row_number() OVER (PARTITION BY vec_id
-                                            ORDER BY dist, cluster) AS rn
-                  FROM dists) WHERE rn = 1),
-              upd AS (
-                SELECT a.cluster, i.i AS dim,
-                       SUM(CAST(round(a.v[i.i] * 1000000) AS BIGINT)) AS s,
-                       COUNT(*) AS n
-                FROM assign a, generate_series(1, 64) i(i)
-                GROUP BY 1, 2),
-              newc AS (
-                SELECT cluster, list(s / (n * 1000000.0) ORDER BY dim) AS c
-                FROM upd GROUP BY cluster)
-              SELECT pr.iter, pr.cluster, COALESCE(n.c, pr.c) AS c
-              FROM prev pr LEFT JOIN newc n ON n.cluster = pr.cluster
-            ) WHERE iter + 1 <= 5
-          ),
-          final AS (SELECT cluster, c FROM kc WHERE iter = 5),
-          fd AS (
-            SELECT p.vec_id, f.cluster,
-                   list_sum([(p.v[i] - f.c[i]) * (p.v[i] - f.c[i])
-                             for i in generate_series(1, len(p.v))]) AS dist
-            FROM pts p, final f),
-          fa AS (SELECT vec_id, cluster FROM (
-            SELECT vec_id, cluster,
-                   row_number() OVER (PARTITION BY vec_id
-                                      ORDER BY dist, cluster) AS rn
-            FROM fd) WHERE rn = 1)
+        "q73_kmeans_clusters": kmeans_fa_cte + """
           SELECT g.cluster AS cluster_id, g.n_points,
                  [round(x, 9) for x in f.c] AS centroid
           FROM (SELECT cluster, count(*)::BIGINT AS n_points
                 FROM fa GROUP BY 1) g
           JOIN final f ON f.cluster = g.cluster
+        """,
+        # q77: the same bit-exact k-means replay, then an equal
+        # per-cluster quota picked by the package hash order — the
+        # window twin of cluster_balanced_sample's WindowGroupLimit.
+        "q77_cluster_balanced_sample": kmeans_fa_cte + """
+          , keyed AS (
+            SELECT fa.vec_id, fa.cluster AS cluster_id,
+                   CAST(concat('0x', substring(md5(CAST(fa.vec_id AS VARCHAR)
+                     || 'cbs'), 1, 15)) AS BIGINT) AS hk
+            FROM fa)
+          SELECT vec_id, cluster_id, CAST(rn AS INT) AS pick_rank FROM (
+            SELECT vec_id, cluster_id,
+                   row_number() OVER (PARTITION BY cluster_id
+                                      ORDER BY hk, vec_id) AS rn
+            FROM keyed)
+          WHERE rn <= 5
         """,
         # q75: q57's scored CTE + rank-arithmetic tercile cut. The tier
         # comes from ((rn-1)*3)//n over (mean_logp DESC, doc_id) — pure

@@ -169,3 +169,50 @@ def kmeans_assign(
             "cluster_id"
         ),
     )
+
+
+def cluster_balanced_sample(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    n_iter: int = 5,
+    per_cluster: int = 5,
+    salt: str = "cbs",
+) -> DataFrame:
+    """Diversity-preserving downsample: an equal quota of points from
+    every k-means cluster (the SSL-prototypes / DataComp idea — a
+    uniform sample over-represents the corpus's dense modes; an equal
+    per-cluster quota keeps the rare modes in the training mix).
+
+    Composition of proven parts: the exact-replay full-corpus Lloyd fit
+    (kmeans_fit_full — the oracle can replay the centroids bit-exactly),
+    a zero-Exchange map-side assignment, and a WindowGroupLimit top-k
+    per cluster ordered by the package hash (md5_long(id, salt), id) —
+    a deterministic uniform draw WITHIN each cluster, so the pick is
+    reproducible and engine-portable. Returns (id_col, cluster_id,
+    pick_rank 1..per_cluster).
+
+    Scale: one aggregation per Lloyd iteration + one WindowGroupLimit
+    shuffle carrying at most partitions x k x per_cluster rows; NULL
+    vectors are excluded (no position in the space)."""
+    if per_cluster < 1:
+        raise ValueError("per_cluster must be >= 1")
+    from horus_spark.operators.sampling import md5_long
+    from horus_spark.operators.topk import top_k_per_key
+
+    cents = kmeans_fit_full(df, id_col, vec_col, k=k, n_iter=n_iter)
+    assigned = df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col),
+        _assign_expr(F.col(vec_col).cast("array<double>"), cents).alias(
+            "cluster_id"
+        ),
+        md5_long(F.col(id_col), salt).alias("hk"),
+    )
+    picked = top_k_per_key(
+        assigned, ["cluster_id"], "hk", per_cluster,
+        descending=False, tie_col=id_col,
+    )
+    return picked.select(
+        id_col, "cluster_id", F.col("rank").cast("int").alias("pick_rank")
+    )

@@ -120,3 +120,30 @@ def test_kmeans_rejects_bad_params(spark):
         kmeans_fit_full(df, k=0)
     with pytest.raises(ValueError):
         kmeans_fit_full(df, k=5)  # fewer rows than k
+
+
+def test_cluster_balanced_sample_quota_and_determinism(spark):
+    from horus_spark.operators.kmeans import cluster_balanced_sample
+
+    # 20 points near (0,0), 3 near (50,50), one NULL vector
+    rows = [(i, [float(i % 5), float(i // 5)]) for i in range(20)]
+    rows += [(100 + i, [50.0 + i, 50.0]) for i in range(3)]
+    rows += [(999, None)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    out = cluster_balanced_sample(df, k=2, n_iter=4, per_cluster=5).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    sizes = sorted(len(v) for v in by_cluster.values())
+    # the dense mode contributes exactly the quota, the rare mode all 3 —
+    # a uniform sample of 8 would almost surely have drowned the rare mode
+    assert sizes == [3, 5]
+    assert all(1 <= r["pick_rank"] <= 5 for r in out)
+    assert all(r["vec_id"] != 999 for r in out)  # NULL vector excluded
+
+    again = cluster_balanced_sample(df, k=2, n_iter=4, per_cluster=5).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+    with pytest.raises(ValueError):
+        cluster_balanced_sample(df, k=2, per_cluster=0)
