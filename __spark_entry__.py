@@ -1461,6 +1461,23 @@ def _q77_cluster_balanced_sample(spark, sf_dir):
     return cluster_balanced_sample(e, k=8, n_iter=5, per_cluster=5)
 
 
+def _q78_bigram_lm(spark, sf_dir):
+    """Bigram LM quality scoring with interpolated unigram backoff —
+    CCNet one order up: fit on the hash-selected 'reference' two-thirds
+    of the corpus, score EVERY doc, so the held-out third exercises the
+    unseen-bigram backoff and OOV paths that a self-fit never hits.
+    Mean logprob is summed as integer micro-logprobs (order-independent,
+    engine-portable)."""
+    from horus_spark.operators.lm_score import bigram_lm_score
+    from horus_spark.operators.sampling import md5_long
+
+    d = _load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    ref = d.filter(md5_long(F.col("doc_id"), "q78") % 3 != 0)
+    return bigram_lm_score(d, ref=ref)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -1540,6 +1557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q75_ccnet_tiers": _q75_ccnet_tiers,
         "q76_incremental_dedup": _q76_incremental_dedup,
         "q77_cluster_balanced_sample": _q77_cluster_balanced_sample,
+        "q78_bigram_lm": _q78_bigram_lm,
     }
 
 
@@ -3165,6 +3183,65 @@ def _oracle_sql_literals() -> dict[str, str]:
                  CASE ((rn - 1) * 3) // n WHEN 0 THEN 'head'
                       WHEN 1 THEN 'middle' ELSE 'tail' END AS tier
           FROM ranked
+        """,
+        # q78: interpolated-backoff bigram LM — fit on the md5-selected
+        # reference two-thirds, score everything. Identical micro-int
+        # arithmetic to the Spark side: one ln per scored bigram,
+        # rounded to 1e-6, summed as BIGINTs (order-independent).
+        "q78_bigram_lm": r"""
+          WITH tok AS (
+            SELECT CAST(doc_id AS VARCHAR) AS id,
+                   string_split_regex(trim(text), '\s+') AS t
+            FROM documents WHERE length(trim(text)) > 0
+          ), ref AS (
+            SELECT * FROM tok
+            WHERE CAST(concat('0x', substring(md5(id || 'q78'), 1, 15))
+                       AS BIGINT) % 3 <> 0
+          ), rbig AS (
+            SELECT p.w1 AS w1, p.w2 AS w2 FROM ref,
+              unnest([{'w1': t[i], 'w2': t[i+1]}
+                      for i in generate_series(1, len(t)-1)]) AS u(p)
+          ), c12 AS (
+            SELECT w1, w2, count(*)::DOUBLE AS c12 FROM rbig GROUP BY 1, 2
+          ), c1 AS (
+            SELECT w1, count(*)::DOUBLE AS c1 FROM rbig GROUP BY 1
+          ), uc AS (
+            SELECT w2, count(*)::DOUBLE AS c
+            FROM (SELECT unnest(t) AS w2 FROM ref) GROUP BY 1
+          ), us AS (
+            SELECT sum(c) AS total, count(*) * 1.0 AS vocab FROM uc
+          ), pu AS (
+            SELECT w2, (c + 1.0) / (total + 1.0 * (vocab + 1.0)) AS pu
+            FROM uc CROSS JOIN us
+          ), oov AS (
+            SELECT 1.0 / (total + 1.0 * (vocab + 1.0)) AS oov_p FROM us
+          ), sbig AS (
+            SELECT id, p.w1 AS w1, p.w2 AS w2 FROM tok,
+              unnest([{'w1': t[i], 'w2': t[i+1]}
+                      for i in generate_series(1, len(t)-1)]) AS u(p)
+          ), scored AS (
+            SELECT s.id,
+                   CAST(round(ln(0.5 * COALESCE(c12.c12 / c1.c1, 0.0)
+                                 + 0.5 * COALESCE(pu.pu, oov.oov_p)) * 1e6)
+                        AS BIGINT) AS micro,
+                   CASE WHEN c12.w1 IS NULL THEN 1 ELSE 0 END AS unseen
+            FROM sbig s
+            LEFT JOIN c12 ON c12.w1 = s.w1 AND c12.w2 = s.w2
+            LEFT JOIN c1 ON c1.w1 = s.w1
+            LEFT JOIN pu ON pu.w2 = s.w2
+            CROSS JOIN oov
+          ), agg AS (
+            SELECT id, count(*) AS n_bigrams,
+                   round(sum(micro) / (count(*) * 1e6), 6) AS mean_logp,
+                   sum(unseen) AS n_unseen
+            FROM scored GROUP BY id
+          )
+          SELECT CAST(d.doc_id AS VARCHAR) AS doc_id,
+                 CAST(COALESCE(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                 COALESCE(a.mean_logp, 0.0) AS mean_logp,
+                 CAST(COALESCE(a.n_unseen, 0) AS BIGINT) AS n_unseen
+          FROM documents d
+          LEFT JOIN agg a ON a.id = CAST(d.doc_id AS VARCHAR)
         """,
         # q74: same md5_long construction; the oracle is the textbook
         # global window over the hash order (single-task in Spark, fine

@@ -223,3 +223,50 @@ def test_dsir_empty_target_fails_loudly(spark):
     with pytest.raises(Exception) as exc:
         out.collect()
     assert "is_target matched zero rows" in str(exc.value)
+
+
+def test_bigram_lm_backoff_hand_math(spark):
+    """Hand-computed interpolated-backoff values on a 4-token reference:
+    ref='a b a c' -> c12(a,b)=1, c1(a)=2, unigrams a:2 b:1 c:1
+    (total=4, vocab=3, Laplace denom = 8)."""
+    import math
+
+    from horus_spark.operators.lm_score import bigram_lm_score
+
+    ref = spark.createDataFrame([("r1", "a b a c")], "doc_id string, text string")
+    docs = spark.createDataFrame(
+        [
+            ("d1", "a b"),   # seen bigram: .5*(1/2) + .5*(2/8) = 0.375
+            ("d2", "b c"),   # unseen bigram, seen unigram: .5*(2/8) = 0.125
+            ("d3", "z q"),   # unseen everything: .5*(1/8) = 0.0625
+            ("d4", "a"),     # single token: no bigrams
+            ("d5", None),
+        ],
+        "doc_id string, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in bigram_lm_score(docs, ref=ref).collect()
+    }
+
+    def micro_mean(p):
+        return round(round(math.log(p) * 1e6) / 1e6, 6)
+
+    assert got["d1"]["n_bigrams"] == 1 and got["d1"]["n_unseen"] == 0
+    assert got["d1"]["mean_logp"] == pytest.approx(micro_mean(0.375), abs=1e-9)
+    assert got["d2"]["n_unseen"] == 1
+    assert got["d2"]["mean_logp"] == pytest.approx(micro_mean(0.125), abs=1e-9)
+    assert got["d3"]["n_unseen"] == 1
+    assert got["d3"]["mean_logp"] == pytest.approx(micro_mean(0.0625), abs=1e-9)
+    assert got["d4"]["n_bigrams"] == 0 and got["d4"]["mean_logp"] == 0.0
+    assert got["d5"]["n_bigrams"] == 0 and got["d5"]["mean_logp"] == 0.0
+    # fluent order scores above the same tokens transposed (transition
+    # plausibility is the entire point of the bigram tier)
+    assert got["d1"]["mean_logp"] > got["d2"]["mean_logp"] > got["d3"]["mean_logp"]
+
+    # self-fit: every scored bigram is in the model by construction
+    self_fit = bigram_lm_score(docs.filter("text is not null"))
+    assert all(r["n_unseen"] == 0 for r in self_fit.collect())
+
+    with pytest.raises(ValueError, match="lam"):
+        bigram_lm_score(docs, lam=1.0)
