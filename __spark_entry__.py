@@ -1478,6 +1478,98 @@ def _q78_bigram_lm(spark, sf_dir):
     return bigram_lm_score(d, ref=ref)
 
 
+def _q79_c4_clean(spark, sf_dir):
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2): keep only
+    lines ending in terminal punctuation, with >= 5 words, carrying no
+    blocklist phrase; flag whole docs containing 'lorem ipsum'/'{'. The
+    corpus has no newlines, so the multi-line input is synthesized
+    deterministically: tokens chunked into 8-token lines, '.' appended
+    when md5(doc#idx)%3!=0, junk/short/lorem lines planted on md5-chosen
+    doc subsets so every rule fires on real rows. One map-side pass."""
+    from horus_spark.operators.c4 import c4_line_stats
+    from horus_spark.operators.sampling import md5_long
+
+    d = _load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), n - 1, F.lit(8))
+    base_lines = F.transform(
+        starts,
+        lambda s: F.concat(
+            F.concat_ws(" ", F.slice(toks, s + 1, 8)),
+            F.when(
+                md5_long(
+                    F.concat_ws("#", F.col("doc_id"), (s / 8).cast("long")), "q79p"
+                )
+                % 3
+                != 0,
+                F.lit(" ."),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    h = md5_long(F.col("doc_id"), "q79j")
+    lines = F.when(
+        h % 5 == 0,
+        F.concat(
+            F.array(F.lit("please enable javascript and accept the cookie banner .")),
+            base_lines,
+        ),
+    ).otherwise(base_lines)
+    lines = F.when(h % 7 == 0, F.concat(lines, F.array(F.lit("ok .")))).otherwise(
+        lines
+    )
+    lines = F.when(
+        h % 11 == 0, F.concat(lines, F.array(F.lit("lorem ipsum dolor sit amet .")))
+    ).otherwise(lines)
+    synth = d.filter(F.length(F.trim(F.col("text"))) > 0).select(
+        "doc_id", F.array_join(lines, "\n").alias("text")
+    )
+    return c4_line_stats(synth)
+
+
+def _q80_pmi_collocations(spark, sf_dir):
+    """Corpus-level PMI collocation mining (word2phrase shape): bigram
+    association over corpus totals, min_count-pruned BEFORE any join,
+    two agg shuffles + two hash joins + broadcast totals, top-k via
+    TakeOrdered. Ranks by ASSOCIATION where q49 ranks by frequency."""
+    from horus_spark.operators.collocations import pmi_collocations
+
+    d = _load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    return pmi_collocations(d, min_count=5, top_k=50)
+
+
+def _q81_char_entropy(spark, sf_dir):
+    """Per-doc character-level Shannon entropy — the cheap garbage/
+    template detector. Pure map-side: per distinct char, count via the
+    length-of-replace trick; -p ln p terms snapped to integer micro-nats
+    BEFORE summation so the fold is order-independent (DuckDB's
+    list_distinct promises the same SET, not the same order)."""
+    from horus_spark.operators.textstats import char_entropy
+
+    d = _load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    return char_entropy(d)
+
+
+def _q82_hamming_ann(spark, sf_dir):
+    """Binary ANN: 1-bit sign codes (32x smaller than float32 — the
+    aggressive end of the quantization ladder next to q34's int8) ->
+    integer Hamming candidate scan (XOR+popcount, zero float ties) ->
+    exact float cosine rerank of the top 3k."""
+    from horus_spark.operators.similarity import hamming_topk
+
+    e = _load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return hamming_topk(e, q, k=10, rerank=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -1558,6 +1650,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q76_incremental_dedup": _q76_incremental_dedup,
         "q77_cluster_balanced_sample": _q77_cluster_balanced_sample,
         "q78_bigram_lm": _q78_bigram_lm,
+        "q79_c4_clean": _q79_c4_clean,
+        "q80_pmi_collocations": _q80_pmi_collocations,
+        "q81_char_entropy": _q81_char_entropy,
+        "q82_hamming_ann": _q82_hamming_ann,
     }
 
 
@@ -3242,6 +3338,160 @@ def _oracle_sql_literals() -> dict[str, str]:
                  CAST(COALESCE(a.n_unseen, 0) AS BIGINT) AS n_unseen
           FROM documents d
           LEFT JOIN agg a ON a.id = CAST(d.doc_id AS VARCHAR)
+        """,
+        # q79: identical synthetic multi-line construction (8-token
+        # lines, md5-planted punctuation/junk/short/lorem lines), then
+        # the C4 line rules replayed with the same precedence. Category
+        # codes: 0=junk 1=short 2=nopunct 3=keep.
+        "q79_c4_clean": r"""
+          WITH base AS (
+            SELECT CAST(doc_id AS VARCHAR) AS id,
+                   string_split_regex(trim(text), '\s+') AS toks,
+                   CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR) || 'q79j'), 1, 15))
+                        AS BIGINT) AS h
+            FROM documents WHERE length(trim(text)) > 0
+          ), blines AS (
+            SELECT id, h,
+              [concat(array_to_string(toks[s*8+1 : s*8+8], ' '),
+                      CASE WHEN CAST(concat('0x', substring(
+                                 md5(id || '#' || CAST(s AS VARCHAR) || 'q79p'), 1, 15))
+                                 AS BIGINT) % 3 <> 0
+                           THEN ' .' ELSE '' END)
+               for s in generate_series(0, CAST(floor((len(toks)-1)/8.0) AS INT))] AS bl
+            FROM base
+          ), jl AS (
+            SELECT id,
+              CASE WHEN h % 11 = 0
+                   THEN list_append(l2, 'lorem ipsum dolor sit amet .') ELSE l2 END AS ls
+            FROM (
+              SELECT id, h,
+                CASE WHEN h % 7 = 0 THEN list_append(l1, 'ok .') ELSE l1 END AS l2
+              FROM (
+                SELECT id, h,
+                  CASE WHEN h % 5 = 0
+                       THEN list_prepend('please enable javascript and accept the cookie banner .', bl)
+                       ELSE bl END AS l1
+                FROM blines))
+          ), st AS (
+            SELECT id, ls AS lines, array_to_string(ls, chr(10)) AS text FROM jl
+          ), cls AS (
+            SELECT id, lines,
+              (contains(lower(text), 'lorem ipsum') OR contains(lower(text), '{')) AS doc_flagged,
+              [CASE WHEN contains(lower(l), 'javascript') OR contains(lower(l), 'cookie')
+                         OR contains(lower(l), 'privacy policy') THEN 0
+                    WHEN (CASE WHEN length(trim(l)) = 0 THEN 0
+                               ELSE len(string_split_regex(trim(l), '\s+')) END) < 5 THEN 1
+                    WHEN NOT (right(rtrim(l), 1) IN ('.', '!', '?', '"')) THEN 2
+                    ELSE 3 END
+               for l in lines] AS cat
+            FROM st
+          )
+          SELECT id AS doc_id,
+                 CAST(len(lines) AS BIGINT) AS n_lines,
+                 CAST(len([c for c in cat if c = 3]) AS BIGINT) AS n_kept,
+                 CAST(len([c for c in cat if c = 0]) AS BIGINT) AS n_junk,
+                 CAST(len([c for c in cat if c = 1]) AS BIGINT) AS n_short,
+                 CAST(len([c for c in cat if c = 2]) AS BIGINT) AS n_nopunct,
+                 doc_flagged,
+                 COALESCE(array_to_string([lines[i] for i in generate_series(1, len(lines))
+                                           if cat[i] = 3], chr(10)), '') AS cleaned
+          FROM cls
+        """,
+        # q80: same bigram/unigram construction as the engine; PMI ratio
+        # with pinned parenthesization, snapped to integer micro-nats.
+        "q80_pmi_collocations": r"""
+          WITH tok AS (
+            SELECT string_split_regex(trim(text), '\s+') AS t
+            FROM documents WHERE length(trim(text)) > 0
+          ), big AS (
+            SELECT p.w1 AS w1, p.w2 AS w2 FROM tok,
+              unnest([{'w1': t[i], 'w2': t[i+1]}
+                      for i in generate_series(1, len(t)-1)]) AS u(p)
+          ), pc AS (
+            SELECT w1, w2, count(*) AS n_pair FROM big GROUP BY 1, 2
+            HAVING count(*) >= 5
+          ), uni AS (
+            SELECT w, count(*) AS n_w
+            FROM (SELECT unnest(t) AS w FROM tok) GROUP BY 1
+          ), tot AS (
+            SELECT CAST(sum(len(t)) AS DOUBLE) AS tot_t,
+                   CAST(sum(greatest(len(t)-1, 0)) AS DOUBLE) AS tot_n
+            FROM tok
+          )
+          SELECT pc.w1, pc.w2,
+                 CAST(pc.n_pair AS BIGINT) AS n_pair,
+                 CAST(u1.n_w AS BIGINT) AS n_w1,
+                 CAST(u2.n_w AS BIGINT) AS n_w2,
+                 CAST(round(ln(((CAST(pc.n_pair AS DOUBLE) * tot_t) * tot_t)
+                               / ((tot_n * CAST(u1.n_w AS DOUBLE)) * CAST(u2.n_w AS DOUBLE)))
+                            * 1e6) AS BIGINT) / 1e6 AS pmi
+          FROM pc
+          JOIN uni u1 ON u1.w = pc.w1
+          JOIN uni u2 ON u2.w = pc.w2
+          CROSS JOIN tot
+          ORDER BY pmi DESC, pc.w1 ASC, pc.w2 ASC
+          LIMIT 50
+        """,
+        # q81: per-distinct-char count via the length-of-replace trick;
+        # -p ln p snapped to integer micro-nats BEFORE the (set-order-
+        # independent) sum, same as the engine.
+        "q81_char_entropy": r"""
+          WITH d AS (
+            SELECT CAST(doc_id AS VARCHAR) AS id, text, length(text) AS n,
+                   [c for c in list_distinct(string_split(text, ''))
+                    if length(c) > 0] AS cs
+            FROM documents
+          )
+          SELECT id AS doc_id,
+                 CAST(n AS BIGINT) AS n_chars,
+                 CAST(CASE WHEN n = 0 THEN 0 ELSE len(cs) END AS BIGINT) AS n_distinct,
+                 CASE WHEN n = 0 THEN 0.0 ELSE
+                   -CAST(COALESCE(list_sum(
+                      [CAST(round((CAST(n - length(replace(text, c, '')) AS DOUBLE) / n)
+                                  * ln(CAST(n - length(replace(text, c, '')) AS DOUBLE) / n)
+                                  * 1e6) AS BIGINT)
+                       for c in cs]), 0) AS BIGINT) / 1e6
+                 END AS entropy
+          FROM d
+        """,
+        # q82: same 1-bit packing (fold acc*2+b over the REVERSED
+        # 32-slice), integer Hamming candidates (XOR+popcount), exact
+        # cosine rerank of the top rerank*k — all tie-breaks integer/id.
+        "q82_hamming_ann": """
+          WITH codes AS (
+            SELECT vec_id AS id,
+              [list_reduce(list_reverse(
+                   [CASE WHEN x > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+                    for x in embedding[j*32+1 : j*32+32]]),
+                 (acc, b) -> acc*2 + b)
+               for j in generate_series(0, CAST(ceil(len(embedding)/32.0) AS INT) - 1)] AS words
+            FROM embeddings
+          ), q AS (
+            SELECT id AS q_id, words AS q_words FROM codes WHERE id < 10
+          ), cand AS (
+            SELECT q.q_id, c.id,
+                   list_sum([bit_count(xor(c.words[i], q.q_words[i]))
+                             for i in generate_series(1, len(c.words))]) AS ham
+            FROM codes c CROSS JOIN q WHERE c.id <> q.q_id
+          ), topm AS (
+            SELECT q_id, id FROM (
+              SELECT q_id, id,
+                     row_number() OVER (PARTITION BY q_id ORDER BY ham ASC, id ASC) AS crank
+              FROM cand) WHERE crank <= 30
+          ), scored AS (
+            SELECT t.q_id, t.id AS neighbor_id,
+                   round(list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(qe.embedding[i] AS DOUBLE)
+                                   for i in generate_series(1, len(e.embedding))])
+                         / (sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) for x in e.embedding]))
+                            * sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) for x in qe.embedding]))), 6) AS score
+            FROM topm t
+            JOIN embeddings e ON e.vec_id = t.id
+            JOIN embeddings qe ON qe.vec_id = t.q_id
+          )
+          SELECT q_id, neighbor_id, CAST(rank AS INT) AS rank, score FROM (
+            SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, neighbor_id ASC) AS rank
+            FROM scored)
+          WHERE rank <= 10
         """,
         # q74: same md5_long construction; the oracle is the textbook
         # global window over the hash order (single-task in Spark, fine

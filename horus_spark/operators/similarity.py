@@ -566,3 +566,96 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", F.col(id_col).alias("neighbor_id"), "rank", "score")
     )
+
+
+def binary_quantize(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """1-bit sign quantization: each vector becomes an array of 64-bit
+    words, every word packing 32 sign bits (x > 0) — 32x smaller than
+    float32, the most aggressive I/O tier in the ANN ladder (int8/q34 is
+    4x; this is the binary-hashing end: Charikar's SRP specialized to
+    the identity rotation). Returns (id, words array<long>).
+
+    Packing is a per-32-slice fold acc*2 + bit over the REVERSED slice
+    (first dim = most significant bit of its word) — words stay < 2^32,
+    so no 64-bit overflow under ANSI mode, and the identical
+    list_reduce runs in the DuckDB oracle. Pure map-side projection."""
+    v = F.col(vec_col)
+    n_words = F.ceil(F.size(v) / F.lit(32.0)).cast("int")
+    word = lambda j: F.aggregate(  # noqa: E731
+        F.reverse(
+            F.transform(
+                F.slice(v, j * 32 + 1, 32),
+                lambda x: F.when(x > 0, F.lit(1).cast("long")).otherwise(
+                    F.lit(0).cast("long")
+                ),
+            )
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, b: acc * 2 + b,
+    )
+    words = F.transform(F.sequence(F.lit(0), n_words - 1), word)
+    return embeddings.select(F.col(id_col).alias("id"), words.alias("words"))
+
+
+def _hamming(a: Column, b: Column) -> Column:
+    # XOR word-wise, popcount, integer-sum — order-independent, exact
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def hamming_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    rerank: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-tier binary ANN: Hamming-distance scan over the 1-bit codes
+    for candidates (the coarse tier reads 8 bytes per 64-dim vector —
+    1/32 of float32; distance is two XOR+popcounts, no arithmetic on
+    floats at all), exact float cosine rerank of the top rerank*k.
+    Candidate ordering (hamming asc, id asc) and every distance are
+    exact integers — no float tie risk in the tier that prunes.
+    Returns (q_id, neighbor_id, rank, score) like brute_force_topk."""
+    codes = binary_quantize(embeddings, id_col, vec_col)
+    qcodes = binary_quantize(
+        queries.select(F.col("q_id").alias(id_col), F.col("q_vec").alias(vec_col)),
+        id_col,
+        vec_col,
+    ).select(F.col("id").alias("q_id"), F.col("words").alias("q_words"))
+
+    cand = (
+        codes.crossJoin(F.broadcast(qcodes))
+        .filter(F.col("id") != F.col("q_id"))
+        .withColumn("ham", _hamming(F.col("words"), F.col("q_words")))
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.asc("ham"), F.asc("id"))
+    top_m = (
+        cand.withColumn("crank", F.row_number().over(wq))
+        .filter(F.col("crank") <= rerank * k)
+        .select("q_id", F.col("id").alias("neighbor_id"))
+    )
+    e = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+    q = queries.select("q_id", F.col("q_vec").cast("array<double>").alias("q_vec"))
+    scored = (
+        top_m.join(e, "neighbor_id")
+        .join(F.broadcast(q), "q_id")
+        .withColumn("score", F.round(cosine_expr(F.col("vec"), F.col("q_vec")), 6))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "rank", "score")
+    )

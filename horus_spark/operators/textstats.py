@@ -170,6 +170,55 @@ def repetition_stats(
     return out.fillna(fills)
 
 
+def char_entropy(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document character-level Shannon entropy (nats) — the cheap
+    garbage detector: binary blobs mis-tagged as text and key-mash spam
+    score HIGH, repeated-template filler scores LOW; natural language
+    sits in a narrow band, so both tails are filter candidates.
+
+    Returns (id_col, n_chars, n_distinct, entropy), entropy rounded to
+    1e-6 nats.
+
+    Shape at scale: pure map-side expression — for each DISTINCT
+    character c of the doc, count(c) = len - len(replace(text, c, ''))
+    and the -p·ln p terms are snapped to integer micro-nats BEFORE
+    summation, so the fold over the distinct-char array is an integer
+    sum: order-independent, engine-portable (DuckDB's list_distinct
+    does not promise the same element ORDER as Spark's array_distinct —
+    only the same set, which is all an integer sum needs). Cost is
+    O(distinct_chars × len) per doc with zero shuffle; distinct chars
+    are bounded (~100 for real text), so this runs at scan speed."""
+    text = F.col(text_col)
+    n = F.length(text)
+    # guard against empty-string elements (engine-dependent artifacts of
+    # splitting on ""): ln(0) terms would NaN-poison the integer fold
+    chars = F.filter(
+        F.array_distinct(F.split(text, "")), lambda c: F.length(c) > 0
+    )
+
+    def term_micro(c: Column) -> Column:
+        cnt = n - F.length(F.replace(text, c))
+        p = cnt.cast("double") / n.cast("double")
+        return F.round(p * F.log(p) * F.lit(1e6)).cast("long")
+
+    micro_sum = F.aggregate(
+        chars, F.lit(0).cast("long"), lambda acc, c: acc + term_micro(c)
+    )
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_chars"),
+        F.when(n == 0, F.lit(0))
+        .otherwise(F.size(chars))
+        .cast("long")
+        .alias("n_distinct"),
+        F.when(n == 0, F.lit(0.0))
+        .otherwise(-micro_sum / F.lit(1e6))
+        .alias("entropy"),
+    )
+
+
 def top_ngrams(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     n: int = 2, k: int = 20,
