@@ -1570,6 +1570,87 @@ def _q82_hamming_ann(spark, sf_dir):
     return hamming_topk(e, q, k=10, rerank=3)
 
 
+def _q83_hll_distinct(spark, sf_dir):
+    """Per-language HyperLogLog distinct-text estimate on the portable
+    md5 hash (the register sibling of q51's KMV): register projection is
+    map-side, the partial agg caps what crosses the Exchange at m=64
+    rows per group per task, and the dyadic register fold is
+    exact-integer so the estimate is partitioning-invariant."""
+    from horus_spark.operators.sketches import hll_distinct
+
+    d = _fanout(_load(spark, sf_dir, "documents"))
+    return hll_distinct(d, ["lang"], "text", p=6, salt="s83")
+
+
+def _q84_rrf_fusion(spark, sf_dir):
+    """Hybrid retrieval: BM25 lexical top-25 fused with dense-cosine
+    top-25 by reciprocal-rank fusion (Cormack et al. 2009). Each tier is
+    already top-k-bounded, so the fuse is one tiny hash agg; scores from
+    the two tiers are never compared directly — only ranks."""
+    from horus_spark.operators.ranking import bm25_topk, rrf_fuse
+    from horus_spark.operators.similarity import brute_force_topk
+
+    d = _load(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("string")
+    )
+    lex = bm25_topk(d, "spark hash join window", k=25)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    lex_ranked = lex.select("doc_id", F.row_number().over(w).alias("rank"))
+
+    e = _load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    dense_ranked = brute_force_topk(e, q, k=25).select(
+        F.col("neighbor_id").cast("string").alias("doc_id"), "rank"
+    )
+    return rrf_fuse([lex_ranked, dense_ranked], id_col="doc_id", topk=20)
+
+
+def _q85_tfidf_pairs(spark, sf_dir):
+    """Sparse lexical near-dup: df-pruned TF-IDF cosine pairs (the
+    term-vector sibling of q23's embedding cosine). Hot terms (df>50)
+    and singletons are dropped BEFORE the inverted-index self-join, so
+    posting-list fan-out is bounded; the dot-product shuffle carries
+    (id_a, id_b, w_a*w_b) only — never text or full vectors."""
+    from horus_spark.operators.tfidf import tfidf_cosine_pairs
+
+    d = _load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    return tfidf_cosine_pairs(d, threshold=0.3, max_df=50)
+
+
+def _q86_winnow_pairs(spark, sf_dir):
+    """Winnowing (MOSS, SIGMOD 2003) local-duplication candidates: every
+    shared passage of >= w+k-1 tokens is guaranteed to collide on a
+    selected fingerprint. Selection is a pure map-side array expression;
+    the join shuffles (fp, id) longs only, df-capped at 50."""
+    from horus_spark.operators.winnow import winnow_candidate_pairs
+
+    d = _load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    return winnow_candidate_pairs(d, k=3, w=4, min_shared=2, max_df=50, salt="s86")
+
+
+def _q87_scd2_history(spark, sf_dir):
+    """SCD-type-2 order-status history per customer (gaps-and-islands):
+    consecutive equal states collapse to [valid_from, valid_to) runs.
+    ONE shuffle on the key — the lag, the running sum, the aggregation
+    and the lead all share the same partitioning."""
+    from horus_spark.operators.scd import scd2_history
+
+    o = _load(spark, sf_dir, "orders")
+    return scd2_history(
+        o,
+        key_cols=["o_custkey"],
+        ts_col="o_orderdate",
+        state_col="o_orderstatus",
+        tiebreak_col="o_orderkey",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -1654,6 +1735,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q80_pmi_collocations": _q80_pmi_collocations,
         "q81_char_entropy": _q81_char_entropy,
         "q82_hamming_ann": _q82_hamming_ann,
+        "q83_hll_distinct": _q83_hll_distinct,
+        "q84_rrf_fusion": _q84_rrf_fusion,
+        "q85_tfidf_pairs": _q85_tfidf_pairs,
+        "q86_winnow_pairs": _q86_winnow_pairs,
+        "q87_scd2_history": _q87_scd2_history,
     }
 
 
@@ -3505,6 +3591,202 @@ def _oracle_sql_literals() -> dict[str, str]:
           SELECT doc_id,
                  row_number() OVER (ORDER BY hk, doc_id) AS shuffle_pos
           FROM k
+        """,
+        # q83: identical HLL construction — same 60-bit md5 hash (salt
+        # 's83'), p=6 (m=64, rem_bits=54), rho via length(bin()) (both
+        # engines print binary without leading zeros), register fold as
+        # EXACT integers scaled by 2^55, alpha_64 = 0.709, linear
+        # counting below 2.5m with empty registers.
+        "q83_hll_distinct": """
+          WITH h AS (
+            SELECT lang,
+                   CAST(concat('0x', substring(md5(text || 's83'), 1, 15)) AS BIGINT) AS hv
+            FROM documents WHERE text IS NOT NULL
+          ), r AS (
+            SELECT lang, hv >> 54 AS reg, hv & 18014398509481983 AS rest FROM h
+          ), regs AS (
+            SELECT lang, reg,
+                   max(CASE WHEN rest = 0 THEN 55
+                            ELSE 55 - length(bin(rest)) END) AS m
+            FROM r GROUP BY 1, 2
+          ), folded AS (
+            SELECT lang, count(*) AS v,
+                   sum(CAST(pow(2.0, 55 - m) AS BIGINT)) / 36028797018963968.0 AS s
+            FROM regs GROUP BY 1
+          ), raw AS (
+            SELECT lang, v, 0.709 * 4096.0 / (s + (64 - v)) AS e_raw FROM folded
+          )
+          SELECT lang, CAST(v AS INT) AS n_registers_hit,
+                 round(CASE WHEN e_raw <= 160.0 AND v < 64
+                            THEN 64.0 * ln(64.0 / (64 - v))
+                            ELSE e_raw END, 4) AS est_distinct
+          FROM raw
+        """,
+        # q84: RRF = sum over lists of 1/(60+rank). The lexical list is
+        # q52's BM25 recipe verbatim (rank <= 25); the dense list is
+        # q17's cosine ranking for the single query vec_id=0 (rank <=
+        # 25). Contributions are at most two doubles per doc — the sum
+        # is a single IEEE op, engine-identical.
+        "q84_rrf_fusion": """
+          WITH norm AS (
+            SELECT CAST(doc_id AS VARCHAR) AS id,
+                   trim(regexp_replace(regexp_replace(regexp_replace(lower(text), '\\s+', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS t
+            FROM documents
+          ), base AS (
+            SELECT id, CASE WHEN length(t) > 0 THEN len(string_split(t, ' ')) ELSE 0 END AS dl,
+                   string_split(t, ' ') AS w
+            FROM norm
+          ), stats AS (
+            SELECT count(*) * 1.0 AS n_docs, avg(dl) AS avgdl FROM base
+          ), matched AS (
+            SELECT id, dl, unnest(w) AS term FROM base
+          ), tf AS (
+            SELECT id, dl, term, count(*) AS tf FROM matched
+            WHERE term IN ('spark', 'hash', 'join', 'window')
+            GROUP BY 1, 2, 3
+          ), dft AS (
+            SELECT term, count(*) * 1.0 AS df FROM tf GROUP BY term
+          ), scored AS (
+            SELECT tf.id,
+                   round(sum(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                         * tf.tf * 2.2
+                         / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl))), 6) AS score
+            FROM tf JOIN dft d ON tf.term = d.term CROSS JOIN stats s
+            GROUP BY tf.id
+          ), lex AS (
+            SELECT doc_id, rank FROM (
+              SELECT id AS doc_id,
+                     row_number() OVER (ORDER BY score DESC, id ASC) AS rank
+              FROM scored)
+            WHERE rank <= 25
+          ), q AS (
+            SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0
+          ), dscored AS (
+            SELECT e.vec_id AS nid,
+                   round(list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_vec[i] AS DOUBLE)
+                                   for i in generate_series(1, len(e.embedding))])
+                         / (sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) for x in e.embedding]))
+                            * sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) for x in q.q_vec]))), 6) AS score
+            FROM embeddings e, q WHERE e.vec_id <> 0
+          ), dense AS (
+            SELECT CAST(nid AS VARCHAR) AS doc_id, rank FROM (
+              SELECT nid, row_number() OVER (ORDER BY score DESC, nid ASC) AS rank
+              FROM dscored)
+            WHERE rank <= 25
+          ), u AS (
+            SELECT doc_id, 1.0 / (60.0 + rank) AS c FROM lex
+            UNION ALL
+            SELECT doc_id, 1.0 / (60.0 + rank) AS c FROM dense
+          )
+          SELECT doc_id, round(sum(c), 6) AS rrf_score, count(*) AS n_lists
+          FROM u GROUP BY doc_id
+          ORDER BY rrf_score DESC, doc_id ASC LIMIT 20
+        """,
+        # q85: identical smoothed-idf tf-idf (sklearn's ln((N+1)/(df+1))
+        # + 1), same normalization as q47/q52, vocabulary pruned to
+        # 2 <= df <= 50 BEFORE pairing, threshold applied to the
+        # 6dp-ROUNDED cosine in both engines.
+        "q85_tfidf_pairs": """
+          WITH norm AS (
+            SELECT CAST(doc_id AS VARCHAR) AS id,
+                   trim(regexp_replace(regexp_replace(regexp_replace(lower(text), '\\s+', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS t
+            FROM documents
+          ), n_docs AS (
+            SELECT count(*) * 1.0 AS n FROM norm
+          ), terms AS (
+            SELECT id, unnest(string_split(t, ' ')) AS term FROM norm
+          ), tf AS (
+            SELECT id, term, count(*) AS tf FROM terms
+            WHERE length(term) > 0 GROUP BY 1, 2
+          ), dft AS (
+            SELECT term, count(*) AS df_t FROM tf GROUP BY 1
+          ), kept AS (
+            SELECT term, df_t FROM dft WHERE df_t BETWEEN 2 AND 50
+          ), post AS (
+            SELECT tf.id, tf.term,
+                   tf.tf * (ln((n.n + 1.0) / (k.df_t + 1.0)) + 1.0) AS w
+            FROM tf JOIN kept k USING (term) CROSS JOIN n_docs n
+          ), norms AS (
+            SELECT id, sqrt(sum(w * w)) AS nrm FROM post GROUP BY 1
+          ), dots AS (
+            SELECT a.id AS id_a, b.id AS id_b, sum(a.w * b.w) AS dot
+            FROM post a JOIN post b USING (term)
+            WHERE a.id < b.id GROUP BY 1, 2
+          )
+          SELECT id_a, id_b, cosine_sim FROM (
+            SELECT d.id_a, d.id_b,
+                   round(d.dot / (na.nrm * nb.nrm), 6) AS cosine_sim
+            FROM dots d
+            JOIN norms na ON na.id = d.id_a
+            JOIN norms nb ON nb.id = d.id_b)
+          WHERE cosine_sim >= 0.3
+        """,
+        # q86: identical winnowing — same normalization + k=3 grams
+        # hashed with the 60-bit md5 construction (salt 's86'), window
+        # w=4 minima (window shrinks to the gram count below w),
+        # per-doc DISTINCT fingerprints, df cap 2..50, pairs sharing
+        # >= 2 prints.
+        "q86_winnow_pairs": """
+          WITH norm AS (
+            SELECT CAST(doc_id AS VARCHAR) AS id,
+                   trim(regexp_replace(regexp_replace(regexp_replace(lower(text), '\\s+', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS t
+            FROM documents
+          ), base AS (
+            SELECT id, w, len(w) AS n FROM (
+              SELECT id, string_split(t, ' ') AS w FROM norm)
+            WHERE len(w) >= 3 AND length(array_to_string(w, '')) > 0
+          ), grams AS (
+            SELECT id,
+                   [CAST(concat('0x', substring(md5(array_to_string(w[i : i + 2], ' ') || 's86'), 1, 15)) AS BIGINT)
+                    for i in generate_series(1, n - 2)] AS g
+            FROM base
+          ), sel AS (
+            SELECT id, g, len(g) AS ng, least(4, len(g)) AS wl FROM grams
+          ), fps AS (
+            SELECT DISTINCT id, fp FROM (
+              SELECT id,
+                     unnest([list_min(g[j : j + wl - 1])
+                             for j in generate_series(1, ng - wl + 1)]) AS fp
+              FROM sel)
+          ), dfc AS (
+            SELECT fp, count(*) AS dfn FROM fps GROUP BY 1
+          ), kept AS (
+            SELECT f.fp, f.id FROM fps f JOIN dfc d USING (fp)
+            WHERE d.dfn BETWEEN 2 AND 50
+          )
+          SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared
+          FROM kept a JOIN kept b USING (fp)
+          WHERE a.id < b.id
+          GROUP BY 1, 2 HAVING count(*) >= 2
+        """,
+        # q87: textbook gaps-and-islands — change marker via null-safe
+        # lag compare, running-sum island id, min/count per island,
+        # lead(valid_from) for the half-open upper bound. The (ts,
+        # tiebreak) order is unique per key, so the default RANGE frame
+        # equals ROWS in both engines.
+        "q87_scd2_history": """
+          WITH marked AS (
+            SELECT o_custkey, o_orderdate, o_orderstatus, o_orderkey,
+                   CASE WHEN lag(o_orderstatus) OVER w IS NOT DISTINCT FROM o_orderstatus
+                        THEN 0 ELSE 1 END AS chg
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+          ), isl AS (
+            SELECT o_custkey, o_orderdate, o_orderstatus,
+                   sum(chg) OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate ASC, o_orderkey ASC) AS island
+            FROM marked
+          ), agg AS (
+            SELECT o_custkey, island, o_orderstatus AS state,
+                   min(o_orderdate) AS valid_from, count(*) AS n_observations
+            FROM isl GROUP BY 1, 2, 3
+          )
+          SELECT o_custkey, state, valid_from,
+                 lead(valid_from) OVER w2 AS valid_to,
+                 lead(valid_from) OVER w2 IS NULL AS is_current,
+                 n_observations
+          FROM agg
+          WINDOW w2 AS (PARTITION BY o_custkey ORDER BY island ASC)
         """,
     }
 

@@ -110,3 +110,58 @@ def bm25_topk(
         .limit(k)
         .select(F.col("id").alias(id_col), "score", "n_matched_terms")
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "id",
+    rank_col: str = "rank",
+    k: int = 60,
+    topk: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke, Buettcher 2009) — the
+    standard score-free way to combine heterogeneous retrieval tiers
+    (lexical BM25 + dense ANN is the canonical "hybrid search" pair):
+
+        rrf(d) = sum over lists L containing d of 1 / (k + rank_L(d))
+
+    Each input frame is one ranked list: (id_col, rank_col) with rank
+    starting at 1. Scores from the source rankers are deliberately NOT
+    used — RRF only consumes ranks, so tiers with incomparable score
+    scales (BM25 floats vs cosine vs popularity counts) fuse without
+    calibration.
+
+    Shape at scale: each candidate list is already top-k-bounded by its
+    producer, so the union is tiny relative to the corpus; the fuse is
+    ONE hash aggregation over (lists x k) rows and the final ordering
+    resolves as TakeOrderedAndProject when `topk` is set. The fused
+    score is a sum of exact dyadic-free rationals evaluated identically
+    in any engine at double precision; output is rounded to 6dp with a
+    deterministic id tie-break.
+
+    Returns (id_col, rrf_score: double, n_lists: int).
+    """
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    parts = [
+        r.select(
+            F.col(id_col).alias("_id"),
+            (F.lit(1.0) / (F.lit(float(k)) + F.col(rank_col).cast("double"))).alias(
+                "_contrib"
+            ),
+        )
+        for r in rankings
+    ]
+    u = parts[0]
+    for nxt in parts[1:]:
+        u = u.unionByName(nxt)
+    fused = u.groupBy("_id").agg(
+        F.round(F.sum("_contrib"), 6).alias("rrf_score"),
+        F.count("*").alias("n_lists"),
+    )
+    out = fused.select(F.col("_id").alias(id_col), "rrf_score", "n_lists")
+    if topk is not None:
+        out = out.orderBy(F.desc("rrf_score"), F.asc(id_col)).limit(topk)
+    return out

@@ -231,3 +231,98 @@ def heavy_hitters(
         )
         .select(F.col("v").alias(value_col), "n_occurrences", "n_total")
     )
+
+
+def _hll_alpha(m: int) -> float:
+    # Flajolet et al. 2007 bias constants
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    p: int = 6,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic HyperLogLog distinct-count estimate per group —
+    the register-sketch sibling of `kmv_distinct` (Flajolet, Fusy,
+    Gandouet, Meunier 2007), built on the same md5_long hash so any
+    engine replays the estimate bit-for-bit (Spark's own
+    approx_count_distinct is HLL++ too, but its hash is engine-private;
+    see `approx_distinct`).
+
+    Construction (m = 2^p registers over the 60-bit md5 hash):
+    - register index = top p bits; remainder = low (60-p) bits
+    - rho = position of the remainder's leftmost 1-bit from the top of
+      the (60-p)-bit field, = (60-p) - bitlen(remainder) + 1, with the
+      all-zero remainder mapping to (60-p)+1. bitlen rides `bin()`
+      (binary string without leading zeros — identical in Spark and
+      DuckDB), so rho is pure integer math: no log2-on-ints precision
+      hazard.
+    - per (group, register): M_j = max(rho). E_raw = alpha_m * m^2 /
+      (sum_j 2^-M_j + n_empty); small-range correction (E <= 2.5m with
+      empty registers) switches to linear counting m*ln(m/n_empty).
+    - the 2^-M_j fold is EXACT-INTEGER: each term is scaled by
+      2^(rem_bits+1) to the integer 2^(rem_bits+1-M_j) (max 2^(60-p),
+      group total <= 2^60 — fits a BIGINT), summed as longs, and divided
+      back once. A direct double fold of dyadic terms spanning up to
+      rem_bits+1 exponents exceeds the 53-bit mantissa, making the sum
+      rounding-order-dependent — i.e. partitioning-dependent.
+
+    Shape at scale: the register projection is map-side; the first
+    groupBy's PARTIAL aggregation caps what crosses the Exchange at
+    m rows per group per task (the registers, never the values); the
+    final per-group fold touches <= m rows. Registers are mergeable by
+    max, so the sketch composes across files/days for incremental
+    corpus accounting. NULL values are ignored (COUNT DISTINCT
+    semantics).
+
+    Returns (group_cols..., n_registers_hit: int, est_distinct: double
+    rounded to 4dp). Invariant to input partitioning (pinned by pytest).
+    """
+    if not 4 <= p <= 16:
+        raise ValueError("p must be in [4, 16]")
+    m = 1 << p
+    rem_bits = 60 - p
+    alpha = _hll_alpha(m)
+
+    h = md5_long(F.col(value_col), salt)
+    reg = F.shiftright(h, rem_bits)
+    rest = h.bitwiseAND(F.lit((1 << rem_bits) - 1))
+    rho = F.when(rest == 0, F.lit(rem_bits + 1)).otherwise(
+        F.lit(rem_bits + 1) - F.length(F.bin(rest))
+    )
+
+    groups = [F.col(c) for c in group_cols]
+    regs = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*groups, reg.alias("_reg"), rho.alias("_rho"))
+        .groupBy(*group_cols, "_reg")
+        .agg(F.max("_rho").alias("_m"))
+    )
+    # 2^(rem_bits+1-M) via pow(2.0, e) with e in [0, rem_bits] is exact in
+    # a double (<= 2^54 for p >= 4) and casts to long losslessly.
+    scale = float(1 << (rem_bits + 1))
+    term = F.pow(F.lit(2.0), F.lit(rem_bits + 1) - F.col("_m")).cast("long")
+    folded = regs.groupBy(*group_cols).agg(
+        F.count("*").alias("_v"),
+        (F.sum(term).cast("double") / F.lit(scale)).alias("_s"),
+    )
+    n_empty = F.lit(m) - F.col("_v")
+    e_raw = F.lit(alpha * m * m) / (F.col("_s") + n_empty.cast("double"))
+    est = F.when(
+        (e_raw <= 2.5 * m) & (n_empty > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / n_empty.cast("double")),
+    ).otherwise(e_raw)
+    return folded.select(
+        *group_cols,
+        F.col("_v").cast("int").alias("n_registers_hit"),
+        F.round(est, 4).alias("est_distinct"),
+    )
