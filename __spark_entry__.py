@@ -1651,6 +1651,89 @@ def _q87_scd2_history(spark, sf_dir):
     )
 
 
+def _interleaved_docs(spark, sf_dir) -> DataFrame:
+    """North-rule interleaved corpus derived from documents: 12-token text
+    chunks with a media span inserted after every chunk whose index i has
+    i % 3 == 2 (kind alternates image/video by (doc_id+i) parity,
+    media_ref = 'asset-<doc_id>-<i>'); offsets renumbered 0..n-1 in
+    interleaved order. Same construction reproduced row-wise in the
+    q88/q89 oracles."""
+    d = _load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_chunks = F.greatest(F.ceil(F.size(toks) / 12).cast("int"), F.lit(1))
+    text_spans = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            F.lit("text").alias("kind"),
+            F.concat_ws(" ", F.slice(toks, (i * 12 + 1).cast("int"), 12)).alias("text"),
+            F.lit("").alias("media_ref"),
+            (i * 2).cast("int").alias("offset"),
+        ),
+    )
+    media_spans = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.when(
+                i % 3 == 2,
+                F.struct(
+                    F.when((F.col("doc_id") + i) % 2 == 0, F.lit("image"))
+                    .otherwise(F.lit("video"))
+                    .alias("kind"),
+                    F.lit("").alias("text"),
+                    F.concat(
+                        F.lit("asset-"),
+                        F.col("doc_id").cast("string"),
+                        F.lit("-"),
+                        i.cast("string"),
+                    ).alias("media_ref"),
+                    (i * 2 + 1).cast("int").alias("offset"),
+                ),
+            ),
+        ),
+        lambda s: s.isNotNull(),
+    )
+    merged = F.array_sort(
+        F.concat(text_spans, media_spans),
+        lambda l, r: (
+            F.when(l["offset"] < r["offset"], F.lit(-1))
+            .when(l["offset"] > r["offset"], F.lit(1))
+            .otherwise(F.lit(0))
+        ),
+    )
+    spans = F.transform(
+        merged,
+        lambda s, i: F.struct(
+            s["kind"].alias("kind"),
+            s["text"].alias("text"),
+            s["media_ref"].alias("media_ref"),
+            i.cast("int").alias("offset"),
+        ),
+    )
+    return d.select(F.col("doc_id").cast("string").alias("doc_id"), spans.alias("spans"))
+
+
+def _q88_interleave_stats(spark, sf_dir):
+    """Modality-structure analytics over the interleaved span corpus:
+    span/text/media counts, modality transitions, longest text run and
+    text chars per doc — pure map-side array folds, ZERO shuffle (the
+    signals that route docs to text-only vs multimodal training mixes)."""
+    from horus_spark.operators.interleave import interleave_stats
+
+    return interleave_stats(_fanout(_interleaved_docs(spark, sf_dir)))
+
+
+def _q89_caption_pairs(spark, sf_dir):
+    """LAION/MMC4-style caption mining from interleaved spans: each media
+    span pairs with its adjacent text span (preceding preferred, else
+    following), bounded to [2, 64] caption tokens — map-side array
+    expressions + one explode, zero shuffle."""
+    from horus_spark.operators.interleave import caption_pairs
+
+    return caption_pairs(
+        _fanout(_interleaved_docs(spark, sf_dir)), min_tokens=2, max_tokens=64
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -1740,6 +1823,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q85_tfidf_pairs": _q85_tfidf_pairs,
         "q86_winnow_pairs": _q86_winnow_pairs,
         "q87_scd2_history": _q87_scd2_history,
+        "q88_interleave_stats": _q88_interleave_stats,
+        "q89_caption_pairs": _q89_caption_pairs,
     }
 
 
@@ -3787,6 +3872,103 @@ def _oracle_sql_literals() -> dict[str, str]:
                  n_observations
           FROM agg
           WINDOW w2 AS (PARTITION BY o_custkey ORDER BY island ASC)
+        """,
+        # q88/q89: the interleaved-span construction (12-token chunks,
+        # media after every i%3==2 chunk, image/video by (doc_id+i)
+        # parity) reproduced row-wise; stats via lag + gaps-and-islands,
+        # captions via lag/lead adjacency with the same preceding-first
+        # rule and token bounds.
+        "q88_interleave_stats": """
+          WITH tok AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+            FROM documents
+          ), chunks AS (
+            SELECT doc_id, w,
+                   unnest(generate_series(0,
+                     greatest(CAST(ceil(len(w) / 12.0) AS INT), 1) - 1)) AS i
+            FROM tok
+          ), raw AS (
+            SELECT doc_id, i*2 AS ord, 'text' AS kind,
+                   array_to_string(w[i*12+1 : i*12+12], ' ') AS text
+            FROM chunks
+            UNION ALL
+            SELECT doc_id, i*2+1 AS ord,
+                   CASE WHEN (doc_id + i) % 2 = 0 THEN 'image' ELSE 'video' END,
+                   ''
+            FROM chunks WHERE i % 3 = 2
+          ), s AS (
+            SELECT doc_id, text,
+                   CASE WHEN kind = 'text' THEN 'T' ELSE 'M' END AS cat,
+                   lag(CASE WHEN kind = 'text' THEN 'T' ELSE 'M' END)
+                     OVER (PARTITION BY doc_id ORDER BY ord) AS prev,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY ord) AS rn
+            FROM raw
+          ), grps AS (
+            SELECT doc_id,
+                   rn - row_number() OVER (PARTITION BY doc_id ORDER BY rn) AS grp
+            FROM s WHERE cat = 'T'
+          ), runs AS (
+            SELECT doc_id, count(*) AS rl
+            FROM grps GROUP BY doc_id, grp
+          )
+          SELECT CAST(st.doc_id AS VARCHAR) AS doc_id,
+                 st.n_spans, st.n_text, st.n_media, st.n_transitions,
+                 COALESCE(mr.max_text_run, 0) AS max_text_run, st.text_chars
+          FROM (
+            SELECT doc_id, CAST(count(*) AS INT) AS n_spans,
+                   CAST(sum(CASE WHEN cat='T' THEN 1 ELSE 0 END) AS INT) AS n_text,
+                   CAST(sum(CASE WHEN cat='M' THEN 1 ELSE 0 END) AS INT) AS n_media,
+                   CAST(sum(CASE WHEN prev IS NOT NULL AND prev <> cat THEN 1 ELSE 0 END) AS INT) AS n_transitions,
+                   CAST(sum(CASE WHEN cat='T' THEN len(text) ELSE 0 END) AS BIGINT) AS text_chars
+            FROM s GROUP BY doc_id
+          ) st
+          LEFT JOIN (
+            SELECT doc_id, CAST(max(rl) AS INT) AS max_text_run
+            FROM runs GROUP BY doc_id
+          ) mr USING (doc_id)
+        """,
+        "q89_caption_pairs": """
+          WITH tok AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+            FROM documents
+          ), chunks AS (
+            SELECT doc_id, w,
+                   unnest(generate_series(0,
+                     greatest(CAST(ceil(len(w) / 12.0) AS INT), 1) - 1)) AS i
+            FROM tok
+          ), raw AS (
+            SELECT doc_id, i*2 AS ord, 'text' AS kind,
+                   array_to_string(w[i*12+1 : i*12+12], ' ') AS text,
+                   '' AS media_ref
+            FROM chunks
+            UNION ALL
+            SELECT doc_id, i*2+1 AS ord,
+                   CASE WHEN (doc_id + i) % 2 = 0 THEN 'image' ELSE 'video' END,
+                   '', 'asset-' || CAST(doc_id AS VARCHAR) || '-' || CAST(i AS VARCHAR)
+            FROM chunks WHERE i % 3 = 2
+          ), nb AS (
+            SELECT doc_id, kind, media_ref,
+                   lag(kind)  OVER w AS pk, lag(text)  OVER w AS pt,
+                   lead(kind) OVER w AS nk, lead(text) OVER w AS nt
+            FROM raw
+            WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+          ), cap AS (
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id, media_ref,
+                   kind AS media_kind,
+                   CASE WHEN pk = 'text' THEN pt
+                        WHEN nk = 'text' THEN nt END AS caption,
+                   CASE WHEN pk = 'text' THEN 'before'
+                        WHEN nk = 'text' THEN 'after' END AS cap_src
+            FROM nb WHERE kind <> 'text'
+          )
+          SELECT doc_id, media_ref, media_kind, caption, cap_src,
+                 CAST(CASE WHEN len(trim(caption)) = 0 THEN 0
+                      ELSE len(string_split_regex(trim(caption), '\\s+')) END AS INT)
+                   AS n_cap_tokens
+          FROM cap
+          WHERE caption IS NOT NULL
+            AND (CASE WHEN len(trim(caption)) = 0 THEN 0
+                 ELSE len(string_split_regex(trim(caption), '\\s+')) END) BETWEEN 2 AND 64
         """,
     }
 
