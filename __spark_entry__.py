@@ -1652,13 +1652,18 @@ def _q87_scd2_history(spark, sf_dir):
 
 
 def _interleaved_docs(spark, sf_dir) -> DataFrame:
-    """North-rule interleaved corpus derived from documents: 12-token text
-    chunks with a media span inserted after every chunk whose index i has
-    i % 3 == 2 (kind alternates image/video by (doc_id+i) parity,
-    media_ref = 'asset-<doc_id>-<i>'); offsets renumbered 0..n-1 in
-    interleaved order. Same construction reproduced row-wise in the
-    q88/q89 oracles."""
-    d = _load(spark, sf_dir, "documents")
+    """North-rule interleaved corpus derived from documents (see
+    _interleave_spans_over for the construction)."""
+    return _interleave_spans_over(_load(spark, sf_dir, "documents"))
+
+
+def _interleave_spans_over(d: DataFrame) -> DataFrame:
+    """Interleaved span construction over a (doc_id numeric, text) frame:
+    12-token text chunks with a media span inserted after every chunk
+    whose index i has i % 3 == 2 (kind alternates image/video by
+    (doc_id+i) parity, media_ref = 'asset-<doc_id>-<i>'); offsets
+    renumbered 0..n-1 in interleaved order. Same construction reproduced
+    row-wise in the q88-q91 oracles."""
     toks = F.split(F.trim(F.col("text")), r"\s+")
     n_chunks = F.greatest(F.ceil(F.size(toks) / 12).cast("int"), F.lit(1))
     text_spans = F.transform(
@@ -1731,6 +1736,144 @@ def _q89_caption_pairs(spark, sf_dir):
 
     return caption_pairs(
         _fanout(_interleaved_docs(spark, sf_dir)), min_tokens=2, max_tokens=64
+    )
+
+
+def _media_refs(spans: DataFrame) -> DataFrame:
+    """Distinct media_refs referenced by an interleaved-span corpus."""
+    return (
+        spans.select(
+            F.explode(
+                F.filter(F.col("spans"), lambda s: s["kind"] != F.lit("text"))
+            ).alias("s")
+        )
+        .select(F.col("s.media_ref").alias("asset_id"))
+        .distinct()
+    )
+
+
+def _q90_multimodal_dedup(spark, sf_dir):
+    """Exact dedup of INTERLEAVED documents: fingerprint = md5 over the
+    offset-ordered sequence of normalized text + media CONTENT sha256
+    (renamed assets with identical bytes still match). Planted corpus:
+    +1000000 clones share text AND media content (multiple of 25
+    preserves the blob class, even offset preserves kind parity) ->
+    groups of 2; +2000001 clones share text but flip media content ->
+    singletons, which text-only dedup would wrongly merge."""
+    from horus_spark.operators.interleave import multimodal_dedup
+
+    base = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    c1 = base.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    c2 = base.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 2000001).alias("doc_id"), "text"
+    )
+    spans = _interleave_spans_over(base.unionByName(c1).unionByName(c2))
+    # asset store: payload = 'blob-<doc%25>-<i>' parsed back from the ref
+    sp = F.split(F.col("asset_id"), "-")
+    media = _media_refs(spans).select(
+        "asset_id",
+        F.concat(
+            F.lit("blob-"),
+            (F.element_at(sp, 2).cast("long") % 25).cast("string"),
+            F.lit("-"),
+            F.element_at(sp, 3),
+        ).alias("payload"),
+    )
+    return multimodal_dedup(_fanout(spans), media)
+
+
+def _q91_media_integrity(spark, sf_dir):
+    """Spans<->assets referential audit: every i=5 media_ref is missing
+    from the asset store (dangling), and docs with doc_id%10==0 own an
+    extra unreferenced asset (orphan). Two slim anti-joins; payload
+    bytes never read."""
+    from horus_spark.operators.interleave import media_integrity
+
+    spans = _interleaved_docs(spark, sf_dir)
+    sp = F.split(F.col("asset_id"), "-")
+    present = _media_refs(spans).filter(F.element_at(sp, 3) != "5")
+    orphans = (
+        _load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        .select(
+            F.concat(F.lit("asset-orphan-"), F.col("doc_id").cast("string")).alias(
+                "asset_id"
+            )
+        )
+        .distinct()
+    )
+    media = present.unionByName(orphans)
+    return media_integrity(_fanout(spans), media)
+
+
+def _q92_multimodal_packing(spark, sf_dir):
+    """Multimodal sequence packing: per-doc token cost = text tokens +
+    64 vision tokens per media span (Flamingo/LLaVA constant-block cost
+    model), then the q41 shard-parallel next-fit packer bins interleaved
+    docs into 512-token training sequences. Cost fold is map-side; only
+    (shard, id, n_tokens) crosses the packing exchange."""
+    from horus_spark.operators.interleave import interleave_token_costs
+    from horus_spark.operators.packing import pack_sequences
+
+    costs = interleave_token_costs(
+        _fanout(_interleaved_docs(spark, sf_dir)), media_token_cost=64
+    )
+    return pack_sequences(costs, "doc_id", "n_tokens", budget=512, n_shards=8)
+
+
+def _q93_asset_dedup(spark, sf_dir):
+    """Content-address the synthetic asset store (payload class =
+    'blob-<doc%25>-<i>', so each (doc%25, i) class collapses to one
+    canonical asset): per-asset mapping + reclaim pricing. Payloads are
+    hashed map-side; only (asset_id, sha, n_bytes) cross the shuffle."""
+    from horus_spark.operators.interleave import dedup_assets
+
+    spans = _interleaved_docs(spark, sf_dir)
+    sp = F.split(F.col("asset_id"), "-")
+    media = _media_refs(spans).select(
+        "asset_id",
+        F.concat(
+            F.lit("blob-"),
+            (F.element_at(sp, 2).cast("long") % 25).cast("string"),
+            F.lit("-"),
+            F.element_at(sp, 3),
+        ).alias("payload"),
+    )
+    return dedup_assets(media)
+
+
+def _q94_ref_rewrite(spark, sf_dir):
+    """Repoint every media span at its canonical asset (the q93 mapping)
+    and emit the rewritten media spans (doc_id, offset, kind, media_ref)
+    — the storage-compaction step that makes duplicate assets deletable.
+    Offsets/kinds/texts must survive the rewrite untouched; the oracle
+    recomputes the canonical ref AND the interleaved offset formula
+    (i + 1 + floor(i/3)) independently."""
+    from horus_spark.operators.interleave import dedup_assets, rewrite_media_refs
+
+    spans = _interleaved_docs(spark, sf_dir)
+    sp = F.split(F.col("asset_id"), "-")
+    media = _media_refs(spans).select(
+        "asset_id",
+        F.concat(
+            F.lit("blob-"),
+            (F.element_at(sp, 2).cast("long") % 25).cast("string"),
+            F.lit("-"),
+            F.element_at(sp, 3),
+        ).alias("payload"),
+    )
+    mapping = dedup_assets(media).select("asset_id", "canonical_id")
+    out = rewrite_media_refs(_fanout(spans), mapping)
+    return out.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.col("spans"), lambda s: s["kind"] != F.lit("text"))
+        ).alias("s"),
+    ).select(
+        "doc_id",
+        F.col("s.offset").alias("offset"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.media_ref").alias("media_ref"),
     )
 
 
@@ -1825,6 +1968,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q87_scd2_history": _q87_scd2_history,
         "q88_interleave_stats": _q88_interleave_stats,
         "q89_caption_pairs": _q89_caption_pairs,
+        "q90_multimodal_dedup": _q90_multimodal_dedup,
+        "q91_media_integrity": _q91_media_integrity,
+        "q92_multimodal_packing": _q92_multimodal_packing,
+        "q93_asset_dedup": _q93_asset_dedup,
+        "q94_ref_rewrite": _q94_ref_rewrite,
     }
 
 
@@ -3969,6 +4117,173 @@ def _oracle_sql_literals() -> dict[str, str]:
           WHERE caption IS NOT NULL
             AND (CASE WHEN len(trim(caption)) = 0 THEN 0
                  ELSE len(string_split_regex(trim(caption), '\\s+')) END) BETWEEN 2 AND 64
+        """,
+        # q90: multimodal fingerprint = md5 over chr(31)-joined canonical
+        # span tokens ('T:'+md5(normalized text) / 'M:'+sha256(blob)); the
+        # +1000000 clones (text AND media content preserved) pair up, the
+        # +2000001 clones (media content flipped) stay singletons.
+        "q90_multimodal_dedup": """
+          WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000, text FROM documents
+            UNION ALL
+            SELECT doc_id + 2000001, text FROM documents WHERE doc_id % 5 = 0
+          ), tok AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+            FROM corpus
+          ), chunks AS (
+            SELECT doc_id, w,
+                   unnest(generate_series(0,
+                     greatest(CAST(ceil(len(w) / 12.0) AS INT), 1) - 1)) AS i
+            FROM tok
+          ), raw AS (
+            SELECT doc_id, i*2 AS ord,
+                   'T:' || md5(lower(trim(regexp_replace(
+                     array_to_string(w[i*12+1 : i*12+12], ' '), '\\s+', ' ', 'g')))) AS tok
+            FROM chunks
+            UNION ALL
+            SELECT doc_id, i*2+1 AS ord,
+                   'M:' || sha256('blob-' || CAST(doc_id % 25 AS VARCHAR)
+                                  || '-' || CAST(i AS VARCHAR)) AS tok
+            FROM chunks WHERE i % 3 = 2
+          ), fp AS (
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   md5(string_agg(chr(31) || tok, '' ORDER BY ord)) AS f
+            FROM raw GROUP BY doc_id
+          ), g AS (
+            SELECT f, min(doc_id) AS canonical_id,
+                   CAST(count(*) AS INT) AS n_copies
+            FROM fp GROUP BY f
+          )
+          SELECT fp.doc_id, g.canonical_id, g.n_copies
+          FROM fp JOIN g USING (f)
+        """,
+        # q91: dangling = every i=5 ref (absent from the asset store);
+        # orphan = the extra per-doc%10 asset nothing references.
+        "q91_media_integrity": """
+          WITH tok AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+            FROM documents
+          ), chunks AS (
+            SELECT doc_id, w,
+                   unnest(generate_series(0,
+                     greatest(CAST(ceil(len(w) / 12.0) AS INT), 1) - 1)) AS i
+            FROM tok
+          ), refs AS (
+            SELECT doc_id, i,
+                   'asset-' || CAST(doc_id AS VARCHAR) || '-' || CAST(i AS VARCHAR) AS ref
+            FROM chunks WHERE i % 3 = 2
+          ), refcount AS (
+            SELECT ref, CAST(count(DISTINCT doc_id) AS INT) AS n_docs
+            FROM refs GROUP BY ref
+          ), media AS (
+            SELECT DISTINCT ref AS asset FROM refs WHERE i <> 5
+            UNION
+            SELECT 'asset-orphan-' || CAST(doc_id AS VARCHAR)
+            FROM documents WHERE doc_id % 10 = 0
+          )
+          SELECT 'dangling_ref' AS status, rc.ref AS key, rc.n_docs
+          FROM refcount rc
+          WHERE rc.ref NOT IN (SELECT asset FROM media)
+          UNION ALL
+          SELECT 'orphan_asset', m.asset, 0
+          FROM media m
+          WHERE m.asset NOT IN (SELECT ref FROM refs)
+        """,
+        # q92: q41's recursive next-fit replay with the multimodal cost
+        # model — text tokens + 64 per media span, where n_media =
+        # floor(n_chunks/3) (chunks i%3==2 carry a media span).
+        "q92_multimodal_packing": """
+          WITH RECURSIVE base AS (
+            SELECT CAST(doc_id AS VARCHAR) AS id,
+                   CASE WHEN len(trim(text)) = 0 THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+')) END AS tt,
+                   greatest(CAST(ceil(len(string_split_regex(trim(text), '\\s+')) / 12.0) AS INT), 1) AS nc
+            FROM documents
+          ), docs AS (
+            SELECT id,
+                   CAST(tt + 64 * CAST(floor(nc / 3.0) AS INT) AS BIGINT) AS n_tokens,
+                   CAST(CAST(concat('0x', substring(md5(id), 1, 15)) AS BIGINT) % 8 AS INT) AS shard
+            FROM base
+          ), ord AS (
+            SELECT *, row_number() OVER (PARTITION BY shard ORDER BY id) AS rn
+            FROM docs
+          ), pack AS (
+            SELECT shard, rn, id, n_tokens,
+                   0 AS seq_id, 0 AS seq_pos, n_tokens AS run
+            FROM ord WHERE rn = 1
+            UNION ALL
+            SELECT o.shard, o.rn, o.id, o.n_tokens,
+                   CASE WHEN p.run + o.n_tokens > 512 THEN p.seq_id + 1 ELSE p.seq_id END,
+                   CASE WHEN p.run + o.n_tokens > 512 THEN 0 ELSE p.seq_pos + 1 END,
+                   CASE WHEN p.run + o.n_tokens > 512 THEN o.n_tokens ELSE p.run + o.n_tokens END
+            FROM ord o JOIN pack p ON o.shard = p.shard AND o.rn = p.rn + 1
+          )
+          SELECT id AS doc_id, shard, CAST(seq_id AS INT) AS seq_id,
+                 CAST(seq_pos AS INT) AS seq_pos,
+                 CAST(n_tokens AS BIGINT) AS n_tokens
+          FROM pack
+        """,
+        # q93: content-addressed asset mapping — payload class
+        # 'blob-<doc%25>-<i>' collapses each (doc%25, i) to the
+        # lexicographic-min asset id; reclaim = bytes of non-canonicals.
+        "q93_asset_dedup": """
+          WITH tok AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+            FROM documents
+          ), chunks AS (
+            SELECT doc_id, w,
+                   unnest(generate_series(0,
+                     greatest(CAST(ceil(len(w) / 12.0) AS INT), 1) - 1)) AS i
+            FROM tok
+          ), media AS (
+            SELECT DISTINCT
+                   'asset-' || CAST(doc_id AS VARCHAR) || '-' || CAST(i AS VARCHAR) AS asset_id,
+                   'blob-' || CAST(doc_id % 25 AS VARCHAR) || '-' || CAST(i AS VARCHAR) AS payload
+            FROM chunks WHERE i % 3 = 2
+          ), d AS (
+            SELECT asset_id, sha256(payload) AS sha,
+                   CAST(len(payload) AS BIGINT) AS b
+            FROM media
+          ), g AS (
+            SELECT sha, min(asset_id) AS canonical_id,
+                   CAST(count(*) AS INT) AS n_copies
+            FROM d GROUP BY sha
+          )
+          SELECT d.asset_id, d.sha, g.canonical_id, g.n_copies,
+                 CASE WHEN d.asset_id <> g.canonical_id THEN d.b
+                      ELSE CAST(0 AS BIGINT) END AS reclaim_bytes
+          FROM d JOIN g USING (sha)
+        """,
+        # q94: rewritten media spans — canonical ref per (doc%25, i)
+        # class; interleaved offset of chunk i's media span is
+        # i + 1 + floor(i/3) (i+1 text chunks plus the media spans of
+        # earlier i%3==2 chunks precede it); kind by (doc_id+i) parity.
+        "q94_ref_rewrite": """
+          WITH tok AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+            FROM documents
+          ), chunks AS (
+            SELECT doc_id, w,
+                   unnest(generate_series(0,
+                     greatest(CAST(ceil(len(w) / 12.0) AS INT), 1) - 1)) AS i
+            FROM tok
+          ), refs AS (
+            SELECT doc_id, i,
+                   'asset-' || CAST(doc_id AS VARCHAR) || '-' || CAST(i AS VARCHAR) AS ref,
+                   'blob-' || CAST(doc_id % 25 AS VARCHAR) || '-' || CAST(i AS VARCHAR) AS payload
+            FROM chunks WHERE i % 3 = 2
+          ), g AS (
+            SELECT payload, min(ref) AS canonical_id
+            FROM (SELECT DISTINCT ref, payload FROM refs) GROUP BY payload
+          )
+          SELECT CAST(r.doc_id AS VARCHAR) AS doc_id,
+                 CAST(r.i + 1 + CAST(floor(r.i / 3.0) AS INT) AS INT) AS offset,
+                 CASE WHEN (r.doc_id + r.i) % 2 = 0 THEN 'image'
+                      ELSE 'video' END AS kind,
+                 g.canonical_id AS media_ref
+          FROM refs r JOIN g USING (payload)
         """,
     }
 

@@ -195,3 +195,304 @@ def caption_pairs(
         & (F.col("n_cap_tokens") >= min_tokens)
         & (F.col("n_cap_tokens") <= max_tokens)
     )
+
+
+# escaped literal (never a raw control byte in source); joins the per-span
+# canonical tokens — 0x1F cannot appear in normalized text, so the
+# serialization is prefix-collision-free
+_FP_SEP = "\x1f"
+
+
+def multimodal_fingerprints(
+    spans_df: DataFrame,
+    media_df: DataFrame,
+    id_col: str = "doc_id",
+    spans_col: str = "spans",
+    asset_col: str = "asset_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Content fingerprint of a whole interleaved document: md5 over the
+    offset-ordered sequence of per-span tokens, where a text span
+    contributes 'T:' + md5(whitespace-normalized lowercase text) and a
+    media span contributes 'M:' + sha256(payload bytes) of the asset it
+    references.
+
+    Two docs are multimodal duplicates iff BOTH their text and the
+    CONTENT of their media agree position-for-position — renamed or
+    re-uploaded assets (different media_ref, same bytes) still match,
+    while a caption-identical doc with different imagery does not.
+    Text-only exact dedup (dedup.exact_dedup) cannot make either call.
+
+    A media_ref with no row in media_df contributes 'M!' + ref — a
+    dangling reference never collides with real content, so broken docs
+    can only match docs broken the same way (surface them with
+    media_integrity).
+
+    Scale shape: text is digested to 32 hex chars MAP-SIDE, in the
+    explode projection, before anything shuffles — raw text never
+    crosses an Exchange. Exactly two slim shuffles move
+    (doc_id, offset, <=67-char token) rows: the media-digest join on
+    ref and the per-doc regroup; the join back to the id spine carries
+    (id, fingerprint) pairs only. A doc with an empty spans array
+    fingerprints as md5('') (all empty docs match each other). Returns
+    (id, fingerprint)."""
+    digests = media_df.select(
+        F.col(asset_col).alias("_ref"),
+        F.sha2(F.col(payload_col).cast("binary"), 256).alias("_sha"),
+    )
+    norm = lambda t: F.regexp_replace(F.trim(F.lower(t)), r"\s+", " ")  # noqa: E731
+    ex = spans_df.select(
+        F.col(id_col).alias("_doc"),
+        F.explode(F.col(spans_col)).alias("s"),
+    ).select(
+        "_doc",
+        F.col("s.offset").alias("_off"),
+        # text digested here, map-side: only the 35-char token shuffles
+        F.when(
+            F.col("s.kind") == F.lit("text"),
+            F.concat(F.lit("T:"), F.md5(norm(F.col("s.text")))),
+        ).alias("_txt_tok"),
+        F.when(F.col("s.kind") != F.lit("text"), F.col("s.media_ref")).alias(
+            "_ref"
+        ),
+    )
+    toks = ex.join(digests, "_ref", "left").select(
+        "_doc",
+        "_off",
+        F.coalesce(
+            F.col("_txt_tok"),
+            F.when(
+                F.col("_sha").isNotNull(), F.concat(F.lit("M:"), F.col("_sha"))
+            ).otherwise(F.concat(F.lit("M!"), F.col("_ref"))),
+        ).alias("_tok"),
+    )
+    fp = toks.groupBy("_doc").agg(
+        F.md5(
+            F.aggregate(
+                F.array_sort(  # struct default ordering: _off first
+                    F.collect_list(F.struct(F.col("_off"), F.col("_tok")))
+                ),
+                F.lit("").cast("string"),
+                lambda acc, s: F.concat(acc, F.lit(_FP_SEP), s["_tok"]),
+            )
+        ).alias("fingerprint")
+    )
+    ids = spans_df.select(F.col(id_col))
+    return ids.join(fp, ids[id_col] == fp["_doc"], "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("fingerprint"), F.md5(F.lit(""))).alias(
+            "fingerprint"
+        ),
+    )
+
+
+def multimodal_dedup(
+    spans_df: DataFrame,
+    media_df: DataFrame,
+    id_col: str = "doc_id",
+    spans_col: str = "spans",
+    asset_col: str = "asset_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Exact multimodal dedup verdict per document: group docs by their
+    multimodal_fingerprints fingerprint; every doc gets (id,
+    canonical_id = group min, n_copies). Only (id, fingerprint) pairs
+    cross the grouping shuffle."""
+    fp = multimodal_fingerprints(
+        spans_df, media_df, id_col, spans_col, asset_col, payload_col
+    )
+    groups = fp.groupBy("fingerprint").agg(
+        F.min(id_col).alias("canonical_id"),
+        F.count("*").cast("int").alias("n_copies"),
+    )
+    return fp.join(groups, "fingerprint").select(
+        id_col, "canonical_id", "n_copies"
+    )
+
+
+def media_integrity(
+    spans_df: DataFrame,
+    media_df: DataFrame,
+    id_col: str = "doc_id",
+    spans_col: str = "spans",
+    asset_col: str = "asset_id",
+) -> DataFrame:
+    """Referential-integrity audit between interleaved documents and the
+    media-asset table: DANGLING references (a span points at an asset
+    with no row — decode would fail mid-pipeline) and ORPHAN assets
+    (stored bytes no document references — reclaimable storage).
+
+    At 10^12 docs both directions matter operationally: dangling refs
+    break extraction jobs late and expensively; orphans are silent cost.
+    Two anti-joins over slim (ref/asset) keys — payload bytes are never
+    read. Returns (status in {'dangling_ref','orphan_asset'}, key,
+    n_docs referencing — 0 for orphans)."""
+    refs = (
+        spans_df.select(
+            F.col(id_col).alias("_doc"),
+            F.explode(
+                F.filter(F.col(spans_col), lambda s: s["kind"] != F.lit("text"))
+            ).alias("s"),
+        )
+        .select("_doc", F.col("s.media_ref").alias("_ref"))
+        .groupBy("_ref")
+        .agg(F.count_distinct("_doc").cast("int").alias("n_docs"))
+    )
+    assets = media_df.select(F.col(asset_col).alias("_ref")).distinct()
+    dangling = refs.join(assets, "_ref", "left_anti").select(
+        F.lit("dangling_ref").alias("status"),
+        F.col("_ref").alias("key"),
+        "n_docs",
+    )
+    orphans = assets.join(refs, "_ref", "left_anti").select(
+        F.lit("orphan_asset").alias("status"),
+        F.col("_ref").alias("key"),
+        F.lit(0).alias("n_docs"),
+    )
+    return dangling.unionByName(orphans)
+
+
+def interleave_token_costs(
+    spans_df: DataFrame,
+    media_token_cost: int = 64,
+    id_col: str = "doc_id",
+    spans_col: str = "spans",
+) -> DataFrame:
+    """Per-document training-token cost of an interleaved document:
+    whitespace tokens summed over text spans plus a FIXED per-media-span
+    cost (VLM training encodes each image/video clip as a constant-size
+    block of vision tokens — Flamingo/LLaVA-style — so a media span's
+    context-window cost is a constant, not a function of its bytes).
+
+    This is the cost model multimodal sequence packing needs: feed the
+    output straight into packing.pack_sequences to bin interleaved docs
+    into fixed context windows. Pure map-side fold (one aggregate over
+    the spans array, JVM expressions only) — zero shuffle, payload bytes
+    and media tables never touched. Returns (id, n_text_tokens, n_media,
+    n_tokens)."""
+    if media_token_cost < 0:
+        raise ValueError(
+            f"media_token_cost must be >= 0, got {media_token_cost}"
+        )
+    is_text = lambda s: s["kind"] == F.lit("text")  # noqa: E731
+    text_tokens = F.aggregate(
+        F.col(spans_col),
+        F.lit(0).cast("long"),
+        lambda acc, s: acc
+        + F.when(is_text(s), _tok_count(s["text"]).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ),
+    )
+    n_media = F.size(F.filter(F.col(spans_col), lambda s: ~is_text(s)))
+    return spans_df.select(
+        F.col(id_col),
+        text_tokens.alias("n_text_tokens"),
+        n_media.cast("int").alias("n_media"),
+        (text_tokens + n_media.cast("long") * media_token_cost).alias(
+            "n_tokens"
+        ),
+    )
+
+
+def dedup_assets(
+    media_df: DataFrame,
+    asset_col: str = "asset_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Content-address the media-asset store: every asset gets
+    (asset_id, sha, canonical_id = lowest asset_id sharing its sha256,
+    n_copies, reclaim_bytes = its own byte size if it is a non-canonical
+    duplicate else 0).
+
+    At 10^12 documents the asset store dominates storage; re-uploads and
+    mirror crawls store the same bytes under many names. Summing
+    reclaim_bytes prices the dedup win; joining the mapping into
+    rewrite_media_refs repoints documents at canonical assets so the
+    duplicates become deletable. Only (asset_id, sha, n_bytes) slim
+    triples cross the grouping shuffle — payload bytes are hashed
+    map-side and never move."""
+    d = media_df.select(
+        F.col(asset_col).alias("asset_id"),
+        F.sha2(F.col(payload_col).cast("binary"), 256).alias("sha"),
+        F.length(F.col(payload_col).cast("binary")).cast("long").alias(
+            "_bytes"
+        ),
+    )
+    groups = d.groupBy("sha").agg(
+        F.min("asset_id").alias("canonical_id"),
+        F.count("*").cast("int").alias("n_copies"),
+    )
+    return d.join(groups, "sha").select(
+        "asset_id",
+        "sha",
+        "canonical_id",
+        "n_copies",
+        F.when(F.col("asset_id") != F.col("canonical_id"), F.col("_bytes"))
+        .otherwise(F.lit(0).cast("long"))
+        .alias("reclaim_bytes"),
+    )
+
+
+def rewrite_media_refs(
+    spans_df: DataFrame,
+    mapping: DataFrame,
+    id_col: str = "doc_id",
+    spans_col: str = "spans",
+) -> DataFrame:
+    """Repoint every media span at its canonical asset: spans whose
+    media_ref appears in `mapping` (asset_id -> canonical_id, the
+    dedup_assets output or any two-column rename table) come back with
+    media_ref = canonical_id; unmapped refs (incl. dangling) pass
+    through unchanged. Text spans, kinds, texts and offsets are
+    untouched — the span-sequence invariant is preserved up to the ref
+    substitution.
+
+    Shape: explode media spans to slim (doc, offset, ref) triples, join
+    the CHANGED mappings only (asset_id != canonical_id — the common
+    case is a tiny fraction of refs), regroup to a per-doc offset->ref
+    map, then one array transform rewrites the spans. The candidate
+    stages move id/offset/ref triples only; the final docs<->remap join
+    is broadcast-eligible exactly because the remap holds only docs
+    with a changed ref (Catalyst/AQE picks BroadcastHashJoin when it is
+    small, making the whole rewrite exchange-free on the doc side).
+    When the changed set is genuinely huge, one hash shuffle of the
+    span arrays is unavoidable — the remap must colocate with its
+    documents."""
+    changed = mapping.select(
+        F.col("asset_id").alias("_ref"), F.col("canonical_id").alias("_canon")
+    ).filter(F.col("_ref") != F.col("_canon"))
+    hits = (
+        spans_df.select(
+            F.col(id_col).alias("_doc"),
+            F.explode(
+                F.filter(F.col(spans_col), lambda s: s["kind"] != F.lit("text"))
+            ).alias("s"),
+        )
+        .select("_doc", F.col("s.offset").alias("_off"), F.col("s.media_ref").alias("_ref"))
+        .join(changed, "_ref")
+        .groupBy("_doc")
+        .agg(
+            F.map_from_arrays(
+                F.collect_list("_off"), F.collect_list("_canon")
+            ).alias("_remap")
+        )
+    )
+    rewritten = F.transform(
+        F.col(spans_col),
+        lambda s: F.struct(
+            s["kind"].alias("kind"),
+            s["text"].alias("text"),
+            F.when(
+                s["kind"] == F.lit("text"), s["media_ref"]
+            ).otherwise(
+                F.coalesce(
+                    F.try_element_at(F.col("_remap"), s["offset"]),
+                    s["media_ref"],
+                )
+            ).alias("media_ref"),
+            s["offset"].alias("offset"),
+        ),
+    )
+    joined = spans_df.join(hits, spans_df[id_col] == hits["_doc"], "left")
+    keep = [c for c in spans_df.columns if c != spans_col]
+    return joined.select(*keep, rewritten.alias(spans_col))

@@ -137,3 +137,253 @@ def test_interleave_plans_shuffle_free(corpus):
     for df in (interleave_stats(corpus), caption_pairs(corpus)):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+# ---- multimodal fingerprints / dedup / integrity ----------------------
+
+
+@pytest.fixture(scope="module")
+def mm_corpus(spark):
+    docs = _mk(
+        spark,
+        [
+            # p and q: same text, DIFFERENT refs holding identical bytes
+            ("p", [T("same text", 0), M("image", "m1", 1)]),
+            ("q", [T("same text", 0), M("image", "m2", 1)]),
+            # r: same text, different media CONTENT
+            ("r", [T("same text", 0), M("image", "m3", 1)]),
+            # s: different text, same media as p
+            ("s", [T("other text", 0), M("image", "m1", 1)]),
+            # t, u: same text + same DANGLING ref; v: different dangling
+            ("t", [T("same text", 0), M("image", "ghost", 1)]),
+            ("u", [T("same text", 0), M("image", "ghost", 1)]),
+            ("v", [T("same text", 0), M("image", "ghost2", 1)]),
+        ],
+    )
+    media = spark.createDataFrame(
+        [("m1", "bytes-A"), ("m2", "bytes-A"), ("m3", "bytes-B"),
+         ("unused", "bytes-C")],
+        "asset_id string, payload string",
+    )
+    return docs, media
+
+
+def _fps(docs, media):
+    from horus_spark.operators.interleave import multimodal_fingerprints
+
+    return {
+        r["doc_id"]: r["fingerprint"]
+        for r in multimodal_fingerprints(docs, media).collect()
+    }
+
+
+def test_multimodal_fingerprint_semantics(mm_corpus):
+    """Content-addressed: renamed assets with equal bytes match; either
+    modality differing breaks the match; dangling refs only match the
+    SAME dangling ref (never real content)."""
+    fp = _fps(*mm_corpus)
+    assert fp["p"] == fp["q"]          # rename-invariant (bytes equal)
+    assert fp["p"] != fp["r"]          # media content differs
+    assert fp["p"] != fp["s"]          # text differs
+    assert fp["t"] == fp["u"]          # same dangling ref matches itself
+    assert fp["t"] != fp["v"]          # different dangling ref
+    assert fp["t"] != fp["p"]          # dangling never collides w/ content
+
+
+def test_multimodal_fingerprint_text_normalization(mm_corpus, spark):
+    """Whitespace runs and case do not affect the text contribution."""
+    _, media = mm_corpus
+    docs = _mk(
+        spark,
+        [
+            ("n1", [T("Same   TEXT", 0), M("image", "m1", 1)]),
+            ("n2", [T("same text", 0), M("image", "m1", 1)]),
+        ],
+    )
+    fp = _fps(docs, media)
+    assert fp["n1"] == fp["n2"]
+
+
+def test_multimodal_fingerprint_offset_order_not_input_order(mm_corpus, spark):
+    """The fold follows offset order even when the array is shuffled."""
+    _, media = mm_corpus
+    docs = _mk(
+        spark,
+        [
+            ("o1", [M("image", "m1", 1), T("same text", 0)]),
+            ("o2", [T("same text", 0), M("image", "m1", 1)]),
+            # same spans at swapped offsets -> DIFFERENT document
+            ("o3", [T("same text", 1), M("image", "m1", 0)]),
+        ],
+    )
+    fp = _fps(docs, media)
+    assert fp["o1"] == fp["o2"]
+    assert fp["o3"] != fp["o2"]
+
+
+def test_multimodal_dedup_groups(mm_corpus):
+    from horus_spark.operators.interleave import multimodal_dedup
+
+    docs, media = mm_corpus
+    got = {
+        r["doc_id"]: (r["canonical_id"], r["n_copies"])
+        for r in multimodal_dedup(docs, media).collect()
+    }
+    assert len(got) == 7               # every doc gets a verdict
+    assert got["p"] == ("p", 2) and got["q"] == ("p", 2)
+    assert got["t"] == ("t", 2) and got["u"] == ("t", 2)
+    for single in ("r", "s", "v"):
+        assert got[single] == (single, 1)
+
+
+def test_media_integrity_audit(mm_corpus):
+    from horus_spark.operators.interleave import media_integrity
+
+    docs, media = mm_corpus
+    rows = {
+        (r["status"], r["key"]): r["n_docs"]
+        for r in media_integrity(docs, media).collect()
+    }
+    assert rows == {
+        ("dangling_ref", "ghost"): 2,   # referenced by t and u
+        ("dangling_ref", "ghost2"): 1,
+        ("orphan_asset", "unused"): 0,
+    }
+
+
+def test_media_integrity_never_reads_payload(mm_corpus, spark, tmp_path):
+    """The audit joins on asset ids only — a parquet-backed asset store
+    must show a payload-free ReadSchema (at 100 TB the payload column IS
+    the table; scanning it would turn a metadata audit into a full
+    corpus read)."""
+    from horus_spark.operators.interleave import media_integrity
+
+    docs, media = mm_corpus
+    path = str(tmp_path / "media.parquet")
+    media.write.parquet(path)
+    audit = media_integrity(docs, spark.read.parquet(path))
+    audit.collect()
+    plan = audit._jdf.queryExecution().executedPlan().toString()
+    assert "payload" not in plan
+
+
+# ---- token costs / asset compaction ------------------------------------
+
+
+def test_interleave_token_costs_values(mm_corpus, spark):
+    from horus_spark.operators.interleave import interleave_token_costs
+
+    docs = _mk(
+        spark,
+        [
+            ("a", [T("one two three", 0), M("image", "x", 1),
+                   T("four five", 2), M("video", "y", 3)]),
+            ("b", [T("   ", 0)]),          # blank text span -> 0 tokens
+            ("c", []),                      # empty doc
+        ],
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in interleave_token_costs(docs, media_token_cost=64).collect()
+    }
+    assert got["a"] == {
+        "doc_id": "a", "n_text_tokens": 5, "n_media": 2,
+        "n_tokens": 5 + 2 * 64,
+    }
+    assert got["b"]["n_tokens"] == 0
+    assert got["c"] == {
+        "doc_id": "c", "n_text_tokens": 0, "n_media": 0, "n_tokens": 0,
+    }
+
+
+def test_interleave_token_costs_guard_and_plan(mm_corpus):
+    from horus_spark.operators.interleave import interleave_token_costs
+
+    docs, _ = mm_corpus
+    with pytest.raises(ValueError):
+        interleave_token_costs(docs, media_token_cost=-1)
+    plan = (
+        interleave_token_costs(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_token_costs_feed_packing(mm_corpus):
+    """Composition: the cost frame packs into budget-respecting
+    sequences (each sequence's token total <= budget unless it is a
+    single oversize doc)."""
+    from horus_spark.operators.interleave import interleave_token_costs
+    from horus_spark.operators.packing import pack_sequences
+
+    docs, _ = mm_corpus
+    packed = pack_sequences(
+        interleave_token_costs(docs, media_token_cost=10),
+        "doc_id", "n_tokens", budget=20, n_shards=2,
+    ).collect()
+    assert {r["doc_id"] for r in packed} == {
+        r["doc_id"] for r in docs.collect()
+    }
+    by_seq = {}
+    for r in packed:
+        by_seq.setdefault((r["shard"], r["seq_id"]), []).append(r)
+    for members in by_seq.values():
+        total = sum(m["n_tokens"] for m in members)
+        assert total <= 20 or len(members) == 1
+
+
+def test_dedup_assets_mapping(spark):
+    from horus_spark.operators.interleave import dedup_assets
+
+    media = spark.createDataFrame(
+        [("a3", "bytes-A"), ("a1", "bytes-A"), ("a2", "bytes-A"),
+         ("b1", "bytes-Blonger"), ("c1", "unique")],
+        "asset_id string, payload string",
+    )
+    got = {r["asset_id"]: r.asDict() for r in dedup_assets(media).collect()}
+    assert got["a1"]["canonical_id"] == "a1"
+    assert got["a1"]["n_copies"] == 3
+    assert got["a1"]["reclaim_bytes"] == 0          # canonical keeps bytes
+    assert got["a2"]["canonical_id"] == "a1"
+    assert got["a2"]["reclaim_bytes"] == len("bytes-A")
+    assert got["a3"]["reclaim_bytes"] == len("bytes-A")
+    assert got["b1"]["n_copies"] == 1 and got["b1"]["reclaim_bytes"] == 0
+    assert got["c1"]["canonical_id"] == "c1"
+
+
+def test_rewrite_media_refs(mm_corpus, spark):
+    from horus_spark.operators.interleave import rewrite_media_refs
+
+    docs, _ = mm_corpus
+    mapping = spark.createDataFrame(
+        [("m2", "m1"), ("m1", "m1"), ("m3", "m3")],
+        "asset_id string, canonical_id string",
+    )
+    before = {r["doc_id"]: r["spans"] for r in docs.collect()}
+    after = {
+        r["doc_id"]: r["spans"]
+        for r in rewrite_media_refs(docs, mapping).collect()
+    }
+    assert set(after) == set(before)
+    # q's m2 -> m1; everything else about the span survives
+    q_media = [s for s in after["q"] if s["kind"] != "text"][0]
+    assert q_media["media_ref"] == "m1"
+    assert q_media["offset"] == 1 and q_media["kind"] == "image"
+    # identity-mapped, unmapped, and dangling refs pass through;
+    # text spans and media-free docs are byte-identical
+    assert after["p"] == before["p"]      # m1 -> m1 identity
+    assert after["r"] == before["r"]      # m3 -> m3 identity
+    assert after["t"] == before["t"]      # dangling 'ghost' not in mapping
+    assert [s for s in after["q"] if s["kind"] == "text"] == [
+        s for s in before["q"] if s["kind"] == "text"
+    ]
+
+
+def test_multimodal_fingerprint_empty_docs_match(mm_corpus, spark):
+    """Empty spans arrays fingerprint identically (md5('')) and never
+    collide with non-empty docs."""
+    _, media = mm_corpus
+    docs = _mk(spark, [("e1", []), ("e2", []), ("x", [T("hi", 0)])])
+    fp = _fps(docs, media)
+    assert fp["e1"] == fp["e2"]
+    assert fp["e1"] != fp["x"]
