@@ -42,8 +42,10 @@ def _by_offset(col: Column) -> Column:
 
 
 def _tok_count(text: Column) -> Column:
-    """Whitespace token count; 0 for empty/blank (split('') is [''])."""
-    t = F.trim(text)
+    """Whitespace token count; 0 for empty/blank/NULL (split('') is [''];
+    an uncoalesced NULL would poison any fold it feeds — acc + NULL is
+    NULL, silently nulling a whole document's aggregate)."""
+    t = F.trim(F.coalesce(text, F.lit("")))
     return F.when(F.length(t) == 0, F.lit(0)).otherwise(
         F.size(F.split(t, r"\s+"))
     )
@@ -105,9 +107,11 @@ def interleave_stats(
         arr,
         F.lit(0).cast("long"),
         lambda acc, s: acc
-        + F.when(is_text(s), F.length(s["text"]).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        ),
+        + F.when(
+            is_text(s),
+            # coalesce: a NULL text would null the fold for the whole doc
+            F.length(F.coalesce(s["text"], F.lit(""))).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
     )
 
     return spans_df.select(
@@ -234,13 +238,18 @@ def multimodal_fingerprints(
     (doc_id, offset, <=67-char token) rows: the media-digest join on
     ref and the per-doc regroup; the join back to the id spine carries
     (id, fingerprint) pairs only. A doc with an empty spans array
-    fingerprints as md5('') (all empty docs match each other). Returns
-    (id, fingerprint)."""
+    fingerprints as md5('') (all empty docs match each other); a NULL
+    text span contributes the empty-text token rather than nulling the
+    fold. PRECONDITION: id_col is unique per document row — duplicate
+    ids would merge into one fingerprint over the union of their
+    spans. Returns (id, fingerprint)."""
     digests = media_df.select(
         F.col(asset_col).alias("_ref"),
         F.sha2(F.col(payload_col).cast("binary"), 256).alias("_sha"),
     )
-    norm = lambda t: F.regexp_replace(F.trim(F.lower(t)), r"\s+", " ")  # noqa: E731
+    norm = lambda t: F.regexp_replace(  # noqa: E731
+        F.trim(F.lower(F.coalesce(t, F.lit("")))), r"\s+", " "
+    )
     ex = spans_df.select(
         F.col(id_col).alias("_doc"),
         F.explode(F.col(spans_col)).alias("s"),
@@ -410,7 +419,13 @@ def dedup_assets(
     rewrite_media_refs repoints documents at canonical assets so the
     duplicates become deletable. Only (asset_id, sha, n_bytes) slim
     triples cross the grouping shuffle — payload bytes are hashed
-    map-side and never move."""
+    map-side and never move.
+
+    A NULL payload means UNKNOWN content, not shared content: sha2(NULL)
+    is NULL, and grouping on it would declare every null-payload asset a
+    duplicate of the others (the exact_dedup null-text hazard). Null
+    rows stay singletons: canonical = self, n_copies 1, reclaim 0, sha
+    NULL preserved as the diagnostic."""
     d = media_df.select(
         F.col(asset_col).alias("asset_id"),
         F.sha2(F.col(payload_col).cast("binary"), 256).alias("sha"),
@@ -418,16 +433,22 @@ def dedup_assets(
             "_bytes"
         ),
     )
-    groups = d.groupBy("sha").agg(
+    groups = d.filter(F.col("sha").isNotNull()).groupBy("sha").agg(
         F.min("asset_id").alias("canonical_id"),
         F.count("*").cast("int").alias("n_copies"),
     )
-    return d.join(groups, "sha").select(
+    return d.join(groups, "sha", "left").select(
         "asset_id",
         "sha",
-        "canonical_id",
-        "n_copies",
-        F.when(F.col("asset_id") != F.col("canonical_id"), F.col("_bytes"))
+        F.coalesce(F.col("canonical_id"), F.col("asset_id")).alias(
+            "canonical_id"
+        ),
+        F.coalesce(F.col("n_copies"), F.lit(1)).alias("n_copies"),
+        F.when(
+            F.col("canonical_id").isNotNull()
+            & (F.col("asset_id") != F.col("canonical_id")),
+            F.col("_bytes"),
+        )
         .otherwise(F.lit(0).cast("long"))
         .alias("reclaim_bytes"),
     )

@@ -387,3 +387,52 @@ def test_multimodal_fingerprint_empty_docs_match(mm_corpus, spark):
     fp = _fps(docs, media)
     assert fp["e1"] == fp["e2"]
     assert fp["e1"] != fp["x"]
+
+
+def test_null_text_span_does_not_poison_folds(mm_corpus, spark):
+    """A NULL text inside a text span must act as empty text, not null
+    the whole document's aggregates (acc + NULL is NULL in a fold)."""
+    from horus_spark.operators.interleave import (
+        interleave_stats,
+        interleave_token_costs,
+        multimodal_fingerprints,
+    )
+
+    _, media = mm_corpus
+    docs = _mk(
+        spark,
+        [
+            ("n", [("text", None, "", 0), T("two words", 1)]),
+            ("e", [T("", 0), T("two words", 1)]),  # empty-text twin
+        ],
+    )
+    stats = {r["doc_id"]: r.asDict() for r in interleave_stats(docs).collect()}
+    assert stats["n"]["text_chars"] == len("two words")
+    assert stats["n"]["max_text_run"] == 2
+    costs = {
+        r["doc_id"]: r["n_tokens"]
+        for r in interleave_token_costs(docs).collect()
+    }
+    assert costs["n"] == 2
+    fp = {
+        r["doc_id"]: r["fingerprint"]
+        for r in multimodal_fingerprints(docs, media).collect()
+    }
+    assert fp["n"] is not None
+    assert fp["n"] == fp["e"]  # NULL text == empty text, position-wise
+
+
+def test_dedup_assets_null_payloads_stay_singletons(spark):
+    """NULL payload = unknown content: two null-payload assets must NOT
+    be declared duplicates of each other."""
+    from horus_spark.operators.interleave import dedup_assets
+
+    media = spark.createDataFrame(
+        [("a1", None), ("a2", None), ("b1", "bytes"), ("b2", "bytes")],
+        "asset_id string, payload string",
+    )
+    got = {r["asset_id"]: r.asDict() for r in dedup_assets(media).collect()}
+    assert got["a1"]["canonical_id"] == "a1" and got["a1"]["n_copies"] == 1
+    assert got["a2"]["canonical_id"] == "a2" and got["a2"]["n_copies"] == 1
+    assert got["a1"]["reclaim_bytes"] == 0 and got["a1"]["sha"] is None
+    assert got["b2"]["canonical_id"] == "b1" and got["b2"]["n_copies"] == 2
