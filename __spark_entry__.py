@@ -1768,9 +1768,16 @@ def _q90_multimodal_dedup(spark, sf_dir):
         (F.col("doc_id") + 2000001).alias("doc_id"), "text"
     )
     spans = _interleave_spans_over(base.unionByName(c1).unionByName(c2))
-    # asset store: payload = 'blob-<doc%25>-<i>' parsed back from the ref
+    return multimodal_dedup(_fanout(spans), _synthetic_asset_store(spans))
+
+
+def _synthetic_asset_store(spans: DataFrame) -> DataFrame:
+    """Asset store for an interleaved corpus: payload =
+    'blob-<doc%25>-<i>' parsed back from the 'asset-<doc>-<i>' ref, so
+    every (doc%25, i) class shares content — the deterministic stand-in
+    for real bytes used by q90/q93/q94/q95's oracles."""
     sp = F.split(F.col("asset_id"), "-")
-    media = _media_refs(spans).select(
+    return _media_refs(spans).select(
         "asset_id",
         F.concat(
             F.lit("blob-"),
@@ -1779,7 +1786,6 @@ def _q90_multimodal_dedup(spark, sf_dir):
             F.element_at(sp, 3),
         ).alias("payload"),
     )
-    return multimodal_dedup(_fanout(spans), media)
 
 
 def _q91_media_integrity(spark, sf_dir):
@@ -1828,18 +1834,7 @@ def _q93_asset_dedup(spark, sf_dir):
     hashed map-side; only (asset_id, sha, n_bytes) cross the shuffle."""
     from horus_spark.operators.interleave import dedup_assets
 
-    spans = _interleaved_docs(spark, sf_dir)
-    sp = F.split(F.col("asset_id"), "-")
-    media = _media_refs(spans).select(
-        "asset_id",
-        F.concat(
-            F.lit("blob-"),
-            (F.element_at(sp, 2).cast("long") % 25).cast("string"),
-            F.lit("-"),
-            F.element_at(sp, 3),
-        ).alias("payload"),
-    )
-    return dedup_assets(media)
+    return dedup_assets(_synthetic_asset_store(_interleaved_docs(spark, sf_dir)))
 
 
 def _q94_ref_rewrite(spark, sf_dir):
@@ -1852,16 +1847,7 @@ def _q94_ref_rewrite(spark, sf_dir):
     from horus_spark.operators.interleave import dedup_assets, rewrite_media_refs
 
     spans = _interleaved_docs(spark, sf_dir)
-    sp = F.split(F.col("asset_id"), "-")
-    media = _media_refs(spans).select(
-        "asset_id",
-        F.concat(
-            F.lit("blob-"),
-            (F.element_at(sp, 2).cast("long") % 25).cast("string"),
-            F.lit("-"),
-            F.element_at(sp, 3),
-        ).alias("payload"),
-    )
+    media = _synthetic_asset_store(spans)
     mapping = dedup_assets(media).select("asset_id", "canonical_id")
     out = rewrite_media_refs(_fanout(spans), mapping)
     return out.select(
@@ -1874,6 +1860,32 @@ def _q94_ref_rewrite(spark, sf_dir):
         F.col("s.offset").alias("offset"),
         F.col("s.kind").alias("kind"),
         F.col("s.media_ref").alias("media_ref"),
+    )
+
+
+def _q95_multimodal_minhash(spark, sf_dir):
+    """NEAR-dup interleaved docs: MinHash-LSH over the per-doc SET of
+    span-content tokens (text-chunk digests + media sha256), exact
+    Jaccard verify at 0.5. Planted corpus: the +2000001 clones keep the
+    text but flip every media payload class — jaccard = |text chunks| /
+    (|text chunks| + 2*|media|) ~ 0.6, so the fuzzy tier pairs them
+    while q90's position-exact tier (correctly) keeps them apart, and a
+    TEXT-ONLY minhash would have called them identical outright. Same
+    k=64/16-band family as q21, so the oracle replays the full pipeline
+    including LSH recall."""
+    from horus_spark.operators.interleave import multimodal_minhash_pairs
+
+    base = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    c2 = base.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 2000001).alias("doc_id"), "text"
+    )
+    spans = _interleave_spans_over(base.unionByName(c2))
+    return multimodal_minhash_pairs(
+        _fanout(spans),
+        _synthetic_asset_store(spans),
+        k=64,
+        bands=16,
+        threshold=0.5,
     )
 
 
@@ -1973,6 +1985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q92_multimodal_packing": _q92_multimodal_packing,
         "q93_asset_dedup": _q93_asset_dedup,
         "q94_ref_rewrite": _q94_ref_rewrite,
+        "q95_multimodal_minhash": _q95_multimodal_minhash,
     }
 
 
@@ -2093,6 +2106,37 @@ def _oracle_sql_literals() -> dict[str, str]:
         """
     minhash_body = minhash_ctes + minhash_select
     minhash_sql = shingle_cte + minhash_body
+    # q95: the SAME minhash pipeline (hash family, 16x4 banding, exact
+    # verify) over MULTIMODAL span-content tokens — text-chunk digests +
+    # media content sha256 — on the interleaved corpus with
+    # media-flipped clones; threshold 0.5.
+    q95_tokens_cte = r"""
+      WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 2000001, text FROM documents WHERE doc_id % 5 = 0
+      ), tokz AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM corpus
+      ), chunks AS (
+        SELECT doc_id, w,
+               unnest(generate_series(0,
+                 greatest(CAST(ceil(len(w) / 12.0) AS INT), 1) - 1)) AS i
+        FROM tokz
+      ), sh AS (
+        SELECT DISTINCT CAST(doc_id AS VARCHAR) AS id, shingle FROM (
+          SELECT doc_id,
+                 'T:' || md5(lower(trim(regexp_replace(
+                   array_to_string(w[i*12+1 : i*12+12], ' '), '\s+', ' ', 'g')))) AS shingle
+          FROM chunks
+          UNION ALL
+          SELECT doc_id,
+                 'M:' || sha256('blob-' || CAST(doc_id % 25 AS VARCHAR)
+                                || '-' || CAST(i AS VARCHAR))
+          FROM chunks WHERE i % 3 = 2
+        )
+      ), sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id)
+    """
+    q95_sql = q95_tokens_cte + minhash_ctes + minhash_select.replace("0.3", "0.5")
     # q40: transitive closure of the q21 pairs — min reachable id per node
     # via a recursive CTE (the graph is symmetrized, so the min over the
     # reachable set IS the component minimum), singletons from the full
@@ -2480,6 +2524,7 @@ def _oracle_sql_literals() -> dict[str, str]:
                unnest([1, 2]) AS u(v)
         """,
         "q21_minhash_pairs": minhash_sql,
+        "q95_multimodal_minhash": q95_sql,
         "q33_dedup_pipeline": q33_sql,
         "q76_incremental_dedup": q76_sql,
         "q40_dedup_clusters": q40_sql,

@@ -740,3 +740,72 @@ def extend_dedup_index(
     )
     fresh = build_dedup_index(batch, id_col, text_col, n, k, seed).join(uniq, "id")
     return index.select("id", "content_md5", "sig").unionByName(fresh)
+
+
+def minhash_signatures_from_tokens(
+    tokens: DataFrame, k: int = 64, seed: int = 1337
+) -> DataFrame:
+    """k-permutation MinHash signatures over a PRE-BUILT token frame
+    (id, shingle) — the generic core of minhash_signatures for callers
+    whose tokens are not word n-grams of a text column (e.g. the
+    interleaved-span content tokens of
+    interleave.multimodal_minhash_pairs). Same universal-hash family and
+    28-bit md5 base hash as the text path, so SQL oracles built for one
+    replay the other. Returns (id, sig array<long>[k])."""
+    a, b = minhash_params(k, seed)
+    bh = tokens.withColumn("h", minhash_base_hash())
+    mins = bh.groupBy("id").agg(
+        *[
+            F.min(
+                (F.lit(a[i]) * F.col("h") + F.lit(b[i])) % F.lit(MINHASH_PRIME)
+            ).alias(f"h{i}")
+            for i in range(k)
+        ]
+    )
+    return mins.select("id", F.array(*[f"h{i}" for i in range(k)]).alias("sig"))
+
+
+def verify_token_pairs(
+    candidates: DataFrame, tokens: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate (id_a, id_b) pairs over a
+    pre-built DISTINCT token frame (id, shingle) — the token-frame
+    analog of _verify_pairs, same scale shape: per-doc sizes first, a
+    size-ratio prefilter kills pairs that cannot reach the threshold,
+    then the intersection joins touch only docs surviving in some
+    candidate pair (semi-join prune). Returns (id_a, id_b, jaccard)."""
+    sizes = tokens.groupBy("id").agg(F.count("*").alias("n_sh"))
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb"))
+    cand = (
+        candidates.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(F.least("na", "nb") >= threshold * F.greatest("na", "nb"))
+    )
+    cand_ids = (
+        cand.select(F.explode(F.array("id_a", "id_b")).alias("cid")).distinct()
+    )
+    sh = tokens.join(cand_ids, tokens["id"] == F.col("cid"), "left_semi")
+    inter = (
+        cand.select("id_a", "id_b", "na", "nb")
+        .join(sh.select(F.col("id").alias("id_a"), "shingle"), "id_a")
+        .join(
+            sh.select(
+                F.col("id").alias("id_b"), F.col("shingle").alias("shingle_b")
+            ),
+            "id_b",
+        )
+        .filter(F.col("shingle") == F.col("shingle_b"))
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -207,6 +207,56 @@ def caption_pairs(
 _FP_SEP = "\x1f"
 
 
+def _span_token_rows(
+    spans_df: DataFrame,
+    media_df: DataFrame,
+    id_col: str,
+    spans_col: str,
+    asset_col: str,
+    payload_col: str,
+) -> DataFrame:
+    """Per-span content tokens as slim rows (_doc, _off, _tok): a text
+    span tokenizes to 'T:' + md5(whitespace-normalized lowercase text)
+    — digested MAP-SIDE in the explode projection so raw text never
+    crosses an Exchange — a media span to 'M:' + sha256(payload bytes)
+    of its asset, and a dangling ref to 'M!' + ref (never collides with
+    real content). NULL text contributes the empty-text token. The
+    shared core of multimodal_fingerprints (offset-ordered exact tier)
+    and multimodal_token_sets (set-semantics fuzzy tier)."""
+    digests = media_df.select(
+        F.col(asset_col).alias("_ref"),
+        F.sha2(F.col(payload_col).cast("binary"), 256).alias("_sha"),
+    )
+    norm = lambda t: F.regexp_replace(  # noqa: E731
+        F.trim(F.lower(F.coalesce(t, F.lit("")))), r"\s+", " "
+    )
+    ex = spans_df.select(
+        F.col(id_col).alias("_doc"),
+        F.explode(F.col(spans_col)).alias("s"),
+    ).select(
+        "_doc",
+        F.col("s.offset").alias("_off"),
+        # text digested here, map-side: only the 35-char token shuffles
+        F.when(
+            F.col("s.kind") == F.lit("text"),
+            F.concat(F.lit("T:"), F.md5(norm(F.col("s.text")))),
+        ).alias("_txt_tok"),
+        F.when(F.col("s.kind") != F.lit("text"), F.col("s.media_ref")).alias(
+            "_ref"
+        ),
+    )
+    return ex.join(digests, "_ref", "left").select(
+        "_doc",
+        "_off",
+        F.coalesce(
+            F.col("_txt_tok"),
+            F.when(
+                F.col("_sha").isNotNull(), F.concat(F.lit("M:"), F.col("_sha"))
+            ).otherwise(F.concat(F.lit("M!"), F.col("_ref"))),
+        ).alias("_tok"),
+    )
+
+
 def multimodal_fingerprints(
     spans_df: DataFrame,
     media_df: DataFrame,
@@ -243,37 +293,8 @@ def multimodal_fingerprints(
     fold. PRECONDITION: id_col is unique per document row — duplicate
     ids would merge into one fingerprint over the union of their
     spans. Returns (id, fingerprint)."""
-    digests = media_df.select(
-        F.col(asset_col).alias("_ref"),
-        F.sha2(F.col(payload_col).cast("binary"), 256).alias("_sha"),
-    )
-    norm = lambda t: F.regexp_replace(  # noqa: E731
-        F.trim(F.lower(F.coalesce(t, F.lit("")))), r"\s+", " "
-    )
-    ex = spans_df.select(
-        F.col(id_col).alias("_doc"),
-        F.explode(F.col(spans_col)).alias("s"),
-    ).select(
-        "_doc",
-        F.col("s.offset").alias("_off"),
-        # text digested here, map-side: only the 35-char token shuffles
-        F.when(
-            F.col("s.kind") == F.lit("text"),
-            F.concat(F.lit("T:"), F.md5(norm(F.col("s.text")))),
-        ).alias("_txt_tok"),
-        F.when(F.col("s.kind") != F.lit("text"), F.col("s.media_ref")).alias(
-            "_ref"
-        ),
-    )
-    toks = ex.join(digests, "_ref", "left").select(
-        "_doc",
-        "_off",
-        F.coalesce(
-            F.col("_txt_tok"),
-            F.when(
-                F.col("_sha").isNotNull(), F.concat(F.lit("M:"), F.col("_sha"))
-            ).otherwise(F.concat(F.lit("M!"), F.col("_ref"))),
-        ).alias("_tok"),
+    toks = _span_token_rows(
+        spans_df, media_df, id_col, spans_col, asset_col, payload_col
     )
     fp = toks.groupBy("_doc").agg(
         F.md5(
@@ -517,3 +538,67 @@ def rewrite_media_refs(
     joined = spans_df.join(hits, spans_df[id_col] == hits["_doc"], "left")
     keep = [c for c in spans_df.columns if c != spans_col]
     return joined.select(*keep, rewritten.alias(spans_col))
+
+
+def multimodal_token_sets(
+    spans_df: DataFrame,
+    media_df: DataFrame,
+    id_col: str = "doc_id",
+    spans_col: str = "spans",
+    asset_col: str = "asset_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Distinct span-content tokens per document as (id, shingle) — the
+    SET view of _span_token_rows (offsets dropped, duplicates
+    collapsed). This is the unit the fuzzy multimodal tier measures
+    Jaccard over: a text chunk counts once however often it repeats,
+    and a media asset counts by content, not by name."""
+    return (
+        _span_token_rows(
+            spans_df, media_df, id_col, spans_col, asset_col, payload_col
+        )
+        .select(F.col("_doc").alias("id"), F.col("_tok").alias("shingle"))
+        .distinct()
+    )
+
+
+def multimodal_minhash_pairs(
+    spans_df: DataFrame,
+    media_df: DataFrame,
+    id_col: str = "doc_id",
+    spans_col: str = "spans",
+    asset_col: str = "asset_id",
+    payload_col: str = "payload",
+    k: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    seed: int = 1337,
+) -> DataFrame:
+    """NEAR-duplicate interleaved documents: MinHash-LSH over the
+    per-document SET of span-content tokens ('T:'+md5(text chunk) /
+    'M:'+sha256(asset bytes)), banded candidates verified by exact
+    Jaccard. The fuzzy tier the exact tier cannot cover: two docs equal
+    except one swapped image, one edited chunk, or a few reordered
+    spans score jaccard just below 1.0 and pair up here, while
+    multimodal_dedup (position-exact) correctly keeps them apart.
+    Conversely pure-text minhash (dedup.minhash_dedup_pairs) would call
+    media-swapped docs identical — media content participates in the
+    token set here.
+
+    Scale shape inherited from the proven q21 path: tokens are digests
+    (raw text never shuffles), signatures are 64 longs/doc, banding
+    buckets join on (band, bucket) ints/strings, and the exact verify
+    is size-ratio-prefiltered + semi-join-pruned. Returns
+    (id_a, id_b, jaccard) with id_a < id_b."""
+    from horus_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures_from_tokens,
+        verify_token_pairs,
+    )
+
+    toks = multimodal_token_sets(
+        spans_df, media_df, id_col, spans_col, asset_col, payload_col
+    )
+    sigs = minhash_signatures_from_tokens(toks, k=k, seed=seed)
+    cand = lsh_candidate_pairs(sigs, bands, k=k)
+    return verify_token_pairs(cand, toks, threshold)

@@ -436,3 +436,93 @@ def test_dedup_assets_null_payloads_stay_singletons(spark):
     assert got["a2"]["canonical_id"] == "a2" and got["a2"]["n_copies"] == 1
     assert got["a1"]["reclaim_bytes"] == 0 and got["a1"]["sha"] is None
     assert got["b2"]["canonical_id"] == "b1" and got["b2"]["n_copies"] == 2
+
+
+# ---- fuzzy multimodal near-dup tier ------------------------------------
+
+
+@pytest.fixture(scope="module")
+def neardup_corpus(spark):
+    """A (14 text + 6 media = 20 tokens), B = A with ONE media payload
+    swapped (19/21 jaccard), C = A with one asset RENAMED to equal bytes
+    (identical token set), D unrelated."""
+    texts = [f"unique chunk number {i} words" for i in range(14)]
+
+    def doc(did, media_refs):
+        spans, off = [], 0
+        for i, t in enumerate(texts):
+            spans.append(T(t, off)); off += 1
+            if i < len(media_refs):
+                spans.append(M("image", media_refs[i], off)); off += 1
+        return (did, spans)
+
+    docs = _mk(
+        spark,
+        [
+            doc("A", ["m0", "m1", "m2", "m3", "m4", "m5"]),
+            doc("B", ["m0", "m1", "m2", "m3", "m4", "m5b"]),
+            doc("C", ["m0x", "m1", "m2", "m3", "m4", "m5"]),
+            ("D", [T("totally different text", 0), M("image", "m9", 1)]),
+        ],
+    )
+    media = spark.createDataFrame(
+        [("m0", "p0"), ("m1", "p1"), ("m2", "p2"), ("m3", "p3"),
+         ("m4", "p4"), ("m5", "p5"), ("m5b", "DIFFERENT"),
+         ("m0x", "p0"), ("m9", "p9")],
+        "asset_id string, payload string",
+    )
+    return docs, media
+
+
+def test_multimodal_token_sets_semantics(neardup_corpus, spark):
+    from horus_spark.operators.interleave import multimodal_token_sets
+
+    docs, media = neardup_corpus
+    sizes = {
+        r["id"]: r["n"]
+        for r in multimodal_token_sets(docs, media)
+        .groupBy("id").agg(F.count("*").alias("n")).collect()
+    }
+    assert sizes["A"] == 20 and sizes["B"] == 20 and sizes["D"] == 2
+    # repeated identical chunks collapse (set semantics)
+    rep = _mk(spark, [("r", [T("same", 0), T("same", 1), T("same", 2)])])
+    n = multimodal_token_sets(rep, media).count()
+    assert n == 1
+
+
+def test_multimodal_minhash_pairs_neardup(neardup_corpus):
+    """The fuzzy tier pairs the one-image-swapped twin at 19/21 jaccard
+    and the renamed-asset twin at 1.0; the exact tier agrees only on
+    the rename (position-exact content equality)."""
+    from horus_spark.operators.interleave import (
+        multimodal_dedup,
+        multimodal_minhash_pairs,
+    )
+
+    docs, media = neardup_corpus
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in multimodal_minhash_pairs(docs, media, threshold=0.5).collect()
+    }
+    assert pairs[("A", "B")] == round(19 / 21, 6)
+    assert pairs[("A", "C")] == 1.0
+    assert pairs[("B", "C")] == round(19 / 21, 6)
+    assert not any("D" in p for p in pairs)
+    # exact tier: only the renamed twin groups with A
+    groups = {
+        r["doc_id"]: r["canonical_id"]
+        for r in multimodal_dedup(docs, media).collect()
+    }
+    assert groups["C"] == "A" and groups["A"] == "A"
+    assert groups["B"] == "B" and groups["D"] == "D"
+
+
+def test_multimodal_minhash_threshold(neardup_corpus):
+    from horus_spark.operators.interleave import multimodal_minhash_pairs
+
+    docs, media = neardup_corpus
+    strict = {
+        (r["id_a"], r["id_b"])
+        for r in multimodal_minhash_pairs(docs, media, threshold=0.95).collect()
+    }
+    assert strict == {("A", "C")}
