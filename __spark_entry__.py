@@ -1889,6 +1889,24 @@ def _q95_multimodal_minhash(spark, sf_dir):
     )
 
 
+def _q96_modality_mixture(spark, sf_dir):
+    """Modality-routed training mixture: interleaved docs classed by
+    media-span count (0 / <4 / >=4), token masses in the multimodal
+    cost model (text + 64 vision tokens per media span), then the q62
+    UniMax temperature allocation (alpha=0.3, 1M-token budget) across
+    the classes. Routing rides the map-side cost fold — the only
+    shuffle is the |classes|-row aggregation."""
+    from horus_spark.operators.interleave import modality_mixture
+
+    return modality_mixture(
+        _fanout(_interleaved_docs(spark, sf_dir)),
+        media_token_cost=64,
+        rich_min_media=4,
+        alpha=0.3,
+        token_budget=1_000_000,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -1986,6 +2004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q93_asset_dedup": _q93_asset_dedup,
         "q94_ref_rewrite": _q94_ref_rewrite,
         "q95_multimodal_minhash": _q95_multimodal_minhash,
+        "q96_modality_mixture": _q96_modality_mixture,
     }
 
 
@@ -4235,6 +4254,47 @@ def _oracle_sql_literals() -> dict[str, str]:
           SELECT 'orphan_asset', m.asset, 0
           FROM media m
           WHERE m.asset NOT IN (SELECT ref FROM refs)
+        """,
+        # q96: modality classes by media-span count over the interleaved
+        # construction, multimodal token masses, then q62's UniMax
+        # temperature tail (micro-int weight normalizer).
+        "q96_modality_mixture": """
+          WITH tok AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+            FROM documents
+          ), base AS (
+            SELECT CASE WHEN len(trim(array_to_string(w, ' '))) = 0 THEN 0
+                        ELSE len(w) END AS tt,
+                   greatest(CAST(ceil(len(w) / 12.0) AS INT), 1) AS nc
+            FROM tok
+          ), per_doc AS (
+            SELECT CASE WHEN nm = 0 THEN 'text_only'
+                        WHEN nm < 4 THEN 'light_multimodal'
+                        ELSE 'media_rich' END AS domain,
+                   tt + 64 * nm AS ntok
+            FROM (SELECT tt, CAST(floor(nc / 3.0) AS INT) AS nm FROM base)
+          ), per AS (
+            SELECT domain, count(*) AS n_docs, sum(ntok) AS n_tokens
+            FROM per_doc GROUP BY domain
+          ), tot AS (
+            SELECT sum(n_tokens) * 1.0 AS total FROM per
+          ), w AS (
+            SELECT domain, n_docs, n_tokens, total,
+                   CAST(round(pow(n_tokens / total, 0.3) * 1e9) AS BIGINT) AS mw
+            FROM per CROSS JOIN tot
+          ), norm AS (
+            SELECT sum(mw) AS msum FROM w
+          )
+          SELECT domain,
+                 CAST(n_docs AS BIGINT) AS n_docs,
+                 CAST(n_tokens AS BIGINT) AS n_tokens,
+                 round(n_tokens / total, 6) AS p_raw,
+                 round(mw * 1.0 / msum, 6) AS p_mix,
+                 CAST(round(1000000.0 * mw / msum) AS BIGINT) AS target_tokens,
+                 round(CASE WHEN n_tokens > 0
+                            THEN 1000000.0 * mw / msum / n_tokens
+                            ELSE 0.0 END, 6) AS epochs
+          FROM w CROSS JOIN norm
         """,
         # q92: q41's recursive next-fit replay with the multimodal cost
         # model — text tokens + 64 per media span, where n_media =

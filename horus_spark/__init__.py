@@ -186,6 +186,32 @@ def __getattr__(name):
         "kmeans_fit_full": ("horus_spark.operators.kmeans", "kmeans_fit_full"),
         "kmeans_clusters": ("horus_spark.operators.kmeans", "kmeans_clusters"),
         "kmeans_assign": ("horus_spark.operators.kmeans", "kmeans_assign"),
+        "interleave_stats": (
+            "horus_spark.operators.interleave", "interleave_stats",
+        ),
+        "caption_pairs": ("horus_spark.operators.interleave", "caption_pairs"),
+        "multimodal_fingerprints": (
+            "horus_spark.operators.interleave", "multimodal_fingerprints",
+        ),
+        "multimodal_dedup": (
+            "horus_spark.operators.interleave", "multimodal_dedup",
+        ),
+        "media_integrity": (
+            "horus_spark.operators.interleave", "media_integrity",
+        ),
+        "interleave_token_costs": (
+            "horus_spark.operators.interleave", "interleave_token_costs",
+        ),
+        "dedup_assets": ("horus_spark.operators.interleave", "dedup_assets"),
+        "rewrite_media_refs": (
+            "horus_spark.operators.interleave", "rewrite_media_refs",
+        ),
+        "multimodal_minhash_pairs": (
+            "horus_spark.operators.interleave", "multimodal_minhash_pairs",
+        ),
+        "modality_mixture": (
+            "horus_spark.operators.interleave", "modality_mixture",
+        ),
     }
     if name in _API:
         import importlib

@@ -602,3 +602,52 @@ def multimodal_minhash_pairs(
     sigs = minhash_signatures_from_tokens(toks, k=k, seed=seed)
     cand = lsh_candidate_pairs(sigs, bands, k=k)
     return verify_token_pairs(cand, toks, threshold)
+
+
+def modality_mixture(
+    spans_df: DataFrame,
+    media_token_cost: int = 64,
+    rich_min_media: int = 4,
+    alpha: float = 0.3,
+    token_budget: int = 1_000_000,
+    id_col: str = "doc_id",
+    spans_col: str = "spans",
+) -> DataFrame:
+    """Route interleaved documents into modality classes and allocate a
+    training-token budget across the classes with the UniMax
+    temperature rule (mixture.temperature_mixture): text_only
+    (no media spans), light_multimodal (fewer than `rich_min_media`
+    media spans), media_rich (the rest). Tokens are counted in the
+    MULTIMODAL cost model — text tokens plus a constant vision-token
+    block per media span — i.e. the unit a VLM trainer's context budget
+    is actually spent in; a text-token mixture would systematically
+    under-budget the media-rich class.
+
+    Zero-join composition: routing rides the same map-side cost fold
+    that computes the tokens (interleave_token_costs), so the only
+    shuffle is the |classes|-row aggregation inside
+    temperature_mixture. Returns one row per populated class:
+    (domain, n_docs, n_tokens, p_raw, p_mix, target_tokens, epochs)."""
+    if rich_min_media < 1:
+        raise ValueError(
+            f"rich_min_media must be >= 1, got {rich_min_media}"
+        )
+    from horus_spark.operators.mixture import temperature_mixture
+
+    costs = interleave_token_costs(
+        spans_df, media_token_cost, id_col, spans_col
+    )
+    routed = costs.select(
+        F.when(F.col("n_media") == 0, F.lit("text_only"))
+        .when(F.col("n_media") < rich_min_media, F.lit("light_multimodal"))
+        .otherwise(F.lit("media_rich"))
+        .alias("modality"),
+        "n_tokens",
+    )
+    return temperature_mixture(
+        routed,
+        domain_col="modality",
+        alpha=alpha,
+        token_budget=token_budget,
+        tokens_col="n_tokens",
+    )

@@ -30,16 +30,27 @@ def temperature_mixture(
     text_col: str = "text",
     alpha: float = 0.3,
     token_budget: int = 1_000_000,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Per domain: (domain, n_docs, n_tokens, p_raw, p_mix,
     target_tokens, epochs) where p_mix ∝ p_raw^alpha normalized over
     domains, target_tokens = round(budget * p_mix) and epochs =
     target_tokens / n_tokens (how many passes over the domain the
-    mixture implies; >1 flags over-sampling a small domain)."""
-    n_toks = F.when(
-        F.length(F.trim(F.col(text_col))) > 0,
-        F.size(F.split(F.trim(F.col(text_col)), r"\s+")),
-    ).otherwise(F.lit(0))
+    mixture implies; >1 flags over-sampling a small domain).
+
+    `tokens_col` (optional): use a PRE-COMPUTED per-row token count
+    instead of whitespace-tokenizing `text_col` — callers whose budget
+    unit is not plain text tokens (e.g. the multimodal cost model of
+    interleave.interleave_token_costs, where media spans cost constant
+    vision-token blocks) pass their own column; `text_col` is then
+    ignored."""
+    if tokens_col is not None:
+        n_toks = F.col(tokens_col)
+    else:
+        n_toks = F.when(
+            F.length(F.trim(F.col(text_col))) > 0,
+            F.size(F.split(F.trim(F.col(text_col)), r"\s+")),
+        ).otherwise(F.lit(0))
     per_dom = docs.groupBy(F.col(domain_col).alias("domain")).agg(
         F.count("*").alias("n_docs"),
         F.sum(n_toks).cast("long").alias("n_tokens"),

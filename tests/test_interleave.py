@@ -526,3 +526,48 @@ def test_multimodal_minhash_threshold(neardup_corpus):
         for r in multimodal_minhash_pairs(docs, media, threshold=0.95).collect()
     }
     assert strict == {("A", "C")}
+
+
+def test_modality_mixture_routing_and_math(spark):
+    """Three classes routed by media count; UniMax shares over the
+    MULTIMODAL token masses (hand math, alpha=0.5 for sqrt)."""
+    import math
+
+    from horus_spark.operators.interleave import modality_mixture
+
+    docs = _mk(
+        spark,
+        [
+            ("t1", [T("a b c", 0)]),                       # text_only, 3
+            ("t2", [T("d e", 0)]),                         # text_only, 2
+            ("l1", [T("x y z w", 0), M("image", "m", 1)]),  # light, 4+64
+            ("r1", [T("q", 0), M("image", "a", 1), M("video", "b", 2),
+                    M("image", "c", 3), M("video", "d", 4)]),  # rich, 1+256
+        ],
+    )
+    got = {
+        r["domain"]: r.asDict()
+        for r in modality_mixture(
+            docs, media_token_cost=64, rich_min_media=4,
+            alpha=0.5, token_budget=1000,
+        ).collect()
+    }
+    masses = {"text_only": 5, "light_multimodal": 68, "media_rich": 257}
+    total = sum(masses.values())
+    mw = {d: round(math.sqrt(n / total) * 1e9) for d, n in masses.items()}
+    msum = sum(mw.values())
+    assert {d: got[d]["n_tokens"] for d in got} == masses
+    assert got["text_only"]["n_docs"] == 2
+    for d in masses:
+        assert got[d]["p_mix"] == pytest.approx(round(mw[d] / msum, 6))
+        assert got[d]["target_tokens"] == round(1000 * mw[d] / msum)
+    # temperature flattening: the small class gains share
+    assert got["text_only"]["p_mix"] > got["text_only"]["p_raw"]
+
+
+def test_modality_mixture_guard(mm_corpus):
+    from horus_spark.operators.interleave import modality_mixture
+
+    docs, _ = mm_corpus
+    with pytest.raises(ValueError):
+        modality_mixture(docs, rich_min_media=0)
