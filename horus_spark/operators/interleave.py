@@ -327,16 +327,23 @@ def multimodal_dedup(
     """Exact multimodal dedup verdict per document: group docs by their
     multimodal_fingerprints fingerprint; every doc gets (id,
     canonical_id = group min, n_copies). Only (id, fingerprint) pairs
-    cross the grouping shuffle."""
+    cross the grouping shuffle.
+
+    Plan shape: group stats come from a WINDOW over fingerprint, not a
+    groupBy + self-join — the join form puts the fingerprint pipeline
+    (explode, media join, regroup) in TWO plan branches, and Spark does
+    not reuse common subplans across different exchanges, so the whole
+    corpus-scale computation would run twice. One pass, one shuffle."""
+    from pyspark.sql import Window
+
     fp = multimodal_fingerprints(
         spans_df, media_df, id_col, spans_col, asset_col, payload_col
     )
-    groups = fp.groupBy("fingerprint").agg(
-        F.min(id_col).alias("canonical_id"),
-        F.count("*").cast("int").alias("n_copies"),
-    )
-    return fp.join(groups, "fingerprint").select(
-        id_col, "canonical_id", "n_copies"
+    w = Window.partitionBy("fingerprint")
+    return fp.select(
+        id_col,
+        F.min(id_col).over(w).alias("canonical_id"),
+        F.count("*").over(w).cast("int").alias("n_copies"),
     )
 
 
@@ -446,7 +453,16 @@ def dedup_assets(
     is NULL, and grouping on it would declare every null-payload asset a
     duplicate of the others (the exact_dedup null-text hazard). Null
     rows stay singletons: canonical = self, n_copies 1, reclaim 0, sha
-    NULL preserved as the diagnostic."""
+    NULL preserved as the diagnostic.
+
+    Plan shape: group stats from a WINDOW over sha (one pass, one
+    shuffle) — a groupBy + join-back would hash every payload twice,
+    since the two plan branches cannot share the scan. The window does
+    put all same-sha rows in one partition; a pathological store where
+    ONE blob has billions of names would skew that task, at which point
+    the groupBy+join form (partial aggregation) is the right trade."""
+    from pyspark.sql import Window
+
     d = media_df.select(
         F.col(asset_col).alias("asset_id"),
         F.sha2(F.col(payload_col).cast("binary"), 256).alias("sha"),
@@ -454,22 +470,19 @@ def dedup_assets(
             "_bytes"
         ),
     )
-    groups = d.filter(F.col("sha").isNotNull()).groupBy("sha").agg(
-        F.min("asset_id").alias("canonical_id"),
-        F.count("*").cast("int").alias("n_copies"),
-    )
-    return d.join(groups, "sha", "left").select(
+    w = Window.partitionBy("sha")
+    canonical = F.when(
+        F.col("sha").isNotNull(), F.min("asset_id").over(w)
+    ).otherwise(F.col("asset_id"))
+    n_copies = F.when(
+        F.col("sha").isNotNull(), F.count("*").over(w).cast("int")
+    ).otherwise(F.lit(1))
+    return d.select(
         "asset_id",
         "sha",
-        F.coalesce(F.col("canonical_id"), F.col("asset_id")).alias(
-            "canonical_id"
-        ),
-        F.coalesce(F.col("n_copies"), F.lit(1)).alias("n_copies"),
-        F.when(
-            F.col("canonical_id").isNotNull()
-            & (F.col("asset_id") != F.col("canonical_id")),
-            F.col("_bytes"),
-        )
+        canonical.alias("canonical_id"),
+        n_copies.alias("n_copies"),
+        F.when(F.col("asset_id") != canonical, F.col("_bytes"))
         .otherwise(F.lit(0).cast("long"))
         .alias("reclaim_bytes"),
     )
@@ -573,6 +586,7 @@ def multimodal_minhash_pairs(
     bands: int = 16,
     threshold: float = 0.5,
     seed: int = 1337,
+    staging_dir: str | None = None,
 ) -> DataFrame:
     """NEAR-duplicate interleaved documents: MinHash-LSH over the
     per-document SET of span-content tokens ('T:'+md5(text chunk) /
@@ -589,7 +603,15 @@ def multimodal_minhash_pairs(
     (raw text never shuffles), signatures are 64 longs/doc, banding
     buckets join on (band, bucket) ints/strings, and the exact verify
     is size-ratio-prefiltered + semi-join-pruned. Returns
-    (id_a, id_b, jaccard) with id_a < id_b."""
+    (id_a, id_b, jaccard) with id_a < id_b.
+
+    `staging_dir` (recommended for production runs): the token frame
+    feeds FOUR consumers (signatures, sizes, both intersection legs)
+    whose column-pruned subplans differ, so pure-lazy execution re-runs
+    the explode + media-digest join per consumer. Passing a directory
+    stages the slim (id, shingle) frame to parquet ONCE; left off by
+    default so the operator stays side-effect-free (same contract as
+    dedup.minhash_dedup_pairs)."""
     from horus_spark.operators.dedup import (
         lsh_candidate_pairs,
         minhash_signatures_from_tokens,
@@ -599,6 +621,12 @@ def multimodal_minhash_pairs(
     toks = multimodal_token_sets(
         spans_df, media_df, id_col, spans_col, asset_col, payload_col
     )
+    if staging_dir is not None:
+        import os
+
+        path = os.path.join(staging_dir, "multimodal_tokens")
+        toks.write.mode("overwrite").parquet(path)
+        toks = spans_df.sparkSession.read.parquet(path)
     sigs = minhash_signatures_from_tokens(toks, k=k, seed=seed)
     cand = lsh_candidate_pairs(sigs, bands, k=k)
     return verify_token_pairs(cand, toks, threshold)

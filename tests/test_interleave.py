@@ -571,3 +571,37 @@ def test_modality_mixture_guard(mm_corpus):
     docs, _ = mm_corpus
     with pytest.raises(ValueError):
         modality_mixture(docs, rich_min_media=0)
+
+
+def test_multimodal_minhash_staging_parity(neardup_corpus, tmp_path):
+    """staging_dir changes the plan (token frame staged once), never
+    the answer."""
+    from horus_spark.operators.interleave import multimodal_minhash_pairs
+
+    docs, media = neardup_corpus
+    plain = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in multimodal_minhash_pairs(docs, media, threshold=0.5).collect()
+    }
+    staged = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in multimodal_minhash_pairs(
+            docs, media, threshold=0.5, staging_dir=str(tmp_path)
+        ).collect()
+    }
+    assert staged == plain
+
+
+def test_multimodal_dedup_single_pass_plan(mm_corpus):
+    """The verdict comes from a window, not a groupBy+join-back: the
+    fingerprint pipeline must appear ONCE in the plan (no self-join
+    would mean two corpus-scale computations)."""
+    from horus_spark.operators.interleave import multimodal_dedup
+
+    docs, media = mm_corpus
+    plan = (
+        multimodal_dedup(docs, media)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert plan.lower().count("sha2") == 1  # media digest computed once
+    assert "Window" in multimodal_dedup(docs, media)._jdf.queryExecution().executedPlan().toString()
