@@ -1907,6 +1907,47 @@ def _q96_modality_mixture(spark, sf_dir):
     )
 
 
+def _q97_incremental_multimodal(spark, sf_dir):
+    """Incremental multimodal dedup of a new ingest batch against a
+    persisted corpus index (id, multimodal fingerprint, token-set
+    minhash sig) — the corpus spans/payloads are never re-read. The
+    batch plants every tier: +1000000 clones of doc%7==0 (text AND
+    media content preserved -> exact_existing), a +3000000/+4000000
+    pair of doc%11==0 with 'zz '-prefixed text (matches nothing indexed
+    but each other -> unique + exact_batch), and +2000001 clones of
+    doc%5==0 with every media payload class flipped (text-identical,
+    media-different -> near_existing via signature agreement >= 32/64
+    at threshold 0.5)."""
+    from horus_spark.operators.interleave import (
+        build_multimodal_index,
+        incremental_multimodal_dedup,
+    )
+
+    base = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    zz = F.concat(F.lit("zz "), F.col("text")).alias("text")
+    batch_docs = (
+        base.filter(d % 5 == 0)
+        .select((d + 2000001).alias("doc_id"), "text")
+        .unionByName(
+            base.filter(d % 7 == 0).select((d + 1000000).alias("doc_id"), "text")
+        )
+        .unionByName(
+            base.filter(d % 11 == 0).select((d + 3000000).alias("doc_id"), zz)
+        )
+        .unionByName(
+            base.filter(d % 11 == 0).select((d + 4000000).alias("doc_id"), zz)
+        )
+    )
+    ex_spans = _interleave_spans_over(base)
+    nw_spans = _interleave_spans_over(batch_docs)
+    media = _synthetic_asset_store(ex_spans.unionByName(nw_spans))
+    index = build_multimodal_index(ex_spans, media)
+    return incremental_multimodal_dedup(
+        _fanout(nw_spans), media, index, threshold=0.5
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -2005,6 +2046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q94_ref_rewrite": _q94_ref_rewrite,
         "q95_multimodal_minhash": _q95_multimodal_minhash,
         "q96_modality_mixture": _q96_modality_mixture,
+        "q97_incremental_multimodal": _q97_incremental_multimodal,
     }
 
 
@@ -2267,6 +2309,81 @@ def _oracle_sql_literals() -> dict[str, str]:
       , t4 AS (SELECT c.nid AS id, min(c.pid) AS p4 FROM cand4 c
                JOIN mins a ON a.id = c.nid JOIN mins b ON b.id = c.pid
                WHERE {q76_match_sum} >= {q76_mm} GROUP BY c.nid)
+      SELECT n.id AS doc_id,
+             CASE WHEN t1.p1 IS NOT NULL THEN 'exact_existing'
+                  WHEN t2.p2 IS NOT NULL THEN 'exact_batch'
+                  WHEN t3.p3 IS NOT NULL THEN 'near_existing'
+                  WHEN t4.p4 IS NOT NULL THEN 'near_batch'
+                  ELSE 'unique' END AS verdict,
+             COALESCE(t1.p1, t2.p2, t3.p3, t4.p4) AS partner_id
+      FROM nw n
+      LEFT JOIN t1 ON t1.id = n.id LEFT JOIN t2 ON t2.id = n.id
+      LEFT JOIN t3 ON t3.id = n.id LEFT JOIN t4 ON t4.id = n.id
+    """
+    # q97: q76's verdict skeleton over the MULTIMODAL index — digest =
+    # the q90 fingerprint, signatures over span-content token sets
+    # (q95's sh construction), threshold 0.5 -> >= 32 of 64 components.
+    q97_mm = -(-int(0.5 * 64 * 1000000) // 1000000)
+    q97_prelude = r"""
+      WITH corpus AS (
+        SELECT CAST(doc_id AS VARCHAR) AS id, text,
+               doc_id % 25 AS klass, 'ex' AS side FROM documents
+        UNION ALL
+        SELECT CAST(doc_id + 2000001 AS VARCHAR), text,
+               (doc_id + 1) % 25, 'nw' FROM documents WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT CAST(doc_id + 1000000 AS VARCHAR), text,
+               doc_id % 25, 'nw' FROM documents WHERE doc_id % 7 = 0
+        UNION ALL
+        SELECT CAST(doc_id + 3000000 AS VARCHAR), 'zz ' || text,
+               doc_id % 25, 'nw' FROM documents WHERE doc_id % 11 = 0
+        UNION ALL
+        SELECT CAST(doc_id + 4000000 AS VARCHAR), 'zz ' || text,
+               doc_id % 25, 'nw' FROM documents WHERE doc_id % 11 = 0
+      ), tokz AS (
+        SELECT id, side, klass, string_split_regex(trim(text), '\s+') AS w
+        FROM corpus
+      ), chunks AS (
+        SELECT id, klass, w,
+               unnest(generate_series(0,
+                 greatest(CAST(ceil(len(w) / 12.0) AS INT), 1) - 1)) AS i
+        FROM tokz
+      ), rawtok AS (
+        SELECT id, i*2 AS ord,
+               'T:' || md5(lower(trim(regexp_replace(
+                 array_to_string(w[i*12+1 : i*12+12], ' '), '\s+', ' ', 'g')))) AS tok
+        FROM chunks
+        UNION ALL
+        SELECT id, i*2+1,
+               'M:' || sha256('blob-' || CAST(klass AS VARCHAR)
+                              || '-' || CAST(i AS VARCHAR))
+        FROM chunks WHERE i % 3 = 2
+      ), fp AS (
+        SELECT id, md5(string_agg(chr(31) || tok, '' ORDER BY ord)) AS cmd5
+        FROM rawtok GROUP BY id
+      ), sh AS (
+        SELECT DISTINCT id, tok AS shingle FROM rawtok
+      ), sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id)
+    """
+    q97_sql = q97_prelude + minhash_ctes + f"""
+      , ex AS (SELECT f.id, f.cmd5 FROM fp f JOIN tokz c ON c.id = f.id AND c.side = 'ex')
+      , nw AS (SELECT f.id, f.cmd5 FROM fp f JOIN tokz c ON c.id = f.id AND c.side = 'nw')
+      , t1 AS (SELECT n.id, min(e.id) AS p1 FROM nw n JOIN ex e ON e.cmd5 = n.cmd5 GROUP BY n.id)
+      , t2 AS (SELECT x.id, min(y.id) AS p2 FROM nw x JOIN nw y ON y.cmd5 = x.cmd5 AND y.id < x.id GROUP BY x.id)
+      , resolved AS (SELECT id FROM t1 UNION SELECT id FROM t2)
+      , nb AS (SELECT bd.* FROM bands bd JOIN nw n ON n.id = bd.id
+               WHERE bd.id NOT IN (SELECT id FROM resolved))
+      , eb AS (SELECT bd.* FROM bands bd JOIN ex e ON e.id = bd.id)
+      , cand3 AS (SELECT DISTINCT n.id AS nid, e.id AS pid
+                  FROM nb n JOIN eb e ON n.band = e.band AND n.bucket = e.bucket)
+      , t3 AS (SELECT c.nid AS id, min(c.pid) AS p3 FROM cand3 c
+               JOIN mins a ON a.id = c.nid JOIN mins b ON b.id = c.pid
+               WHERE {q76_match_sum} >= {q97_mm} GROUP BY c.nid)
+      , cand4 AS (SELECT DISTINCT x.id AS nid, y.id AS pid
+                  FROM nb x JOIN nb y ON x.band = y.band AND x.bucket = y.bucket AND y.id < x.id)
+      , t4 AS (SELECT c.nid AS id, min(c.pid) AS p4 FROM cand4 c
+               JOIN mins a ON a.id = c.nid JOIN mins b ON b.id = c.pid
+               WHERE {q76_match_sum} >= {q97_mm} GROUP BY c.nid)
       SELECT n.id AS doc_id,
              CASE WHEN t1.p1 IS NOT NULL THEN 'exact_existing'
                   WHEN t2.p2 IS NOT NULL THEN 'exact_batch'
@@ -2544,6 +2661,7 @@ def _oracle_sql_literals() -> dict[str, str]:
         """,
         "q21_minhash_pairs": minhash_sql,
         "q95_multimodal_minhash": q95_sql,
+        "q97_incremental_multimodal": q97_sql,
         "q33_dedup_pipeline": q33_sql,
         "q76_incremental_dedup": q76_sql,
         "q40_dedup_clusters": q40_sql,

@@ -625,15 +625,34 @@ def incremental_dedup(
     Returns (doc_id, verdict, partner_id). Extend the index with
     extend_dedup_index before ingesting the next batch.
     """
+    bidx = build_dedup_index(batch, id_col, text_col, n, k, seed)
+    return incremental_verdicts(bidx, index, k=k, bands=bands, threshold=threshold)
+
+
+def incremental_verdicts(
+    bidx: DataFrame,
+    index: DataFrame,
+    k: int = 64,
+    bands: int = 16,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """The tiered incremental-dedup core over PRE-BUILT index frames —
+    both sides (id, content_md5, sig array<long>[k]), where content_md5
+    is ANY per-document content digest and sig any k-long minhash
+    signature (NULL sig = exact tier only). incremental_dedup wraps
+    this for text corpora; interleave.incremental_multimodal_dedup for
+    interleaved span corpora (digest = the multimodal fingerprint, sig
+    over span-content token sets). Tier semantics, partner rule, and
+    the integer signature-agreement verify are as documented on
+    incremental_dedup."""
     if bands > k:
         raise ValueError(f"bands={bands} > signature length k={k}")
     if k % bands != 0:
         raise ValueError(f"bands={bands} must divide k={k}")
     min_matches = -(-int(threshold * k * 1000000) // 1000000)  # ceil w/o float ulp
-    bidx = build_dedup_index(batch, id_col, text_col, n, k, seed)
     eidx = index.select("id", "content_md5", "sig")
 
-    # exact tiers (md5 join: NULL text never matches)
+    # exact tiers (digest join: a NULL digest never matches)
     t1 = (
         bidx.join(
             eidx.select(F.col("id").alias("eid"), "content_md5"), "content_md5"

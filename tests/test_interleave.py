@@ -605,3 +605,104 @@ def test_multimodal_dedup_single_pass_plan(mm_corpus):
     )
     assert plan.lower().count("sha2") == 1  # media digest computed once
     assert "Window" in multimodal_dedup(docs, media)._jdf.queryExecution().executedPlan().toString()
+
+
+# ---- incremental multimodal dedup ---------------------------------------
+
+
+@pytest.fixture(scope="module")
+def incr_corpus(spark):
+    texts_x = [f"unique chunk number {i} words" for i in range(14)]
+    texts_p = [f"prefixed other chunk {i} stuff" for i in range(14)]
+    texts_c = [f"fresh batch chunk {i} content" for i in range(14)]
+
+    def doc(did, texts, media_refs):
+        spans, off = [], 0
+        for i, t in enumerate(texts):
+            spans.append(T(t, off)); off += 1
+            if i < len(media_refs):
+                spans.append(M("image", media_refs[i], off)); off += 1
+        return (did, spans)
+
+    mx = ["m0", "m1", "m2", "m3", "m4", "m5"]
+    existing = _mk(
+        spark,
+        [doc("X", texts_x, mx), ("Y", [T("short other doc", 0)])],
+    )
+    batch = _mk(
+        spark,
+        [
+            # exact clone of X via RENAMED equal-byte assets
+            doc("bx", texts_x, ["r0", "r1", "r2", "r3", "r4", "r5"]),
+            # identical pair, text not in the index (media same as X ->
+            # jaccard vs X ~0.18, far below threshold)
+            doc("p1", texts_p, mx),
+            doc("p2", texts_p, mx),
+            # X with ONE media payload swapped -> near_existing
+            doc("nb", texts_x, ["m0", "m1", "m2", "m3", "m4", "mq"]),
+            # fresh pair differing by one media payload -> near_batch
+            doc("c1", texts_c, mx),
+            doc("c2", texts_c, ["m0", "m1", "m2", "m3", "m4", "mq"]),
+        ],
+    )
+    media = spark.createDataFrame(
+        [("m%d" % i, "p%d" % i) for i in range(6)]
+        + [("r%d" % i, "p%d" % i) for i in range(6)]  # renamed equal bytes
+        + [("mq", "DIFFERENT")],
+        "asset_id string, payload string",
+    )
+    return existing, batch, media
+
+
+def test_incremental_multimodal_all_tiers(incr_corpus):
+    from horus_spark.operators.interleave import (
+        build_multimodal_index,
+        incremental_multimodal_dedup,
+    )
+
+    existing, batch, media = incr_corpus
+    index = build_multimodal_index(existing, media)
+    got = {
+        r["doc_id"]: (r["verdict"], r["partner_id"])
+        for r in incremental_multimodal_dedup(
+            batch, media, index, threshold=0.5
+        ).collect()
+    }
+    assert got["bx"] == ("exact_existing", "X")   # rename-invariant
+    assert got["p1"] == ("unique", None)
+    assert got["p2"] == ("exact_batch", "p1")
+    assert got["nb"] == ("near_existing", "X")    # 19/21 token jaccard
+    assert got["c1"] == ("unique", None)
+    assert got["c2"] == ("near_batch", "c1")
+
+
+def test_extend_multimodal_index_roundtrip(incr_corpus, spark):
+    """Uniques enter the rolling index; a later clone of one is then
+    caught as exact_existing."""
+    from horus_spark.operators.interleave import (
+        build_multimodal_index,
+        extend_multimodal_index,
+        incremental_multimodal_dedup,
+    )
+
+    existing, batch, media = incr_corpus
+    index = build_multimodal_index(existing, media)
+    verdicts = incremental_multimodal_dedup(batch, media, index, threshold=0.5)
+    extended = extend_multimodal_index(index, batch, media, verdicts)
+    assert {r["id"] for r in extended.select("id").collect()} == {
+        "X", "Y", "p1", "c1"
+    }
+    texts_c = [f"fresh batch chunk {i} content" for i in range(14)]
+    spans, off = [], 0
+    for i, t in enumerate(texts_c):
+        spans.append(T(t, off)); off += 1
+        if i < 6:
+            spans.append(M("image", f"m{i}", off)); off += 1
+    batch2 = _mk(spark, [("c1-clone", spans)])
+    got = {
+        r["doc_id"]: (r["verdict"], r["partner_id"])
+        for r in incremental_multimodal_dedup(
+            batch2, media, extended, threshold=0.5
+        ).collect()
+    }
+    assert got["c1-clone"] == ("exact_existing", "c1")
