@@ -184,6 +184,17 @@ def main() -> None:
     n_seqs = packed.select("shard", "seq_id").distinct().count()
     print(f"packed training seqs    : {n_seqs} (2048-token budget)")
 
+    # 9. continuous ingestion: a later crawl probes the rolling index
+    #    instead of re-scanning the corpus — a re-crawled slice is
+    #    caught as exact_existing without touching corpus spans/payloads
+    index = h.build_multimodal_index(spans2, media)
+    recrawl = spans2.filter(F.col("doc_id").cast("long") % 7 == 0).select(
+        F.concat(F.col("doc_id"), F.lit("-recrawl")).alias("doc_id"), "spans"
+    )
+    verdicts = h.incremental_multimodal_dedup(recrawl, media, index)
+    v = {r["verdict"]: r["n"] for r in verdicts.groupBy("verdict").agg(F.count("*").alias("n")).collect()}
+    print(f"re-crawl batch verdicts : {v}")
+
     spark.stop()
 
 

@@ -212,6 +212,18 @@ def __getattr__(name):
         "modality_mixture": (
             "horus_spark.operators.interleave", "modality_mixture",
         ),
+        "build_multimodal_index": (
+            "horus_spark.operators.interleave", "build_multimodal_index",
+        ),
+        "incremental_multimodal_dedup": (
+            "horus_spark.operators.interleave", "incremental_multimodal_dedup",
+        ),
+        "extend_multimodal_index": (
+            "horus_spark.operators.interleave", "extend_multimodal_index",
+        ),
+        "stream_multimodal_ingest": (
+            "horus_spark.streaming.incremental", "stream_multimodal_ingest",
+        ),
     }
     if name in _API:
         import importlib

@@ -231,3 +231,102 @@ def stream_dedup(
     idempotent batches rely on; cross-horizon dedup belongs to the batch
     exact_dedup pass downstream."""
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+SPANS_SCHEMA = (
+    "doc_id string, spans array<struct<"
+    "kind:string,text:string,media_ref:string,offset:int>>"
+)
+
+_MM_INDEX_SCHEMA = "id string, content_md5 string, sig array<bigint>"
+
+
+def _read_multimodal_index(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Union of all persisted index slices (index_dir/batch=*/), or an
+    empty typed frame when none exist yet (a brand-new stream).
+
+    The empty case is decided by an explicit directory probe, NOT by
+    swallowing read errors: a corrupt or unreadable index must FAIL the
+    batch — treating it as empty would silently reset the stream's
+    dedup memory and admit every duplicate as 'unique'. (The probe is
+    driver-local-FS, matching the sink module's manifest handling;
+    object stores need the slice listing adapted.)"""
+    if not os.path.isdir(index_dir) or not any(
+        not e.startswith(("_", ".")) for e in os.listdir(index_dir)
+    ):
+        return spark.createDataFrame([], _MM_INDEX_SCHEMA)
+    return spark.read.parquet(index_dir).select("id", "content_md5", "sig")
+
+
+def stream_multimodal_ingest(
+    spark: SparkSession,
+    spans_dir: str,
+    media_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    index_dir: str,
+    available_now: bool = True,
+    k: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    seed: int = 1337,
+):
+    """Continuous ingestion of interleaved documents with CROSS-BATCH
+    exact + near multimodal dedup: every micro-batch is judged against
+    the rolling persisted fingerprint index
+    (interleave.incremental_multimodal_dedup), verdicts land in a
+    batch-keyed directory under `out_dir`, and the batch's unique docs
+    extend the index under `index_dir` before the next batch fires.
+
+    vs stream_dedup: that operator's state is watermark-bounded — a
+    duplicate arriving after the horizon passes undetected. Here the
+    state is the durable index (~0.6 KB/doc), so a re-crawl of a
+    document seen a billion batches ago is still caught, and NEAR
+    duplicates (one swapped image) are caught too, which no
+    dropDuplicates variant can do.
+
+    Replay idempotence: verdicts and the index slice for batch N are
+    overwrite-keyed by batch_id, so a replayed micro-batch rewrites its
+    own output instead of double-inserting. Pre-seed an existing corpus
+    by writing build_multimodal_index output to
+    `index_dir/batch=seed/`. Returns the started StreamingQuery."""
+    from horus_spark.operators.interleave import (
+        build_multimodal_index,
+        incremental_multimodal_dedup,
+    )
+
+    stream = spark.readStream.schema(SPANS_SCHEMA).parquet(spans_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int):
+        if batch_df.isEmpty():
+            return
+        index = _read_multimodal_index(spark, index_dir)
+        verdicts = incremental_multimodal_dedup(
+            batch_df, media_df, index,
+            k=k, bands=bands, threshold=threshold, seed=seed,
+        )
+        # materialize verdicts once: the sink AND the index-extension
+        # filter both consume them, and the verdict plan holds the whole
+        # fingerprint+LSH pipeline — recomputing it per consumer would
+        # double the batch cost (the staging-once pattern)
+        vdir = os.path.join(out_dir, f"batch={batch_id:06d}")
+        verdicts.write.mode("overwrite").parquet(vdir)
+        fresh = build_multimodal_index(
+            batch_df, media_df, k=k, seed=seed
+        ).join(
+            spark.read.parquet(vdir)
+            .filter(F.col("verdict") == "unique")
+            .select(F.col("doc_id").alias("id")),
+            "id",
+        )
+        fresh.write.mode("overwrite").parquet(
+            os.path.join(index_dir, f"batch={batch_id:06d}")
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -158,3 +158,74 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     got = spark.sql("select doc_key from dedup_sink").collect()
     keys = sorted(r["doc_key"] for r in got)
     assert keys == ["a", "b", "c"]
+
+
+def test_stream_multimodal_ingest_cross_batch(spark, tmp_path):
+    """Cross-batch multimodal dedup via the rolling persisted index: a
+    renamed-asset clone and a one-image-swapped near twin arriving in a
+    LATER batch are both caught against batch 1's index; uniques extend
+    the index."""
+    from horus_spark.streaming.incremental import (
+        SPANS_SCHEMA,
+        stream_multimodal_ingest,
+    )
+
+    texts = [f"stream chunk number {i} words" for i in range(14)]
+
+    def doc(did, media_refs, marker=""):
+        spans, off = [], 0
+        for i, t in enumerate(texts):
+            spans.append(("text", marker + t, "", off)); off += 1
+            if i < len(media_refs):
+                spans.append(("image", "", media_refs[i], off)); off += 1
+        return (did, spans)
+
+    media = spark.createDataFrame(
+        [("m%d" % i, "p%d" % i) for i in range(6)]
+        + [("r%d" % i, "p%d" % i) for i in range(6)]
+        + [("mq", "DIFFERENT")],
+        "asset_id string, payload string",
+    )
+    mx = ["m0", "m1", "m2", "m3", "m4", "m5"]
+    spans_dir = str(tmp_path / "spans_in")
+    out = str(tmp_path / "verdicts")
+    idx = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+
+    batch1 = spark.createDataFrame(
+        [doc("X", mx), doc("Y", mx, marker="other ")], SPANS_SCHEMA
+    )
+    batch1.coalesce(1).write.mode("append").parquet(spans_dir)
+    q = stream_multimodal_ingest(spark, spans_dir, media, out, ckpt, idx)
+    q.awaitTermination(300)
+
+    got1 = {
+        r["doc_id"]: r["verdict"]
+        for r in spark.read.parquet(os.path.join(out, "batch=*")).collect()
+    }
+    assert got1 == {"X": "unique", "Y": "unique"}
+
+    # batch 2: renamed-asset clone of X, near twin of Y, fresh doc Z
+    batch2 = spark.createDataFrame(
+        [
+            doc("X2", ["r0", "r1", "r2", "r3", "r4", "r5"]),
+            doc("Y2", ["m0", "m1", "m2", "m3", "m4", "mq"], marker="other "),
+            doc("Z", mx, marker="fresh "),
+        ],
+        SPANS_SCHEMA,
+    )
+    batch2.coalesce(1).write.mode("append").parquet(spans_dir)
+    q2 = stream_multimodal_ingest(spark, spans_dir, media, out, ckpt, idx)
+    q2.awaitTermination(300)
+
+    got = {
+        r["doc_id"]: (r["verdict"], r["partner_id"])
+        for r in spark.read.parquet(os.path.join(out, "batch=*")).collect()
+    }
+    assert got["X2"] == ("exact_existing", "X")
+    assert got["Y2"] == ("near_existing", "Y")
+    assert got["Z"] == ("unique", None)
+    index_ids = {
+        r["id"] for r in spark.read.parquet(idx).select("id").collect()
+    }
+    assert index_ids == {"X", "Y", "Z"}  # duplicates never enter
