@@ -1948,6 +1948,45 @@ def _q97_incremental_multimodal(spark, sf_dir):
     )
 
 
+def _q98_redact_spans(spark, sf_dir):
+    """Structure-preserving PII redaction over interleaved documents
+    (q54's planting appended to the text before chunking): text spans
+    rewritten with typed placeholders, offsets/media untouched, per-doc
+    n_pii summed over text spans. Output = the exploded TEXT spans
+    after redaction; the oracle recomputes the chunk redaction, the
+    text-span offset formula (i + floor(i/3)) and the count fold."""
+    from horus_spark.operators.interleave import redact_spans
+
+    d = F.col("doc_id")
+    planted = _load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                d % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"), d.cast("string"), F.lit("@example.com now")
+                ),
+            )
+            .when(d % 3 == 1, F.lit(" call +1 555-123-4567 or ping 10.0.0.1"))
+            .otherwise(F.lit(" pay 4111 1111 1111 1111 today")),
+        ).alias("text"),
+    )
+    out = redact_spans(_fanout(_interleave_spans_over(planted)))
+    return out.select(
+        "doc_id",
+        "n_pii",
+        F.explode(
+            F.filter(F.col("spans"), lambda s: s["kind"] == F.lit("text"))
+        ).alias("s"),
+    ).select(
+        "doc_id",
+        F.col("s.offset").alias("offset"),
+        F.col("s.text").alias("text"),
+        "n_pii",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -2047,6 +2086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q95_multimodal_minhash": _q95_multimodal_minhash,
         "q96_modality_mixture": _q96_modality_mixture,
         "q97_incremental_multimodal": _q97_incremental_multimodal,
+        "q98_redact_spans": _q98_redact_spans,
     }
 
 
@@ -2395,6 +2435,48 @@ def _oracle_sql_literals() -> dict[str, str]:
       LEFT JOIN t1 ON t1.id = n.id LEFT JOIN t2 ON t2.id = n.id
       LEFT JOIN t3 ON t3.id = n.id LEFT JOIN t4 ON t4.id = n.id
     """
+    # q98: span-level PII redaction over the interleaved construction —
+    # per-CHUNK redaction chain + independent per-pattern counts (the
+    # q54 patterns verbatim from pii.PII_PATTERNS), text-span offset =
+    # i + floor(i/3).
+    from horus_spark.operators.pii import PII_PATTERNS
+
+    _red = "chunk"
+    for _, _pat, _tok in PII_PATTERNS:
+        _red = f"regexp_replace({_red}, '{_pat}', '{_tok}', 'g')"
+    _cnt = " + ".join(
+        f"len(regexp_extract_all(chunk, '{_pat}'))" for _, _pat, _ in PII_PATTERNS
+    )
+    q98_sql = r"""
+      WITH planted AS (
+        SELECT doc_id,
+               text || CASE
+                 WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+                 WHEN doc_id % 3 = 1 THEN ' call +1 555-123-4567 or ping 10.0.0.1'
+                 ELSE ' pay 4111 1111 1111 1111 today' END AS text
+        FROM documents
+      ), tok AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM planted
+      ), chunks AS (
+        SELECT doc_id, w,
+               unnest(generate_series(0,
+                 greatest(CAST(ceil(len(w) / 12.0) AS INT), 1) - 1)) AS i
+        FROM tok
+      ), ct AS (
+        SELECT doc_id, i, array_to_string(w[i*12+1 : i*12+12], ' ') AS chunk
+        FROM chunks
+      ), red AS (
+        SELECT doc_id, i, __RED__ AS rtext,
+               CAST(__CNT__ AS BIGINT) AS c
+        FROM ct
+      ), npii AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_pii FROM red GROUP BY doc_id
+      )
+      SELECT CAST(r.doc_id AS VARCHAR) AS doc_id,
+             CAST(r.i + CAST(floor(r.i / 3.0) AS INT) AS INT) AS offset,
+             r.rtext AS text, n.n_pii
+      FROM red r JOIN npii n USING (doc_id)
+    """.replace("__RED__", _red).replace("__CNT__", _cnt)
     # shared by q73/q77: the recursive CTE replaying all five Lloyd
     # iterations with the engine's exact arithmetic, ending at `fa`
     # (final per-point assignments) + `final` (final centroids).
@@ -2662,6 +2744,7 @@ def _oracle_sql_literals() -> dict[str, str]:
         "q21_minhash_pairs": minhash_sql,
         "q95_multimodal_minhash": q95_sql,
         "q97_incremental_multimodal": q97_sql,
+        "q98_redact_spans": q98_sql,
         "q33_dedup_pipeline": q33_sql,
         "q76_incremental_dedup": q76_sql,
         "q40_dedup_clusters": q40_sql,

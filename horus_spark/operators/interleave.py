@@ -770,3 +770,62 @@ def extend_multimodal_index(
         k=k, seed=seed,
     ).join(uniq, "id")
     return index.select("id", "content_md5", "sig").unionByName(fresh)
+
+
+def redact_spans(
+    spans_df: DataFrame,
+    id_col: str = "doc_id",
+    spans_col: str = "spans",
+) -> DataFrame:
+    """Structure-preserving PII redaction over interleaved documents:
+    every TEXT span's text is rewritten with typed placeholders (the
+    pii.PII_PATTERNS chain, same order semantics as pii.redact_pii so
+    an email's digits are never double-redacted as a phone), media
+    spans and all offsets pass through untouched — the span-sequence
+    contract survives the compliance pass, so downstream caption mining
+    / packing / fingerprinting run unchanged on the redacted corpus.
+
+    Also emits n_pii = total matches summed over the document's text
+    spans (the routing signal: quarantine docs above a threshold).
+    Detection note: matching is PER SPAN — PII straddling a span
+    boundary is not a match on either side of this operator's oracle,
+    and in a real corpus spans are authored units (a paragraph, an alt
+    text), not arbitrary splits.
+
+    Pure map-side array transform + fold: zero shuffle, zero Python;
+    inherits the scan's partitioning."""
+    from horus_spark.operators.pii import PII_PATTERNS
+
+    def red(t: Column) -> Column:
+        for _, pat, token in PII_PATTERNS:
+            t = F.regexp_replace(t, pat, token)
+        return t
+
+    is_text = lambda s: s["kind"] == F.lit("text")  # noqa: E731
+    redacted = F.transform(
+        F.col(spans_col),
+        lambda s: F.struct(
+            s["kind"].alias("kind"),
+            F.when(is_text(s), red(s["text"]))
+            .otherwise(s["text"])
+            .alias("text"),
+            s["media_ref"].alias("media_ref"),
+            s["offset"].alias("offset"),
+        ),
+    )
+    span_count = lambda s: sum(  # noqa: E731
+        (
+            F.regexp_count(F.coalesce(s["text"], F.lit("")), F.lit(pat)).cast(
+                "long"
+            )
+            for _, pat, _ in PII_PATTERNS
+        ),
+        F.lit(0).cast("long"),
+    )
+    n_pii = F.aggregate(
+        F.col(spans_col),
+        F.lit(0).cast("long"),
+        lambda acc, s: acc
+        + F.when(is_text(s), span_count(s)).otherwise(F.lit(0).cast("long")),
+    )
+    return spans_df.withColumn("n_pii", n_pii).withColumn(spans_col, redacted)

@@ -706,3 +706,37 @@ def test_extend_multimodal_index_roundtrip(incr_corpus, spark):
         ).collect()
     }
     assert got["c1-clone"] == ("exact_existing", "c1")
+
+
+def test_redact_spans_structure_preserved(spark):
+    from horus_spark.operators.interleave import redact_spans
+
+    docs = _mk(
+        spark,
+        [
+            ("a", [T("mail bob@example.com and 10.0.0.1 here", 0),
+                   M("image", "m1", 1),
+                   T("clean text span", 2)]),
+            ("b", [T("call +1 555-123-4567 now", 0)]),
+            ("c", [T("nothing sensitive", 0)]),
+            ("d", []),
+        ],
+    )
+    got = {r["doc_id"]: r.asDict() for r in redact_spans(docs).collect()}
+    a = {s["offset"]: s for s in got["a"]["spans"]}
+    assert a[0]["text"] == "mail <EMAIL> and <IP> here"
+    assert a[1]["media_ref"] == "m1" and a[1]["kind"] == "image"
+    assert a[2]["text"] == "clean text span"     # untouched
+    assert got["a"]["n_pii"] == 2
+    assert "<PHONE>" in {s["offset"]: s for s in got["b"]["spans"]}[0]["text"]
+    assert got["b"]["n_pii"] >= 1
+    assert got["c"]["n_pii"] == 0
+    assert got["d"]["n_pii"] == 0 and got["d"]["spans"] == []
+
+
+def test_redact_spans_shuffle_free(mm_corpus):
+    from horus_spark.operators.interleave import redact_spans
+
+    docs, _ = mm_corpus
+    plan = redact_spans(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
