@@ -1987,6 +1987,21 @@ def _q98_redact_spans(spark, sf_dir):
     )
 
 
+def _q99_segment_spans(spark, sf_dir):
+    """Within-document training-window segmentation of the interleaved
+    corpus: spans assigned greedy next-fit to 128-token windows (text
+    = whitespace tokens, media = 64 vision tokens), spans never split,
+    adjacency preserved. The oracle replays the per-doc next-fit as a
+    recursive CTE over the span costs + the offset formulas."""
+    from horus_spark.operators.interleave import segment_spans
+
+    return segment_spans(
+        _fanout(_interleaved_docs(spark, sf_dir)),
+        budget=128,
+        media_token_cost=64,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -2087,6 +2102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q96_modality_mixture": _q96_modality_mixture,
         "q97_incremental_multimodal": _q97_incremental_multimodal,
         "q98_redact_spans": _q98_redact_spans,
+        "q99_segment_spans": _q99_segment_spans,
     }
 
 
@@ -4496,6 +4512,53 @@ def _oracle_sql_literals() -> dict[str, str]:
                             THEN 1000000.0 * mw / msum / n_tokens
                             ELSE 0.0 END, 6) AS epochs
           FROM w CROSS JOIN norm
+        """,
+        # q99: per-document next-fit window segmentation replayed as a
+        # recursive CTE over span costs (text = slice token count with
+        # the blank-chunk zero, media = 64) in offset order; text-span
+        # offset = i + floor(i/3), media = i + 1 + floor(i/3).
+        "q99_segment_spans": """
+          WITH RECURSIVE tok AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+            FROM documents
+          ), chunks AS (
+            SELECT doc_id, w,
+                   unnest(generate_series(0,
+                     greatest(CAST(ceil(len(w) / 12.0) AS INT), 1) - 1)) AS i
+            FROM tok
+          ), sp AS (
+            -- m=0: the text chunk; m=1: its media span (i%3==2 only).
+            -- A UNION ALL here would be parsed as a recursive term
+            -- inside WITH RECURSIVE (the q41-oracle gotcha), so the
+            -- two span kinds come from a 2-row cross join instead.
+            SELECT doc_id, 2*i + m AS ord,
+                   CAST(i + m + CAST(floor(i / 3.0) AS INT) AS INT) AS off,
+                   CASE WHEN m = 0 THEN 'text'
+                        WHEN (doc_id + i) % 2 = 0 THEN 'image'
+                        ELSE 'video' END AS kind,
+                   CAST(CASE WHEN m = 1 THEN 64
+                             WHEN len(trim(array_to_string(w[i*12+1 : i*12+12], ' '))) = 0
+                             THEN 0
+                             ELSE least(12, len(w) - 12*i) END AS BIGINT) AS cost
+            FROM chunks CROSS JOIN (VALUES (0), (1)) AS mm(m)
+            WHERE m = 0 OR i % 3 = 2
+          ), ordd AS (
+            SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY ord) AS rn
+            FROM sp
+          ), seg AS (
+            SELECT doc_id, rn, off, kind, cost, 0 AS win, cost AS run
+            FROM ordd WHERE rn = 1
+            UNION ALL
+            SELECT o.doc_id, o.rn, o.off, o.kind, o.cost,
+                   CASE WHEN p.run > 0 AND p.run + o.cost > 128
+                        THEN p.win + 1 ELSE p.win END,
+                   CASE WHEN p.run > 0 AND p.run + o.cost > 128
+                        THEN o.cost ELSE p.run + o.cost END
+            FROM ordd o JOIN seg p ON o.doc_id = p.doc_id AND o.rn = p.rn + 1
+          )
+          SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(win AS INT) AS win_id,
+                 off AS offset, kind, cost AS span_tokens
+          FROM seg
         """,
         # q92: q41's recursive next-fit replay with the multimodal cost
         # model — text tokens + 64 per media span, where n_media =

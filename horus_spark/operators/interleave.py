@@ -829,3 +829,91 @@ def redact_spans(
         + F.when(is_text(s), span_count(s)).otherwise(F.lit(0).cast("long")),
     )
     return spans_df.withColumn("n_pii", n_pii).withColumn(spans_col, redacted)
+
+
+def segment_spans(
+    spans_df: DataFrame,
+    budget: int = 2048,
+    media_token_cost: int = 64,
+    id_col: str = "doc_id",
+    spans_col: str = "spans",
+) -> DataFrame:
+    """Segment each interleaved document into fixed-budget training
+    WINDOWS without ever splitting a span: spans are taken in offset
+    order and assigned greedy next-fit window ids (a window closes when
+    the next span would push its token total past `budget`; a single
+    oversize span still gets a window of its own — clip upstream if
+    that matters). Costs use the multimodal model: whitespace tokens
+    for text spans, a constant vision-token block per media span.
+
+    This is the WITHIN-document step packing (q92/pack_sequences, which
+    bins whole documents) does not cover — the VLM sample constructor:
+    each (doc, window) is one training sample whose spans are
+    contiguous in the original document, so text-media adjacency
+    (captions next to their image) survives segmentation.
+
+    Pure map-side fold per document (sort + one aggregate building the
+    assignment array, then an explode) — zero shuffle. Returns one row
+    per span: (id, win_id, offset, kind, span_tokens)."""
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    if media_token_cost < 0:
+        raise ValueError(
+            f"media_token_cost must be >= 0, got {media_token_cost}"
+        )
+    arr = _by_offset(F.col(spans_col))
+    is_text = lambda s: s["kind"] == F.lit("text")  # noqa: E731
+    cost = lambda s: F.when(  # noqa: E731
+        is_text(s), _tok_count(s["text"]).cast("long")
+    ).otherwise(F.lit(media_token_cost).cast("long"))
+    out_t = (
+        "array<struct<offset:int,kind:string,win_id:int,span_tokens:bigint>>"
+    )
+    assigned = F.aggregate(
+        arr,
+        F.struct(
+            F.lit(0).alias("win"),
+            F.lit(0).cast("long").alias("run"),
+            F.array().cast(out_t).alias("outs"),
+        ),
+        lambda acc, s: F.struct(
+            F.when(
+                (acc["run"] > 0) & (acc["run"] + cost(s) > budget),
+                acc["win"] + 1,
+            )
+            .otherwise(acc["win"])
+            .alias("win"),
+            F.when(
+                (acc["run"] > 0) & (acc["run"] + cost(s) > budget), cost(s)
+            )
+            .otherwise(acc["run"] + cost(s))
+            .alias("run"),
+            F.concat(
+                acc["outs"],
+                F.array(
+                    F.struct(
+                        s["offset"].alias("offset"),
+                        s["kind"].alias("kind"),
+                        F.when(
+                            (acc["run"] > 0)
+                            & (acc["run"] + cost(s) > budget),
+                            acc["win"] + 1,
+                        )
+                        .otherwise(acc["win"])
+                        .alias("win_id"),
+                        cost(s).alias("span_tokens"),
+                    )
+                ),
+            ).alias("outs"),
+        ),
+        lambda acc: acc["outs"],
+    )
+    return spans_df.select(
+        F.col(id_col), F.explode(assigned).alias("s")
+    ).select(
+        id_col,
+        F.col("s.win_id").alias("win_id"),
+        F.col("s.offset").alias("offset"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.span_tokens").alias("span_tokens"),
+    )

@@ -740,3 +740,72 @@ def test_redact_spans_shuffle_free(mm_corpus):
     docs, _ = mm_corpus
     plan = redact_spans(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_segment_spans_next_fit(spark):
+    """Hand fixture: windows close exactly when the next span would
+    exceed the budget; spans never split; offset order honoured even
+    when the array is shuffled."""
+    from horus_spark.operators.interleave import segment_spans
+
+    docs = _mk(
+        spark,
+        [
+            # costs: 5, 64, 2, 64, 1 at budget 70 ->
+            # win0 = {5, 64} (69), win1 = {2, 64, 1} (67)
+            ("a", [T("one two three four five", 0), M("image", "m1", 1),
+                   T("six seven", 2), M("video", "m2", 3),
+                   T("eight", 4)]),
+            # shuffled physical order, same offsets -> same windows
+            ("a2", [T("eight", 4), M("image", "m1", 1),
+                    T("one two three four five", 0), M("video", "m2", 3),
+                    T("six seven", 2)]),
+            # single oversize span still gets a window
+            ("big", [M("image", "huge", 0)]),
+            ("empty", []),
+        ],
+    )
+    rows = segment_spans(docs, budget=70, media_token_cost=64).collect()
+    got = {
+        (r["doc_id"], r["offset"]): (r["win_id"], r["span_tokens"])
+        for r in rows
+    }
+    for did in ("a", "a2"):
+        assert got[(did, 0)] == (0, 5)
+        assert got[(did, 1)] == (0, 64)
+        assert got[(did, 2)] == (1, 2)
+        assert got[(did, 3)] == (1, 64)
+        assert got[(did, 4)] == (1, 1)
+    assert got[("big", 0)] == (0, 64)
+    assert not any(r["doc_id"] == "empty" for r in rows)
+
+
+def test_segment_spans_budget_invariant(mm_corpus):
+    """Every window's token total respects the budget unless it holds a
+    single oversize span; window ids are contiguous from 0 per doc."""
+    from horus_spark.operators.interleave import segment_spans
+
+    docs, _ = mm_corpus
+    rows = segment_spans(docs, budget=10, media_token_cost=4).collect()
+    by_win = {}
+    for r in rows:
+        by_win.setdefault((r["doc_id"], r["win_id"]), []).append(
+            r["span_tokens"]
+        )
+    for (_, _), costs in by_win.items():
+        assert sum(costs) <= 10 or len(costs) == 1
+    by_doc = {}
+    for (did, win), _ in by_win.items():
+        by_doc.setdefault(did, set()).add(win)
+    for wins in by_doc.values():
+        assert wins == set(range(len(wins)))
+
+
+def test_segment_spans_guards(mm_corpus):
+    from horus_spark.operators.interleave import segment_spans
+
+    docs, _ = mm_corpus
+    with pytest.raises(ValueError):
+        segment_spans(docs, budget=0)
+    with pytest.raises(ValueError):
+        segment_spans(docs, media_token_cost=-1)
