@@ -2002,6 +2002,32 @@ def _q99_segment_spans(spark, sf_dir):
     )
 
 
+def _q100_multimodal_keep_best(spark, sf_dir):
+    """The multimodal curation DECISION: q95's near-dup pairs closed
+    into clusters (large-star/small-star), then keep per cluster the
+    single highest-text-token copy (ties by min id) — every interleaved
+    document gets a keep verdict. Quality = n_text_tokens from the
+    multimodal cost fold (prefer the textiest copy of a media-swapped
+    clone family)."""
+    from horus_spark.operators.components import keep_best_per_cluster
+    from horus_spark.operators.interleave import (
+        interleave_token_costs,
+        multimodal_minhash_pairs,
+    )
+
+    base = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    c2 = base.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 2000001).alias("doc_id"), "text"
+    )
+    spans = _interleave_spans_over(base.unionByName(c2))
+    fanned = _fanout(spans)
+    pairs = multimodal_minhash_pairs(
+        fanned, _synthetic_asset_store(spans), threshold=0.5
+    )
+    quality = interleave_token_costs(fanned).select("doc_id", "n_text_tokens")
+    return keep_best_per_cluster(quality, pairs, "n_text_tokens")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -2103,6 +2129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q97_incremental_multimodal": _q97_incremental_multimodal,
         "q98_redact_spans": _q98_redact_spans,
         "q99_segment_spans": _q99_segment_spans,
+        "q100_multimodal_keep_best": _q100_multimodal_keep_best,
     }
 
 
@@ -2253,7 +2280,44 @@ def _oracle_sql_literals() -> dict[str, str]:
         )
       ), sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id)
     """
-    q95_sql = q95_tokens_cte + minhash_ctes + minhash_select.replace("0.3", "0.5")
+    q95_select = minhash_select.replace("0.3", "0.5")
+    q95_sql = q95_tokens_cte + minhash_ctes + q95_select
+    # q100: q95's pipeline as the pair source -> q64's closure + winner
+    # over the interleaved corpus, quality = multimodal text tokens.
+    q100_sql = (
+        q95_tokens_cte.replace("WITH ", "WITH RECURSIVE ", 1)
+        + minhash_ctes
+        + f", pairs AS ({q95_select})"
+        + """
+          , edges AS (
+            SELECT id_a AS u, id_b AS v FROM pairs
+            UNION
+            SELECT id_b, id_a FROM pairs
+          ), nodes AS (
+            SELECT DISTINCT CAST(doc_id AS VARCHAR) AS id FROM corpus
+          ), reach(id, r) AS (
+            SELECT id, id FROM nodes
+            UNION
+            SELECT e.v, reach.r FROM edges e JOIN reach ON e.u = reach.id
+          ), comp AS (
+            SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+          ), qual AS (
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   CAST(CASE WHEN len(trim(array_to_string(w, ' '))) = 0
+                             THEN 0 ELSE len(w) END AS BIGINT) AS n_text_tokens
+            FROM tokz
+          ), sized AS (
+            SELECT c.doc_id, c.cluster_id,
+                   CAST(count(*) OVER (PARTITION BY c.cluster_id) AS INT) AS cluster_size,
+                   q.n_text_tokens
+            FROM comp c JOIN qual q USING (doc_id)
+          )
+          SELECT doc_id, cluster_id, cluster_size, n_text_tokens,
+                 (row_number() OVER (PARTITION BY cluster_id
+                                     ORDER BY n_text_tokens DESC, doc_id ASC) = 1) AS keep
+          FROM sized
+        """
+    )
     # q40: transitive closure of the q21 pairs — min reachable id per node
     # via a recursive CTE (the graph is symmetrized, so the min over the
     # reachable set IS the component minimum), singletons from the full
@@ -2761,6 +2825,7 @@ def _oracle_sql_literals() -> dict[str, str]:
         "q95_multimodal_minhash": q95_sql,
         "q97_incremental_multimodal": q97_sql,
         "q98_redact_spans": q98_sql,
+        "q100_multimodal_keep_best": q100_sql,
         "q33_dedup_pipeline": q33_sql,
         "q76_incremental_dedup": q76_sql,
         "q40_dedup_clusters": q40_sql,

@@ -809,3 +809,27 @@ def test_segment_spans_guards(mm_corpus):
         segment_spans(docs, budget=0)
     with pytest.raises(ValueError):
         segment_spans(docs, media_token_cost=-1)
+
+
+def test_multimodal_keep_best_composition(neardup_corpus):
+    """q100 shape: fuzzy pairs -> cluster closure -> textiest-copy
+    winner; every doc verdicted, exactly one keep per cluster."""
+    from horus_spark.operators.components import keep_best_per_cluster
+    from horus_spark.operators.interleave import (
+        interleave_token_costs,
+        multimodal_minhash_pairs,
+    )
+
+    docs, media = neardup_corpus
+    pairs = multimodal_minhash_pairs(docs, media, threshold=0.5)
+    quality = interleave_token_costs(docs).select("doc_id", "n_text_tokens")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in keep_best_per_cluster(quality, pairs, "n_text_tokens").collect()
+    }
+    # A, B, C form one cluster (A-B, A-C, B-C pairs); D is a singleton
+    assert got["A"]["cluster_size"] == 3
+    assert {got[d]["cluster_id"] for d in "ABC"} == {got["A"]["cluster_id"]}
+    keeps = [d for d in "ABC" if got[d]["keep"]]
+    assert keeps == ["A"]  # equal token counts -> min id wins
+    assert got["D"]["keep"] and got["D"]["cluster_size"] == 1
