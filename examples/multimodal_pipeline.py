@@ -5,8 +5,9 @@ stage one horus_spark operator:
     structure stats -> media referential audit -> asset-store dedup +
     canonical ref rewrite -> exact multimodal dedup (content-addressed)
     -> fuzzy multimodal near-dup (minhash over span tokens) w/ cluster
-    closure -> caption-pair mining -> modality-routed mixture ->
-    multimodal token costs -> sequence packing
+    closure -> caption-pair mining -> modality-routed mixture -> span
+    PII redaction -> window segmentation + sequence packing ->
+    incremental re-crawl dedup vs the rolling index
 
 Runs locally in ~1 minute:
 
@@ -93,7 +94,14 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     base = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
-        "doc_id", "text"
+        "doc_id",
+        # plant PII in a slice so the compliance stage has work to do
+        F.when(
+            F.col("doc_id") % 50 == 0,
+            F.concat(F.col("text"), F.lit(" contact staff@example.com or 10.1.2.3")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
     )
     # plant duplicates: +1M clones keep media content; +2M+1 clones keep
     # the text but flip every media payload (near-dups, not exact dups)
@@ -178,13 +186,25 @@ def main() -> None:
             f"{r['n_tokens']} tokens -> p_mix {r['p_mix']}"
         )
 
-    # 8. multimodal token costs -> fixed-window sequence packing
-    costs = h.interleave_token_costs(spans2)
+    # 8. compliance pass: span-level PII redaction (structure preserved,
+    #    so everything downstream runs on the redacted corpus unchanged)
+    from horus_spark.operators.interleave import redact_spans, segment_spans
+
+    spans3 = redact_spans(spans2)
+    n_flagged = spans3.filter(F.col("n_pii") > 0).count()
+    spans3 = spans3.drop("n_pii")
+    print(f"docs with PII redacted  : {n_flagged}")
+
+    # 9. within-doc window segmentation (VLM samples: contiguous span
+    #    slices, spans never split) + whole-doc sequence packing
+    segs = segment_spans(spans3, budget=512)
+    n_windows = segs.select("doc_id", "win_id").distinct().count()
+    costs = h.interleave_token_costs(spans3)
     packed = h.pack_sequences(costs, "doc_id", "n_tokens", budget=2048, n_shards=8)
     n_seqs = packed.select("shard", "seq_id").distinct().count()
-    print(f"packed training seqs    : {n_seqs} (2048-token budget)")
+    print(f"training windows / seqs : {n_windows} (512) / {n_seqs} (2048)")
 
-    # 9. continuous ingestion: a later crawl probes the rolling index
+    # 10. continuous ingestion: a later crawl probes the rolling index
     #    instead of re-scanning the corpus — a re-crawled slice is
     #    caught as exact_existing without touching corpus spans/payloads
     index = h.build_multimodal_index(spans2, media)
