@@ -252,7 +252,14 @@ def _span_token_rows(
             F.col("_txt_tok"),
             F.when(
                 F.col("_sha").isNotNull(), F.concat(F.lit("M:"), F.col("_sha"))
-            ).otherwise(F.concat(F.lit("M!"), F.col("_ref"))),
+            ).otherwise(
+                # coalesce: concat('M!', NULL) is NULL, which would NULL
+                # the whole fingerprint fold and collapse a content-rich
+                # doc onto md5('') — the empty-doc fingerprint. A
+                # NULL-ref media span tokenizes as bare 'M!' instead:
+                # distinct from every real token and from emptiness.
+                F.concat(F.lit("M!"), F.coalesce(F.col("_ref"), F.lit("")))
+            ),
         ).alias("_tok"),
     )
 
@@ -296,6 +303,16 @@ def multimodal_fingerprints(
     toks = _span_token_rows(
         spans_df, media_df, id_col, spans_col, asset_col, payload_col
     )
+    return _fingerprints_from_token_rows(
+        toks, spans_df.select(F.col(id_col)), id_col
+    )
+
+
+def _fingerprints_from_token_rows(
+    toks: DataFrame, ids: DataFrame, id_col: str
+) -> DataFrame:
+    """Fold pre-built (_doc, _off, _tok) rows into (id, fingerprint);
+    `ids` is the id spine (empty-token docs coalesce to md5(''))."""
     fp = toks.groupBy("_doc").agg(
         F.md5(
             F.aggregate(
@@ -307,7 +324,6 @@ def multimodal_fingerprints(
             )
         ).alias("fingerprint")
     )
-    ids = spans_df.select(F.col(id_col))
     return ids.join(fp, ids[id_col] == fp["_doc"], "left").select(
         F.col(id_col),
         F.coalesce(F.col("fingerprint"), F.md5(F.lit(""))).alias(
@@ -525,6 +541,15 @@ def rewrite_media_refs(
         )
         .select("_doc", F.col("s.offset").alias("_off"), F.col("s.media_ref").alias("_ref"))
         .join(changed, "_ref")
+        # malformed-doc tolerance: a NULL offset cannot be rewritten
+        # positionally (and collect_list would drop the key but keep the
+        # value, crashing map_from_arrays on mismatched lengths) — the
+        # span passes through via the lookup-miss coalesce instead; a
+        # duplicate offset resolves to min(canonical) rather than
+        # throwing Spark's duplicate-map-key exception
+        .filter(F.col("_off").isNotNull())
+        .groupBy("_doc", "_off")
+        .agg(F.min("_canon").alias("_canon"))
         .groupBy("_doc")
         .agg(
             F.map_from_arrays(
@@ -690,6 +715,7 @@ def build_multimodal_index(
     payload_col: str = "payload",
     k: int = 64,
     seed: int = 1337,
+    staging_dir: str | None = None,
 ) -> DataFrame:
     """Persistable corpus index for INCREMENTAL multimodal dedup:
     (id, content_md5 = the multimodal fingerprint, sig = minhash
@@ -697,19 +723,32 @@ def build_multimodal_index(
     of document or media size — a new crawl batch is deduplicated
     against 10^12 documents by probing this index, never by re-reading
     spans or payloads. Docs with an empty token set (empty spans) carry
-    a NULL sig and participate only in the exact tier."""
+    a NULL sig and participate only in the exact tier.
+
+    Both outputs derive from ONE _span_token_rows frame (the explode +
+    media-digest join runs once in the plan, not once per output);
+    `staging_dir` additionally stages that frame to parquet so the
+    fingerprint fold and the signature aggregation — different
+    column-pruned consumers Spark cannot share — read it back instead
+    of each re-running the join (the minhash_dedup_pairs pattern)."""
     from horus_spark.operators.dedup import minhash_signatures_from_tokens
 
-    fp = multimodal_fingerprints(
+    rows = _span_token_rows(
         spans_df, media_df, id_col, spans_col, asset_col, payload_col
-    ).select(F.col(id_col).alias("id"), F.col("fingerprint").alias("content_md5"))
-    sigs = minhash_signatures_from_tokens(
-        multimodal_token_sets(
-            spans_df, media_df, id_col, spans_col, asset_col, payload_col
-        ),
-        k=k,
-        seed=seed,
     )
+    if staging_dir is not None:
+        import os
+
+        path = os.path.join(staging_dir, "multimodal_token_rows")
+        rows.write.mode("overwrite").parquet(path)
+        rows = spans_df.sparkSession.read.parquet(path)
+    fp = _fingerprints_from_token_rows(
+        rows, spans_df.select(F.col(id_col)), id_col
+    ).select(F.col(id_col).alias("id"), F.col("fingerprint").alias("content_md5"))
+    toks = rows.select(
+        F.col("_doc").alias("id"), F.col("_tok").alias("shingle")
+    ).distinct()
+    sigs = minhash_signatures_from_tokens(toks, k=k, seed=seed)
     return fp.join(sigs, "id", "left")
 
 
@@ -725,6 +764,7 @@ def incremental_multimodal_dedup(
     bands: int = 16,
     threshold: float = 0.5,
     seed: int = 1337,
+    staging_dir: str | None = None,
 ) -> DataFrame:
     """Deduplicate a NEW batch of interleaved documents against an
     existing corpus index (build_multimodal_index output) without
@@ -735,13 +775,14 @@ def incremental_multimodal_dedup(
     (content-addressed: renamed assets with equal bytes still match),
     near_existing / near_batch on LSH + integer signature agreement
     >= ceil(threshold*k) over span-content token sets (catches
-    media-swapped / text-edited twins). Returns
+    media-swapped / text-edited twins). `staging_dir` passes through to
+    build_multimodal_index (stage the batch token rows once). Returns
     (doc_id, verdict, partner_id)."""
     from horus_spark.operators.dedup import incremental_verdicts
 
     bidx = build_multimodal_index(
         batch_spans, media_df, id_col, spans_col, asset_col, payload_col,
-        k=k, seed=seed,
+        k=k, seed=seed, staging_dir=staging_dir,
     )
     return incremental_verdicts(bidx, index, k=k, bands=bands, threshold=threshold)
 

@@ -241,9 +241,17 @@ SPANS_SCHEMA = (
 _MM_INDEX_SCHEMA = "id string, content_md5 string, sig array<bigint>"
 
 
-def _read_multimodal_index(spark: SparkSession, index_dir: str) -> DataFrame:
+def _read_multimodal_index(
+    spark: SparkSession, index_dir: str, exclude: str | None = None
+) -> DataFrame:
     """Union of all persisted index slices (index_dir/batch=*/), or an
     empty typed frame when none exist yet (a brand-new stream).
+
+    `exclude` skips one slice by name: a REPLAYED micro-batch must not
+    see its own previous slice — every doc would self-match as
+    exact_existing, zero docs would be 'unique', and the overwrite
+    would erase the slice, silently deleting those docs from dedup
+    memory. Underscore/dot entries (the _staging area) are never read.
 
     The empty case is decided by an explicit directory probe, NOT by
     swallowing read errors: a corrupt or unreadable index must FAIL the
@@ -251,17 +259,26 @@ def _read_multimodal_index(spark: SparkSession, index_dir: str) -> DataFrame:
     dedup memory and admit every duplicate as 'unique'. (The probe is
     driver-local-FS, matching the sink module's manifest handling;
     object stores need the slice listing adapted.)"""
-    if not os.path.isdir(index_dir) or not any(
-        not e.startswith(("_", ".")) for e in os.listdir(index_dir)
-    ):
+    slices = (
+        [
+            e
+            for e in sorted(os.listdir(index_dir))
+            if not e.startswith(("_", ".")) and e != exclude
+        ]
+        if os.path.isdir(index_dir)
+        else []
+    )
+    if not slices:
         return spark.createDataFrame([], _MM_INDEX_SCHEMA)
-    return spark.read.parquet(index_dir).select("id", "content_md5", "sig")
+    return spark.read.parquet(
+        *[os.path.join(index_dir, s) for s in slices]
+    ).select("id", "content_md5", "sig")
 
 
 def stream_multimodal_ingest(
     spark: SparkSession,
     spans_dir: str,
-    media_df: DataFrame,
+    media: DataFrame | str,
     out_dir: str,
     checkpoint_dir: str,
     index_dir: str,
@@ -273,10 +290,17 @@ def stream_multimodal_ingest(
 ):
     """Continuous ingestion of interleaved documents with CROSS-BATCH
     exact + near multimodal dedup: every micro-batch is judged against
-    the rolling persisted fingerprint index
-    (interleave.incremental_multimodal_dedup), verdicts land in a
+    the rolling persisted fingerprint index, verdicts land in a
     batch-keyed directory under `out_dir`, and the batch's unique docs
     extend the index under `index_dir` before the next batch fires.
+
+    `media` is the asset store — pass a PATH (str) when the store grows
+    with the stream: it is re-read at every micro-batch so assets
+    uploaded alongside later batches resolve to content hashes. A
+    DataFrame is accepted too, but its file listing is FROZEN at stream
+    start — refs to assets added later degrade to dangling 'M!' tokens,
+    and a renamed re-upload of an old asset would be admitted as
+    unique. Use the path form unless the store is truly immutable.
 
     vs stream_dedup: that operator's state is watermark-bounded — a
     duplicate arriving after the horizon passes undetected. Here the
@@ -285,42 +309,43 @@ def stream_multimodal_ingest(
     duplicates (one swapped image) are caught too, which no
     dropDuplicates variant can do.
 
-    Replay idempotence: verdicts and the index slice for batch N are
-    overwrite-keyed by batch_id, so a replayed micro-batch rewrites its
-    own output instead of double-inserting. Pre-seed an existing corpus
-    by writing build_multimodal_index output to
+    Replay idempotence: a replayed micro-batch reads the index WITHOUT
+    its own previous slice (see _read_multimodal_index — including it
+    would self-match every doc and erase the slice), recomputes the
+    same verdicts, and overwrites its own batch-keyed outputs. The
+    batch's full index rows are staged ONCE under index_dir/_staging
+    and feed both the verdict tiers and the unique-slice write — the
+    fingerprint + signature pipeline runs once per batch. Pre-seed an
+    existing corpus by writing build_multimodal_index output to
     `index_dir/batch=seed/`. Returns the started StreamingQuery."""
-    from horus_spark.operators.interleave import (
-        build_multimodal_index,
-        incremental_multimodal_dedup,
-    )
+    from horus_spark.operators.dedup import incremental_verdicts
+    from horus_spark.operators.interleave import build_multimodal_index
 
     stream = spark.readStream.schema(SPANS_SCHEMA).parquet(spans_dir)
 
     def process_batch(batch_df: DataFrame, batch_id: int):
         if batch_df.isEmpty():
             return
-        index = _read_multimodal_index(spark, index_dir)
-        verdicts = incremental_multimodal_dedup(
-            batch_df, media_df, index,
-            k=k, bands=bands, threshold=threshold, seed=seed,
+        mdf = spark.read.parquet(media) if isinstance(media, str) else media
+        slice_name = f"batch={batch_id:06d}"
+        index = _read_multimodal_index(spark, index_dir, exclude=slice_name)
+        bdir = os.path.join(index_dir, "_staging", slice_name)
+        build_multimodal_index(batch_df, mdf, k=k, seed=seed).write.mode(
+            "overwrite"
+        ).parquet(bdir)
+        bidx = spark.read.parquet(bdir)
+        verdicts = incremental_verdicts(
+            bidx, index, k=k, bands=bands, threshold=threshold
         )
-        # materialize verdicts once: the sink AND the index-extension
-        # filter both consume them, and the verdict plan holds the whole
-        # fingerprint+LSH pipeline — recomputing it per consumer would
-        # double the batch cost (the staging-once pattern)
-        vdir = os.path.join(out_dir, f"batch={batch_id:06d}")
+        vdir = os.path.join(out_dir, slice_name)
         verdicts.write.mode("overwrite").parquet(vdir)
-        fresh = build_multimodal_index(
-            batch_df, media_df, k=k, seed=seed
-        ).join(
+        uniq = (
             spark.read.parquet(vdir)
             .filter(F.col("verdict") == "unique")
-            .select(F.col("doc_id").alias("id")),
-            "id",
+            .select(F.col("doc_id").alias("id"))
         )
-        fresh.write.mode("overwrite").parquet(
-            os.path.join(index_dir, f"batch={batch_id:06d}")
+        bidx.join(uniq, "id").write.mode("overwrite").parquet(
+            os.path.join(index_dir, slice_name)
         )
 
     writer = (

@@ -833,3 +833,64 @@ def test_multimodal_keep_best_composition(neardup_corpus):
     keeps = [d for d in "ABC" if got[d]["keep"]]
     assert keeps == ["A"]  # equal token counts -> min id wins
     assert got["D"]["keep"] and got["D"]["cluster_size"] == 1
+
+
+def test_null_media_ref_does_not_collapse_to_empty(mm_corpus, spark):
+    """A NULL media_ref must not NULL the fingerprint fold (which would
+    collapse the doc onto md5(''), the empty-doc fingerprint)."""
+    _, media = mm_corpus
+    docs = _mk(
+        spark,
+        [
+            ("n1", [T("real content here", 0), M("image", None, 1)]),
+            ("n2", [T("real content here", 0), M("image", None, 1)]),
+            ("e", []),
+            ("t", [T("real content here", 0)]),
+        ],
+    )
+    fp = _fps(docs, media)
+    assert fp["n1"] is not None
+    assert fp["n1"] != fp["e"]     # not the empty fingerprint
+    assert fp["n1"] != fp["t"]     # the null-ref span still contributes
+    assert fp["n1"] == fp["n2"]    # deterministic across docs
+
+
+def test_rewrite_media_refs_malformed_offsets(mm_corpus, spark):
+    """NULL or duplicate offsets in rewritable media spans must not
+    crash the rewrite (collect_list drops NULL keys -> mismatched
+    map_from_arrays arrays; duplicate keys -> map exception)."""
+    from horus_spark.operators.interleave import rewrite_media_refs
+
+    docs, _ = mm_corpus
+    mapping = docs.sparkSession.createDataFrame(
+        [("m2", "m1")], "asset_id string, canonical_id string"
+    )
+    bad = _mk(
+        spark,
+        [
+            ("x", [T("t", 0), ("image", "", "m2", None)]),       # NULL offset
+            ("y", [("image", "", "m2", 1), ("video", "", "m2", 1)]),  # dup
+        ],
+    )
+    got = {r["doc_id"]: r["spans"] for r in rewrite_media_refs(bad, mapping).collect()}
+    # NULL-offset span passes through unchanged (cannot be addressed)
+    assert [s["media_ref"] for s in got["x"] if s["kind"] != "text"] == ["m2"]
+    # duplicate offsets both resolve (same canonical), no exception
+    assert {s["media_ref"] for s in got["y"]} == {"m1"}
+
+
+def test_build_multimodal_index_staging_parity(incr_corpus, tmp_path):
+    from horus_spark.operators.interleave import build_multimodal_index
+
+    existing, _, media = incr_corpus
+    plain = {
+        r["id"]: (r["content_md5"], r["sig"])
+        for r in build_multimodal_index(existing, media).collect()
+    }
+    staged = {
+        r["id"]: (r["content_md5"], r["sig"])
+        for r in build_multimodal_index(
+            existing, media, staging_dir=str(tmp_path)
+        ).collect()
+    }
+    assert staged == plain

@@ -229,3 +229,61 @@ def test_stream_multimodal_ingest_cross_batch(spark, tmp_path):
         r["id"] for r in spark.read.parquet(idx).select("id").collect()
     }
     assert index_ids == {"X", "Y", "Z"}  # duplicates never enter
+
+
+def test_stream_multimodal_ingest_replay_idempotent(spark, tmp_path):
+    """A replayed micro-batch must NOT see its own previous index slice
+    (every doc would self-match as exact_existing and the overwrite
+    would erase the slice): replay with a fresh checkpoint reproduces
+    the same verdicts and leaves the index intact. The asset store is
+    passed as a PATH (re-read per batch — the growing-store form)."""
+    from horus_spark.streaming.incremental import (
+        SPANS_SCHEMA,
+        stream_multimodal_ingest,
+    )
+
+    texts = [f"replay chunk number {i} words" for i in range(14)]
+    spans = []
+    off = 0
+    for i, t in enumerate(texts):
+        spans.append(("text", t, "", off)); off += 1
+        if i < 3:
+            spans.append(("image", "", f"m{i}", off)); off += 1
+    docs = spark.createDataFrame([("R", spans)], SPANS_SCHEMA)
+    media_dir = str(tmp_path / "media")
+    spark.createDataFrame(
+        [("m0", "p0"), ("m1", "p1"), ("m2", "p2")],
+        "asset_id string, payload string",
+    ).write.parquet(media_dir)
+
+    spans_dir = str(tmp_path / "in")
+    out = str(tmp_path / "verdicts")
+    idx = str(tmp_path / "index")
+    docs.coalesce(1).write.mode("append").parquet(spans_dir)
+
+    q = stream_multimodal_ingest(
+        spark, spans_dir, media_dir, out, str(tmp_path / "ckpt1"), idx
+    )
+    q.awaitTermination(300)
+    first = {
+        r["doc_id"]: r["verdict"]
+        for r in spark.read.parquet(os.path.join(out, "batch=*")).collect()
+    }
+    assert first == {"R": "unique"}
+
+    # fresh checkpoint = Spark reprocesses the same files as batch 0
+    # again — the crash-before-checkpoint-commit replay shape
+    q2 = stream_multimodal_ingest(
+        spark, spans_dir, media_dir, out, str(tmp_path / "ckpt2"), idx
+    )
+    q2.awaitTermination(300)
+    replay = {
+        r["doc_id"]: r["verdict"]
+        for r in spark.read.parquet(os.path.join(out, "batch=*")).collect()
+    }
+    assert replay == {"R": "unique"}      # NOT exact_existing-vs-itself
+    idx_ids = {
+        r["id"]
+        for r in spark.read.parquet(os.path.join(idx, "batch=*")).collect()
+    }
+    assert idx_ids == {"R"}               # slice intact, not erased
