@@ -1,25 +1,25 @@
-"""Interleaved-span structure operators: modality-sequence analytics and
-image-caption pair mining over the north-rule span shape
+"""Interleaved-span corpus operators over the north-rule span shape
 (spans: array<struct<kind,text,media_ref,offset>>).
 
 Interleaved text+media documents are the input contract of this engine
 (reference: nikkh/Horus processes scanned-form documents whose pages mix
 text runs with embedded media; see Models/Document.cs for the per-page
-word/line structure). A multimodal training-data pipeline needs two
-things the plain-text operators cannot give:
+word/line structure). This module covers what a multimodal training-data
+pipeline needs beyond the plain-text operators, in two families:
 
-- STRUCTURE analytics over the interleaving itself (how media-dense is a
-  document, how fragmented is its text, how often does the modality
-  alternate) — the signals used to route documents to text-only vs
-  multimodal training mixes;
-- CAPTION mining: (media_ref, nearby text) pairs in document order — the
-  LAION / MMC4-style construction of image-text training pairs from
-  interleaved web documents.
-
-Scale notes: every operator here is a pure map-side array expression
-(array_sort comparator + transform/filter/aggregate lambdas are JVM
-expressions, not Python) — ZERO shuffles, zero UDFs; output inherits the
-scan's partitioning, so at 10^12 documents these are scan-bound.
+- MAP-SIDE analytics and rewrites — structure stats, caption-pair
+  mining (LAION/MMC4-style), token costs, span PII redaction, window
+  segmentation: pure array expressions (array_sort comparator +
+  transform/filter/aggregate lambdas are JVM expressions, not Python),
+  ZERO shuffles, zero UDFs; output inherits the scan's partitioning, so
+  at 10^12 documents these are scan-bound.
+- CONTENT-ADDRESSED dedup and asset management — multimodal
+  fingerprints (exact tier), token-set minhash (fuzzy tier), the
+  incremental index, asset dedup + ref rewrite, the referential audit:
+  these DO shuffle, but only slim rows — text is digested map-side in
+  the explode projection and media participates by sha256, so raw text
+  and payload bytes never cross an Exchange. Per-operator docstrings
+  state each plan shape.
 """
 
 from __future__ import annotations
