@@ -71,7 +71,12 @@ def c4_line_stats(
     n_junk + n_short + n_nopunct == n_lines - n_kept."""
     if min_words < 1:
         raise ValueError("min_words must be >= 1")
-    lines = F.split(F.col(text_col), "\n")
+    # NULL text folds to "" so the accounting stays sane (split(NULL)
+    # yields NULL and size(NULL) = -1, which would report n_lines=-1 and
+    # a NULL doc_flagged that silently drops the doc from c4_clean's
+    # negated filter); "" counts as one short line and is dropped loudly.
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.split(text, "\n")
 
     junk = _is_junk
     short = lambda l: ~_is_junk(l) & (_line_words(l) < min_words)  # noqa: E731
@@ -82,7 +87,7 @@ def c4_line_stats(
         lambda l: ~_is_junk(l) & (_line_words(l) >= min_words) & _ends_terminal(l)
     )
 
-    low_doc = F.lower(F.col(text_col))
+    low_doc = F.lower(text)
     flagged = F.lit(False)
     for phrase in DOC_BLOCKLIST:
         flagged = flagged | low_doc.contains(phrase)

@@ -660,13 +660,16 @@ def incremental_verdicts(
         .groupBy("id")
         .agg(F.min("eid").alias("p1"))
     )
+    # within-batch exact tier: partner = the digest group's min id, via
+    # groupBy-min + join-back (O(group)) — NOT a digest self-join, whose
+    # per-group fan-out is O(group^2) and explodes on a duplicate-heavy
+    # batch (a crawl re-fetching one hot page ships every pair).
     b_md5 = bidx.select("id", "content_md5")
+    gmin = b_md5.groupBy("content_md5").agg(F.min("id").alias("_gmin"))
     t2 = (
-        b_md5.alias("a")
-        .join(b_md5.alias("b"), "content_md5")
-        .filter(F.col("b.id") < F.col("a.id"))
-        .groupBy(F.col("a.id").alias("id"))
-        .agg(F.min(F.col("b.id")).alias("p2"))
+        b_md5.join(gmin, "content_md5")
+        .filter(F.col("id") > F.col("_gmin"))
+        .select("id", F.col("_gmin").alias("p2"))
     )
 
     # near tiers over exact-unresolved batch docs with signatures

@@ -29,7 +29,9 @@ Shape at scale (the 100 TB direction):
   hot terms from the NORM as well keeps the measure a true cosine
   (bounded by 1) rather than a deflated dot product.
 - tf, df, and norms are each ONE hash aggregation with map-side
-  combine; df and idf ride a broadcast join back onto the postings.
+  combine; df/idf re-attach via a hash join keyed on the term itself
+  (no forced broadcast — the retained vocabulary is corpus-derived and
+  can be arbitrarily large; AQE broadcasts it when it actually fits).
 - the dot-product aggregation shuffles only (id_a, id_b, w_a*w_b) —
   never text, never full vectors.
 """
@@ -67,7 +69,11 @@ def tfidf_postings(
         df.select(F.col(id_col)).agg(F.count("*").cast("double").alias("n_docs"))
     )
     return (
-        tf.join(F.broadcast(kept), "term")
+        # no broadcast hint: the retained vocabulary is corpus-derived
+        # (web-scale it is billions of terms); a hash join on `term`
+        # co-partitions with the tf aggregation, and AQE still picks a
+        # broadcast when the pruned vocab actually fits.
+        tf.join(kept, "term")
         .crossJoin(n_docs)
         .select(
             "id",

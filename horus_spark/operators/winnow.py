@@ -116,8 +116,12 @@ def winnow_candidate_pairs(
         raise ValueError("max_df must be >= 2 (df=1 prints cannot pair)")
     fps = winnow_fingerprints(df, id_col, text_col, k=k, w=w, salt=salt)
     df_f = fps.groupBy("fp").agg(F.count("*").alias("_df"))
+    # no broadcast hint on the df table: distinct fingerprints are
+    # corpus-scale (a forced broadcast OOMs at 100 TB); the hash join on
+    # fp co-partitions with the df aggregation, and AQE still broadcasts
+    # when the pruned set actually fits.
     kept = fps.join(
-        F.broadcast(df_f.filter((F.col("_df") >= 2) & (F.col("_df") <= max_df))),
+        df_f.filter((F.col("_df") >= 2) & (F.col("_df") <= max_df)),
         "fp",
     ).select("fp", "id")
     a = kept.select("fp", F.col("id").alias("id_a"))

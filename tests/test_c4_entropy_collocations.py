@@ -254,3 +254,22 @@ def test_hamming_topk_matches_brute_force_on_clustered_data(spark):
     for r in ham:
         per_q.setdefault(r["q_id"], []).append(r["rank"])
     assert all(sorted(v) == list(range(1, 11)) for v in per_q.values())
+
+
+def test_c4_null_text_accounted_and_dropped(spark):
+    """NULL text folds to "" — sane accounting (one short line, flag
+    False) instead of size(NULL)=-1 counts and a NULL flag that would
+    silently vanish from c4_clean's negated filter."""
+    from horus_spark.operators.c4 import c4_clean, c4_line_stats
+
+    docs = spark.createDataFrame(
+        [("d1", None), ("d2", "This line is long enough to keep fine.")],
+        "doc_id string, text string",
+    )
+    s = {r["doc_id"]: r for r in c4_line_stats(docs).collect()}
+    assert s["d1"]["n_lines"] == 1
+    assert s["d1"]["n_short"] == 1
+    assert s["d1"]["doc_flagged"] is False
+    assert s["d1"]["cleaned"] == ""
+    kept = c4_clean(docs).collect()
+    assert [r["doc_id"] for r in kept] == ["d2"]

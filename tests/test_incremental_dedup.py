@@ -104,3 +104,24 @@ def test_index_shape_and_guards(spark, verdicts):
         incremental_dedup(batch, idx, bands=128)
     with pytest.raises(ValueError, match="divide"):
         incremental_dedup(batch, idx, bands=10)
+
+
+def test_mass_duplicated_batch_exact_tier(spark):
+    """A batch that is mostly copies of ONE document (hot-page re-crawl):
+    every copy must verdict exact_batch with the group's min id as
+    partner — pins the groupBy-min construction of the within-batch
+    exact tier (the old digest self-join was O(copies^2))."""
+    from horus_spark.operators.dedup import build_dedup_index, incremental_dedup
+
+    existing = _df(spark, [("e1", LONG_B)])
+    batch = _df(
+        spark,
+        [(f"n{i:02d}", LONG_A) for i in range(12)] + [("zz_fresh", LONG_B_NEAR)],
+    )
+    v = incremental_dedup(batch, build_dedup_index(existing), threshold=0.3)
+    got = {r["doc_id"]: (r["verdict"], r["partner_id"]) for r in v.collect()}
+    assert got["n00"] == ("unique", None)
+    for i in range(1, 12):
+        assert got[f"n{i:02d}"] == ("exact_batch", "n00"), got[f"n{i:02d}"]
+    # near tier still runs over the exact-unresolved remainder
+    assert got["zz_fresh"] == ("near_existing", "e1")
