@@ -881,7 +881,11 @@ def merge_upsert(
     snapshot commit swaps them for the rewritten chunk — readers racing
     the merge see the pre- or post-merge snapshot, never a mixture, and
     time travel to the pre-merge snapshot keeps working until
-    expire+vacuum reclaim it.
+    expire+vacuum reclaim it. Concurrent WRITERS get serializable
+    isolation: the commit validates that no chunk was appended or
+    retracted since the baseline probe (an appended chunk may carry
+    merged keys the rewrite did not cover) and aborts with a retryable
+    error otherwise — Iceberg's MERGE validation semantics.
 
     Scale shape: the touched-chunk probe is a column-pruned scan of
     (key_cols, chunk) semi-joined to the broadcast update keys — chunks
@@ -908,9 +912,18 @@ def merge_upsert(
             "to swap atomically)"
         )
     chunks = list(m.get("chunks", []))
+    base_snap = int(m.get("snapshot", 0))
     target_cols = None
     if chunks:
-        target_cols = read_output(spark, out_dir, table).drop("chunk").columns
+        # every read below is pinned to the BASELINE snapshot so the
+        # probed chunk set is exactly `chunks` — the commit-time conflict
+        # check compares against this set, and an unpinned read racing a
+        # concurrent append would probe chunks outside it
+        target_cols = (
+            read_output(spark, out_dir, table, snapshot=base_snap)
+            .drop("chunk")
+            .columns
+        )
         missing = [c for c in key_cols if c not in target_cols]
         if missing:
             raise ValueError(f"key columns {missing} not in table {table}")
@@ -940,7 +953,7 @@ def merge_upsert(
     if chunks:
         # one column-pruned probe: which committed chunks hold any key?
         probe = (
-            read_output(spark, out_dir, table)
+            read_output(spark, out_dir, table, snapshot=base_snap)
             .select("chunk", *key_cols)
             .join(F.broadcast(keys), key_cols)
         )
@@ -959,7 +972,6 @@ def merge_upsert(
         affected = [c for c in chunks if _hit(c)]
         matched = int(probe.select(*key_cols).distinct().count())
 
-    base_snap = int(m.get("snapshot", 0))
     new_name = f"chunk=merge-{base_snap:06d}"
     suffix = 0
     while os.path.exists(os.path.join(out_dir, new_name)):
@@ -994,10 +1006,31 @@ def merge_upsert(
     os.rename(tmp_dir, os.path.join(out_dir, new_name))
 
     affected_set = set(affected)
+    baseline = set(chunks)
+    conflict: dict = {"why": None}
 
     def mutate(mm: dict) -> dict | None:
-        if not affected_set.issubset(set(mm["chunks"])):
-            return None  # an affected member was retracted under us: abort
+        mm_chunks = set(mm["chunks"])
+        if not affected_set.issubset(mm_chunks):
+            conflict["why"] = (
+                f"affected chunks {sorted(affected_set - mm_chunks)} were "
+                "retracted concurrently"
+            )
+            return None
+        # serializable-isolation validation (Iceberg's MERGE conflict
+        # check): a chunk APPENDED since the baseline probe may carry
+        # rows for the merged keys — replacing only the probed chunks
+        # would leave two rows per key. We cannot know without scanning
+        # it, so abort conservatively; the caller retries the merge and
+        # the fresh probe covers the new chunk.
+        added = mm_chunks - baseline
+        if added:
+            conflict["why"] = (
+                f"chunks {sorted(added)} were appended concurrently and may "
+                "hold merged keys"
+            )
+            return None
+        conflict["why"] = None
         mm["chunks"] = sorted(
             [c for c in mm["chunks"] if c not in affected_set] + [new_name]
         )
@@ -1007,8 +1040,8 @@ def merge_upsert(
     if new_name not in committed.get("chunks", []):
         shutil.rmtree(os.path.join(out_dir, new_name))
         raise RuntimeError(
-            f"merge aborted: an affected chunk was retracted concurrently "
-            f"(affected={affected})"
+            f"merge aborted ({conflict['why']}): retry merge_upsert — the "
+            "fresh probe will cover the current snapshot"
         )
     return {
         "matched": matched,

@@ -166,3 +166,56 @@ def test_merge_survives_vacuum_of_old_chunks(spark, merge_store):
     assert removed, "vacuum should reclaim the replaced chunk dir"
     # the carried line_items files still read back in full
     assert read_output(spark, out, "line_items").count() == li_count
+
+
+def test_merge_aborts_on_concurrent_append(spark, merge_store, monkeypatch):
+    """Serializable-isolation validation: a chunk APPENDED between the
+    merge's baseline probe and its snapshot commit may hold merged keys,
+    so the commit must abort (retryable) instead of leaving two rows for
+    one key. Injected by wrapping the commit to land a racing append
+    first; a retry of the merge then succeeds over the new snapshot."""
+    import shutil
+
+    from horus_spark.sources import sink
+
+    out = merge_store
+    before = _docs(spark, out)
+    cols = [c for c in before.columns if c != "chunk"]
+    schema = before.select(*cols).schema
+    one = before.select(*cols).orderBy("doc_id").limit(1).collect()[0].asDict()
+    target = one["doc_id"]
+
+    # the racing writer's chunk: carries the SAME key the merge updates
+    racer = "chunk=racer"
+    spark.createDataFrame([{**one, "account": "RACER"}], schema=schema).coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(out, racer, "documents_out"))
+
+    real_commit = sink._commit_table_manifest
+    state = {"injected": False}
+
+    def racing_commit(out_dir, mutate, run_id=None):
+        if not state["injected"]:
+            state["injected"] = True
+
+            def add_racer(mm):
+                mm["chunks"] = sorted(mm["chunks"] + [racer])
+                return mm
+
+            real_commit(out_dir, add_racer)
+        return real_commit(out_dir, mutate, run_id=run_id)
+
+    monkeypatch.setattr(sink, "_commit_table_manifest", racing_commit)
+    upd = spark.createDataFrame([{**one, "account": "MERGED"}], schema=schema)
+    with pytest.raises(RuntimeError, match="appended concurrently"):
+        sink.merge_upsert(spark, out, "documents_out", upd, ["doc_id"])
+    # the aborted merge cleaned up its staged chunk dir
+    assert not [d for d in os.listdir(out) if d.startswith("chunk=merge-")]
+    # both the racer's row and the original row are visible (no merge ran)
+    assert _docs(spark, out).filter(F.col("doc_id") == target).count() == 2
+    # retry over the current snapshot: probe now covers the racer chunk
+    monkeypatch.setattr(sink, "_commit_table_manifest", real_commit)
+    res = sink.merge_upsert(spark, out, "documents_out", upd, ["doc_id"])
+    assert racer in res["affected"]
+    rows = _docs(spark, out).filter(F.col("doc_id") == target).collect()
+    assert [r["account"] for r in rows] == ["MERGED"]
