@@ -864,6 +864,93 @@ def _carry_table_files(out_dir: str, members: list[str], table: str, dest: str) 
                 shutil.copy2(os.path.join(src, name), target)
 
 
+def _probe_affected(
+    spark, out_dir: str, table: str, keys: DataFrame, key_cols: list[str],
+    chunks: list[str], base_snap: int,
+) -> tuple[list[str], int, int]:
+    """Which baseline chunks hold any of `keys`? One column-pruned scan
+    pinned to the baseline snapshot. Returns (affected chunk dirnames,
+    n distinct keys matched, n rows matched)."""
+    probe = (
+        read_output(spark, out_dir, table, snapshot=base_snap)
+        .select("chunk", *key_cols)
+        .join(F.broadcast(keys), key_cols)
+    ).localCheckpoint(eager=False)  # three consumers, one computed copy
+    hit_vals = {str(r["chunk"]) for r in probe.select("chunk").distinct().collect()}
+
+    def _hit(name: str) -> bool:
+        # partition-value inference may strip leading zeros
+        # ("chunk=0000" reads back as 0); match on either spelling
+        v = name.split("=", 1)[1]
+        if v in hit_vals:
+            return True
+        return v.lstrip("0") in hit_vals or (v.strip("0") == "" and "0" in hit_vals)
+
+    affected = [c for c in chunks if _hit(c)]
+    matched = int(probe.select(*key_cols).distinct().count())
+    n_rows = int(probe.count())
+    return affected, matched, n_rows
+
+
+def _fresh_chunk_name(out_dir: str, prefix: str, base_snap: int) -> str:
+    name = f"chunk={prefix}-{base_snap:06d}"
+    suffix = 0
+    while os.path.exists(os.path.join(out_dir, name)):
+        suffix += 1
+        name = f"chunk={prefix}-{base_snap:06d}r{suffix}"
+    return name
+
+
+def _swap_chunks_commit(
+    out_dir: str, new_name: str | None, affected: list[str],
+    baseline: set[str], op: str,
+) -> dict:
+    """CAS-commit the copy-on-write swap (affected dirs out, new_name
+    in — new_name=None for a pure retraction) with serializable
+    validation: abort if any chunk was appended or retracted since the
+    baseline probe (an appended chunk may carry rows for the touched
+    keys, so the rewrite would not cover it — Iceberg's validation
+    semantics). On conflict the staged dir is removed and a retryable
+    RuntimeError raised; the CAS replay re-validates on every attempt."""
+    affected_set = set(affected)
+    conflict: dict = {"why": None}
+
+    def mutate(mm: dict) -> dict | None:
+        mm_chunks = set(mm["chunks"])
+        if not affected_set.issubset(mm_chunks):
+            conflict["why"] = (
+                f"affected chunks {sorted(affected_set - mm_chunks)} were "
+                "retracted concurrently"
+            )
+            return None
+        added = mm_chunks - baseline
+        if added:
+            conflict["why"] = (
+                f"chunks {sorted(added)} were appended concurrently and may "
+                f"hold {op}-touched keys"
+            )
+            return None
+        conflict["why"] = None
+        mm["chunks"] = sorted(
+            [c for c in mm["chunks"] if c not in affected_set]
+            + ([new_name] if new_name else [])
+        )
+        return mm
+
+    committed = _commit_table_manifest(out_dir, mutate)
+    ok = (new_name in committed.get("chunks", [])) if new_name else (
+        conflict["why"] is None
+    )
+    if not ok:
+        if new_name:
+            shutil.rmtree(os.path.join(out_dir, new_name))
+        raise RuntimeError(
+            f"{op} aborted ({conflict['why']}): retry — the fresh probe "
+            "will cover the current snapshot"
+        )
+    return committed
+
+
 def merge_upsert(
     spark,
     out_dir: str,
@@ -951,32 +1038,11 @@ def merge_upsert(
     affected: list[str] = []
     matched = 0
     if chunks:
-        # one column-pruned probe: which committed chunks hold any key?
-        probe = (
-            read_output(spark, out_dir, table, snapshot=base_snap)
-            .select("chunk", *key_cols)
-            .join(F.broadcast(keys), key_cols)
+        affected, matched, _ = _probe_affected(
+            spark, out_dir, table, keys, key_cols, chunks, base_snap
         )
-        hit_vals = {str(r["chunk"]) for r in probe.select("chunk").distinct().collect()}
 
-        def _hit(name: str) -> bool:
-            # partition-value inference may strip leading zeros
-            # ("chunk=0000" reads back as 0); match on either spelling
-            v = name.split("=", 1)[1]
-            if v in hit_vals:
-                return True
-            return v.lstrip("0") in hit_vals or (
-                v.strip("0") == "" and "0" in hit_vals
-            )
-
-        affected = [c for c in chunks if _hit(c)]
-        matched = int(probe.select(*key_cols).distinct().count())
-
-    new_name = f"chunk=merge-{base_snap:06d}"
-    suffix = 0
-    while os.path.exists(os.path.join(out_dir, new_name)):
-        suffix += 1
-        new_name = f"chunk=merge-{base_snap:06d}r{suffix}"
+    new_name = _fresh_chunk_name(out_dir, "merge", base_snap)
     tmp_dir = os.path.join(out_dir, f"_tmp_{new_name.replace('=', '_')}")
     if os.path.exists(tmp_dir):
         shutil.rmtree(tmp_dir)
@@ -1005,47 +1071,112 @@ def merge_upsert(
         _carry_table_files(out_dir, affected, t, os.path.join(tmp_dir, t))
     os.rename(tmp_dir, os.path.join(out_dir, new_name))
 
-    affected_set = set(affected)
-    baseline = set(chunks)
-    conflict: dict = {"why": None}
-
-    def mutate(mm: dict) -> dict | None:
-        mm_chunks = set(mm["chunks"])
-        if not affected_set.issubset(mm_chunks):
-            conflict["why"] = (
-                f"affected chunks {sorted(affected_set - mm_chunks)} were "
-                "retracted concurrently"
-            )
-            return None
-        # serializable-isolation validation (Iceberg's MERGE conflict
-        # check): a chunk APPENDED since the baseline probe may carry
-        # rows for the merged keys — replacing only the probed chunks
-        # would leave two rows per key. We cannot know without scanning
-        # it, so abort conservatively; the caller retries the merge and
-        # the fresh probe covers the new chunk.
-        added = mm_chunks - baseline
-        if added:
-            conflict["why"] = (
-                f"chunks {sorted(added)} were appended concurrently and may "
-                "hold merged keys"
-            )
-            return None
-        conflict["why"] = None
-        mm["chunks"] = sorted(
-            [c for c in mm["chunks"] if c not in affected_set] + [new_name]
-        )
-        return mm
-
-    committed = _commit_table_manifest(out_dir, mutate)
-    if new_name not in committed.get("chunks", []):
-        shutil.rmtree(os.path.join(out_dir, new_name))
-        raise RuntimeError(
-            f"merge aborted ({conflict['why']}): retry merge_upsert — the "
-            "fresh probe will cover the current snapshot"
-        )
+    committed = _swap_chunks_commit(
+        out_dir, new_name, affected, set(chunks), "merge"
+    )
     return {
         "matched": matched,
         "inserted": int(n_updates - matched),
+        "affected": affected,
+        "new": new_name,
+        "snapshot": int(committed.get("snapshot", 0)),
+    }
+
+
+def delete_rows(
+    spark,
+    out_dir: str,
+    table: str,
+    keys: DataFrame,
+    key_cols: list[str],
+) -> dict:
+    """Row-level DELETE on one table of the chunk catalog — the third
+    of the DML triad next to the append sink and merge_upsert, with the
+    same copy-on-write + CAS contract: one baseline-pinned probe finds
+    the chunks holding any key, only those are rewritten without the
+    matching rows, and the snapshot commit swaps them in atomically
+    with serializable validation (concurrent append/retract aborts with
+    a retryable error). Readers see pre- or post-delete, never a
+    mixture; time travel to the pre-delete snapshot keeps working until
+    expire+vacuum. The reference's analog is the per-document DELETE
+    half of HorusSql.cs's transactional delete+insert
+    (HorusSql.cs:210-311).
+
+    `keys` carries exactly `key_cols` (extra columns are projected
+    away; duplicate key rows are harmless — deletion is idempotent).
+    If every row of an affected chunk matches, the rewritten chunk is
+    an empty-but-valid parquet table, preserving the swap's atomicity.
+    Returns {"matched": distinct keys found, "deleted": rows removed,
+    "affected": [...], "new": name-or-None, "snapshot": id}.
+    """
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    m = _read_table_manifest(out_dir)
+    if m is None:
+        raise ValueError(
+            f"{out_dir} has no snapshot catalog — delete_rows requires "
+            "the manifest layout (legacy chunk stores have no snapshot "
+            "to swap atomically)"
+        )
+    chunks = list(m.get("chunks", []))
+    base_snap = int(m.get("snapshot", 0))
+    if chunks:
+        target_cols = (
+            read_output(spark, out_dir, table, snapshot=base_snap)
+            .drop("chunk")
+            .columns
+        )
+        missing = [c for c in key_cols if c not in target_cols]
+        if missing:
+            raise ValueError(f"key columns {missing} not in table {table}")
+    missing = [c for c in key_cols if c not in keys.columns]
+    if missing:
+        raise ValueError(f"keys frame lacks key columns {missing}")
+    kdf = keys.select(*key_cols).distinct()
+    if not chunks or kdf.limit(1).count() == 0:
+        return {
+            "matched": 0, "deleted": 0, "affected": [], "new": None,
+            "snapshot": base_snap,
+        }
+
+    affected, matched, n_rows = _probe_affected(
+        spark, out_dir, table, kdf, key_cols, chunks, base_snap
+    )
+    if not affected:
+        return {
+            "matched": 0, "deleted": 0, "affected": [], "new": None,
+            "snapshot": base_snap,
+        }
+
+    new_name = _fresh_chunk_name(out_dir, "delete", base_snap)
+    tmp_dir = os.path.join(out_dir, f"_tmp_{new_name.replace('=', '_')}")
+    if os.path.exists(tmp_dir):
+        shutil.rmtree(tmp_dir)
+    survivors = (
+        spark.read.option("basePath", out_dir)
+        .parquet(*[os.path.join(out_dir, c, table) for c in affected])
+        .drop("chunk")
+        .join(F.broadcast(kdf), key_cols, "left_anti")
+    )
+    survivors.write.mode("overwrite").parquet(os.path.join(tmp_dir, table))
+    other_tables = sorted(
+        {
+            t
+            for c in affected
+            for t in os.listdir(os.path.join(out_dir, c))
+            if t != table and os.path.isdir(os.path.join(out_dir, c, t))
+        }
+    )
+    for t in other_tables:
+        _carry_table_files(out_dir, affected, t, os.path.join(tmp_dir, t))
+    os.rename(tmp_dir, os.path.join(out_dir, new_name))
+
+    committed = _swap_chunks_commit(
+        out_dir, new_name, affected, set(chunks), "delete"
+    )
+    return {
+        "matched": matched,
+        "deleted": n_rows,
         "affected": affected,
         "new": new_name,
         "snapshot": int(committed.get("snapshot", 0)),

@@ -219,3 +219,67 @@ def test_merge_aborts_on_concurrent_append(spark, merge_store, monkeypatch):
     assert racer in res["affected"]
     rows = _docs(spark, out).filter(F.col("doc_id") == target).collect()
     assert [r["account"] for r in rows] == ["MERGED"]
+
+
+def test_delete_rows_rewrites_only_affected_and_time_travels(spark, merge_store):
+    from horus_spark.sources.sink import _read_table_manifest, delete_rows
+
+    out = merge_store
+    before = _docs(spark, out)
+    pre_snap = _read_table_manifest(out)["snapshot"]
+    pre_chunks = set(_read_table_manifest(out)["chunks"])
+    pre_ids = sorted(r["doc_id"] for r in before.select("doc_id").collect())
+    # two victims from ONE chunk so exactly one chunk is affected
+    victims = [
+        r["doc_id"]
+        for r in before.filter(F.col("chunk") == before.select("chunk").first()[0])
+        .select("doc_id").limit(2).collect()
+    ]
+    keys = spark.createDataFrame(
+        [(v,) for v in victims] + [("no-such-doc",)] + [(victims[0],)],  # dup + miss
+        "doc_id string",
+    )
+    res = delete_rows(spark, out, "documents_out", keys, ["doc_id"])
+    assert res["matched"] == 2
+    assert res["deleted"] == 2
+    assert len(res["affected"]) == 1
+    assert res["new"].startswith("chunk=delete-")
+    assert res["snapshot"] == pre_snap + 1
+
+    after = _docs(spark, out)
+    ids = sorted(r["doc_id"] for r in after.select("doc_id").collect())
+    assert ids == sorted(set(pre_ids) - set(victims))
+    # untouched chunks survive verbatim
+    post_chunks = set(_read_table_manifest(out)["chunks"])
+    assert pre_chunks - set(res["affected"]) <= post_chunks
+    # time travel: the pre-delete snapshot still shows the victims
+    old = _docs(spark, out, snapshot=pre_snap)
+    assert sorted(r["doc_id"] for r in old.select("doc_id").collect()) == pre_ids
+    # no-op delete: nothing matches, snapshot unchanged
+    res2 = delete_rows(
+        spark, out, "documents_out",
+        spark.createDataFrame([("nope",)], "doc_id string"), ["doc_id"],
+    )
+    assert res2 == {
+        "matched": 0, "deleted": 0, "affected": [], "new": None,
+        "snapshot": res["snapshot"],
+    }
+
+
+def test_delete_all_rows_of_a_chunk_keeps_snapshot_valid(spark, merge_store):
+    """Deleting every row an affected chunk holds must leave a readable
+    (possibly empty) rewritten chunk — the swap's atomicity does not
+    depend on survivors existing."""
+    from horus_spark.sources.sink import delete_rows, read_output
+
+    out = merge_store
+    before = _docs(spark, out)
+    chunk0 = before.select("chunk").first()[0]
+    victims = before.filter(F.col("chunk") == chunk0).select("doc_id")
+    n = victims.count()
+    res = delete_rows(spark, out, "documents_out", victims, ["doc_id"])
+    assert res["deleted"] == n
+    remaining = read_output(spark, out, "documents_out")
+    assert remaining.filter(F.col("doc_id").isin(
+        [r["doc_id"] for r in victims.collect()]
+    )).count() == 0
