@@ -2028,6 +2028,65 @@ def _q100_multimodal_keep_best(spark, sf_dir):
     return keep_best_per_cluster(quality, pairs, "n_text_tokens")
 
 
+def _q101_dml_roundtrip(spark, sf_dir):
+    """The catalog's full DML triad end-to-end on its OWN storage:
+    orders is INSERTed as four append_chunk batches (keyed o_orderkey %
+    4), MERGEd (every key ≡ 3 mod 10 gets o_totalprice + 1000, plus two
+    brand-new rows), then DELETEd (every key ≡ 0 mod 7), and the final
+    snapshot is read back. Each step is a copy-on-write CAS snapshot
+    commit with serializable validation (sink.py merge_upsert /
+    delete_rows / append_chunk); the oracle replays the same algebra as
+    one SQL expression over orders — reference semantics: HorusSql.cs's
+    transactional per-document delete+insert (HorusSql.cs:210-311)
+    generalized to set-oriented DML."""
+    import shutil
+    import tempfile
+
+    from horus_spark.sources.sink import (
+        append_chunk,
+        delete_rows,
+        merge_upsert,
+        read_output,
+    )
+
+    o = _load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    out = tempfile.mkdtemp(prefix="horus_q101_")
+    try:
+        for i in range(4):
+            append_chunk(
+                out,
+                {"orders": o.filter(F.col("o_orderkey") % 4 == i)},
+                run_id=f"seed{i}",
+            )
+        upd = o.filter(F.col("o_orderkey") % 10 == 3).withColumn(
+            "o_totalprice", F.col("o_totalprice") + F.lit(1000.0)
+        )
+        ins = spark.createDataFrame(
+            [(-1, 1, "X", 1.5), (-2, 2, "X", 2.5)],
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double",
+        )
+        merge_upsert(spark, out, "orders", upd.unionByName(ins), ["o_orderkey"])
+        delete_rows(
+            spark,
+            out,
+            "orders",
+            o.filter(F.col("o_orderkey") % 7 == 0).select("o_orderkey"),
+            ["o_orderkey"],
+        )
+        final = read_output(spark, out, "orders").drop("chunk")
+        rows = final.collect()  # materialize before the tempdir vanishes
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -2130,6 +2189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q98_redact_spans": _q98_redact_spans,
         "q99_segment_spans": _q99_segment_spans,
         "q100_multimodal_keep_best": _q100_multimodal_keep_best,
+        "q101_dml_roundtrip": _q101_dml_roundtrip,
     }
 
 
@@ -2826,6 +2886,28 @@ def _oracle_sql_literals() -> dict[str, str]:
         "q97_incremental_multimodal": q97_sql,
         "q98_redact_spans": q98_sql,
         "q100_multimodal_keep_best": q100_sql,
+        # q101: the catalog DML triad (append / merge / delete) replayed
+        # as one SQL expression over orders — UNION the merge's inserts,
+        # CASE the merge's updates, filter the deletes. Row parity with
+        # the engine's own snapshot-store read-back proves the chunk
+        # rewrites drop/replace exactly the keyed rows and nothing else.
+        "q101_dml_roundtrip": """
+          WITH merged AS (
+            SELECT o_orderkey, o_custkey, o_orderstatus,
+                   CASE WHEN o_orderkey % 10 = 3
+                        THEN o_totalprice + 1000.0 ELSE o_totalprice END
+                     AS o_totalprice
+            FROM orders
+            UNION ALL
+            SELECT * FROM (VALUES (-1, 1, 'X', 1.5), (-2, 2, 'X', 2.5))
+              AS ins(o_orderkey, o_custkey, o_orderstatus, o_totalprice)
+          )
+          SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+                 CAST(o_custkey AS BIGINT) AS o_custkey,
+                 o_orderstatus,
+                 CAST(o_totalprice AS DOUBLE) AS o_totalprice
+          FROM merged WHERE o_orderkey % 7 != 0
+        """,
         "q33_dedup_pipeline": q33_sql,
         "q76_incremental_dedup": q76_sql,
         "q40_dedup_clusters": q40_sql,

@@ -550,6 +550,37 @@ def _update_table_manifest(out_dir: str, chunk_dirname: str, run_id: str) -> Non
     _commit_table_manifest(out_dir, mutate, run_id=run_id)
 
 
+def append_chunk(
+    out_dir: str, tables: dict[str, DataFrame], run_id: str = "append"
+) -> dict:
+    """Append ONE committed chunk of arbitrary tables to the snapshot
+    catalog — the generic INSERT of the DML triad (merge_upsert /
+    delete_rows are the other two), making the chunk layout a
+    general-purpose table store rather than an extraction-only sink.
+
+    Same atomicity contract as run_checkpointed's chunks: every table
+    is written under a staged `_tmp_*` dir, the whole chunk is promoted
+    with a single os.rename, and the CAS manifest commit publishes it —
+    a reader racing the append sees the previous or the next complete
+    snapshot, never a partial chunk, and a crash before the commit
+    leaves only an invisible directory for vacuum to reclaim.
+
+    Returns {"chunk": dirname, "snapshot": id}."""
+    if not tables:
+        raise ValueError("tables must be non-empty")
+    m = _read_table_manifest(out_dir) or {"chunks": [], "snapshot": 0}
+    name = _fresh_chunk_name(out_dir, "append", int(m.get("snapshot", 0)))
+    tmp_dir = os.path.join(out_dir, f"_tmp_{name.replace('=', '_')}")
+    if os.path.exists(tmp_dir):
+        shutil.rmtree(tmp_dir)
+    for table, df in tables.items():
+        df.write.mode("overwrite").parquet(os.path.join(tmp_dir, table))
+    os.rename(tmp_dir, os.path.join(out_dir, name))
+    _update_table_manifest(out_dir, name, run_id)
+    committed = _read_table_manifest(out_dir) or {}
+    return {"chunk": name, "snapshot": int(committed.get("snapshot", 0))}
+
+
 def list_snapshots(out_dir: str) -> list[int]:
     """Snapshot ids retained under _snapshots/, ascending."""
     snap_dir = os.path.join(out_dir, "_snapshots")
@@ -577,7 +608,23 @@ def read_output(
     (every manifest commit archives its content under _snapshots/).
     Retracted chunk DIRECTORIES may have been deleted by the writer, so
     a historical snapshot is readable as long as its chunks still exist
-    — same contract as an expired Iceberg snapshot."""
+    — same contract as an expired Iceberg snapshot.
+
+    Chunks may be HETEROGENEOUS (append_chunk accepts any table set per
+    chunk; a merge/delete chunk carries only the tables its members
+    held), so chunks without this table are skipped; a table no chunk
+    holds is a loud error."""
+
+    def _table_paths(chunk_list: list[str], what: str) -> list[str]:
+        paths = [os.path.join(out_dir, c, table) for c in chunk_list]
+        found = [p for p in paths if os.path.isdir(p)]
+        if not found:
+            raise ValueError(
+                f"table {table!r} exists in no chunk of {what} "
+                f"(chunks: {chunk_list})"
+            )
+        return found
+
     if snapshot is not None:
         path = os.path.join(
             out_dir, "_snapshots", f"snapshot_{int(snapshot):06d}.json"
@@ -591,7 +638,7 @@ def read_output(
         if not m["chunks"]:
             raise ValueError(f"snapshot {snapshot} is empty")
         return spark.read.option("basePath", out_dir).parquet(
-            *[os.path.join(out_dir, c, table) for c in m["chunks"]]
+            *_table_paths(m["chunks"], f"snapshot {snapshot}")
         )
     m = _read_table_manifest(out_dir)
     if m is not None:
@@ -604,7 +651,7 @@ def read_output(
                 f"{m.get('snapshot', 0)}"
             )
         return spark.read.option("basePath", out_dir).parquet(
-            *[os.path.join(out_dir, c, table) for c in m["chunks"]]
+            *_table_paths(m["chunks"], "the current snapshot")
         )
     # legacy layouts written before the manifest existed
     return spark.read.option("basePath", out_dir).parquet(

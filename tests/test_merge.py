@@ -283,3 +283,51 @@ def test_delete_all_rows_of_a_chunk_keeps_snapshot_valid(spark, merge_store):
     assert remaining.filter(F.col("doc_id").isin(
         [r["doc_id"] for r in victims.collect()]
     )).count() == 0
+
+
+def test_append_chunk_generic_store_and_heterogeneous_reads(spark, tmp_path):
+    """append_chunk makes the catalog a general-purpose table store:
+    chunks may carry different table sets; read_output skips chunks
+    without the table and errors loudly when no chunk has it. Also the
+    insert-only-merge shape: a chunk holding only one table must not
+    break reads of the others."""
+    from horus_spark.sources.sink import append_chunk, read_output
+
+    out = str(tmp_path / "generic")
+    a = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    b = spark.createDataFrame([(10.5,), (11.5,)], "x double")
+    r1 = append_chunk(out, {"ta": a, "tb": b}, run_id="r1")
+    r2 = append_chunk(out, {"ta": a.withColumn("k", F.col("k") + 2)}, run_id="r2")
+    assert r2["snapshot"] == r1["snapshot"] + 1
+
+    got_a = read_output(spark, out, "ta")
+    assert sorted(r["k"] for r in got_a.collect()) == [1, 2, 3, 4]
+    # tb lives only in chunk 1 — the chunk-2 miss must be skipped
+    assert sorted(r["x"] for r in read_output(spark, out, "tb").collect()) == [
+        10.5, 11.5,
+    ]
+    with pytest.raises(ValueError, match="exists in no chunk"):
+        read_output(spark, out, "nope")
+    # time travel to snapshot 1: only the first append visible
+    old = read_output(spark, out, "ta", snapshot=r1["snapshot"])
+    assert sorted(r["k"] for r in old.collect()) == [1, 2]
+
+
+def test_merge_insert_only_keeps_other_tables_readable(spark, merge_store):
+    """An insert-only merge creates a chunk holding just the merged
+    table; reading a sibling table must skip it instead of failing on
+    the missing path."""
+    from horus_spark.sources.sink import merge_upsert, read_output
+
+    out = merge_store
+    before = _docs(spark, out)
+    cols = [c for c in before.columns if c != "chunk"]
+    one = before.select(*cols).orderBy("doc_id").limit(1).collect()[0].asDict()
+    ins = spark.createDataFrame(
+        [{**one, "doc_id": "fresh-insert", "file_name": "fi.pdf"}],
+        schema=before.select(*cols).schema,
+    )
+    pre_li = read_output(spark, out, "line_items").count()
+    res = merge_upsert(spark, out, "documents_out", ins, ["doc_id"])
+    assert res["affected"] == []
+    assert read_output(spark, out, "line_items").count() == pre_li
