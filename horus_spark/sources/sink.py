@@ -594,9 +594,16 @@ def list_snapshots(out_dir: str) -> list[int]:
 
 
 def read_output(
-    spark, out_dir: str, table: str, snapshot: int | None = None
+    spark, out_dir: str, table: str, snapshot: int | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Read a table across all committed chunk directories.
+
+    `merge_schema=True` enables ADD-COLUMN evolution across chunks
+    (parquet mergeSchema): chunks appended after a column was added
+    union with older chunks, which read the new column as NULL — the
+    Iceberg add-column contract. Off by default because it reads every
+    file's footer; schema-stable stores (the extraction sink) skip it.
 
     Prefers the `_table_manifest.json` snapshot (the consistent-reader
     contract: a chunk becomes visible only after its manifest commit, so
@@ -625,6 +632,10 @@ def read_output(
             )
         return found
 
+    reader = spark.read.option("basePath", out_dir)
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+
     if snapshot is not None:
         path = os.path.join(
             out_dir, "_snapshots", f"snapshot_{int(snapshot):06d}.json"
@@ -637,7 +648,7 @@ def read_output(
             m = json.load(fh)
         if not m["chunks"]:
             raise ValueError(f"snapshot {snapshot} is empty")
-        return spark.read.option("basePath", out_dir).parquet(
+        return reader.parquet(
             *_table_paths(m["chunks"], f"snapshot {snapshot}")
         )
     m = _read_table_manifest(out_dir)
@@ -650,13 +661,11 @@ def read_output(
                 f"{out_dir} has no committed chunks at snapshot "
                 f"{m.get('snapshot', 0)}"
             )
-        return spark.read.option("basePath", out_dir).parquet(
+        return reader.parquet(
             *_table_paths(m["chunks"], "the current snapshot")
         )
     # legacy layouts written before the manifest existed
-    return spark.read.option("basePath", out_dir).parquet(
-        os.path.join(out_dir, "chunk=*", table)
-    )
+    return reader.parquet(os.path.join(out_dir, "chunk=*", table))
 
 
 _LINE_ITEM_COLS = [

@@ -331,3 +331,24 @@ def test_merge_insert_only_keeps_other_tables_readable(spark, merge_store):
     res = merge_upsert(spark, out, "documents_out", ins, ["doc_id"])
     assert res["affected"] == []
     assert read_output(spark, out, "line_items").count() == pre_li
+
+
+def test_read_output_merge_schema_add_column(spark, tmp_path):
+    """ADD-COLUMN evolution: a chunk appended with an extra column unions
+    with older chunks under merge_schema=True; old rows read the new
+    column as NULL (the Iceberg add-column contract)."""
+    from horus_spark.sources.sink import append_chunk, read_output
+
+    out = str(tmp_path / "evolve")
+    append_chunk(
+        out, {"t": spark.createDataFrame([(1, "a")], "k long, v string")}, "r1"
+    )
+    append_chunk(
+        out,
+        {"t": spark.createDataFrame([(2, "b", 9.5)], "k long, v string, w double")},
+        "r2",
+    )
+    got = read_output(spark, out, "t", merge_schema=True)
+    assert sorted(got.columns) == ["chunk", "k", "v", "w"]
+    rows = {r["k"]: r["w"] for r in got.collect()}
+    assert rows == {1: None, 2: 9.5}
