@@ -920,15 +920,102 @@ def _carry_table_files(out_dir: str, members: list[str], table: str, dest: str) 
                 shutil.copy2(os.path.join(src, name), target)
 
 
+# footer-pruning collect cap: the DML key set is broadcast-small by
+# contract, but guard the driver anyway — above this many distinct keys
+# the probe skips stats pruning and scans (still column-pruned).
+_STATS_PRUNE_MAX_KEYS = 100_000
+
+
+def _stats_candidate_chunks(
+    out_dir: str, table: str, chunks: list[str], key_cols: list[str],
+    keys: DataFrame,
+) -> list[str]:
+    """Parquet-footer min/max pruning of the DML probe — the local
+    analog of a table format's column-bounds manifest (Iceberg prunes
+    data files by exactly these stats; here they live in the files'
+    own footers, read driver-side without launching a job).
+
+    A chunk can be skipped iff EVERY part file of the table proves no
+    key value falls inside its [min, max]. Conservative by design:
+    multi-column keys, missing stats, unreadable footers, or an
+    oversized key set keep the chunk (correctness never depends on
+    pruning — the scan probe over candidates gives identical answers,
+    which is what the equivalence pytest pins)."""
+    if len(key_cols) != 1:
+        return chunks
+    try:
+        import pyarrow.parquet as pq
+    except Exception:
+        return chunks
+    rows = keys.limit(_STATS_PRUNE_MAX_KEYS + 1).collect()
+    if len(rows) > _STATS_PRUNE_MAX_KEYS:
+        return chunks
+    vals = [r[0] for r in rows if r[0] is not None]
+    if not vals:
+        return chunks
+    try:
+        lo, hi = min(vals), max(vals)
+        vset = set(vals)
+    except TypeError:  # unorderable key type
+        return chunks
+
+    kept: list[str] = []
+    for c in chunks:
+        tdir = os.path.join(out_dir, c, table)
+        if not os.path.isdir(tdir):
+            continue  # no table here — nothing to rewrite either
+        may_hold = False
+        for name in os.listdir(tdir):
+            if not name.endswith(".parquet"):
+                continue
+            try:
+                md = pq.ParquetFile(os.path.join(tdir, name)).metadata
+                idx = {
+                    md.row_group(0).column(j).path_in_schema: j
+                    for j in range(md.num_columns)
+                }
+                j = idx[key_cols[0]]
+                for g in range(md.num_row_groups):
+                    st = md.row_group(g).column(j).statistics
+                    if st is None or not st.has_min_max:
+                        may_hold = True
+                        break
+                    if st.max < lo or st.min > hi:
+                        continue  # disjoint range: this group is clean
+                    # range overlaps — for scattered keys, check membership
+                    if any(st.min <= v <= st.max for v in vset):
+                        may_hold = True
+                        break
+            except Exception:  # stats are best-effort; keep the chunk
+                may_hold = True
+            if may_hold:
+                break
+        if may_hold:
+            kept.append(c)
+    return kept
+
+
 def _probe_affected(
     spark, out_dir: str, table: str, keys: DataFrame, key_cols: list[str],
     chunks: list[str], base_snap: int,
 ) -> tuple[list[str], int, int]:
-    """Which baseline chunks hold any of `keys`? One column-pruned scan
-    pinned to the baseline snapshot. Returns (affected chunk dirnames,
-    n distinct keys matched, n rows matched)."""
+    """Which baseline chunks hold any of `keys`? Footer-stats pruning
+    first (no job), then one column-pruned scan over the surviving
+    candidates, pinned to the baseline snapshot. Returns (affected
+    chunk dirnames, n distinct keys matched, n rows matched)."""
+    candidates = _stats_candidate_chunks(out_dir, table, chunks, key_cols, keys)
+    if not candidates:
+        return [], 0, 0
+    paths = [
+        p
+        for p in (os.path.join(out_dir, c, table) for c in candidates)
+        if os.path.isdir(p)
+    ]
+    if not paths:
+        return [], 0, 0
     probe = (
-        read_output(spark, out_dir, table, snapshot=base_snap)
+        spark.read.option("basePath", out_dir)
+        .parquet(*paths)
         .select("chunk", *key_cols)
         .join(F.broadcast(keys), key_cols)
     ).localCheckpoint(eager=False)  # three consumers, one computed copy
@@ -1030,11 +1117,13 @@ def merge_upsert(
     merged keys the rewrite did not cover) and aborts with a retryable
     error otherwise — Iceberg's MERGE validation semantics.
 
-    Scale shape: the touched-chunk probe is a column-pruned scan of
-    (key_cols, chunk) semi-joined to the broadcast update keys — chunks
-    without matches are NEVER rewritten (with per-chunk key min/max in
-    the manifest this probe becomes pure metadata pruning; noted as the
-    upgrade path). OTHER tables living in the affected chunk dirs are
+    Scale shape: the touched-chunk probe runs parquet-footer min/max
+    pruning first (driver-side, no job — the Iceberg column-bounds
+    manifest analog; chunks whose key ranges cannot hold any update key
+    are skipped without a scan), then a column-pruned scan of
+    (key_cols, chunk) joined to the broadcast update keys over the
+    surviving candidates — chunks without matches are NEVER rewritten.
+    OTHER tables living in the affected chunk dirs are
     carried over by hard link (object-store analog: the new snapshot
     references the old data files) — zero data movement for tables the
     merge does not touch; their rows are intentionally untouched, so

@@ -352,3 +352,51 @@ def test_read_output_merge_schema_add_column(spark, tmp_path):
     assert sorted(got.columns) == ["chunk", "k", "v", "w"]
     rows = {r["k"]: r["w"] for r in got.collect()}
     assert rows == {1: None, 2: 9.5}
+
+
+def test_footer_stats_pruning_equivalence_and_prune(spark, tmp_path):
+    """The parquet-footer min/max probe tier: chunks whose key ranges
+    cannot hold any DML key are skipped WITHOUT a scan, and the pruned
+    probe's answers are identical to the unpruned scan's (pruning is a
+    plan property, never an answer property)."""
+    from horus_spark.sources import sink
+    from horus_spark.sources.sink import (
+        _stats_candidate_chunks,
+        append_chunk,
+        delete_rows,
+        merge_upsert,
+        read_output,
+    )
+
+    out = str(tmp_path / "pruned")
+    # four chunks with DISJOINT key ranges (one part file each)
+    for i in range(4):
+        df = spark.range(i * 100, i * 100 + 100).select(
+            F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+        ).coalesce(1)
+        append_chunk(out, {"t": df}, f"r{i}")
+    chunks = sink._read_table_manifest(out)["chunks"]
+
+    # keys 150, 160 live only in chunk 2's range [100, 200)
+    keys = spark.createDataFrame([(150,), (160,)], "k long")
+    cands = _stats_candidate_chunks(out, "t", chunks, ["k"], keys)
+    assert len(cands) == 1, cands
+    # a key inside the hull but absent from every range still prunes
+    # correctly per-chunk (scattered-key membership, not just min/max)
+    wide = spark.createDataFrame([(50,), (350,)], "k long")
+    assert len(_stats_candidate_chunks(out, "t", chunks, ["k"], wide)) == 2
+
+    # end-to-end: merge + delete through the pruned probe give exactly
+    # the unpruned algebra's answer
+    upd = spark.createDataFrame([(150, -1.0), (160, -2.0)], "k long, v double")
+    res = merge_upsert(spark, out, "t", upd, ["k"])
+    assert res["matched"] == 2 and len(res["affected"]) == 1
+    res = delete_rows(
+        spark, out, "t", spark.createDataFrame([(50,), (350,)], "k long"), ["k"]
+    )
+    assert res["deleted"] == 2 and len(res["affected"]) == 2
+    got = {r["k"]: r["v"] for r in read_output(spark, out, "t").collect()}
+    assert len(got) == 398 and got[150] == -1.0 and got[160] == -2.0
+    assert 50 not in got and 350 not in got
+    # multi-column keys fall back to scanning every chunk (conservative)
+    assert _stats_candidate_chunks(out, "t", chunks, ["k", "v"], keys) == chunks
