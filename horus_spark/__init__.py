@@ -183,6 +183,9 @@ def __getattr__(name):
         "compact_chunks": ("horus_spark.sources.sink", "compact_chunks"),
         "expire_snapshots": ("horus_spark.sources.sink", "expire_snapshots"),
         "vacuum_chunks": ("horus_spark.sources.sink", "vacuum_chunks"),
+        "append_chunk": ("horus_spark.sources.sink", "append_chunk"),
+        "merge_upsert": ("horus_spark.sources.sink", "merge_upsert"),
+        "delete_rows": ("horus_spark.sources.sink", "delete_rows"),
         "kmeans_fit_full": ("horus_spark.operators.kmeans", "kmeans_fit_full"),
         "kmeans_clusters": ("horus_spark.operators.kmeans", "kmeans_clusters"),
         "kmeans_assign": ("horus_spark.operators.kmeans", "kmeans_assign"),
