@@ -5,8 +5,10 @@ Collapses the reference's 10-activity orchestration
 recognize -> shred -> persist) into ONE Spark job with a single planned
 shuffle per input table:
 
-    ocr_words ── repartition(N, doc_id) ── mapInArrow(_extract_iter_arrow)
-                      (hash)                   │ L1-L4 layout + fields kernel
+    ocr_words ── groupBy(doc_id).agg(collect_list(struct(word cols)))
+                      (hash)          │  one shuffle; map-side partial agg
+                                      └─ mapInArrow(_extract_iter_arrow_grouped)
+                                               │ L1-L4 layout + fields kernel
                                                │ (doc_id, header_raw,
                                                │  lines_raw, field_line_ids)
     documents ───────── join(doc_id) ──────────┤
@@ -16,14 +18,19 @@ shuffle per input table:
                                                ▼
        extracted(doc header, line_items[], errors[], spans_out[]) -> sinks
 
-Skew control: row-level hash repartition on doc_id spreads media-heavy
-documents uniformly across 4x shuffle-parallelism partitions; per-doc cost
-is bounded (~250 words normally, hard kernel cap MAX_DOC_WORDS for
-pathological blobs), so no single key can skew a partition. The Arrow
-kernel sorts its partition by doc_id once and processes doc-aligned
-~64k-row chunks (reference's skew = 1..17 line items/doc, Generator.cs:64).
-One failing document degrades to its error channel, never the task
-(per-document isolation, DocumentProcessor.cs:101-106).
+Boundary shape: each document crosses the JVM<->Python Arrow boundary as ONE
+row (doc_id, words:array<struct>) — doc_id (42% of the flat shape's IPC
+bytes, measured) ships once per doc instead of once per word, and the
+map-side partial collect_list compresses the shuffle the same way. The
+legacy one-row-per-word shape remains behind HORUS_SPARK_BOUNDARY=flat.
+
+Skew control: hashing on doc_id spreads media-heavy documents uniformly
+(per-doc cost is bounded: ~250 words normally, hard kernel cap
+MAX_DOC_WORDS for pathological blobs), so no single key can skew a
+partition. The Arrow kernel processes doc-aligned ~64k-word chunks
+(reference's skew = 1..17 line items/doc, Generator.cs:64). One failing
+document degrades to its error channel, never the task (per-document
+isolation, DocumentProcessor.cs:101-106).
 """
 
 from __future__ import annotations
@@ -388,6 +395,58 @@ def _extract_iter_arrow(batches, configs: dict | None = None):
         s = e
 
 
+def _extract_iter_arrow_grouped(batches, configs: dict | None = None):
+    """mapInArrow kernel over the GROUPED boundary shape
+    (doc_id, words:array<struct<page,line_id,word_id,text,x0,y0,x1,y1>>).
+
+    Each input row is one whole document, so doc contiguity is free: no
+    factorize/argsort/take over the word rows (the flat kernel's prelude
+    rematerialized every column of ~10M rows per 100k docs). The list
+    column flattens zero-copy into per-word arrays; doc_id expands to a
+    per-word column as an object-pointer repeat (pointers to the ~n_docs
+    shared strings, not string copies). Chunking walks doc boundaries via
+    the cumulative word counts — same ~64k-word doc-aligned chunks as the
+    flat path (any doc-contiguous order is valid semantics)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    batches = list(batches)
+    if not batches:
+        return
+    tbl = pa.Table.from_batches(batches)
+    del batches
+    ids = tbl.column("doc_id").combine_chunks()
+    words = tbl.column("words").combine_chunks()
+    del tbl
+    counts = pc.list_value_length(words).to_numpy().astype(np.int64)
+    values = words.flatten()  # StructArray: one row per word, doc-contiguous
+    del words
+    doc_ids = np.repeat(ids.to_numpy(zero_copy_only=False), counts)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": doc_ids,
+            "page": values.field("page").to_numpy(zero_copy_only=False),
+            "line_id": values.field("line_id").to_numpy(zero_copy_only=False),
+            "word_id": values.field("word_id").to_numpy(zero_copy_only=False),
+            "text": values.field("text").to_numpy(zero_copy_only=False),
+            "x0": values.field("x0").to_numpy(zero_copy_only=False),
+            "y0": values.field("y0").to_numpy(zero_copy_only=False),
+            "x1": values.field("x1").to_numpy(zero_copy_only=False),
+            "y1": values.field("y1").to_numpy(zero_copy_only=False),
+        }
+    )
+    del values
+    cum = np.concatenate([[0], np.cumsum(counts)])
+    n_docs = len(counts)
+    d = 0
+    while d < n_docs:
+        e = int(np.searchsorted(cum, cum[d] + _KERNEL_CHUNK_ROWS, side="right")) - 1
+        e = min(max(e, d + 1), n_docs)  # >=1 doc of progress, <=n_docs
+        yield _extract_batch_arrow(pdf.iloc[cum[d] : cum[e]], configs)
+        d = e
+
+
 def _extract_iter(batches, configs: dict | None = None, with_fields_map: bool = False):
     """mapInPandas kernel: one hash-partition of OCR words (all rows of a
     doc land in the same partition; no within-partition order assumed).
@@ -413,21 +472,10 @@ def _extract_iter(batches, configs: dict | None = None, with_fields_map: bool = 
         s = e
 
 
-def _flat_words(ocr_words: DataFrame, n_partitions: int | None) -> DataFrame:
-    """Project + flatten bboxes JVM-side, then hash-repartition by doc_id so
-    every document's words land in one partition (grouped in the kernel).
-
-    Row-level doc_id hashing into P partitions balances within ~5-8%
-    (multinomial over ~10^3 docs/partition), unlike hashing coarse bucket
-    ids which left 1.5-6x stragglers; docs are bounded (<=~250 words) so
-    no single key can skew a partition."""
-    spark = ocr_words.sparkSession
-    if n_partitions is None:
-        # 4x shuffle parallelism: ~0.3-0.5s tasks overlap Python compute
-        # with JVM shuffle reads and smooth per-doc weight variance
-        n_partitions = 4 * int(spark.conf.get("spark.sql.shuffle.partitions"))
+def _word_projection(ocr_words: DataFrame) -> DataFrame:
+    """Project + flatten bboxes JVM-side (shared by both boundary shapes)."""
     b = F.col("bbox")
-    flat = ocr_words.select(
+    return ocr_words.select(
         "doc_id",
         "page",
         "line_id",
@@ -440,7 +488,50 @@ def _flat_words(ocr_words: DataFrame, n_partitions: int | None) -> DataFrame:
         F.greatest(b[2], b[4]).alias("x1"),
         F.greatest(b[5], b[7]).alias("y1"),
     )
-    return flat.repartition(n_partitions, "doc_id")
+
+
+def _flat_words(ocr_words: DataFrame, n_partitions: int | None) -> DataFrame:
+    """Flat boundary shape (legacy/A-B path): one row per word, then
+    hash-repartition by doc_id so every document's words land in one
+    partition (grouped in the kernel).
+
+    Row-level doc_id hashing into P partitions balances within ~5-8%
+    (multinomial over ~10^3 docs/partition), unlike hashing coarse bucket
+    ids which left 1.5-6x stragglers; docs are bounded (<=~250 words) so
+    no single key can skew a partition."""
+    spark = ocr_words.sparkSession
+    if n_partitions is None:
+        # 4x shuffle parallelism: ~0.3-0.5s tasks overlap Python compute
+        # with JVM shuffle reads and smooth per-doc weight variance
+        n_partitions = 4 * int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return _word_projection(ocr_words).repartition(n_partitions, "doc_id")
+
+
+def _grouped_words(ocr_words: DataFrame, n_partitions: int | None) -> DataFrame:
+    """Grouped boundary shape (hot path): collect each document's words into
+    one array<struct> row BEFORE the Python boundary.
+
+    Why: doc_id is a ~27-byte string repeated per word — 42% of all bytes
+    crossing the JVM<->Python Arrow IPC stream in the flat shape (measured
+    on the 100k bench corpus: 27.2 of 64.6 B/row). Grouping ships it once
+    per document and lets the map-side partial collect_list carry it once
+    per (doc, map partition) through the shuffle too. Pinned A/B of the
+    boundary alone at 8 cores: flat 7.0s -> grouped 2.44s (min-of-4).
+
+    The groupBy hashes on doc_id exactly like the flat path's repartition,
+    so skew properties are identical (per-doc cost bounded by
+    MAX_DOC_WORDS). With n_partitions=None the agg uses
+    spark.sql.shuffle.partitions and keeps the map-side partial aggregate;
+    an explicit n_partitions pre-repartitions (the partial agg then
+    degenerates, only worth it when a test pins parallelism)."""
+    flat = _word_projection(ocr_words)
+    if n_partitions is not None:
+        flat = flat.repartition(n_partitions, "doc_id")
+    return flat.groupBy("doc_id").agg(
+        F.collect_list(
+            F.struct("page", "line_id", "word_id", "text", "x0", "y0", "x1", "y1")
+        ).alias("words")
+    )
 
 
 def recognize(
@@ -452,13 +543,26 @@ def recognize(
 
     Replaces the reference's external form-recognizer call
     (DocumentProcessor.cs:196-301) with local layout math. One shuffle
-    (hash-repartition on doc_id). `configs` (fmt -> extraction config, from
-    the model registry) rides to executors in the kernel closure."""
+    (hash on doc_id). `configs` (fmt -> extraction config, from the model
+    registry) rides to executors in the kernel closure.
+
+    Boundary shape: grouped (collect_list per doc) by default — 42% fewer
+    bytes across the Arrow IPC stream and a partial-agg-compressed shuffle;
+    set HORUS_SPARK_BOUNDARY=flat for the legacy one-row-per-word shape
+    (kept for A/B benches and as a fallback)."""
+    if _os.environ.get("HORUS_SPARK_BOUNDARY", "grouped") == "flat":
+
+        def kernel_flat(batches):
+            yield from _extract_iter_arrow(batches, configs)
+
+        return _flat_words(ocr_words, n_buckets).mapInArrow(
+            kernel_flat, schema=FIELDS_SCHEMA
+        )
 
     def kernel(batches):
-        yield from _extract_iter_arrow(batches, configs)
+        yield from _extract_iter_arrow_grouped(batches, configs)
 
-    return _flat_words(ocr_words, n_buckets).mapInArrow(kernel, schema=FIELDS_SCHEMA)
+    return _grouped_words(ocr_words, n_buckets).mapInArrow(kernel, schema=FIELDS_SCHEMA)
 
 
 def recognize_with_fields_map(

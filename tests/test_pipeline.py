@@ -260,3 +260,47 @@ def test_extract_batch_empty_input_matches_schema(spark):
         empty = _extract_batch(words.iloc[0:0], with_fields_map=with_map)
         assert list(empty.columns) == list(full.columns)
         assert len(empty) == 0
+
+
+def test_boundary_shapes_agree(spark, monkeypatch):
+    """The grouped (collect_list per doc) and flat (row per word) Arrow
+    boundary shapes must produce identical recognizer output — the grouped
+    shape only changes HOW bytes cross the JVM<->Python stream, never what
+    the kernel computes. Differential over a fresh corpus, all columns
+    except the wall-clock timer."""
+    from horus_spark.pipeline import recognize
+
+    c = corpus_spark(spark, 60, partitions=4)
+    words = c["ocr_words"]
+
+    monkeypatch.setenv("HORUS_SPARK_BOUNDARY", "flat")
+    flat_rows = recognize(words).drop("time_to_shred_ms").sort("doc_id").collect()
+    monkeypatch.setenv("HORUS_SPARK_BOUNDARY", "grouped")
+    grouped_rows = recognize(words).drop("time_to_shred_ms").sort("doc_id").collect()
+
+    assert len(flat_rows) == len(grouped_rows) == 60
+    assert flat_rows == grouped_rows
+
+
+def test_grouped_kernel_chunking_doc_aligned(spark):
+    """Chunk boundaries in the grouped kernel walk whole documents: with a
+    tiny chunk target every chunk still holds complete docs (one output row
+    per doc overall, none split or dropped), including a doc larger than
+    the chunk target on its own."""
+    import pyarrow as pa
+
+    from horus_spark import pipeline as P
+
+    c = corpus_spark(spark, 25, partitions=2)
+    grouped = P._grouped_words(c["ocr_words"], None).toArrow()
+    batches = grouped.to_batches()
+
+    old = P._KERNEL_CHUNK_ROWS
+    P._KERNEL_CHUNK_ROWS = 8  # far below any real doc's word count
+    try:
+        out = list(P._extract_iter_arrow_grouped(iter(batches)))
+    finally:
+        P._KERNEL_CHUNK_ROWS = old
+    ids = [i for b in out for i in b.column(0).to_pylist()]
+    assert sorted(ids) == sorted(grouped.column("doc_id").to_pylist())
+    assert len(ids) == len(set(ids)) == 25
