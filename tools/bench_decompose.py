@@ -94,6 +94,18 @@ def _level_child(cores: int, stage: str) -> None:
             yield from batches
 
         df = flat.mapInArrow(ident, schema=flat.schema)
+    elif stage == "arrow_noop_grouped":
+        # same boundary no-op over the GROUPED shape (one array<struct> row
+        # per document): measures what the collect_list boundary actually
+        # ships through shuffle + Arrow IPC, minus all per-doc compute
+        from horus_spark.pipeline import _grouped_words
+
+        grouped = _grouped_words(words, None)
+
+        def ident_g(batches):
+            yield from batches
+
+        df = grouped.mapInArrow(ident_g, schema=grouped.schema)
     elif stage == "jvm":
         from horus_spark.pipeline import run_extraction
 
@@ -176,8 +188,14 @@ def main() -> None:
         _level_child(int(sys.argv[2]), sys.argv[3])
         return
     _materialize()
+    stages = tuple(
+        s
+        for s in os.environ.get("HORUS_SCALE_STAGES", "kernel,jvm,full").split(",")
+        if s
+    )
+    do_sweep = os.environ.get("HORUS_CHUNK_SWEEP", "1") == "1"
     out: dict = {"n_docs": N_DOCS, "levels": LEVELS, "stages": {}, "chunk_sweep": []}
-    for stage in ("kernel", "jvm", "full"):
+    for stage in stages:
         rows = [_run_child(c, stage) for c in LEVELS]
         base = rows[0]
         for r in rows:
@@ -187,15 +205,17 @@ def main() -> None:
             )
         out["stages"][stage] = rows
         print(json.dumps({stage: rows}))
-    for chunk in CHUNK_SWEEP:
-        r = _run_child(
-            max(LEVELS), "kernel", {"HORUS_KERNEL_CHUNK_ROWS": str(chunk)}
-        )
-        out["chunk_sweep"].append(r)
-        print(json.dumps(r))
-    with open(os.path.join(REPO, "BENCH_DECOMPOSE.json"), "w") as fh:
+    if do_sweep:
+        for chunk in CHUNK_SWEEP:
+            r = _run_child(
+                max(LEVELS), "kernel", {"HORUS_KERNEL_CHUNK_ROWS": str(chunk)}
+            )
+            out["chunk_sweep"].append(r)
+            print(json.dumps(r))
+    dest = os.environ.get("HORUS_DECOMPOSE_OUT", "BENCH_DECOMPOSE.json")
+    with open(os.path.join(REPO, dest), "w") as fh:
         json.dump(out, fh, indent=1)
-    print("WROTE BENCH_DECOMPOSE.json")
+    print(f"WROTE {dest}")
 
 
 if __name__ == "__main__":
