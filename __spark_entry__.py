@@ -2087,6 +2087,60 @@ def _q101_dml_roundtrip(spark, sf_dir):
     )
 
 
+def _q102_span_langid(spark, sf_dir):
+    """Span-level language ID -> per-document language routing over the
+    interleaved corpus (the CCNet shape: classify each text RUN, weight
+    it by token mass, route the doc by the dominant language — and flag
+    genuinely mixed-language docs for their own mixture bucket, which a
+    doc-level classifier over concatenated text cannot do). Multilingual
+    docs are planted: every text span whose interleaved offset is 3 mod
+    5 is rewritten to a German marker sentence, so documents long enough
+    to reach offset 3 become mixed-language and the routing flag must
+    catch exactly those. Pure map-side nested array expressions
+    (transform -> langid filter folds), ZERO shuffle — scan-bound at
+    10^12 docs."""
+    from horus_spark.operators.interleave import span_languages
+
+    spans = _interleaved_docs(spark, sf_dir)
+    planted = spans.withColumn(
+        "spans",
+        F.transform(
+            F.col("spans"),
+            lambda s: F.struct(
+                s["kind"].alias("kind"),
+                F.when(
+                    (s["kind"] == F.lit("text")) & (s["offset"] % 5 == 3),
+                    F.lit("der die und das ist"),
+                )
+                .otherwise(s["text"])
+                .alias("text"),
+                s["media_ref"].alias("media_ref"),
+                s["offset"].alias("offset"),
+            ),
+        ),
+    )
+    return span_languages(_fanout(planted))
+
+
+def _q103_profile(spark, sf_dir):
+    """ANALYZE-style one-pass column profile of orders (row count, null
+    count, exact distinct count, min/max rendered to string) — the
+    statistics a lakehouse catalog keeps per column (and the operator
+    behind zone-map/footer-stats pruning decisions). One aggregation job:
+    the exact tier uses the multi-distinct Expand, the 100-TB tier
+    (exact=False) is a single non-expanded HLL pass. Float columns are
+    excluded here only because float->string rendering is
+    engine-specific (the oracle is DuckDB)."""
+    from horus_spark.operators.profile import profile_table
+
+    o = _load(spark, sf_dir, "orders")
+    return profile_table(
+        o,
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate",
+         "o_orderpriority"],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -2190,6 +2244,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q99_segment_spans": _q99_segment_spans,
         "q100_multimodal_keep_best": _q100_multimodal_keep_best,
         "q101_dml_roundtrip": _q101_dml_roundtrip,
+        "q102_span_langid": _q102_span_langid,
+        "q103_profile": _q103_profile,
     }
 
 
@@ -2908,6 +2964,107 @@ def _oracle_sql_literals() -> dict[str, str]:
                  CAST(o_totalprice AS DOUBLE) AS o_totalprice
           FROM merged WHERE o_orderkey % 7 != 0
         """,
+        # q102: interleaved span construction (same CTE shape as q88) ->
+        # plant German marker spans at interleaved offset 3 mod 5 ->
+        # per-span marker-argmax langid -> per-doc token-mass routing.
+        # Both argmaxes use the >=-chain (first code alphabetically wins
+        # ties), matching langid_expr / span_languages exactly.
+        "q102_span_langid": f"""
+          WITH tok AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+            FROM documents
+          ), chunks AS (
+            SELECT doc_id, w,
+                   unnest(generate_series(0,
+                     greatest(CAST(ceil(len(w) / 12.0) AS INT), 1) - 1)) AS i
+            FROM tok
+          ), raw AS (
+            SELECT doc_id, i*2 AS ord, 'text' AS kind,
+                   array_to_string(w[i*12+1 : i*12+12], ' ') AS text
+            FROM chunks
+            UNION ALL
+            SELECT doc_id, i*2+1, CASE WHEN (doc_id + i) % 2 = 0
+                                       THEN 'image' ELSE 'video' END, ''
+            FROM chunks WHERE i % 3 = 2
+          ), s AS (
+            SELECT doc_id, kind, text,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1
+                     AS off
+            FROM raw
+          ), planted AS (
+            SELECT doc_id,
+                   CASE WHEN off % 5 = 3 THEN 'der die und das ist'
+                        ELSE text END AS text
+            FROM s WHERE kind = 'text'
+          ), sp AS (
+            SELECT doc_id,
+                   string_split_regex(trim(lower(text)), '\\s+') AS t,
+                   CASE WHEN len(trim(text)) = 0 THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+')) END
+                     AS n_tok
+            FROM planted
+          ), scored AS (
+            SELECT doc_id, n_tok,
+              len(list_filter(t, x -> list_contains({_LANGS_SQL["de"]}, x))) AS s_de,
+              len(list_filter(t, x -> list_contains({_LANGS_SQL["en"]}, x))) AS s_en,
+              len(list_filter(t, x -> list_contains({_LANGS_SQL["es"]}, x))) AS s_es,
+              len(list_filter(t, x -> list_contains({_LANGS_SQL["fr"]}, x))) AS s_fr
+            FROM sp
+          ), langed AS (
+            SELECT doc_id, n_tok,
+              CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                   WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                   WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                   WHEN s_es >= s_fr THEN 'es'
+                   ELSE 'fr' END AS lang
+            FROM scored
+          ), mass AS (
+            SELECT doc_id,
+              CAST(sum(CASE WHEN lang='de' THEN n_tok ELSE 0 END) AS BIGINT) AS m_de,
+              CAST(sum(CASE WHEN lang='en' THEN n_tok ELSE 0 END) AS BIGINT) AS m_en,
+              CAST(sum(CASE WHEN lang='es' THEN n_tok ELSE 0 END) AS BIGINT) AS m_es,
+              CAST(sum(CASE WHEN lang='fr' THEN n_tok ELSE 0 END) AS BIGINT) AS m_fr,
+              CAST(sum(n_tok) AS BIGINT) AS text_tokens
+            FROM langed GROUP BY doc_id
+          )
+          SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+            CASE WHEN greatest(m_de, m_en, m_es, m_fr) = 0 THEN 'und'
+                 WHEN m_de >= m_en AND m_de >= m_es AND m_de >= m_fr THEN 'de'
+                 WHEN m_en >= m_es AND m_en >= m_fr THEN 'en'
+                 WHEN m_es >= m_fr THEN 'es'
+                 ELSE 'fr' END AS dominant_lang,
+            CAST((CASE WHEN m_de > 0 THEN 1 ELSE 0 END)
+               + (CASE WHEN m_en > 0 THEN 1 ELSE 0 END)
+               + (CASE WHEN m_es > 0 THEN 1 ELSE 0 END)
+               + (CASE WHEN m_fr > 0 THEN 1 ELSE 0 END) AS INT) AS n_langs,
+            CAST(CASE WHEN (CASE WHEN m_de > 0 THEN 1 ELSE 0 END)
+                         + (CASE WHEN m_en > 0 THEN 1 ELSE 0 END)
+                         + (CASE WHEN m_es > 0 THEN 1 ELSE 0 END)
+                         + (CASE WHEN m_fr > 0 THEN 1 ELSE 0 END) >= 2
+                      THEN 1 ELSE 0 END AS INT) AS is_multilingual,
+            greatest(m_de, m_en, m_es, m_fr) AS dom_tokens,
+            m_de + m_en + m_es + m_fr AS ided_tokens,
+            text_tokens
+          FROM mass
+        """,
+        # q103: same ANALYZE profile per column — count/nulls/exact
+        # distinct/min/max rendered to VARCHAR, one SELECT per column
+        "q103_profile": "\n          UNION ALL\n".join(
+            f"""
+          SELECT '{c}' AS col_name, count(*) AS n_rows,
+                 CAST(coalesce(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_nulls,
+                 CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+                 CAST(min({c}) AS VARCHAR) AS min_value,
+                 CAST(max({c}) AS VARCHAR) AS max_value
+          FROM orders"""
+            for c in (
+                "o_orderkey",
+                "o_custkey",
+                "o_orderstatus",
+                "o_orderdate",
+                "o_orderpriority",
+            )
+        ),
         "q33_dedup_pipeline": q33_sql,
         "q76_incremental_dedup": q76_sql,
         "q40_dedup_clusters": q40_sql,

@@ -227,6 +227,10 @@ def __getattr__(name):
         "stream_multimodal_ingest": (
             "horus_spark.streaming.incremental", "stream_multimodal_ingest",
         ),
+        "span_languages": (
+            "horus_spark.operators.interleave", "span_languages",
+        ),
+        "profile_table": ("horus_spark.operators.profile", "profile_table"),
     }
     if name in _API:
         import importlib

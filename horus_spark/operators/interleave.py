@@ -958,3 +958,85 @@ def segment_spans(
         F.col("s.kind").alias("kind"),
         F.col("s.span_tokens").alias("span_tokens"),
     )
+
+
+def span_languages(
+    spans_df: DataFrame, id_col: str = "doc_id", spans_col: str = "spans"
+) -> DataFrame:
+    """Span-level language ID -> per-document language routing over an
+    interleaved corpus (the CCNet shape: classify each text RUN, weight by
+    its token mass, route the document by the dominant language — a
+    doc-level classifier over concatenated text mislabels multilingual
+    documents, and mixed-language docs need their own mixture bucket).
+
+    Per text span: `textstats.langid_expr` (marker-word argmax, ties to
+    the lexicographically-first code, 'und' when no markers hit). Per
+    document: token mass per identified language (whitespace tokens of
+    the spans that voted for it), then
+
+    - dominant_lang: language with the largest mass (ties -> first code
+      alphabetically; no identified mass at all -> 'und'),
+    - n_langs: how many languages hold positive mass,
+    - is_multilingual: 1 when n_langs >= 2 (the routing flag),
+    - dom_tokens / ided_tokens / text_tokens: mass of the winner, of all
+      identified spans, and of every text span ('und' included) — the
+      coverage denominators a mixture planner needs.
+
+    Media spans carry no language and no mass. Pure map-side array
+    transforms + four folds per document — nested higher-order
+    expressions, no UDF, ZERO shuffle; at 10^12 docs this is scan-bound.
+    """
+    from .textstats import LANG_MARKERS, langid_expr
+
+    codes = sorted(LANG_MARKERS)
+    arr = F.filter(F.col(spans_col), lambda s: s["kind"] == F.lit("text"))
+    tagged = F.transform(
+        arr,
+        lambda s: F.struct(
+            langid_expr(F.coalesce(s["text"], F.lit(""))).alias("lang"),
+            _tok_count(s["text"]).cast("long").alias("n_tok"),
+        ),
+    )
+    zero = F.struct(
+        *(F.lit(0).cast("long").alias(c) for c in codes),
+        F.lit(0).cast("long").alias("total"),
+    )
+    folded = F.aggregate(
+        tagged,
+        zero,
+        lambda acc, t: F.struct(
+            *(
+                (
+                    acc[c]
+                    + F.when(t["lang"] == c, t["n_tok"]).otherwise(
+                        F.lit(0).cast("long")
+                    )
+                ).alias(c)
+                for c in codes
+            ),
+            (acc["total"] + t["n_tok"]).alias("total"),
+        ),
+    )
+    # two-step select so the fold runs ONCE per document, not once per
+    # derived column
+    base = spans_df.select(F.col(id_col), folded.alias("m"))
+    masses = {c: F.col("m")[c] for c in codes}
+    dominant = F.lit("und")
+    best = F.lit(0).cast("long")
+    # alphabetical order + strictly-greater: the first code wins ties,
+    # matching langid_expr's own tie rule
+    for c in codes:
+        cond = masses[c] > best
+        dominant = F.when(cond, F.lit(c)).otherwise(dominant)
+        best = F.when(cond, masses[c]).otherwise(best)
+    n_langs = sum((masses[c] > 0).cast("int") for c in codes)
+    ided = sum(masses[c] for c in codes)
+    return base.select(
+        F.col(id_col),
+        dominant.alias("dominant_lang"),
+        n_langs.cast("int").alias("n_langs"),
+        (n_langs >= 2).cast("int").alias("is_multilingual"),
+        best.alias("dom_tokens"),
+        ided.cast("long").alias("ided_tokens"),
+        F.col("m")["total"].alias("text_tokens"),
+    )

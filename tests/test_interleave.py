@@ -139,6 +139,61 @@ def test_interleave_plans_shuffle_free(corpus):
         assert "Exchange" not in plan
 
 
+def test_span_languages_routing(spark):
+    """Hand-computed language routing: dominance by token MASS (not span
+    count), the alphabetical tie rule at both levels, unidentified mass
+    counted in text_tokens but never in ided/dom, and media/empty spans
+    carrying nothing."""
+    from horus_spark.operators.interleave import span_languages
+
+    df = _mk(
+        spark,
+        [
+            # en 10 tokens vs de 8 tokens -> en dominant, multilingual
+            ("d1", [T("the cat and the dog of a house is here", 0),
+                    M("image", "a-1", 1),
+                    T("der hund und die katze ist das", 2)]),
+            # blank text + media only -> all zeros, 'und'
+            ("d2", [T("", 0), M("video", "a-2", 1)]),
+            # empty spans array -> still one verdict row
+            ("d3", []),
+            # tokens but no marker hits: und-dominant doc, mass only in
+            # text_tokens
+            ("d4", [T("zzz qqq xxx", 0)]),
+            # 3-token es span vs 3-token fr span -> tie -> es (alphabetical)
+            ("d5", [T("el y los", 0), T("le et les", 1)]),
+        ],
+    )
+    got = {r["doc_id"]: r.asDict() for r in span_languages(df).collect()}
+    assert got["d1"] == {
+        "doc_id": "d1", "dominant_lang": "en", "n_langs": 2,
+        "is_multilingual": 1, "dom_tokens": 10, "ided_tokens": 17,
+        "text_tokens": 17,
+    }
+    assert got["d2"] == {
+        "doc_id": "d2", "dominant_lang": "und", "n_langs": 0,
+        "is_multilingual": 0, "dom_tokens": 0, "ided_tokens": 0,
+        "text_tokens": 0,
+    }
+    assert got["d3"]["dominant_lang"] == "und"
+    assert got["d4"] == {
+        "doc_id": "d4", "dominant_lang": "und", "n_langs": 0,
+        "is_multilingual": 0, "dom_tokens": 0, "ided_tokens": 0,
+        "text_tokens": 3,
+    }
+    assert got["d5"]["dominant_lang"] == "es"
+    assert got["d5"]["is_multilingual"] == 1
+
+
+def test_span_languages_shuffle_free(corpus):
+    from horus_spark.operators.interleave import span_languages
+
+    df = span_languages(corpus)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert df.count() == corpus.count()  # every doc gets a verdict
+
+
 # ---- multimodal fingerprints / dedup / integrity ----------------------
 
 
