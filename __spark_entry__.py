@@ -2141,6 +2141,46 @@ def _q103_profile(spark, sf_dir):
     )
 
 
+def _html_pages(spark, sf_dir) -> DataFrame:
+    """Deterministic crawled-page corpus: each documents row wrapped in
+    the synthesize_html template (title + script/style chrome, link-farm
+    nav, the text as <p> chunks under div.main with an <h1>, link-heavy
+    footer). The q104/q105 oracles replay the same construction in SQL,
+    so the planted main content is exact ground truth."""
+    from horus_spark.operators.html import synthesize_html
+
+    return synthesize_html(_fanout(_load(spark, sf_dir, "documents")))
+
+
+def _q104_html_blocks(spark, sf_dir):
+    """Flat text-density block screen over raw HTML (the SCAN tier of the
+    north rule's boilerplate strip): strip script/style/comment chrome,
+    split on block-level tags, per-block text chars / tag count / anchor
+    chars, content verdict = long enough AND link density <= 1/3. Pure
+    whole-stage-codegen expressions, ZERO shuffle — affordable on every
+    crawled page at 10^12 docs. The oracle replays the identical
+    algorithm (same regexes) over the identically synthesized pages."""
+    from horus_spark.operators.html import html_blocks
+
+    return html_blocks(_html_pages(spark, sf_dir))
+
+
+def _q105_dom_extract(spark, sf_dir):
+    """DOM-tree main-content extraction (Readability/CETD — the north
+    rule's named capability): parse each page into a tolerant DOM,
+    score text blocks (length+comma points -> parent x2 / grandparent
+    x1), discount candidates by subtree link density (integer per-mille),
+    emit the winning candidate's blocks in document order with link-farm
+    blocks filtered. Arrow-batched kernel, one slim row out per doc.
+    The oracle is GROUND TRUTH, not a replay: it reconstructs the
+    planted h1+chunk content directly from documents, so a green row
+    means the extractor recovered the main content of every synthesized
+    page exactly (the span-sequence-equality invariant, newline-joined)."""
+    from horus_spark.operators.html import dom_extract
+
+    return dom_extract(_html_pages(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -2246,6 +2286,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q101_dml_roundtrip": _q101_dml_roundtrip,
         "q102_span_langid": _q102_span_langid,
         "q103_profile": _q103_profile,
+        "q104_html_blocks": _q104_html_blocks,
+        "q105_dom_extract": _q105_dom_extract,
     }
 
 
@@ -3065,6 +3107,85 @@ def _oracle_sql_literals() -> dict[str, str]:
                 "o_orderpriority",
             )
         ),
+        # q104: replay of the flat block screen — identical page
+        # synthesis, chrome-strip regexes, block-split regex, tag strip,
+        # whitespace collapse, anchor-char fold and integer content rule
+        # as operators/html.py::html_blocks.
+        "q104_html_blocks": """
+          WITH tok AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+            FROM documents
+          ), page AS (
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+              '<html><head><title>Doc ' || doc_id
+              || '</title><script>var nav = 1;</script><style>.nav{color:#333}</style></head><body>'
+              || '<div class="nav"><ul><li><a href="/home">Home</a></li><li><a href="/about">About us</a></li><li><a href="/doc/'
+              || doc_id || '">Doc ' || doc_id
+              || '</a></li></ul></div><div class="main"><h1>Report ' || doc_id || '</h1>'
+              || array_to_string(list_transform(
+                   generate_series(0, greatest(CAST(ceil(len(w) / 12.0) AS INT), 1) - 1),
+                   i -> '<p>' || array_to_string(w[i*12+1 : i*12+12], ' ') || '</p>'), '')
+              || '</div><div class="footer"><p><a href="/terms">Terms of service</a> | <a href="/privacy">Privacy policy</a> | <a href="/contact">Contact</a></p><p>Copyright 2026 Example Corp</p></div></body></html>'
+                AS html
+            FROM tok
+          ), cleaned AS (
+            SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(html,
+              '(?s)<script[^>]*>.*?</script>', '', 'g'),
+              '(?s)<style[^>]*>.*?</style>', '', 'g'),
+              '(?s)<!--.*?-->', '', 'g') AS h
+            FROM page
+          ), blk AS (
+            SELECT doc_id, string_split_regex(h,
+              '</?(?:html|head|body|title|div|p|h[1-6]|ul|ol|li|dl|dt|dd|table|thead|tbody|tfoot|tr|td|th|nav|header|footer|section|article|main|aside|figure|figcaption|blockquote|pre|form|br|hr)(?:\\s[^>]*)?/?>')
+              AS b
+            FROM cleaned
+          ), seg AS (
+            SELECT doc_id, b, unnest(generate_series(1, len(b))) AS i
+            FROM blk
+          ), met AS (
+            SELECT doc_id, CAST(i - 1 AS INT) AS block_pos,
+              trim(regexp_replace(regexp_replace(b[i], '<[^>]*>', ' ', 'g'),
+                   '\\s+', ' ', 'g')) AS block_text,
+              CAST(len(regexp_extract_all(b[i], '<[^>]*>')) AS INT) AS tag_count,
+              CAST(coalesce(list_sum(list_transform(
+                regexp_extract_all(b[i], '(?s)<a[^>]*>(.*?)</a>', 1),
+                x -> length(x))), 0) AS INT) AS link_chars
+            FROM seg
+          )
+          SELECT doc_id, block_pos, block_text,
+                 CAST(length(block_text) AS INT) AS text_chars,
+                 tag_count, link_chars,
+                 CAST(CASE WHEN length(block_text) >= 25
+                            AND 3 * link_chars <= length(block_text)
+                           THEN 1 ELSE 0 END AS INT) AS is_content
+          FROM met WHERE length(block_text) > 0
+        """,
+        # q105: GROUND TRUTH, not a replay — the expected main content
+        # (h1 + 12-token chunks, newline-joined) reconstructed straight
+        # from documents; a green row means dom_extract recovered the
+        # planted content of every synthesized page exactly.
+        "q105_dom_extract": """
+          WITH tok AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+            FROM documents
+          ), c AS (
+            SELECT doc_id, w,
+                   greatest(CAST(ceil(len(w) / 12.0) AS INT), 1) AS n
+            FROM tok
+          ), j AS (
+            SELECT doc_id, n, 'Report ' || doc_id AS h1,
+              array_to_string(list_transform(generate_series(0, n - 1),
+                i -> array_to_string(w[i*12+1 : i*12+12], ' ')), chr(10))
+                AS body
+            FROM c
+          )
+          SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                 h1 || chr(10) || body AS content_text,
+                 CAST(n + 1 AS INT) AS n_blocks,
+                 CAST(length(h1) + length(body) - (n - 1) AS INT)
+                   AS content_chars
+          FROM j
+        """,
         "q33_dedup_pipeline": q33_sql,
         "q76_incremental_dedup": q76_sql,
         "q40_dedup_clusters": q40_sql,

@@ -17,6 +17,9 @@ Package map:
   operators/fields.py    L3/L4 anchor-based key-value field extraction
   operators/shred.py     P1-P9 document shredder (vectorized pandas)
   operators/boilerplate.py  L5 text-density boilerplate scoring
+  operators/html.py      HTML main-content extraction: flat text-density
+                         block screen (pure expressions) + DOM-tree
+                         Readability/CETD tier (Arrow kernel)
   operators/dedup.py     exact / minhash-LSH / simhash / ngram-jaccard dedup
   operators/similarity.py  brute-force / LSH / IVF / int8-quantized ANN
   operators/skew.py      salted join for hot-key skew
@@ -231,6 +234,9 @@ def __getattr__(name):
             "horus_spark.operators.interleave", "span_languages",
         ),
         "profile_table": ("horus_spark.operators.profile", "profile_table"),
+        "html_blocks": ("horus_spark.operators.html", "html_blocks"),
+        "dom_extract": ("horus_spark.operators.html", "dom_extract"),
+        "synthesize_html": ("horus_spark.operators.html", "synthesize_html"),
     }
     if name in _API:
         import importlib

@@ -1,0 +1,414 @@
+"""HTML main-content extraction: boilerplate stripping via text-density
+block scoring (the north rule's named capability — Readability / CETD
+style, Sun et al. 2011 "DOM based Content Extraction via Text Density").
+
+Two tiers, matching the engine's usual shape:
+
+- `html_blocks` — the SCAN tier: flat block segmentation + per-block
+  text-density / link-density metrics as PURE Spark expressions (split on
+  block-level tags, strip inline markup, count anchor text). Whole-stage
+  codegen end to end, zero Python, zero shuffle — the cheap screen you
+  can afford on every crawled page at 10^12 documents. Its per-block
+  verdict (long enough + link-sparse) is deliberately crude: it cannot
+  see the tree, so a short headline inside the article is dropped and a
+  plain-text footer line sneaks through.
+
+- `dom_extract` — the PRECISION tier: a real DOM tree parse (stdlib
+  `html.parser`, tolerant of unclosed tags) inside an Arrow-batched
+  mapInPandas kernel. Text blocks (p/h1-6/li/td/...) are scored
+  Readability-style (length + comma points, propagated 2x to the parent
+  and 1x to the grandparent), candidates are discounted by subtree link
+  density (the CETD composite-text-density idea), the winning candidate's
+  block texts are emitted in document order, link-farm blocks filtered.
+  All arithmetic is integer (points, per-mille link density) so the
+  extraction is bit-reproducible across engines and scales.
+
+Reference parity: the reference corpus has no HTML (its recognizer input
+is scanned forms — Horus.Functions/DocumentRecognizer.cs), so this module
+implements the north rule's generalization of the reference's
+content-vs-boilerplate span classifier (operators/boilerplate.py covers
+the span-level analog used by the fixture corpus).
+
+Scale notes: `html_blocks` is a projection (posexplode is map-side —
+no Exchange anywhere). `dom_extract` parses each document once inside an
+Arrow batch; parsing is inherently per-document work, the same bounded
+per-doc inner loop as the extraction kernel (pipeline.py), and the
+output is one slim row per document (no payload amplification).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Block-level elements: segment boundaries for the flat tier, text-block
+# units for the DOM tier. Order/content shared by both tiers and by the
+# SQL oracle replay (q104).
+_BLOCK_SPLIT_RE = (
+    r"</?(?:html|head|body|title|div|p|h[1-6]|ul|ol|li|dl|dt|dd|table"
+    r"|thead|tbody|tfoot|tr|td|th|nav|header|footer|section|article"
+    r"|main|aside|figure|figcaption|blockquote|pre|form|br|hr)"
+    r"(?:\s[^>]*)?/?>"
+)
+_CHROME_RES = (
+    r"(?s)<script[^>]*>.*?</script>",
+    r"(?s)<style[^>]*>.*?</style>",
+    r"(?s)<!--.*?-->",
+)
+_ANCHOR_RE = r"(?s)<a[^>]*>(.*?)</a>"
+_TAG_RE = r"<[^>]*>"
+
+BLOCK_TAGS = frozenset(
+    {"p", "h1", "h2", "h3", "h4", "h5", "h6", "li", "dt", "dd", "td",
+     "th", "pre", "blockquote", "figcaption", "title"}
+)
+_SKIP_TAGS = frozenset({"script", "style", "noscript", "template"})
+_VOID_TAGS = frozenset(
+    {"br", "img", "hr", "meta", "link", "input", "area", "base", "col",
+     "embed", "source", "track", "wbr"}
+)
+# tags the HTML spec auto-closes when a sibling of the same tag opens
+_AUTOCLOSE = frozenset({"p", "li", "dt", "dd", "td", "th", "tr", "option"})
+
+DOM_EXTRACT_SCHEMA = (
+    "doc_id string, content_text string, n_blocks int, content_chars int"
+)
+
+
+# ---------------------------------------------------------------------------
+# flat tier: pure expressions
+# ---------------------------------------------------------------------------
+
+
+def _strip_chrome(html: Column) -> Column:
+    out = html
+    for pat in _CHROME_RES:
+        out = F.regexp_replace(out, pat, "")
+    return out
+
+
+def html_blocks(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    min_chars: int = 25,
+) -> DataFrame:
+    """Flat text-density block screen over raw HTML — pure expressions.
+
+    Strips script/style/comment chrome, splits the page on block-level
+    tag boundaries, and emits one row per non-empty block:
+
+      (doc_id, block_pos, block_text, text_chars, tag_count, link_chars,
+       is_content)
+
+    - block_text: inline markup stripped, whitespace collapsed.
+    - link_chars: raw length of text inside <a>...</a> (inline anchors
+      survive the block split, so navigation/footer link farms score
+      high).
+    - is_content = text_chars >= min_chars AND 3*link_chars <= text_chars
+      (the Readability link-density-<=-1/3 rule, integer-exact).
+
+    block_pos is the block's index in the raw split (stable under the
+    empty-segment filter, so downstream order is document order). ZERO
+    shuffle: split/posexplode/regex all run map-side in codegen.
+    """
+    cleaned = _strip_chrome(F.col(html_col))
+    exploded = df.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.posexplode(F.split(cleaned, _BLOCK_SPLIT_RE)).alias(
+            "block_pos", "raw"
+        ),
+    )
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.col("raw"), _TAG_RE, " "), r"\s+", " "
+        )
+    )
+    link_chars = F.coalesce(
+        F.aggregate(
+            F.regexp_extract_all(F.col("raw"), F.lit(_ANCHOR_RE), 1),
+            F.lit(0),
+            lambda acc, x: acc + F.length(x),
+        ),
+        F.lit(0),
+    )
+    out = exploded.select(
+        "doc_id",
+        F.col("block_pos").cast("int").alias("block_pos"),
+        norm.alias("block_text"),
+        F.length(norm).cast("int").alias("text_chars"),
+        F.regexp_count(F.col("raw"), F.lit(_TAG_RE))
+        .cast("int")
+        .alias("tag_count"),
+        link_chars.cast("int").alias("link_chars"),
+    )
+    return out.where(F.col("text_chars") > 0).withColumn(
+        "is_content",
+        (
+            (F.col("text_chars") >= min_chars)
+            & (3 * F.col("link_chars") <= F.col("text_chars"))
+        ).cast("int"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DOM tier: tree parse + Readability/CETD scoring in an Arrow kernel
+# ---------------------------------------------------------------------------
+
+
+class _Node:
+    __slots__ = ("tag", "parent", "items", "order", "score")
+
+    def __init__(self, tag: str, parent, order: int):
+        self.tag = tag
+        self.parent = parent
+        self.items: list = []  # document-order mix of str and _Node
+        self.order = order
+        self.score = 0
+
+
+def _parse_html(html: str) -> _Node:
+    """Tolerant DOM build: unclosed tags pop to the nearest matching
+    open ancestor, spec-auto-closing tags (p/li/td/...) close their
+    same-tag sibling, script/style/comment content is dropped, void
+    tags carry no subtree."""
+    from html.parser import HTMLParser
+
+    root = _Node("#root", None, 0)
+
+    class _B(HTMLParser):
+        def __init__(self):
+            super().__init__(convert_charrefs=True)
+            self.stack = [root]
+            self.n = 1
+            self.skip = 0
+
+        def handle_starttag(self, tag, attrs):
+            if tag in _SKIP_TAGS:
+                self.skip += 1
+                return
+            if self.skip or tag in _VOID_TAGS:
+                return
+            if tag in _AUTOCLOSE and self.stack[-1].tag == tag:
+                self.stack.pop()
+            node = _Node(tag, self.stack[-1], self.n)
+            self.n += 1
+            self.stack[-1].items.append(node)
+            self.stack.append(node)
+
+        def handle_startendtag(self, tag, attrs):
+            return  # self-closing: no subtree
+
+        def handle_endtag(self, tag):
+            if tag in _SKIP_TAGS:
+                if self.skip:
+                    self.skip -= 1
+                return
+            if self.skip or tag in _VOID_TAGS:
+                return
+            for i in range(len(self.stack) - 1, 0, -1):
+                if self.stack[i].tag == tag:
+                    del self.stack[i:]
+                    return
+            # stray close tag: ignore
+
+        def handle_data(self, data):
+            if self.skip == 0 and data and not data.isspace():
+                self.stack[-1].items.append(data)
+
+    b = _B()
+    b.feed(html or "")
+    b.close()
+    return root
+
+
+def _inline_text_and_links(node: _Node) -> tuple[str, int]:
+    """Document-order text of `node` excluding nested BLOCK_TAGS subtrees
+    (those belong to the nested block), plus raw chars under <a> in the
+    same region. Iterative — no recursion-depth hazard on deep markup."""
+    parts: list[str] = []
+    link = 0
+    stack = [(node, 0, False)]
+    while stack:
+        cur, i, in_a = stack.pop()
+        while i < len(cur.items):
+            item = cur.items[i]
+            i += 1
+            if isinstance(item, str):
+                parts.append(item)
+                if in_a:
+                    link += len(" ".join(item.split()))
+            elif item.tag not in BLOCK_TAGS:
+                stack.append((cur, i, in_a))
+                cur, i, in_a = item, 0, in_a or item.tag == "a"
+    return " ".join(" ".join(parts).split()), link
+
+
+def _walk(node: _Node) -> Iterator[_Node]:
+    """Preorder (document order) element walk, iterative."""
+    stack = [node]
+    while stack:
+        cur = stack.pop()
+        yield cur
+        stack.extend(
+            item
+            for item in reversed(cur.items)
+            if isinstance(item, _Node)
+        )
+
+
+def _extract_one(html: str) -> tuple[str, int, int]:
+    root = _parse_html(html)
+    nodes = list(_walk(root))
+
+    # per-block Readability points -> parent x2, grandparent x1
+    block_info: dict[int, tuple[str, int]] = {}
+    for nd in nodes:
+        if nd.tag in BLOCK_TAGS:
+            text, link = _inline_text_and_links(nd)
+            block_info[id(nd)] = (text, link)
+            if text:
+                pts = 1 + text.count(",") + min(len(text) // 100, 3)
+                p = nd.parent
+                if p is not None and p.tag != "#root":
+                    p.score += 2 * pts
+                    gp = p.parent
+                    if gp is not None and gp.tag != "#root":
+                        gp.score += pts
+
+    # candidate = scored node, discounted by subtree link density
+    # (CETD's composite-text-density idea, integer per-mille)
+    def subtree_stats(nd: _Node) -> tuple[int, int]:
+        chars = link = 0
+        stack = [(nd, False)]
+        while stack:
+            cur, in_a = stack.pop()
+            for item in cur.items:
+                if isinstance(item, str):
+                    n = len(" ".join(item.split()))
+                    chars += n
+                    if in_a:
+                        link += n
+                else:
+                    stack.append((item, in_a or item.tag == "a"))
+        return chars, link
+
+    best = None
+    best_key = None
+    for nd in nodes:
+        if nd.score > 0:
+            chars, link = subtree_stats(nd)
+            final = nd.score * (1000 - (1000 * link) // max(chars, 1))
+            key = (final, -nd.order)  # ties -> earliest in document
+            if best_key is None or key > best_key:
+                best, best_key = nd, key
+    if best is None:  # no scored candidate: fall back to <body>, then root
+        best = next((n for n in nodes if n.tag == "body"), root)
+
+    blocks: list[str] = []
+    for nd in _walk(best):
+        info = block_info.get(id(nd))
+        if info is None and nd.tag in BLOCK_TAGS:
+            info = (_inline_text_and_links(nd))
+        if info:
+            text, link = info
+            if text and 3 * link <= len(text):
+                blocks.append(text)
+    content = "\n".join(blocks)
+    return content, len(blocks), sum(len(b) for b in blocks)
+
+
+def dom_extract(
+    df: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """DOM-tree main-content extraction (Readability/CETD) — one slim row
+    per document: (doc_id, content_text, n_blocks, content_chars), blocks
+    joined by '\\n' in document order (span-sequence-stable).
+
+    Arrow-batched mapInPandas; only (id, html) cross the boundary, and the
+    winning candidate's text comes back — never the full markup.
+    """
+    slim = df.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.col(html_col).alias("html"),
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                _extract_one(h if isinstance(h, str) else "")
+                for h in pdf["html"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("string"),
+                    "content_text": pd.Series(
+                        [r[0] for r in rows], dtype="string"
+                    ),
+                    "n_blocks": pd.Series(
+                        [r[1] for r in rows], dtype="int32"
+                    ),
+                    "content_chars": pd.Series(
+                        [r[2] for r in rows], dtype="int32"
+                    ),
+                }
+            )
+
+    return slim.mapInPandas(kernel, schema=DOM_EXTRACT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# deterministic page synthesis (tests / oracles — replayed in SQL by q104/105)
+# ---------------------------------------------------------------------------
+
+
+def synthesize_html(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Wrap each document's text in a deterministic crawled-page template:
+    title + script/style chrome, a link-farm nav, the content as <p>
+    paragraphs of 12-token chunks (the interleave chunking) under
+    <div class="main"> with an <h1>, and a link-heavy footer. Pure
+    expressions; the q104/q105 oracles replay the same construction in
+    SQL, so the planted ground truth is known exactly."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.greatest(F.ceil(F.size(toks) / 12).cast("int"), F.lit(1))
+    ptags = F.concat_ws(
+        "",
+        F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: F.concat(
+                F.lit("<p>"),
+                F.concat_ws(" ", F.slice(toks, (i * 12 + 1).cast("int"), 12)),
+                F.lit("</p>"),
+            ),
+        ),
+    )
+    did = F.col(id_col).cast("string")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        did,
+        F.lit(
+            "</title><script>var nav = 1;</script>"
+            "<style>.nav{color:#333}</style></head><body>"
+            '<div class="nav"><ul><li><a href="/home">Home</a></li>'
+            '<li><a href="/about">About us</a></li><li><a href="/doc/'
+        ),
+        did,
+        F.lit('">Doc '),
+        did,
+        F.lit('</a></li></ul></div><div class="main"><h1>Report '),
+        did,
+        F.lit("</h1>"),
+        ptags,
+        F.lit(
+            '</div><div class="footer"><p><a href="/terms">Terms of '
+            'service</a> | <a href="/privacy">Privacy policy</a> | '
+            '<a href="/contact">Contact</a></p>'
+            "<p>Copyright 2026 Example Corp</p></div></body></html>"
+        ),
+    )
+    return df.select(did.alias("doc_id"), html.alias("html"))

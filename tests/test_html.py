@@ -1,0 +1,169 @@
+"""HTML main-content extraction: DOM-tree Readability/CETD tier +
+pure-expression flat block tier (operators/html.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from horus_spark.operators.html import (
+    _extract_one,
+    dom_extract,
+    html_blocks,
+    synthesize_html,
+)
+
+P1 = (
+    "First paragraph, with a comma, and enough text to score well in the "
+    "reader."
+)
+P2 = (
+    "Second paragraph continues the body of the article with more prose "
+    "text."
+)
+PAGE = (
+    '<html><head><title>My Site</title><script>var decoy = "SCRIPTTEXT";'
+    "</script><style>.x{color:red}</style></head><body>"
+    "<!-- COMMENTTEXT -->"
+    '<div id="nav"><ul><li><a href="/">Home</a></li>'
+    '<li><a href="/a">Archive</a></li></ul></div>'
+    '<div id="art"><h1>Headline here</h1>'
+    f"<p>{P1}</p>"
+    f"<p>{P2}</p>"
+    '<p><a href="/x">link</a> <a href="/y">farm</a> <a href="/z">inside</a>'
+    "</p></div>"
+    '<div id="footer"><p><a href="/t">Terms</a> | <a href="/p">Privacy</a>'
+    "</p></div></body></html>"
+)
+
+
+# ---- pure-python DOM kernel -------------------------------------------
+
+
+def test_dom_extract_picks_article_and_filters_link_farm():
+    content, n_blocks, chars = _extract_one(PAGE)
+    assert content == f"Headline here\n{P1}\n{P2}"
+    assert n_blocks == 3
+    assert chars == len("Headline here") + len(P1) + len(P2)
+
+
+def test_dom_extract_drops_script_style_comment_text():
+    content, _, _ = _extract_one(PAGE)
+    assert "SCRIPTTEXT" not in content
+    assert "COMMENTTEXT" not in content
+    assert "color:red" not in content
+
+
+def test_dom_extract_tolerates_malformed_markup():
+    # unclosed <p> (spec auto-close), stray close tags, unclosed div
+    html = (
+        "<body></span><div><p>alpha beta gamma delta epsilon and more "
+        "words to pass length<p>second paragraph also has plenty of "
+        "words to be counted here</div>"
+    )
+    content, n_blocks, _ = _extract_one(html)
+    assert n_blocks == 2
+    assert content.splitlines()[0].startswith("alpha beta")
+    assert content.splitlines()[1].startswith("second paragraph")
+
+
+def test_dom_extract_empty_and_blockless():
+    assert _extract_one("") == ("", 0, 0)
+    assert _extract_one(None) == ("", 0, 0)
+    # bare body text with no block elements: nothing to emit
+    assert _extract_one("<body>bare text no blocks</body>") == ("", 0, 0)
+
+
+def test_dom_extract_whitespace_normalized():
+    html = "<div><p>  spaced\t\tout\n\n  text   here  okay</p></div>"
+    content, n_blocks, chars = _extract_one(html)
+    assert content == "spaced out text here okay"
+    assert (n_blocks, chars) == (1, len(content))
+
+
+def test_dom_extract_nested_block_text_not_double_counted():
+    # the li owns its text; the nested p owns its own
+    html = (
+        "<div><ul><li>outer item text that is long enough to count fine"
+        "<p>inner paragraph text that is separately long enough too</p>"
+        "</li></ul></div>"
+    )
+    content, n_blocks, _ = _extract_one(html)
+    lines = content.splitlines()
+    assert n_blocks == 2
+    assert lines[0] == "outer item text that is long enough to count fine"
+    assert lines[1] == "inner paragraph text that is separately long enough too"
+
+
+# ---- spark surface -----------------------------------------------------
+
+
+def test_dom_extract_spark_ground_truth(spark):
+    # synthesized pages: the extractor must recover EXACTLY the planted
+    # content (h1 + 12-token chunks) for every doc — the q105 contract
+    rows = [
+        (i, " ".join(f"word{j}" for j in range(k)))
+        for i, k in enumerate([1, 5, 12, 13, 24, 25, 40])
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in dom_extract(synthesize_html(df)).collect()
+    }
+    for i, k in enumerate([1, 5, 12, 13, 24, 25, 40]):
+        toks = [f"word{j}" for j in range(k)]
+        chunks = [
+            " ".join(toks[s : s + 12]) for s in range(0, len(toks), 12)
+        ] or [""]
+        expect = "\n".join([f"Report {i}"] + chunks)
+        r = got[str(i)]
+        assert r["content_text"] == expect
+        assert r["n_blocks"] == len(chunks) + 1
+        assert r["content_chars"] == sum(len(b) for b in [f"Report {i}"] + chunks)
+
+
+def test_html_blocks_metrics(spark):
+    df = spark.createDataFrame([("d1", PAGE)], "doc_id string, html string")
+    rows = html_blocks(df).collect()
+    by_text = {r["block_text"]: r for r in rows}
+    # content paragraphs pass the flat screen
+    assert by_text[P1]["is_content"] == 1
+    assert by_text[P1]["link_chars"] == 0
+    assert by_text[P2]["is_content"] == 1
+    # nav items: too short + pure link
+    assert by_text["Home"]["is_content"] == 0
+    assert by_text["Home"]["link_chars"] == 4
+    # link farm: long enough is irrelevant, density kills it
+    farm = by_text["link farm inside"]
+    assert farm["is_content"] == 0 and farm["link_chars"] == len("linkfarminside") + 0
+    # footer links blocked by density; headline blocked by length (flat
+    # tier crudeness — the DOM tier keeps it)
+    assert by_text["Terms | Privacy"]["is_content"] == 0
+    assert by_text["Headline here"]["is_content"] == 0
+    # script/style/comment text never appears as a block
+    assert not any("SCRIPTTEXT" in t or "COMMENTTEXT" in t for t in by_text)
+    # block_pos is strictly increasing in document order
+    d1 = sorted(r["block_pos"] for r in rows)
+    assert d1 == [r["block_pos"] for r in sorted(rows, key=lambda r: r["block_pos"])]
+    assert by_text["My Site"]["block_pos"] < by_text["Headline here"]["block_pos"]
+
+
+def test_html_blocks_shuffle_free(spark):
+    df = synthesize_html(
+        spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    )
+    plan = html_blocks(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_dom_extract_one_row_per_doc(spark):
+    df = synthesize_html(
+        spark.createDataFrame(
+            [(i, "alpha beta gamma") for i in range(17)],
+            "doc_id long, text string",
+        )
+    )
+    out = dom_extract(df)
+    assert out.count() == 17
+    assert out.schema.simpleString() == (
+        "struct<doc_id:string,content_text:string,n_blocks:int,"
+        "content_chars:int>"
+    )
