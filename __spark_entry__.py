@@ -2181,6 +2181,46 @@ def _q105_dom_extract(spark, sf_dir):
     return dom_extract(_html_pages(spark, sf_dir))
 
 
+def _q106_html_links(spark, sf_dir):
+    """Outlink extraction over the synthesized crawl corpus — the link
+    tier of the north rule's HTML path and the feeder for the
+    urls.py/graph.py crawl-graph stack. Each page gets a deterministic
+    site URL (50 synthetic hosts by doc_id % 50) and two injected
+    cross-site 'related' links; extract_links pulls every anchor in
+    document order, resolves hrefs against the page URL (absolute /
+    protocol-relative / root-relative / directory-relative), and tags
+    the destination host + internal/external. Pure whole-stage-codegen
+    expressions, ZERO shuffle. The oracle replays the identical
+    construction, regexes and resolution rules in SQL."""
+    from horus_spark.operators.html import extract_links
+
+    pages = _html_pages(spark, sf_dir)
+    did = F.col("doc_id").cast("long")
+
+    def site(expr):
+        return F.concat(
+            F.lit("https://site-"), expr.cast("string"), F.lit(".test")
+        )
+
+    rel = F.concat(
+        F.lit('<div class="rel"><p><a href="'),
+        site((did * 7 + 1) % 50),
+        F.lit("/doc/"),
+        F.col("doc_id"),
+        F.lit('">Related reading</a> <a href="'),
+        site((did * 13 + 2) % 50),
+        F.lit('/">Partner site</a></p></div></body></html>'),
+    )
+    pages = pages.select(
+        "doc_id",
+        F.replace(F.col("html"), F.lit("</body></html>"), rel).alias("html"),
+        F.concat(site(did % 50), F.lit("/doc/"), F.col("doc_id")).alias(
+            "url"
+        ),
+    )
+    return extract_links(pages, base_url_col="url")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -2288,6 +2328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q103_profile": _q103_profile,
         "q104_html_blocks": _q104_html_blocks,
         "q105_dom_extract": _q105_dom_extract,
+        "q106_html_links": _q106_html_links,
     }
 
 
@@ -2328,6 +2369,30 @@ _LANGS_SQL = {
     "es": "['el','la','los','y','es']",
     "fr": "['le','la','les','et','est']",
 }
+
+
+# shared by q104/q106: the synthesize_html page template replayed in SQL
+# (title + script/style chrome, link-farm nav, 12-token <p> chunks under
+# div.main with an <h1>, link-heavy footer) — plain string, NOT an
+# f-string (the style literal contains braces).
+_HTML_PAGE_CTE = """
+          WITH tok AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+            FROM documents
+          ), page AS (
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+              '<html><head><title>Doc ' || doc_id
+              || '</title><script>var nav = 1;</script><style>.nav{color:#333}</style></head><body>'
+              || '<div class="nav"><ul><li><a href="/home">Home</a></li><li><a href="/about">About us</a></li><li><a href="/doc/'
+              || doc_id || '">Doc ' || doc_id
+              || '</a></li></ul></div><div class="main"><h1>Report ' || doc_id || '</h1>'
+              || array_to_string(list_transform(
+                   generate_series(0, greatest(CAST(ceil(len(w) / 12.0) AS INT), 1) - 1),
+                   i -> '<p>' || array_to_string(w[i*12+1 : i*12+12], ' ') || '</p>'), '')
+              || '</div><div class="footer"><p><a href="/terms">Terms of service</a> | <a href="/privacy">Privacy policy</a> | <a href="/contact">Contact</a></p><p>Copyright 2026 Example Corp</p></div></body></html>'
+                AS html
+            FROM tok
+          )"""
 
 
 def _oracle_sql_literals() -> dict[str, str]:
@@ -3111,24 +3176,7 @@ def _oracle_sql_literals() -> dict[str, str]:
         # synthesis, chrome-strip regexes, block-split regex, tag strip,
         # whitespace collapse, anchor-char fold and integer content rule
         # as operators/html.py::html_blocks.
-        "q104_html_blocks": """
-          WITH tok AS (
-            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
-            FROM documents
-          ), page AS (
-            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
-              '<html><head><title>Doc ' || doc_id
-              || '</title><script>var nav = 1;</script><style>.nav{color:#333}</style></head><body>'
-              || '<div class="nav"><ul><li><a href="/home">Home</a></li><li><a href="/about">About us</a></li><li><a href="/doc/'
-              || doc_id || '">Doc ' || doc_id
-              || '</a></li></ul></div><div class="main"><h1>Report ' || doc_id || '</h1>'
-              || array_to_string(list_transform(
-                   generate_series(0, greatest(CAST(ceil(len(w) / 12.0) AS INT), 1) - 1),
-                   i -> '<p>' || array_to_string(w[i*12+1 : i*12+12], ' ') || '</p>'), '')
-              || '</div><div class="footer"><p><a href="/terms">Terms of service</a> | <a href="/privacy">Privacy policy</a> | <a href="/contact">Contact</a></p><p>Copyright 2026 Example Corp</p></div></body></html>'
-                AS html
-            FROM tok
-          ), cleaned AS (
+        "q104_html_blocks": _HTML_PAGE_CTE + """, cleaned AS (
             SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(html,
               '(?s)<script[^>]*>.*?</script>', '', 'g'),
               '(?s)<style[^>]*>.*?</style>', '', 'g'),
@@ -3185,6 +3233,75 @@ def _oracle_sql_literals() -> dict[str, str]:
                  CAST(length(h1) + length(body) - (n - 1) AS INT)
                    AS content_chars
           FROM j
+        """,
+        # q106: replay of outlink extraction — same injected related
+        # links + page URL, anchor regex, href precedence (double quote
+        # over single), text strip, and the 5-rule resolution ladder as
+        # operators/html.py::extract_links.
+        "q106_html_links": _HTML_PAGE_CTE + """, aug AS (
+            SELECT doc_id,
+              replace(html, '</body></html>',
+                '<div class="rel"><p><a href="https://site-'
+                || CAST((CAST(doc_id AS BIGINT) * 7 + 1) % 50 AS VARCHAR)
+                || '.test/doc/' || doc_id
+                || '">Related reading</a> <a href="https://site-'
+                || CAST((CAST(doc_id AS BIGINT) * 13 + 2) % 50 AS VARCHAR)
+                || '.test/">Partner site</a></p></div></body></html>') AS html,
+              'https://site-' || CAST(CAST(doc_id AS BIGINT) % 50 AS VARCHAR)
+                || '.test/doc/' || doc_id AS url
+            FROM page
+          ), anch AS (
+            SELECT doc_id, url,
+                   regexp_extract_all(html, '(?is)<a\\s[^>]*>.*?</a>', 0) AS els
+            FROM aug
+          ), e AS (
+            SELECT doc_id, url, els, unnest(generate_series(1, len(els))) AS i
+            FROM anch
+          ), hx AS (
+            SELECT doc_id, url, CAST(i - 1 AS INT) AS link_pos,
+              CASE WHEN regexp_extract(els[i], '(?is)href\\s*=\\s*"([^"]*)"', 1) != ''
+                   THEN regexp_extract(els[i], '(?is)href\\s*=\\s*"([^"]*)"', 1)
+                   ELSE regexp_extract(els[i], '(?is)href\\s*=\\s*''([^'']*)''', 1)
+              END AS href,
+              trim(regexp_replace(regexp_replace(els[i], '<[^>]*>', ' ', 'g'),
+                   '\\s+', ' ', 'g')) AS anchor_text
+            FROM e
+          ), res AS (
+            SELECT doc_id, link_pos, href, anchor_text,
+              CASE
+                WHEN regexp_matches(href, '^(?i)(mailto|javascript|data|tel):')
+                     OR href LIKE '#%' THEN NULL
+                WHEN regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.-]*://') THEN href
+                WHEN href LIKE '//%' THEN
+                  regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)
+                  || ':' || href
+                WHEN href LIKE '/%' THEN
+                  regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]+)', 1)
+                  || href
+                ELSE
+                  regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]+)', 1)
+                  || CASE WHEN regexp_replace(
+                         regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1),
+                         '[^/]*$', '') = '' THEN '/'
+                     ELSE regexp_replace(
+                         regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1),
+                         '[^/]*$', '') END
+                  || href
+              END AS resolved,
+              lower(regexp_replace(
+                regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1),
+                ':[0-9]+$', '')) AS base_host
+            FROM hx WHERE href != ''
+          )
+          SELECT doc_id, link_pos, href, anchor_text, resolved,
+            lower(regexp_replace(
+              regexp_extract(resolved, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1),
+              ':[0-9]+$', '')) AS dst_domain,
+            CAST(CASE WHEN lower(regexp_replace(
+                   regexp_extract(resolved, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1),
+                   ':[0-9]+$', '')) = base_host
+                 THEN 1 ELSE 0 END AS INT) AS is_internal
+          FROM res
         """,
         "q33_dedup_pipeline": q33_sql,
         "q76_incremental_dedup": q76_sql,

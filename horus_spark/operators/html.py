@@ -361,6 +361,114 @@ def dom_extract(
 
 
 # ---------------------------------------------------------------------------
+# outlink extraction: the crawl-graph feeder (composes with urls.py + graph.py)
+# ---------------------------------------------------------------------------
+
+_A_ELEM_RE = r"(?is)<a\s[^>]*>.*?</a>"
+_HREF_DQ_RE = r'(?is)href\s*=\s*"([^"]*)"'
+_HREF_SQ_RE = r"(?is)href\s*=\s*'([^']*)'"
+_ABS_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://"
+_NONHTTP_RE = r"^(?i)(mailto|javascript|data|tel):"
+
+
+def extract_links(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    base_url_col: str | None = None,
+) -> DataFrame:
+    """Outlink extraction from raw HTML — pure expressions, zero shuffle.
+
+    One row per anchor tag carrying an href:
+      (doc_id, link_pos, href, anchor_text[, resolved, dst_domain,
+       is_internal])
+
+    link_pos is the anchor's index among ALL anchor tags in the page
+    (document order, stable under the empty-href filter). anchor_text is
+    the tag's inner text, markup stripped + whitespace collapsed.
+
+    With `base_url_col`, hrefs are resolved scan-tier-style:
+    absolute kept; '//x' gets the base scheme; '/x' joins the base root;
+    fragment-only and mailto/javascript/data/tel resolve to NULL; other
+    relative paths join the base directory. No dot-segment ('..')
+    normalization — a deterministic raw join, identical in the SQL
+    replay (q106). dst_domain is the resolved host, is_internal compares
+    it to the base host.
+
+    This is the crawl-graph feeder: host_of/normalize (urls.py) over
+    `resolved`, groupBy (src_domain, dst_domain) for the domain edge
+    list, then graph.pagerank for the centrality prior — link
+    extraction itself never leaves whole-stage codegen, so at 10^12
+    pages it rides the same scan as html_blocks.
+    """
+    cols = [F.col(id_col).cast("string").alias("doc_id")]
+    if base_url_col is not None:
+        cols.append(F.col(base_url_col).alias("__base"))
+    exploded = df.select(
+        *cols,
+        F.posexplode(
+            F.regexp_extract_all(F.col(html_col), F.lit(_A_ELEM_RE), 0)
+        ).alias("link_pos", "elem"),
+    )
+    dq = F.regexp_extract(F.col("elem"), _HREF_DQ_RE, 1)
+    sq = F.regexp_extract(F.col("elem"), _HREF_SQ_RE, 1)
+    href = F.when(dq != "", dq).otherwise(sq)
+    text = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.col("elem"), _TAG_RE, " "), r"\s+", " "
+        )
+    )
+    out = exploded.select(
+        "doc_id",
+        F.col("link_pos").cast("int").alias("link_pos"),
+        href.alias("href"),
+        text.alias("anchor_text"),
+        *([F.col("__base")] if base_url_col is not None else []),
+    ).where(F.col("href") != "")
+    if base_url_col is None:
+        return out
+
+    base = F.col("__base")
+    scheme = F.regexp_extract(base, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    root = F.regexp_extract(base, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]+)", 1)
+    path = F.regexp_extract(
+        base, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1
+    )
+    basedir = F.regexp_replace(path, r"[^/]*$", "")
+    h = F.col("href")
+    resolved = (
+        F.when(h.rlike(_NONHTTP_RE) | h.startswith("#"), F.lit(None))
+        .when(h.rlike(_ABS_RE), h)
+        .when(h.startswith("//"), F.concat(scheme, F.lit(":"), h))
+        .when(h.startswith("/"), F.concat(root, h))
+        .otherwise(
+            F.concat(
+                root,
+                F.when(basedir == "", F.lit("/")).otherwise(basedir),
+                h,
+            )
+        )
+    )
+    from .urls import host_of_expr
+
+    out = out.withColumn("resolved", resolved)
+    return out.select(
+        "doc_id",
+        "link_pos",
+        "href",
+        "anchor_text",
+        "resolved",
+        host_of_expr(F.col("resolved")).alias("dst_domain"),
+        F.coalesce(
+            (host_of_expr(F.col("resolved")) == host_of_expr(base)).cast(
+                "int"
+            ),
+            F.lit(0),
+        ).alias("is_internal"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # deterministic page synthesis (tests / oracles — replayed in SQL by q104/105)
 # ---------------------------------------------------------------------------
 

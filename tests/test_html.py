@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 from horus_spark.operators.html import (
     _extract_one,
     dom_extract,
+    extract_links,
     html_blocks,
     synthesize_html,
 )
@@ -152,6 +153,97 @@ def test_html_blocks_shuffle_free(spark):
     )
     plan = html_blocks(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+LINKS_PAGE = (
+    "<html><body>"
+    '<p><a href="https://other.site/page">Abs link</a></p>'
+    '<p><A HREF="/root-rel">Root</A></p>'
+    "<p><a href='single.html'>Single quoted rel</a></p>"
+    '<p><a href="//cdn.example.net/x.js">Proto rel</a></p>'
+    '<p><a href="#frag">Fragment</a></p>'
+    '<p><a href="mailto:x@y.z">Mail</a></p>'
+    '<p><a class="x">no href</a></p>'
+    '<p><a href="sub/page2.html">Nested\n  anchor <b>text</b></a></p>'
+    "</body></html>"
+)
+
+
+def test_extract_links_resolution_rules(spark):
+    df = spark.createDataFrame(
+        [("d1", LINKS_PAGE, "https://www.example.com/dir/index.html")],
+        "doc_id string, html string, url string",
+    )
+    rows = {
+        r["link_pos"]: r
+        for r in extract_links(df, base_url_col="url").collect()
+    }
+    # href-less anchor (pos 6) filtered; positions of the rest stable
+    assert sorted(rows) == [0, 1, 2, 3, 4, 5, 7]
+    assert rows[0]["resolved"] == "https://other.site/page"
+    assert rows[0]["dst_domain"] == "other.site"
+    assert rows[0]["is_internal"] == 0
+    # uppercase tag + attribute still match; root-relative joins the root
+    assert rows[1]["resolved"] == "https://www.example.com/root-rel"
+    assert rows[1]["is_internal"] == 1
+    # single-quoted relative href joins the base DIRECTORY
+    assert rows[2]["resolved"] == "https://www.example.com/dir/single.html"
+    # protocol-relative gets the base scheme
+    assert rows[3]["resolved"] == "https://cdn.example.net/x.js"
+    assert rows[3]["dst_domain"] == "cdn.example.net"
+    # fragment-only and mailto resolve to NULL, external by convention
+    assert rows[4]["resolved"] is None and rows[4]["is_internal"] == 0
+    assert rows[5]["resolved"] is None
+    # nested markup stripped + whitespace collapsed in anchor text
+    assert rows[7]["anchor_text"] == "Nested anchor text"
+    assert rows[7]["resolved"] == "https://www.example.com/dir/sub/page2.html"
+
+
+def test_extract_links_shuffle_free_and_no_base(spark):
+    df = spark.createDataFrame(
+        [("d1", LINKS_PAGE)], "doc_id string, html string"
+    )
+    out = extract_links(df)
+    assert "resolved" not in out.columns
+    assert out.count() == 7
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_extract_links_feeds_crawl_graph(spark):
+    # composition: pages -> outlinks -> domain edges -> pagerank
+    from horus_spark.operators.graph import pagerank
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(12)],
+        "doc_id long, text string",
+    )
+    pages = synthesize_html(docs).withColumn(
+        "url",
+        F.concat(
+            F.lit("https://site-"),
+            (F.col("doc_id").cast("long") % 3).cast("string"),
+            F.lit(".test/doc/"),
+            F.col("doc_id"),
+        ),
+    )
+    links = extract_links(pages, base_url_col="url")
+    edges = (
+        links.where(F.col("dst_domain").isNotNull())
+        .select(
+            F.concat(
+                F.lit("site-"),
+                (F.col("doc_id").cast("long") % 3).cast("string"),
+                F.lit(".test"),
+            ).alias("src"),
+            F.col("dst_domain").alias("dst"),
+        )
+        .distinct()
+    )
+    ranks = pagerank(edges, n_iter=3)
+    got = ranks.collect()
+    assert len(got) == 3  # the three synthetic hosts (all links internal)
+    assert sum(r["rank_micro"] for r in got) <= 1_000_000_000_000
 
 
 def test_dom_extract_one_row_per_doc(spark):
