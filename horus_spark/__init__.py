@@ -237,6 +237,7 @@ def __getattr__(name):
         "html_blocks": ("horus_spark.operators.html", "html_blocks"),
         "dom_extract": ("horus_spark.operators.html", "dom_extract"),
         "synthesize_html": ("horus_spark.operators.html", "synthesize_html"),
+        "extract_links": ("horus_spark.operators.html", "extract_links"),
     }
     if name in _API:
         import importlib
