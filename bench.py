@@ -26,15 +26,39 @@ CORPUS_DIR = os.environ.get("HORUS_BENCH_CORPUS", f"/tmp/horus_bench_corpus_{N_D
 
 
 def materialize_corpus(spark, n_docs: int, path: str):
-    if os.path.exists(os.path.join(path, "documents", "_SUCCESS")) and os.path.exists(
-        os.path.join(path, "ocr_words", "_SUCCESS")
-    ):
-        return
-    from horus_spark.fixtures.generator import corpus_spark
+    from pyspark.sql import functions as F
 
-    c = corpus_spark(spark, n_docs, partitions=max(CPUS, 8))
-    c["documents"].write.mode("overwrite").parquet(os.path.join(path, "documents"))
-    c["ocr_words"].write.mode("overwrite").parquet(os.path.join(path, "ocr_words"))
+    if not (
+        os.path.exists(os.path.join(path, "documents", "_SUCCESS"))
+        and os.path.exists(os.path.join(path, "ocr_words", "_SUCCESS"))
+    ):
+        from horus_spark.fixtures.generator import corpus_spark
+
+        c = corpus_spark(spark, n_docs, partitions=max(CPUS, 8))
+        c["documents"].write.mode("overwrite").parquet(os.path.join(path, "documents"))
+        c["ocr_words"].write.mode("overwrite").parquet(os.path.join(path, "ocr_words"))
+    # round 4: pre-built HTML pages (one per document, synthesize_html
+    # template over the doc's text spans) so the html_* timings measure
+    # EXTRACTION, not page synthesis
+    if not os.path.exists(os.path.join(path, "pages", "_SUCCESS")):
+        from horus_spark.operators.html import synthesize_html
+
+        d = spark.read.parquet(os.path.join(path, "documents"))
+        txt = d.select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.filter(
+                        F.col("spans"), lambda s: s["kind"] == F.lit("text")
+                    ),
+                    lambda s: s["text"],
+                ),
+            ).alias("text"),
+        )
+        synthesize_html(txt).write.mode("overwrite").parquet(
+            os.path.join(path, "pages")
+        )
 
 
 def main():
@@ -110,6 +134,18 @@ def main():
     timings["extract_pipeline"] = timed_min(ext_run, n=3)
     docs_per_sec = round(n_extracted / timings["extract_pipeline"], 1)
 
+    # round 4: HTML tier throughput over the pre-built 50k-page corpus
+    # (north-rule capability: boilerplate strip / main-content recovery)
+    from horus_spark.operators.html import dom_extract, html_blocks
+
+    pages = spark.read.parquet(os.path.join(CORPUS_DIR, "pages"))
+    html_run = make_runner(dom_extract(pages))
+    n_pages = html_run()  # warm (probe run in make_runner was fork-warmup)
+    timings["html_dom_extract"] = timed_min(html_run, n=2)
+    pages_per_sec = round(n_pages / timings["html_dom_extract"], 1)
+    flat_run = make_runner(html_blocks(pages))
+    timings["html_flat_screen"] = timed_min(flat_run, n=2)
+
     qs = entrymod.queries()
     headline = [
         "q01_pricing_summary",
@@ -141,6 +177,10 @@ def main():
                 "extra": {
                     "extraction_docs": n_extracted,
                     "extraction_docs_per_sec": docs_per_sec,
+                    # round-4 additions (subtract html_* keys when
+                    # comparing totals to rounds 1-3)
+                    "html_pages": n_pages,
+                    "html_dom_pages_per_sec": pages_per_sec,
                     "cpus": CPUS,
                     # round-2 protocol change (disclosed for cross-round
                     # comparison): every query now reports min of N
