@@ -2221,6 +2221,33 @@ def _q106_html_links(spark, sf_dir):
     return extract_links(pages, base_url_col="url")
 
 
+def _q108_html_to_spans(spark, sf_dir):
+    """Crawl-ingestion bridge: pages synthesized WITH media elements
+    (an img/video after every third chunk — the _interleave_spans_over
+    construction rendered as markup) -> html_to_spans -> the engine's
+    interleaved span schema, exploded to one row per span. The oracle
+    reconstructs the expected span sequence directly from documents
+    (ground truth: the interleave construction plus the leading h1
+    span), so a green row means raw HTML round-trips EXACTLY into the
+    corpus shape every interleaved operator (q88-q103) consumes —
+    boilerplate (including nav/footer markup) stripped before spans
+    exist, media refs and document order preserved."""
+    from horus_spark.operators.html import html_to_spans, synthesize_html
+
+    pages = synthesize_html(
+        _fanout(_load(spark, sf_dir, "documents")), media=True
+    )
+    return html_to_spans(pages).select(
+        "doc_id", F.explode("spans").alias("s")
+    ).select(
+        "doc_id",
+        F.col("s.offset").alias("offset"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -2329,6 +2356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q104_html_blocks": _q104_html_blocks,
         "q105_dom_extract": _q105_dom_extract,
         "q106_html_links": _q106_html_links,
+        "q108_html_to_spans": _q108_html_to_spans,
     }
 
 
@@ -3302,6 +3330,45 @@ def _oracle_sql_literals() -> dict[str, str]:
                    ':[0-9]+$', '')) = base_host
                  THEN 1 ELSE 0 END AS INT) AS is_internal
           FROM res
+        """,
+        # q108: GROUND TRUTH span reconstruction — the interleave
+        # construction (q88-family CTE shape) plus the leading h1 span;
+        # offsets renumbered in interleaved order (h1=0, rest 1..n).
+        "q108_html_to_spans": """
+          WITH tok AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+            FROM documents
+          ), chunks AS (
+            SELECT doc_id, w,
+                   unnest(generate_series(0,
+                     greatest(CAST(ceil(len(w) / 12.0) AS INT), 1) - 1)) AS i
+            FROM tok
+          ), raw AS (
+            SELECT doc_id, i*2 AS ord, 'text' AS kind,
+                   array_to_string(w[i*12+1 : i*12+12], ' ') AS text,
+                   '' AS media_ref
+            FROM chunks
+            UNION ALL
+            SELECT doc_id, i*2+1,
+                   CASE WHEN (doc_id + i) % 2 = 0 THEN 'image'
+                        ELSE 'video' END,
+                   '',
+                   'asset-' || CAST(doc_id AS VARCHAR) || '-'
+                     || CAST(i AS VARCHAR)
+            FROM chunks WHERE i % 3 = 2
+          ), s AS (
+            SELECT doc_id, kind, text, media_ref,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY ord)
+                     AS rn
+            FROM raw
+          )
+          SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(rn AS INT)
+                   AS offset, kind, text, media_ref
+          FROM s
+          UNION ALL
+          SELECT CAST(doc_id AS VARCHAR), 0, 'text',
+                 'Report ' || CAST(doc_id AS VARCHAR), ''
+          FROM documents
         """,
         "q33_dedup_pipeline": q33_sql,
         "q76_incremental_dedup": q76_sql,

@@ -238,6 +238,7 @@ def __getattr__(name):
         "dom_extract": ("horus_spark.operators.html", "dom_extract"),
         "synthesize_html": ("horus_spark.operators.html", "synthesize_html"),
         "extract_links": ("horus_spark.operators.html", "extract_links"),
+        "html_to_spans": ("horus_spark.operators.html", "html_to_spans"),
     }
     if name in _API:
         import importlib

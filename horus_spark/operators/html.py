@@ -72,6 +72,8 @@ _VOID_TAGS = frozenset(
 )
 # tags the HTML spec auto-closes when a sibling of the same tag opens
 _AUTOCLOSE = frozenset({"p", "li", "dt", "dd", "td", "th", "tr", "option"})
+# media elements captured as interleaved media spans (html_to_spans)
+_MEDIA_KINDS = {"img": "image", "video": "video", "audio": "audio"}
 
 DOM_EXTRACT_SCHEMA = (
     "doc_id string, content_text string, n_blocks int, content_chars int"
@@ -160,14 +162,15 @@ def html_blocks(
 
 
 class _Node:
-    __slots__ = ("tag", "parent", "items", "order", "score")
+    __slots__ = ("tag", "parent", "items", "order", "score", "media")
 
-    def __init__(self, tag: str, parent, order: int):
+    def __init__(self, tag: str, parent, order: int, media=None):
         self.tag = tag
         self.parent = parent
         self.items: list = []  # document-order mix of str and _Node
         self.order = order
         self.score = 0
+        self.media = media  # (kind, src) for img/video/audio with a src
 
 
 def _parse_html(html: str) -> _Node:
@@ -186,21 +189,45 @@ def _parse_html(html: str) -> _Node:
             self.n = 1
             self.skip = 0
 
+        def _media_of(self, tag, attrs):
+            if tag not in _MEDIA_KINDS:
+                return None
+            src = next((v for k, v in attrs if k == "src" and v), None)
+            return (_MEDIA_KINDS[tag], src) if src else None
+
         def handle_starttag(self, tag, attrs):
             if tag in _SKIP_TAGS:
                 self.skip += 1
                 return
-            if self.skip or tag in _VOID_TAGS:
+            if self.skip:
+                return
+            if tag in _VOID_TAGS:
+                media = self._media_of(tag, attrs)
+                if media:  # childless media node (e.g. <img src=...>)
+                    self.stack[-1].items.append(
+                        _Node(tag, self.stack[-1], self.n, media=media)
+                    )
+                    self.n += 1
                 return
             if tag in _AUTOCLOSE and self.stack[-1].tag == tag:
                 self.stack.pop()
-            node = _Node(tag, self.stack[-1], self.n)
+            node = _Node(
+                tag, self.stack[-1], self.n, media=self._media_of(tag, attrs)
+            )
             self.n += 1
             self.stack[-1].items.append(node)
             self.stack.append(node)
 
         def handle_startendtag(self, tag, attrs):
-            return  # self-closing: no subtree
+            if self.skip:
+                return
+            media = self._media_of(tag, attrs)
+            if media:  # self-closing media (e.g. <img src=.../>)
+                self.stack[-1].items.append(
+                    _Node(tag, self.stack[-1], self.n, media=media)
+                )
+                self.n += 1
+            # other self-closing tags: no subtree
 
         def handle_endtag(self, tag):
             if tag in _SKIP_TAGS:
@@ -260,11 +287,16 @@ def _walk(node: _Node) -> Iterator[_Node]:
         )
 
 
-def _extract_one(html: str) -> tuple[str, int, int]:
+def _select_candidate(html: str) -> tuple[_Node, dict[int, tuple[str, int]]]:
+    """Parse + score: per-block Readability points (1 + commas +
+    min(len//100, 3)) propagated parent x2 / grandparent x1; candidate
+    final score = points * (1000 - subtree link density per-mille) —
+    the CETD composite-text-density discount, integer-exact. Returns the
+    winning candidate node (ties -> earliest in document order; fallback
+    <body> then root) and the per-block (text, link_chars) map."""
     root = _parse_html(html)
     nodes = list(_walk(root))
 
-    # per-block Readability points -> parent x2, grandparent x1
     block_info: dict[int, tuple[str, int]] = {}
     for nd in nodes:
         if nd.tag in BLOCK_TAGS:
@@ -279,8 +311,6 @@ def _extract_one(html: str) -> tuple[str, int, int]:
                     if gp is not None and gp.tag != "#root":
                         gp.score += pts
 
-    # candidate = scored node, discounted by subtree link density
-    # (CETD's composite-text-density idea, integer per-mille)
     def subtree_stats(nd: _Node) -> tuple[int, int]:
         chars = link = 0
         stack = [(nd, False)]
@@ -307,18 +337,47 @@ def _extract_one(html: str) -> tuple[str, int, int]:
                 best, best_key = nd, key
     if best is None:  # no scored candidate: fall back to <body>, then root
         best = next((n for n in nodes if n.tag == "body"), root)
+    return best, block_info
 
+
+def _extract_one(html: str) -> tuple[str, int, int]:
+    best, block_info = _select_candidate(html)
     blocks: list[str] = []
     for nd in _walk(best):
         info = block_info.get(id(nd))
-        if info is None and nd.tag in BLOCK_TAGS:
-            info = (_inline_text_and_links(nd))
         if info:
             text, link = info
             if text and 3 * link <= len(text):
                 blocks.append(text)
     content = "\n".join(blocks)
     return content, len(blocks), sum(len(b) for b in blocks)
+
+
+def _spans_one(html: str) -> list[dict]:
+    """Interleaved span sequence of the winning candidate: content text
+    blocks (link-farm-filtered, as _extract_one) and media elements
+    (img/video/audio with a src) in document order, offsets 0..n-1.
+    Media outside the candidate (nav logos, footer badges) is stripped
+    with the boilerplate — media-aware main-content extraction."""
+    best, block_info = _select_candidate(html)
+    spans: list[dict] = []
+    for nd in _walk(best):
+        if nd.media is not None:
+            kind, src = nd.media
+            spans.append(
+                {"kind": kind, "text": "", "media_ref": src,
+                 "offset": len(spans)}
+            )
+            continue
+        info = block_info.get(id(nd))
+        if info:
+            text, link = info
+            if text and 3 * link <= len(text):
+                spans.append(
+                    {"kind": "text", "text": text, "media_ref": "",
+                     "offset": len(spans)}
+                )
+    return spans
 
 
 def dom_extract(
@@ -358,6 +417,47 @@ def dom_extract(
             )
 
     return slim.mapInPandas(kernel, schema=DOM_EXTRACT_SCHEMA)
+
+
+SPANS_SCHEMA = (
+    "doc_id string, spans array<struct<kind:string,text:string,"
+    "media_ref:string,offset:int>>"
+)
+
+
+def html_to_spans(
+    df: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """Crawled HTML -> the engine's interleaved document schema:
+    (doc_id, spans:array<struct<kind,text,media_ref,offset>>).
+
+    The ingestion bridge from raw pages to the whole interleaved operator
+    family (interleave_stats, caption_pairs, multimodal dedup, packing,
+    span languages, ...): the winning Readability/CETD candidate's
+    content blocks become text spans and its media elements (img/video/
+    audio with a src) become media spans, in document order with offsets
+    0..n-1. Boilerplate — including nav logos and footer badges — is
+    stripped BEFORE spans exist, so downstream caption mining pairs
+    captions with CONTENT media only. Same Arrow-batched kernel shape as
+    dom_extract; one slim nested row out per page."""
+    slim = df.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.col(html_col).alias("html"),
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("string"),
+                    "spans": [
+                        _spans_one(h if isinstance(h, str) else "")
+                        for h in pdf["html"]
+                    ],
+                }
+            )
+
+    return slim.mapInPandas(kernel, schema=SPANS_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -474,16 +574,42 @@ def extract_links(
 
 
 def synthesize_html(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    media: bool = False,
 ) -> DataFrame:
     """Wrap each document's text in a deterministic crawled-page template:
     title + script/style chrome, a link-farm nav, the content as <p>
     paragraphs of 12-token chunks (the interleave chunking) under
     <div class="main"> with an <h1>, and a link-heavy footer. Pure
     expressions; the q104/q105 oracles replay the same construction in
-    SQL, so the planted ground truth is known exactly."""
+    SQL, so the planted ground truth is known exactly.
+
+    With `media=True`, a media element follows every chunk whose index i
+    has i % 3 == 2 — <img src="asset-<id>-<i>"/> when (doc_id+i) is
+    even, <video src=...></video> otherwise: exactly the
+    _interleave_spans_over corpus construction, so html_to_spans over
+    these pages must reproduce the interleaved span corpus (plus the
+    leading h1 span). The q104/q105/q106 template (media=False) is
+    unchanged."""
+    did = F.col(id_col).cast("string")
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     n = F.greatest(F.ceil(F.size(toks) / 12).cast("int"), F.lit(1))
+
+    def media_tag(i):
+        ref = F.concat(
+            F.lit('src="asset-'), did, F.lit("-"), i.cast("string"),
+            F.lit('"'),
+        )
+        return F.when(
+            i % 3 == 2,
+            F.when(
+                (F.col(id_col).cast("long") + i) % 2 == 0,
+                F.concat(F.lit("<img "), ref, F.lit("/>")),
+            ).otherwise(F.concat(F.lit("<video "), ref, F.lit("></video>"))),
+        ).otherwise(F.lit(""))
+
     ptags = F.concat_ws(
         "",
         F.transform(
@@ -492,10 +618,10 @@ def synthesize_html(
                 F.lit("<p>"),
                 F.concat_ws(" ", F.slice(toks, (i * 12 + 1).cast("int"), 12)),
                 F.lit("</p>"),
+                media_tag(i) if media else F.lit(""),
             ),
         ),
     )
-    did = F.col(id_col).cast("string")
     html = F.concat(
         F.lit("<html><head><title>Doc "),
         did,

@@ -246,6 +246,75 @@ def test_extract_links_feeds_crawl_graph(spark):
     assert sum(r["rank_micro"] for r in got) <= 1_000_000_000_000
 
 
+def test_html_to_spans_matches_interleave_construction(spark):
+    """Pages synthesized with media must round-trip into EXACTLY the
+    interleave span construction (plus the leading h1 span)."""
+    from horus_spark.operators.html import html_to_spans
+
+    rows = [(i, " ".join(f"w{j}" for j in range(k)))
+            for i, k in enumerate([5, 36, 40, 80])]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["spans"]
+        for r in html_to_spans(synthesize_html(df, media=True)).collect()
+    }
+    for i, k in enumerate([5, 36, 40, 80]):
+        toks = [f"w{j}" for j in range(k)]
+        chunks = [" ".join(toks[s : s + 12]) for s in range(0, k, 12)]
+        expect = [("text", f"Report {i}", "")]
+        for ci, c in enumerate(chunks):
+            expect.append(("text", c, ""))
+            if ci % 3 == 2:
+                kind = "image" if (i + ci) % 2 == 0 else "video"
+                expect.append((kind, "", f"asset-{i}-{ci}"))
+        spans = got[str(i)]
+        assert [(s["kind"], s["text"], s["media_ref"]) for s in spans] == expect
+        assert [s["offset"] for s in spans] == list(range(len(expect)))
+
+
+def test_html_to_spans_strips_boilerplate_media(spark):
+    """Media outside the winning candidate (nav logos, footer badges)
+    is stripped with the boilerplate; media inside survives in order."""
+    from horus_spark.operators.html import html_to_spans
+
+    page = (
+        "<html><body>"
+        '<div id="nav"><img src="logo.png"/><ul>'
+        '<li><a href="/">Home</a></li><li><a href="/a">About</a></li></ul></div>'
+        '<div id="art"><h1>Story headline</h1>'
+        "<p>First paragraph with plenty of words to score as content.</p>"
+        '<video src="clip.mp4"></video>'
+        "<p>Second paragraph also has plenty of words to count well.</p></div>"
+        '<div id="footer"><img src="badge.gif"/>'
+        '<p><a href="/t">Terms</a> | <a href="/p">Privacy</a></p></div>'
+        "</body></html>"
+    )
+    df = spark.createDataFrame([("d1", page)], "doc_id string, html string")
+    spans = html_to_spans(df).collect()[0]["spans"]
+    assert [(s["kind"], s["media_ref"]) for s in spans] == [
+        ("text", ""), ("text", ""), ("video", "clip.mp4"), ("text", ""),
+    ]
+    assert spans[0]["text"] == "Story headline"
+    assert "logo" not in str(spans) and "badge" not in str(spans)
+
+
+def test_html_to_spans_feeds_interleave_ops(spark):
+    """Output schema is the interleaved corpus schema — the interleave
+    operator family consumes it directly."""
+    from horus_spark.operators.html import html_to_spans
+    from horus_spark.operators.interleave import interleave_stats
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(40))) for i in range(6)],
+        "doc_id long, text string",
+    )
+    spans = html_to_spans(synthesize_html(docs, media=True))
+    stats = interleave_stats(spans)
+    got = stats.collect()[0]
+    # 40 tokens -> 4 chunks + h1 = 5 text spans, one media span (i=2)
+    assert got["n_text"] == 5 and got["n_media"] == 1
+
+
 def test_dom_extract_one_row_per_doc(spark):
     df = synthesize_html(
         spark.createDataFrame(
