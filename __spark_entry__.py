@@ -2221,6 +2221,37 @@ def _q106_html_links(spark, sf_dir):
     return extract_links(pages, base_url_col="url")
 
 
+def _q107_extraction_eval(spark, sf_dir):
+    """Extraction-QA: the FLAT screen's content blocks scored against
+    the planted ground truth (h1 + full document text) with per-doc
+    token-multiset precision / recall / F1 in integer per-mille
+    (evaluate.token_overlap_eval). This audits the cheap tier's known
+    failure modes with numbers — short headline/chunk blocks dropped
+    (recall < 1000), the footer's plain-text line kept (precision
+    < 1000) — exactly the report a curation pipeline needs before
+    trusting a screen at 10^12 pages. One token-level shuffle + a tiny
+    per-doc rollup; the oracle replays the flat algorithm AND the
+    metric arithmetic in SQL."""
+    from horus_spark.operators.evaluate import token_overlap_eval
+    from horus_spark.operators.html import html_blocks
+
+    pages = _html_pages(spark, sf_dir)
+    pred = html_blocks(pages).where(F.col("is_content") == 1).select(
+        "doc_id", F.col("block_text").alias("text")
+    )
+    d = _load(spark, sf_dir, "documents")
+    gold = d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat(
+            F.lit("Report "),
+            F.col("doc_id").cast("string"),
+            F.lit(" "),
+            F.trim(F.col("text")),
+        ).alias("text"),
+    )
+    return token_overlap_eval(pred, gold)
+
+
 def _q108_html_to_spans(spark, sf_dir):
     """Crawl-ingestion bridge: pages synthesized WITH media elements
     (an img/video after every third chunk — the _interleave_spans_over
@@ -2356,6 +2387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q104_html_blocks": _q104_html_blocks,
         "q105_dom_extract": _q105_dom_extract,
         "q106_html_links": _q106_html_links,
+        "q107_extraction_eval": _q107_extraction_eval,
         "q108_html_to_spans": _q108_html_to_spans,
     }
 
@@ -2420,6 +2452,34 @@ _HTML_PAGE_CTE = """
               || '</div><div class="footer"><p><a href="/terms">Terms of service</a> | <a href="/privacy">Privacy policy</a> | <a href="/contact">Contact</a></p><p>Copyright 2026 Example Corp</p></div></body></html>'
                 AS html
             FROM tok
+          )"""
+
+# shared by q104/q107: the flat block screen's per-block metrics (chrome
+# strip, block split, tag strip, whitespace collapse, anchor-char fold)
+# — the exact algorithm of operators/html.py::html_blocks.
+_HTML_MET_CTE = _HTML_PAGE_CTE + """, cleaned AS (
+            SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(html,
+              '(?s)<script[^>]*>.*?</script>', '', 'g'),
+              '(?s)<style[^>]*>.*?</style>', '', 'g'),
+              '(?s)<!--.*?-->', '', 'g') AS h
+            FROM page
+          ), blk AS (
+            SELECT doc_id, string_split_regex(h,
+              '</?(?:html|head|body|title|div|p|h[1-6]|ul|ol|li|dl|dt|dd|table|thead|tbody|tfoot|tr|td|th|nav|header|footer|section|article|main|aside|figure|figcaption|blockquote|pre|form|br|hr)(?:\\s[^>]*)?/?>')
+              AS b
+            FROM cleaned
+          ), seg AS (
+            SELECT doc_id, b, unnest(generate_series(1, len(b))) AS i
+            FROM blk
+          ), met AS (
+            SELECT doc_id, CAST(i - 1 AS INT) AS block_pos,
+              trim(regexp_replace(regexp_replace(b[i], '<[^>]*>', ' ', 'g'),
+                   '\\s+', ' ', 'g')) AS block_text,
+              CAST(len(regexp_extract_all(b[i], '<[^>]*>')) AS INT) AS tag_count,
+              CAST(coalesce(list_sum(list_transform(
+                regexp_extract_all(b[i], '(?s)<a[^>]*>(.*?)</a>', 1),
+                x -> length(x))), 0) AS INT) AS link_chars
+            FROM seg
           )"""
 
 
@@ -3204,30 +3264,7 @@ def _oracle_sql_literals() -> dict[str, str]:
         # synthesis, chrome-strip regexes, block-split regex, tag strip,
         # whitespace collapse, anchor-char fold and integer content rule
         # as operators/html.py::html_blocks.
-        "q104_html_blocks": _HTML_PAGE_CTE + """, cleaned AS (
-            SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(html,
-              '(?s)<script[^>]*>.*?</script>', '', 'g'),
-              '(?s)<style[^>]*>.*?</style>', '', 'g'),
-              '(?s)<!--.*?-->', '', 'g') AS h
-            FROM page
-          ), blk AS (
-            SELECT doc_id, string_split_regex(h,
-              '</?(?:html|head|body|title|div|p|h[1-6]|ul|ol|li|dl|dt|dd|table|thead|tbody|tfoot|tr|td|th|nav|header|footer|section|article|main|aside|figure|figcaption|blockquote|pre|form|br|hr)(?:\\s[^>]*)?/?>')
-              AS b
-            FROM cleaned
-          ), seg AS (
-            SELECT doc_id, b, unnest(generate_series(1, len(b))) AS i
-            FROM blk
-          ), met AS (
-            SELECT doc_id, CAST(i - 1 AS INT) AS block_pos,
-              trim(regexp_replace(regexp_replace(b[i], '<[^>]*>', ' ', 'g'),
-                   '\\s+', ' ', 'g')) AS block_text,
-              CAST(len(regexp_extract_all(b[i], '<[^>]*>')) AS INT) AS tag_count,
-              CAST(coalesce(list_sum(list_transform(
-                regexp_extract_all(b[i], '(?s)<a[^>]*>(.*?)</a>', 1),
-                x -> length(x))), 0) AS INT) AS link_chars
-            FROM seg
-          )
+        "q104_html_blocks": _HTML_MET_CTE + """
           SELECT doc_id, block_pos, block_text,
                  CAST(length(block_text) AS INT) AS text_chars,
                  tag_count, link_chars,
@@ -3330,6 +3367,54 @@ def _oracle_sql_literals() -> dict[str, str]:
                    ':[0-9]+$', '')) = base_host
                  THEN 1 ELSE 0 END AS INT) AS is_internal
           FROM res
+        """,
+        # q107: the flat screen replay (shared met CTE) -> token
+        # multiset vs ground-truth tokens ('Report', the id, and every
+        # document token) -> the same integer per-mille metric
+        # arithmetic as evaluate.token_overlap_eval.
+        "q107_extraction_eval": _HTML_MET_CTE + """
+          , pred AS (
+            SELECT doc_id, unnest(string_split_regex(block_text, '\\s+'))
+                     AS tok
+            FROM met
+            WHERE length(block_text) >= 25
+              AND 3 * link_chars <= length(block_text)
+          ), gold AS (
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id, unnest(w) AS tok
+            FROM tok
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR), 'Report' FROM tok
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR), CAST(doc_id AS VARCHAR)
+            FROM tok
+          ), pc AS (
+            SELECT doc_id, tok, count(*) AS c FROM pred
+            GROUP BY doc_id, tok
+          ), gc AS (
+            SELECT doc_id, tok, count(*) AS c FROM gold
+            GROUP BY doc_id, tok
+          ), m AS (
+            SELECT coalesce(pc.doc_id, gc.doc_id) AS doc_id,
+                   coalesce(pc.c, 0) AS p, coalesce(gc.c, 0) AS g
+            FROM pc FULL OUTER JOIN gc
+              ON pc.doc_id = gc.doc_id AND pc.tok = gc.tok
+          ), agg AS (
+            SELECT doc_id, CAST(sum(p) AS BIGINT) AS n_pred,
+                   CAST(sum(g) AS BIGINT) AS n_gold,
+                   CAST(sum(least(p, g)) AS BIGINT) AS n_common
+            FROM m GROUP BY doc_id
+          )
+          SELECT doc_id, n_pred, n_gold, n_common,
+            CAST(CASE WHEN n_pred = 0 THEN 0
+                 ELSE (1000 * n_common) // n_pred END AS INT)
+              AS precision_milli,
+            CAST(CASE WHEN n_gold = 0 THEN 0
+                 ELSE (1000 * n_common) // n_gold END AS INT)
+              AS recall_milli,
+            CAST(CASE WHEN n_pred + n_gold = 0 THEN 0
+                 ELSE (2000 * n_common) // (n_pred + n_gold) END AS INT)
+              AS f1_milli
+          FROM agg
         """,
         # q108: GROUND TRUTH span reconstruction — the interleave
         # construction (q88-family CTE shape) plus the leading h1 span;

@@ -239,6 +239,9 @@ def __getattr__(name):
         "synthesize_html": ("horus_spark.operators.html", "synthesize_html"),
         "extract_links": ("horus_spark.operators.html", "extract_links"),
         "html_to_spans": ("horus_spark.operators.html", "html_to_spans"),
+        "token_overlap_eval": (
+            "horus_spark.operators.evaluate", "token_overlap_eval",
+        ),
     }
     if name in _API:
         import importlib
