@@ -2252,6 +2252,115 @@ def _q107_extraction_eval(spark, sf_dir):
     return token_overlap_eval(pred, gold)
 
 
+def _q109_warc_parse(spark, sf_dir):
+    """WARC-archive ingestion front: each page wrapped in a deterministic
+    WARC record (WARC headers + HTTP message + payload; every 10th doc a
+    'request' record with no HTML, another tenth a 404) and parsed back
+    by sources/warc.py's pure-expression core — typed WARC/HTTP fields +
+    payload digest. Zero shuffle; at archive scale the reader splits on
+    the record delimiter inside Hadoop's line reader, so this is
+    scan-parallel with no whole-file materialization. Oracle replays the
+    record synthesis AND the header/blank-line-split regexes in SQL."""
+    from horus_spark.sources.warc import parse_warc_records
+
+    pages = _html_pages(spark, sf_dir)
+    did = F.col("doc_id")
+    dl = did.cast("long")
+    is_req = dl % 10 == 3
+    is_404 = dl % 10 == 7
+    uri = F.concat(
+        F.lit("https://site-"), (dl % 50).cast("string"),
+        F.lit(".test/doc/"), did,
+    )
+    http_block = F.when(
+        is_req,
+        F.concat(
+            F.lit("GET /doc/"), did,
+            F.lit(" HTTP/1.1\r\nHost: site-x.test"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("HTTP/1.1 "),
+            F.when(is_404, F.lit("404 Not Found")).otherwise(F.lit("200 OK")),
+            F.lit("\r\nContent-Type: text/html; charset=utf-8"),
+        )
+    )
+    body = F.when(is_req, F.lit("")).otherwise(F.col("html"))
+    rec = F.concat(
+        F.lit("WARC-Type: "),
+        F.when(is_req, F.lit("request")).otherwise(F.lit("response")),
+        F.lit("\r\nWARC-Target-URI: "), uri,
+        F.lit("\r\nWARC-Date: 2026-08-"),
+        F.lpad((1 + dl % 28).cast("string"), 2, "0"),
+        F.lit("T00:00:00Z\r\nContent-Length: "),
+        F.length(body).cast("string"),
+        F.lit("\r\n\r\n"), http_block, F.lit("\r\n\r\n"), body,
+    )
+    parsed = parse_warc_records(pages.select(did, rec.alias("record")))
+    return parsed.select(
+        did.cast("string").alias("doc_id"),
+        "warc_type", "target_uri", "warc_date", "http_status",
+        "content_type",
+        F.md5(F.col("payload")).alias("body_md5"),
+        F.length("payload").cast("int").alias("body_chars"),
+    )
+
+
+def _q110_page_metadata(spark, sf_dir):
+    """Head-metadata extraction over the crawl corpus: title, meta
+    description, canonical URL, og:title — planted per-doc with
+    DIFFERENT absence patterns (no description every 3rd doc, no
+    canonical every 4th, no og:title every 5th) and with the
+    description's attribute order FLIPPED on even docs (content before
+    name), so the order-tolerant coalesced extraction is actually
+    exercised. Pure map-side regexes, zero shuffle; oracle replays the
+    injection and both attribute-order patterns in SQL."""
+    from horus_spark.operators.html import page_metadata
+
+    pages = _html_pages(spark, sf_dir)
+    dl = F.col("doc_id").cast("long")
+    did = F.col("doc_id")
+    desc = F.concat(
+        F.lit("Synthetic report "), did, F.lit(" summary")
+    )
+    meta_desc = F.when(dl % 3 == 0, F.lit("")).otherwise(
+        F.when(
+            dl % 2 == 0,
+            F.concat(
+                F.lit('<meta content="'), desc,
+                F.lit('" name="description"/>'),
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit('<meta name="description" content="'), desc,
+                F.lit('"/>'),
+            )
+        )
+    )
+    canon = F.when(dl % 4 == 0, F.lit("")).otherwise(
+        F.concat(
+            F.lit('<link rel="canonical" href="https://site-'),
+            (dl % 50).cast("string"),
+            F.lit(".test/doc/"), did, F.lit('"/>'),
+        )
+    )
+    og = F.when(dl % 5 == 0, F.lit("")).otherwise(
+        F.concat(
+            F.lit('<meta property="og:title" content="Report '), did,
+            F.lit('"/>'),
+        )
+    )
+    pages = pages.select(
+        "doc_id",
+        F.replace(
+            F.col("html"),
+            F.lit("</head>"),
+            F.concat(meta_desc, canon, og, F.lit("</head>")),
+        ).alias("html"),
+    )
+    return page_metadata(pages)
+
+
 def _q108_html_to_spans(spark, sf_dir):
     """Crawl-ingestion bridge: pages synthesized WITH media elements
     (an img/video after every third chunk — the _interleave_spans_over
@@ -2389,6 +2498,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q106_html_links": _q106_html_links,
         "q107_extraction_eval": _q107_extraction_eval,
         "q108_html_to_spans": _q108_html_to_spans,
+        "q109_warc_parse": _q109_warc_parse,
+        "q110_page_metadata": _q110_page_metadata,
     }
 
 
@@ -3454,6 +3565,124 @@ def _oracle_sql_literals() -> dict[str, str]:
           SELECT CAST(doc_id AS VARCHAR), 0, 'text',
                  'Report ' || CAST(doc_id AS VARCHAR), ''
           FROM documents
+        """,
+        # q109: replay of the WARC record synthesis + the parse core's
+        # anchored-header / lazy blank-line-split regexes
+        # (sources/warc.py::parse_warc_records).
+        "q109_warc_parse": _HTML_PAGE_CTE + """
+          , wrec AS (
+            SELECT doc_id, html,
+                   CAST(doc_id AS BIGINT) % 10 = 3 AS is_req,
+                   CAST(doc_id AS BIGINT) % 10 = 7 AS is_404
+            FROM page
+          ), built AS (
+            SELECT doc_id,
+              'WARC-Type: '
+              || CASE WHEN is_req THEN 'request' ELSE 'response' END
+              || chr(13) || chr(10) || 'WARC-Target-URI: https://site-'
+              || CAST(CAST(doc_id AS BIGINT) % 50 AS VARCHAR)
+              || '.test/doc/' || doc_id
+              || chr(13) || chr(10) || 'WARC-Date: 2026-08-'
+              || lpad(CAST(1 + CAST(doc_id AS BIGINT) % 28 AS VARCHAR),
+                      2, '0')
+              || 'T00:00:00Z'
+              || chr(13) || chr(10) || 'Content-Length: '
+              || CAST(length(CASE WHEN is_req THEN '' ELSE html END)
+                      AS VARCHAR)
+              || chr(13) || chr(10) || chr(13) || chr(10)
+              || CASE WHEN is_req
+                   THEN 'GET /doc/' || doc_id || ' HTTP/1.1'
+                        || chr(13) || chr(10) || 'Host: site-x.test'
+                   ELSE 'HTTP/1.1 '
+                        || CASE WHEN is_404 THEN '404 Not Found'
+                                ELSE '200 OK' END
+                        || chr(13) || chr(10)
+                        || 'Content-Type: text/html; charset=utf-8' END
+              || chr(13) || chr(10) || chr(13) || chr(10)
+              || CASE WHEN is_req THEN '' ELSE html END AS record
+            FROM wrec
+          ), parsed AS (
+            SELECT doc_id,
+              regexp_extract(record, '(?s)^(.*?)\\r?\\n\\r?\\n', 1) AS wh,
+              regexp_extract(record,
+                '(?s)^.*?\\r?\\n\\r?\\n(.*?)\\r?\\n\\r?\\n', 1) AS hh,
+              regexp_extract(record,
+                '(?s)^.*?\\r?\\n\\r?\\n.*?\\r?\\n\\r?\\n(.*)$', 1)
+                AS payload
+            FROM built
+          )
+          SELECT doc_id,
+            regexp_extract(wh, '(?m)^WARC-Type:\\s*(\\S+)', 1)
+              AS warc_type,
+            regexp_extract(wh, '(?m)^WARC-Target-URI:\\s*(\\S+)', 1)
+              AS target_uri,
+            regexp_extract(wh, '(?m)^WARC-Date:\\s*(\\S+)', 1) AS warc_date,
+            CAST(nullif(regexp_extract(hh,
+              '(?m)^HTTP/[0-9.]+\\s+([0-9]{3})', 1), '') AS INT)
+              AS http_status,
+            nullif(regexp_extract(hh,
+              '(?im)^Content-Type:\\s*([^\\r\\n]+)', 1), '')
+              AS content_type,
+            md5(payload) AS body_md5,
+            CAST(length(payload) AS INT) AS body_chars
+          FROM parsed
+        """,
+        # q110: replay of the metadata injection + the order-tolerant
+        # coalesced attribute extraction (operators/html.py::page_metadata).
+        "q110_page_metadata": _HTML_PAGE_CTE + """
+          , inj AS (
+            SELECT doc_id,
+              replace(html, '</head>',
+                CASE WHEN CAST(doc_id AS BIGINT) % 3 = 0 THEN ''
+                     WHEN CAST(doc_id AS BIGINT) % 2 = 0 THEN
+                       '<meta content="Synthetic report ' || doc_id
+                       || ' summary" name="description"/>'
+                     ELSE
+                       '<meta name="description" content="Synthetic report '
+                       || doc_id || ' summary"/>' END
+                || CASE WHEN CAST(doc_id AS BIGINT) % 4 = 0 THEN ''
+                        ELSE '<link rel="canonical" href="https://site-'
+                          || CAST(CAST(doc_id AS BIGINT) % 50 AS VARCHAR)
+                          || '.test/doc/' || doc_id || '"/>' END
+                || CASE WHEN CAST(doc_id AS BIGINT) % 5 = 0 THEN ''
+                        ELSE '<meta property="og:title" content="Report '
+                          || doc_id || '"/>' END
+                || '</head>') AS html
+            FROM page
+          ), ex AS (
+            SELECT doc_id, html,
+              regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1)
+                AS raw_title,
+              regexp_extract(html,
+                '(?is)<meta\\s[^>]*name\\s*=\\s*"description"[^>]*content\\s*=\\s*"([^"]*)"',
+                1) AS d_a,
+              regexp_extract(html,
+                '(?is)<meta\\s[^>]*content\\s*=\\s*"([^"]*)"[^>]*name\\s*=\\s*"description"',
+                1) AS d_b,
+              regexp_extract(html,
+                '(?is)<link\\s[^>]*rel\\s*=\\s*"canonical"[^>]*href\\s*=\\s*"([^"]*)"',
+                1) AS c_a,
+              regexp_extract(html,
+                '(?is)<link\\s[^>]*href\\s*=\\s*"([^"]*)"[^>]*rel\\s*=\\s*"canonical"',
+                1) AS c_b,
+              regexp_extract(html,
+                '(?is)<meta\\s[^>]*property\\s*=\\s*"og:title"[^>]*content\\s*=\\s*"([^"]*)"',
+                1) AS o_a,
+              regexp_extract(html,
+                '(?is)<meta\\s[^>]*content\\s*=\\s*"([^"]*)"[^>]*property\\s*=\\s*"og:title"',
+                1) AS o_b
+            FROM inj
+          )
+          SELECT doc_id,
+            nullif(trim(regexp_replace(regexp_replace(raw_title,
+              '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g')), '') AS title,
+            nullif(CASE WHEN d_a != '' THEN d_a ELSE d_b END, '')
+              AS meta_description,
+            nullif(CASE WHEN c_a != '' THEN c_a ELSE c_b END, '')
+              AS canonical_url,
+            nullif(CASE WHEN o_a != '' THEN o_a ELSE o_b END, '')
+              AS og_title
+          FROM ex
         """,
         "q33_dedup_pipeline": q33_sql,
         "q76_incremental_dedup": q76_sql,

@@ -242,6 +242,12 @@ def __getattr__(name):
         "token_overlap_eval": (
             "horus_spark.operators.evaluate", "token_overlap_eval",
         ),
+        "page_metadata": ("horus_spark.operators.html", "page_metadata"),
+        "read_warc": ("horus_spark.sources.warc", "read_warc"),
+        "parse_warc_records": (
+            "horus_spark.sources.warc", "parse_warc_records",
+        ),
+        "html_responses": ("horus_spark.sources.warc", "html_responses"),
     }
     if name in _API:
         import importlib

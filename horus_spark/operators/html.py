@@ -568,6 +568,60 @@ def extract_links(
     )
 
 
+def _attr_pair(tag_re: str, key_attr: str, key_val: str, want: str):
+    """Coalesced extraction of `want`'s value from a tag where
+    key_attr="key_val", tolerating either attribute order."""
+    a = F.regexp_extract(
+        F.col("html"),
+        rf'(?is)<{tag_re}\s[^>]*{key_attr}\s*=\s*"{key_val}"[^>]*'
+        rf'{want}\s*=\s*"([^"]*)"',
+        1,
+    )
+    b = F.regexp_extract(
+        F.col("html"),
+        rf'(?is)<{tag_re}\s[^>]*{want}\s*=\s*"([^"]*)"[^>]*'
+        rf'{key_attr}\s*=\s*"{key_val}"',
+        1,
+    )
+    return F.nullif(F.when(a != "", a).otherwise(b), F.lit(""))
+
+
+def page_metadata(
+    df: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """Head-metadata extraction (the fields a crawl pipeline indexes
+    before any content parse): first <title> (markup stripped,
+    whitespace collapsed), <meta name="description">,
+    <link rel="canonical"> href, and <meta property="og:title"> —
+    each NULL when absent; attribute order tolerated both ways. Pure
+    whole-stage-codegen regexes, zero shuffle."""
+    slim = df.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.col(html_col).alias("html"),
+    )
+    raw_title = F.regexp_extract(
+        F.col("html"), r"(?is)<title[^>]*>(.*?)</title>", 1
+    )
+    title = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(raw_title, _TAG_RE, " "), r"\s+", " "
+        )
+    )
+    return slim.select(
+        "doc_id",
+        F.nullif(title, F.lit("")).alias("title"),
+        _attr_pair("meta", "name", "description", "content").alias(
+            "meta_description"
+        ),
+        _attr_pair("link", "rel", "canonical", "href").alias(
+            "canonical_url"
+        ),
+        _attr_pair("meta", "property", "og:title", "content").alias(
+            "og_title"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # deterministic page synthesis (tests / oracles — replayed in SQL by q104/105)
 # ---------------------------------------------------------------------------

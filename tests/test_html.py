@@ -315,6 +315,40 @@ def test_html_to_spans_feeds_interleave_ops(spark):
     assert got["n_text"] == 5 and got["n_media"] == 1
 
 
+def test_page_metadata(spark):
+    from horus_spark.operators.html import page_metadata
+
+    pages = [
+        # both attribute orders + all four fields
+        ("d1",
+         '<html><head><title> My  <b>Site</b> </title>'
+         '<meta content="A fine page" name="description"/>'
+         '<link rel="canonical" href="https://ex.com/a"/>'
+         '<meta property="og:title" content="OG name"/></head>'
+         "<body></body></html>"),
+        # name-first order; canonical href-first order
+        ("d2",
+         '<html><head><title>T2</title>'
+         '<meta name="description" content="Second"/>'
+         '<link href="https://ex.com/b" rel="canonical"/></head></html>'),
+        # nothing present
+        ("d3", "<html><head></head><body><p>x</p></body></html>"),
+    ]
+    df = spark.createDataFrame(pages, "doc_id string, html string")
+    got = {r["doc_id"]: r for r in page_metadata(df).collect()}
+    assert got["d1"]["title"] == "My Site"  # markup stripped, ws collapsed
+    assert got["d1"]["meta_description"] == "A fine page"
+    assert got["d1"]["canonical_url"] == "https://ex.com/a"
+    assert got["d1"]["og_title"] == "OG name"
+    assert got["d2"]["meta_description"] == "Second"
+    assert got["d2"]["canonical_url"] == "https://ex.com/b"
+    assert got["d2"]["og_title"] is None
+    assert got["d3"]["title"] is None
+    assert got["d3"]["meta_description"] is None
+    plan = page_metadata(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
 def test_dom_extract_one_row_per_doc(spark):
     df = synthesize_html(
         spark.createDataFrame(
