@@ -248,6 +248,9 @@ def __getattr__(name):
             "horus_spark.sources.warc", "parse_warc_records",
         ),
         "html_responses": ("horus_spark.sources.warc", "html_responses"),
+        "stream_html_ingest": (
+            "horus_spark.streaming.incremental", "stream_html_ingest",
+        ),
     }
     if name in _API:
         import importlib

@@ -318,34 +318,105 @@ def stream_multimodal_ingest(
     fingerprint + signature pipeline runs once per batch. Pre-seed an
     existing corpus by writing build_multimodal_index output to
     `index_dir/batch=seed/`. Returns the started StreamingQuery."""
+    stream = spark.readStream.schema(SPANS_SCHEMA).parquet(spans_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int):
+        _ingest_spans_batch(
+            spark, batch_df, batch_id, media, out_dir, index_dir,
+            k=k, bands=bands, threshold=threshold, seed=seed,
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def _ingest_spans_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    media: DataFrame | str,
+    out_dir: str,
+    index_dir: str,
+    k: int,
+    bands: int,
+    threshold: float,
+    seed: int,
+) -> None:
+    """One micro-batch of the rolling-index ingest (shared by the span
+    and HTML fronts): judge the batch against the index-minus-own-slice,
+    write batch-keyed verdicts, extend the index with the uniques."""
     from horus_spark.operators.dedup import incremental_verdicts
     from horus_spark.operators.interleave import build_multimodal_index
 
-    stream = spark.readStream.schema(SPANS_SCHEMA).parquet(spans_dir)
+    if batch_df.isEmpty():
+        return
+    mdf = spark.read.parquet(media) if isinstance(media, str) else media
+    slice_name = f"batch={batch_id:06d}"
+    index = _read_multimodal_index(spark, index_dir, exclude=slice_name)
+    bdir = os.path.join(index_dir, "_staging", slice_name)
+    build_multimodal_index(batch_df, mdf, k=k, seed=seed).write.mode(
+        "overwrite"
+    ).parquet(bdir)
+    bidx = spark.read.parquet(bdir)
+    verdicts = incremental_verdicts(
+        bidx, index, k=k, bands=bands, threshold=threshold
+    )
+    vdir = os.path.join(out_dir, slice_name)
+    verdicts.write.mode("overwrite").parquet(vdir)
+    uniq = (
+        spark.read.parquet(vdir)
+        .filter(F.col("verdict") == "unique")
+        .select(F.col("doc_id").alias("id"))
+    )
+    bidx.join(uniq, "id").write.mode("overwrite").parquet(
+        os.path.join(index_dir, slice_name)
+    )
+
+
+def stream_html_ingest(
+    spark: SparkSession,
+    pages_dir: str,
+    media: DataFrame | str,
+    out_dir: str,
+    checkpoint_dir: str,
+    index_dir: str,
+    available_now: bool = True,
+    k: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    seed: int = 1337,
+):
+    """Continuous CRAWL ingestion: micro-batches of raw pages
+    (doc_id, html) are converted to the interleaved span schema with
+    html_to_spans (DOM-tree main-content extraction — boilerplate and
+    nav/footer media stripped before spans exist) and then run through
+    the same rolling-index exact+near dedup as stream_multimodal_ingest:
+    verdicts batch-keyed under `out_dir`, unique docs extend the
+    persisted index before the next batch. A re-crawl of a page seen
+    any number of batches ago — byte-identical, asset-renamed, or
+    one-image-swapped — is caught against the durable index; replayed
+    micro-batches recompute identical verdicts and overwrite their own
+    batch-keyed outputs (exactly-once downstream semantics). `media`
+    as a PATH is re-read per batch so assets uploaded alongside later
+    crawl batches resolve; see stream_multimodal_ingest for the frozen
+    DataFrame caveat. Returns the started StreamingQuery."""
+    from horus_spark.operators.html import html_to_spans
+
+    stream = spark.readStream.schema(
+        "doc_id string, html string"
+    ).parquet(pages_dir)
 
     def process_batch(batch_df: DataFrame, batch_id: int):
         if batch_df.isEmpty():
             return
-        mdf = spark.read.parquet(media) if isinstance(media, str) else media
-        slice_name = f"batch={batch_id:06d}"
-        index = _read_multimodal_index(spark, index_dir, exclude=slice_name)
-        bdir = os.path.join(index_dir, "_staging", slice_name)
-        build_multimodal_index(batch_df, mdf, k=k, seed=seed).write.mode(
-            "overwrite"
-        ).parquet(bdir)
-        bidx = spark.read.parquet(bdir)
-        verdicts = incremental_verdicts(
-            bidx, index, k=k, bands=bands, threshold=threshold
-        )
-        vdir = os.path.join(out_dir, slice_name)
-        verdicts.write.mode("overwrite").parquet(vdir)
-        uniq = (
-            spark.read.parquet(vdir)
-            .filter(F.col("verdict") == "unique")
-            .select(F.col("doc_id").alias("id"))
-        )
-        bidx.join(uniq, "id").write.mode("overwrite").parquet(
-            os.path.join(index_dir, slice_name)
+        _ingest_spans_batch(
+            spark, html_to_spans(batch_df), batch_id, media, out_dir,
+            index_dir, k=k, bands=bands, threshold=threshold, seed=seed,
         )
 
     writer = (

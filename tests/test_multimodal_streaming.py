@@ -287,3 +287,70 @@ def test_stream_multimodal_ingest_replay_idempotent(spark, tmp_path):
         for r in spark.read.parquet(os.path.join(idx, "batch=*")).collect()
     }
     assert idx_ids == {"R"}               # slice intact, not erased
+
+
+def test_stream_html_ingest_cross_batch(spark, tmp_path):
+    """The crawl front: raw (doc_id, html) micro-batches -> DOM
+    extraction -> spans -> the rolling index. A renamed-asset re-crawl
+    in a later batch is caught exact against batch 1's index; nav
+    boilerplate (incl. the logo img) never reaches the spans/index."""
+    from horus_spark.streaming.incremental import stream_html_ingest
+
+    texts = [f"crawl chunk number {i} words here" for i in range(10)]
+
+    def page(refs, marker=""):
+        body = "".join(
+            f"<p>{marker}{t}</p>"
+            + (f'<img src="{refs[i]}"/>' if i < len(refs) else "")
+            for i, t in enumerate(texts)
+        )
+        return (
+            '<html><body><div id="nav"><img src="LOGO.png"/><ul>'
+            '<li><a href="/">Home</a></li><li><a href="/a">About</a></li>'
+            f'</ul></div><div id="art">{body}</div></body></html>'
+        )
+
+    media = spark.createDataFrame(
+        [("m%d" % i, "p%d" % i) for i in range(4)]
+        + [("r%d" % i, "p%d" % i) for i in range(4)],
+        "asset_id string, payload string",
+    )
+    pages_dir = str(tmp_path / "pages_in")
+    out = str(tmp_path / "verdicts")
+    idx = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+
+    b1 = spark.createDataFrame(
+        [("X", page(["m0", "m1", "m2", "m3"]))],
+        "doc_id string, html string",
+    )
+    b1.coalesce(1).write.mode("append").parquet(pages_dir)
+    q = stream_html_ingest(spark, pages_dir, media, out, ckpt, idx)
+    q.awaitTermination(300)
+
+    b2 = spark.createDataFrame(
+        [
+            ("X2", page(["r0", "r1", "r2", "r3"])),  # renamed re-crawl
+            ("Z", page(["m0", "m1", "m2", "m3"], marker="fresh ")),
+        ],
+        "doc_id string, html string",
+    )
+    b2.coalesce(1).write.mode("append").parquet(pages_dir)
+    q2 = stream_html_ingest(spark, pages_dir, media, out, ckpt, idx)
+    q2.awaitTermination(300)
+
+    got = {
+        r["doc_id"]: (r["verdict"], r["partner_id"])
+        for r in spark.read.parquet(os.path.join(out, "batch=*")).collect()
+    }
+    assert got["X"] == ("unique", None)
+    assert got["X2"] == ("exact_existing", "X")
+    assert got["Z"] == ("unique", None)
+    index_ids = {
+        r["id"] for r in spark.read.parquet(idx).select("id").collect()
+    }
+    assert index_ids == {"X", "Z"}
+    # boilerplate media never entered the span stream: no dangling LOGO
+    # fingerprint anywhere in the index slices
+    idx_rows = spark.read.parquet(idx).collect()
+    assert not any("LOGO" in str(r) for r in idx_rows)
