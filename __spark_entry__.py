@@ -2361,6 +2361,73 @@ def _q110_page_metadata(spark, sf_dir):
     return page_metadata(pages)
 
 
+def _q111_robots_policy(spark, sf_dir):
+    """Crawl-policy evaluation (RFC 9309 longest-match core,
+    operators/robots.py): every document becomes a URL on its domain
+    (path family by doc_id % 4: /doc, /private, /private/ok, /tmp) and
+    every domain gets a deterministic robots.txt that exercises the full
+    rule grammar — a wildcard group (Disallow /private, Allow
+    /private/ok beating it on length, plus an empty no-op Disallow that
+    a sloppy parser would turn into "disallow everything"), a
+    horusbot-only /tmp block on every 3rd domain, an equal-length
+    Allow/Disallow TIE on /tmp on every 7th domain written with MIXED
+    agent-name case (allow must win the tie), and a catch-all
+    `Disallow: /` under User-agent: badbot on every 5th domain that must
+    NOT apply to us. parse_robots -> apply_robots for agent 'horusbot';
+    the oracle derives each URL's expected verdict straight from the
+    construction rules, so green means the parser + longest-match
+    evaluator recover the known policy exactly. Scale shape: parsing is
+    pure map-side expressions; evaluation is one join on domain (the
+    rules side is robots-sized — AQE broadcasts it) plus an integer-max
+    aggregation (priority = 2*prefix_len + is_allow), map-side
+    combined."""
+    from horus_spark.operators.robots import apply_robots, parse_robots
+
+    d = _load(spark, sf_dir, "documents")
+    dl = F.col("doc_id").cast("long")
+    ks = (dl % 50).cast("string")
+    did = dl.cast("string")
+    path = (
+        F.when(dl % 4 == 0, F.concat(F.lit("/doc/"), did))
+        .when(dl % 4 == 1, F.concat(F.lit("/private/"), did))
+        .when(dl % 4 == 2, F.concat(F.lit("/private/ok/"), did))
+        .otherwise(F.concat(F.lit("/tmp/"), did))
+    )
+    pages = d.select(
+        F.concat(F.lit("https://site-"), ks, F.lit(".test"), path).alias(
+            "url"
+        )
+    )
+    domains = d.select((dl % 50).alias("k")).distinct()
+    kk = F.col("k")
+    txt = F.concat(
+        F.lit(
+            "User-agent: *\nDisallow: /private\nAllow: /private/ok\n"
+            "Disallow:"
+        ),
+        F.when(
+            kk % 3 == 0,
+            F.lit("\n\nUser-agent: horusbot\nDisallow: /tmp"),
+        ).otherwise(F.lit("")),
+        F.when(
+            kk % 7 == 0,
+            F.lit("\n\nUser-Agent: HorusBot\nAllow: /tmp\nDisallow: /tmp"),
+        ).otherwise(F.lit("")),
+        F.when(
+            kk % 5 == 0,
+            F.lit("\n\nUser-agent: badbot\nDisallow: /"),
+        ).otherwise(F.lit("")),
+    )
+    robots = domains.select(
+        F.concat(F.lit("site-"), kk.cast("string"), F.lit(".test")).alias(
+            "domain"
+        ),
+        txt.alias("robots_txt"),
+    )
+    rules = parse_robots(robots, agent="horusbot")
+    return apply_robots(pages, rules)
+
+
 def _q108_html_to_spans(spark, sf_dir):
     """Crawl-ingestion bridge: pages synthesized WITH media elements
     (an img/video after every third chunk — the _interleave_spans_over
@@ -2500,6 +2567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q108_html_to_spans": _q108_html_to_spans,
         "q109_warc_parse": _q109_warc_parse,
         "q110_page_metadata": _q110_page_metadata,
+        "q111_robots_policy": _q111_robots_policy,
     }
 
 
@@ -3683,6 +3751,34 @@ def _oracle_sql_literals() -> dict[str, str]:
             nullif(CASE WHEN o_a != '' THEN o_a ELSE o_b END, '')
               AS og_title
           FROM ex
+        """,
+        # q111: GROUND TRUTH — the expected crawl verdict for every URL is
+        # derived directly from the robots-synthesis rules (wildcard
+        # /private block beaten by the longer /private/ok allow; /tmp
+        # blocked on every 3rd domain unless the every-7th-domain
+        # equal-length Allow/Disallow tie rescues it — allow wins ties;
+        # the badbot catch-all never applies). Green means
+        # parse_robots + apply_robots recover the known policy exactly.
+        "q111_robots_policy": """
+          WITH u AS (
+            SELECT CAST(doc_id AS BIGINT) % 50 AS k,
+                   CAST(doc_id AS BIGINT) % 4 AS m,
+                   CASE CAST(doc_id AS BIGINT) % 4
+                     WHEN 0 THEN '/doc/' || CAST(CAST(doc_id AS BIGINT) AS VARCHAR)
+                     WHEN 1 THEN '/private/' || CAST(CAST(doc_id AS BIGINT) AS VARCHAR)
+                     WHEN 2 THEN '/private/ok/' || CAST(CAST(doc_id AS BIGINT) AS VARCHAR)
+                     ELSE '/tmp/' || CAST(CAST(doc_id AS BIGINT) AS VARCHAR)
+                   END AS path
+            FROM documents
+          )
+          SELECT
+            'https://site-' || CAST(k AS VARCHAR) || '.test' || path AS url,
+            'site-' || CAST(k AS VARCHAR) || '.test' AS domain,
+            path,
+            CASE WHEN m = 1 THEN 0
+                 WHEN m = 3 AND k % 7 <> 0 AND k % 3 = 0 THEN 0
+                 ELSE 1 END AS allowed
+          FROM u
         """,
         "q33_dedup_pipeline": q33_sql,
         "q76_incremental_dedup": q76_sql,

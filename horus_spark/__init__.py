@@ -251,6 +251,8 @@ def __getattr__(name):
         "stream_html_ingest": (
             "horus_spark.streaming.incremental", "stream_html_ingest",
         ),
+        "parse_robots": ("horus_spark.operators.robots", "parse_robots"),
+        "apply_robots": ("horus_spark.operators.robots", "apply_robots"),
     }
     if name in _API:
         import importlib
