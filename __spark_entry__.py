@@ -2361,6 +2361,38 @@ def _q110_page_metadata(spark, sf_dir):
     return page_metadata(pages)
 
 
+def _q112_template_removal(spark, sf_dir):
+    """Cross-page template detection (operators/templates.py): the
+    per-page density screen keeps the synthesized footer's plain-text
+    'Copyright 2026 Example Corp' line on EVERY page (27 chars, zero
+    links — q107 quantifies exactly this precision loss), and no
+    per-page signal can reject it. Domain-frequency can: group content
+    blocks by (domain, md5(text)), count distinct pages, and flag
+    digests on >= 60% (integer ppm) of a domain's pages with >= 2 pages
+    — then reassemble per-doc clean text from the survivors in document
+    order. The oracle replays the whole chain (block screen -> digest
+    frequency -> threshold -> ordered reassembly) in SQL. Scale shape:
+    digests map-side; the frequency agg shuffles slim (domain, digest,
+    doc) triples; the template table joining back is domain-repeated
+    blocks only — broadcast-sized; reassembly is one doc-keyed shuffle
+    with sort_array, no window."""
+    from horus_spark.operators.html import html_blocks
+    from horus_spark.operators.templates import (
+        clean_pages,
+        template_digests,
+    )
+
+    pages = _html_pages(spark, sf_dir)
+    blocks = html_blocks(pages).where(F.col("is_content") == 1)
+    dl = F.col("doc_id").cast("long")
+    blocks = blocks.withColumn(
+        "domain",
+        F.concat(F.lit("site-"), (dl % 50).cast("string"), F.lit(".test")),
+    )
+    t = template_digests(blocks, min_pages=2, min_frac_ppm=600_000)
+    return clean_pages(blocks, t)
+
+
 def _q111_robots_policy(spark, sf_dir):
     """Crawl-policy evaluation (RFC 9309 longest-match core,
     operators/robots.py): every document becomes a URL on its domain
@@ -2568,6 +2600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q109_warc_parse": _q109_warc_parse,
         "q110_page_metadata": _q110_page_metadata,
         "q111_robots_policy": _q111_robots_policy,
+        "q112_template_removal": _q112_template_removal,
     }
 
 
@@ -3751,6 +3784,45 @@ def _oracle_sql_literals() -> dict[str, str]:
             nullif(CASE WHEN o_a != '' THEN o_a ELSE o_b END, '')
               AS og_title
           FROM ex
+        """,
+        # q112: replay of the full template-removal chain — the q104 block
+        # screen, digest page-frequency per domain, the integer-ppm
+        # threshold, and the ordered per-doc reassembly
+        # (operators/templates.py).
+        "q112_template_removal": _HTML_MET_CTE + """
+          , cb AS (
+            SELECT doc_id,
+              'site-' || CAST(CAST(doc_id AS BIGINT) % 50 AS VARCHAR)
+                || '.test' AS domain,
+              block_pos, block_text
+            FROM met
+            WHERE length(block_text) >= 25
+              AND 3 * link_chars <= length(block_text)
+          ), freq AS (
+            SELECT domain, md5(block_text) AS digest,
+                   count(DISTINCT doc_id) AS n_pages
+            FROM cb GROUP BY 1, 2
+          ), pg AS (
+            SELECT domain, count(DISTINCT doc_id) AS n_domain_pages
+            FROM cb GROUP BY 1
+          ), tmpl AS (
+            SELECT f.domain, f.digest
+            FROM freq f JOIN pg USING (domain)
+            WHERE n_pages >= 2
+              AND n_pages * 1000000 >= 600000 * n_domain_pages
+          ), flg AS (
+            SELECT cb.doc_id, cb.domain, cb.block_pos, cb.block_text,
+              CASE WHEN t.digest IS NULL THEN 0 ELSE 1 END AS is_template
+            FROM cb LEFT JOIN tmpl t
+              ON cb.domain = t.domain AND md5(cb.block_text) = t.digest
+          )
+          SELECT doc_id, domain,
+            count(*) AS n_content_blocks,
+            CAST(sum(is_template) AS INT) AS n_template_blocks,
+            coalesce(array_to_string(
+              list(block_text ORDER BY block_pos)
+                FILTER (WHERE is_template = 0), chr(10)), '') AS clean_text
+          FROM flg GROUP BY doc_id, domain
         """,
         # q111: GROUND TRUTH — the expected crawl verdict for every URL is
         # derived directly from the robots-synthesis rules (wildcard

@@ -253,6 +253,13 @@ def __getattr__(name):
         ),
         "parse_robots": ("horus_spark.operators.robots", "parse_robots"),
         "apply_robots": ("horus_spark.operators.robots", "apply_robots"),
+        "template_digests": (
+            "horus_spark.operators.templates", "template_digests",
+        ),
+        "flag_templates": (
+            "horus_spark.operators.templates", "flag_templates",
+        ),
+        "clean_pages": ("horus_spark.operators.templates", "clean_pages"),
     }
     if name in _API:
         import importlib
