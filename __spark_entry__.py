@@ -2181,19 +2181,10 @@ def _q105_dom_extract(spark, sf_dir):
     return dom_extract(_html_pages(spark, sf_dir))
 
 
-def _q106_html_links(spark, sf_dir):
-    """Outlink extraction over the synthesized crawl corpus — the link
-    tier of the north rule's HTML path and the feeder for the
-    urls.py/graph.py crawl-graph stack. Each page gets a deterministic
-    site URL (50 synthetic hosts by doc_id % 50) and two injected
-    cross-site 'related' links; extract_links pulls every anchor in
-    document order, resolves hrefs against the page URL (absolute /
-    protocol-relative / root-relative / directory-relative), and tags
-    the destination host + internal/external. Pure whole-stage-codegen
-    expressions, ZERO shuffle. The oracle replays the identical
-    construction, regexes and resolution rules in SQL."""
-    from horus_spark.operators.html import extract_links
-
+def _linked_pages(spark, sf_dir) -> DataFrame:
+    """The q106/q113 crawl graph: synthesized pages on 50 hosts
+    (doc_id % 50) with each page's site URL and two injected cross-site
+    'related' links appended before </body>."""
     pages = _html_pages(spark, sf_dir)
     did = F.col("doc_id").cast("long")
 
@@ -2211,14 +2202,84 @@ def _q106_html_links(spark, sf_dir):
         site((did * 13 + 2) % 50),
         F.lit('/">Partner site</a></p></div></body></html>'),
     )
-    pages = pages.select(
+    return pages.select(
         "doc_id",
         F.replace(F.col("html"), F.lit("</body></html>"), rel).alias("html"),
         F.concat(site(did % 50), F.lit("/doc/"), F.col("doc_id")).alias(
             "url"
         ),
     )
-    return extract_links(pages, base_url_col="url")
+
+
+def _q106_html_links(spark, sf_dir):
+    """Outlink extraction over the synthesized crawl corpus — the link
+    tier of the north rule's HTML path and the feeder for the
+    urls.py/graph.py crawl-graph stack. Each page gets a deterministic
+    site URL (50 synthetic hosts by doc_id % 50) and two injected
+    cross-site 'related' links; extract_links pulls every anchor in
+    document order, resolves hrefs against the page URL (absolute /
+    protocol-relative / root-relative / directory-relative), and tags
+    the destination host + internal/external. Pure whole-stage-codegen
+    expressions, ZERO shuffle. The oracle replays the identical
+    construction, regexes and resolution rules in SQL."""
+    from horus_spark.operators.html import extract_links
+
+    return extract_links(_linked_pages(spark, sf_dir), base_url_col="url")
+
+
+def _q113_crawl_frontier(spark, sf_dir):
+    """Crawl-frontier construction (operators/frontier.py) — the
+    capstone composition of the crawl stack: q106's extracted outlinks
+    -> normalize -> per-URL indegree -> anti-join the already-crawled
+    seen set (every page's own URL, so each page's self nav link dies
+    here) -> robots policy for agent 'horusbot' (every even domain
+    disallows /about in its wildcard group; every 3rd domain's
+    horusbot group disallows /doc/, killing incoming cross-site doc
+    links; every 5th domain's badbot catch-all must NOT apply) ->
+    per-host budget of 8 by (indegree DESC, url ASC). The oracle is
+    GROUND TRUTH: it synthesizes the known outlink set (5 nav/footer
+    URLs + self doc link + 2 injected cross-site links per page)
+    directly from documents and replays the unseen/robots/budget rules,
+    so green means link extraction, URL resolution+normalization,
+    robots evaluation and the budget window all compose correctly.
+    Scale shape: indegree agg over slim (url, src) pairs; seen
+    anti-join on url; robots rules broadcast; WindowGroupLimit cap."""
+    from horus_spark.operators.frontier import frontier_update
+    from horus_spark.operators.html import extract_links
+    from horus_spark.operators.robots import parse_robots
+
+    pages = _linked_pages(spark, sf_dir)
+    outlinks = extract_links(pages, base_url_col="url")
+    seen = pages.select("url")
+    dl = F.col("doc_id").cast("long")
+    domains = (
+        _load(spark, sf_dir, "documents")
+        .select((dl % 50).alias("k"))
+        .distinct()
+    )
+    kk = F.col("k")
+    txt = F.concat(
+        F.lit("User-agent: *\nDisallow: /private"),
+        F.when(kk % 2 == 0, F.lit("\nDisallow: /about")).otherwise(
+            F.lit("")
+        ),
+        F.when(
+            kk % 3 == 0,
+            F.lit("\n\nUser-agent: horusbot\nDisallow: /doc/"),
+        ).otherwise(F.lit("")),
+        F.when(
+            kk % 5 == 0,
+            F.lit("\n\nUser-agent: badbot\nDisallow: /"),
+        ).otherwise(F.lit("")),
+    )
+    robots = domains.select(
+        F.concat(F.lit("site-"), kk.cast("string"), F.lit(".test")).alias(
+            "domain"
+        ),
+        txt.alias("robots_txt"),
+    )
+    rules = parse_robots(robots, agent="horusbot")
+    return frontier_update(outlinks, seen, rules=rules, per_host_budget=8)
 
 
 def _q107_extraction_eval(spark, sf_dir):
@@ -2601,6 +2662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q110_page_metadata": _q110_page_metadata,
         "q111_robots_policy": _q111_robots_policy,
         "q112_template_removal": _q112_template_removal,
+        "q113_crawl_frontier": _q113_crawl_frontier,
     }
 
 
@@ -3784,6 +3846,60 @@ def _oracle_sql_literals() -> dict[str, str]:
             nullif(CASE WHEN o_a != '' THEN o_a ELSE o_b END, '')
               AS og_title
           FROM ex
+        """,
+        # q113: GROUND TRUTH — the known outlink set (5 nav/footer URLs +
+        # the self doc link + 2 injected cross-site links per page) is
+        # synthesized directly from documents, then the frontier rules
+        # (indegree, unseen, robots, per-host budget) replayed on it.
+        "q113_crawl_frontier": """
+          WITH d AS (
+            SELECT doc_id, CAST(doc_id AS BIGINT) AS n FROM documents
+          ), links AS (
+            SELECT n AS src, 'https://site-' || CAST(n % 50 AS VARCHAR)
+              || '.test/home' AS url FROM d
+            UNION ALL SELECT n, 'https://site-' || CAST(n % 50 AS VARCHAR)
+              || '.test/about' FROM d
+            UNION ALL SELECT n, 'https://site-' || CAST(n % 50 AS VARCHAR)
+              || '.test/doc/' || doc_id FROM d
+            UNION ALL SELECT n, 'https://site-' || CAST(n % 50 AS VARCHAR)
+              || '.test/terms' FROM d
+            UNION ALL SELECT n, 'https://site-' || CAST(n % 50 AS VARCHAR)
+              || '.test/privacy' FROM d
+            UNION ALL SELECT n, 'https://site-' || CAST(n % 50 AS VARCHAR)
+              || '.test/contact' FROM d
+            UNION ALL SELECT n, 'https://site-'
+              || CAST((7 * n + 1) % 50 AS VARCHAR)
+              || '.test/doc/' || doc_id FROM d
+            UNION ALL SELECT n, 'https://site-'
+              || CAST((13 * n + 2) % 50 AS VARCHAR) || '.test' FROM d
+          ), agg AS (
+            SELECT url, count(DISTINCT src) AS indegree
+            FROM links GROUP BY 1
+          ), unseen AS (
+            SELECT a.* FROM agg a
+            WHERE NOT EXISTS (
+              SELECT 1 FROM d
+              WHERE 'https://site-' || CAST(n % 50 AS VARCHAR)
+                || '.test/doc/' || doc_id = a.url)
+          ), feat AS (
+            SELECT url, indegree,
+              regexp_extract(url, '^https://([^/]+)', 1) AS host,
+              coalesce(nullif(
+                regexp_extract(url, '^https://[^/]+(/.*)$', 1), ''), '/')
+                AS path,
+              CAST(regexp_extract(url, 'site-([0-9]+)', 1) AS BIGINT) AS k
+            FROM unseen
+          ), allowed AS (
+            SELECT host, url, indegree FROM feat
+            WHERE NOT ((k % 2 = 0 AND path LIKE '/about%')
+                    OR (k % 3 = 0 AND path LIKE '/doc/%'))
+          ), ranked AS (
+            SELECT host, url, indegree,
+              row_number() OVER (
+                PARTITION BY host ORDER BY indegree DESC, url) AS rn
+            FROM allowed
+          )
+          SELECT host, url, indegree FROM ranked WHERE rn <= 8
         """,
         # q112: replay of the full template-removal chain — the q104 block
         # screen, digest page-frequency per domain, the integer-ppm

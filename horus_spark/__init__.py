@@ -260,6 +260,9 @@ def __getattr__(name):
             "horus_spark.operators.templates", "flag_templates",
         ),
         "clean_pages": ("horus_spark.operators.templates", "clean_pages"),
+        "frontier_update": (
+            "horus_spark.operators.frontier", "frontier_update",
+        ),
     }
     if name in _API:
         import importlib
