@@ -2422,6 +2422,100 @@ def _q110_page_metadata(spark, sf_dir):
     return page_metadata(pages)
 
 
+def _q114_sitemap_parse(spark, sf_dir):
+    """Sitemap-protocol parsing (operators/sitemap.py) — the discovery
+    complement to robots (q111) and the frontier (q113): per domain, a
+    <urlset> body with one <url> entry per document (loc always —
+    whitespace-padded on even docs to exercise the trim; lastmod absent
+    every 3rd doc, changefreq cycling daily/weekly/monthly absent every
+    5th, priority 0.1-0.9 absent every 4th) plus a <sitemapindex> body
+    with two child <sitemap> entries (one carrying lastmod, one not).
+    parse_sitemaps emits typed entry rows in document order with
+    priority as integer ppm (round(x*1e6) — no float column). Pure
+    map-side regexes, zero shuffle; the oracle replays the synthesis
+    (string_agg in id order = the sort_array(struct) order) AND the
+    entry-split + per-field extraction in SQL."""
+    from horus_spark.operators.sitemap import parse_sitemaps
+
+    d = _load(spark, sf_dir, "documents")
+    dl = F.col("doc_id").cast("long")
+    ks = (dl % 50).cast("string")
+    lastmod = F.when(dl % 3 == 0, F.lit("")).otherwise(
+        F.concat(
+            F.lit("<lastmod>2026-07-"),
+            F.lpad((dl % 28 + 1).cast("string"), 2, "0"),
+            F.lit("</lastmod>"),
+        )
+    )
+    cf = F.when(dl % 5 == 0, F.lit("")).otherwise(
+        F.concat(
+            F.lit("<changefreq>"),
+            F.element_at(
+                F.array(F.lit("daily"), F.lit("weekly"), F.lit("monthly")),
+                (dl % 3 + 1).cast("int"),
+            ),
+            F.lit("</changefreq>"),
+        )
+    )
+    prio = F.when(dl % 4 == 0, F.lit("")).otherwise(
+        F.concat(
+            F.lit("<priority>0."),
+            (dl % 9 + 1).cast("string"),
+            F.lit("</priority>"),
+        )
+    )
+    entry = F.concat(
+        F.lit("<url><loc>"),
+        F.when(dl % 2 == 0, F.lit(" ")).otherwise(F.lit("")),
+        F.lit("https://site-"), ks, F.lit(".test/doc/"), F.col("doc_id"),
+        F.lit("</loc>"), lastmod, cf, prio, F.lit("</url>"),
+    )
+    urlsets = (
+        d.select((dl % 50).alias("k"), dl.alias("n"), entry.alias("e"))
+        .groupBy("k")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("n", "e"))),
+                    lambda s: s["e"],
+                ),
+            ).alias("body")
+        )
+        .select(
+            F.concat(
+                F.lit("site-"), F.col("k").cast("string"), F.lit("-urlset")
+            ).alias("src"),
+            F.concat(
+                F.lit(
+                    '<?xml version="1.0"?><urlset xmlns="http://www.'
+                    'sitemaps.org/schemas/sitemap/0.9">'
+                ),
+                F.col("body"),
+                F.lit("</urlset>"),
+            ).alias("sitemap_xml"),
+        )
+    )
+    kk = F.col("k").cast("string")
+    indexes = (
+        d.select((dl % 50).alias("k"))
+        .distinct()
+        .select(
+            F.concat(F.lit("site-"), kk, F.lit("-index")).alias("src"),
+            F.concat(
+                F.lit("<sitemapindex><sitemap><loc>https://site-"), kk,
+                F.lit(
+                    ".test/sitemap-1.xml</loc>"
+                    "<lastmod>2026-08-01</lastmod></sitemap>"
+                ),
+                F.lit("<sitemap><loc>https://site-"), kk,
+                F.lit(".test/sitemap-2.xml</loc></sitemap></sitemapindex>"),
+            ).alias("sitemap_xml"),
+        )
+    )
+    return parse_sitemaps(urlsets.unionByName(indexes))
+
+
 def _q112_template_removal(spark, sf_dir):
     """Cross-page template detection (operators/templates.py): the
     per-page density screen keeps the synthesized footer's plain-text
@@ -2663,6 +2757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q111_robots_policy": _q111_robots_policy,
         "q112_template_removal": _q112_template_removal,
         "q113_crawl_frontier": _q113_crawl_frontier,
+        "q114_sitemap_parse": _q114_sitemap_parse,
     }
 
 
@@ -3846,6 +3941,74 @@ def _oracle_sql_literals() -> dict[str, str]:
             nullif(CASE WHEN o_a != '' THEN o_a ELSE o_b END, '')
               AS og_title
           FROM ex
+        """,
+        # q114: replay of the sitemap synthesis (string_agg in id order =
+        # the Spark sort_array(struct) order) + the entry-split and
+        # per-field extraction regexes of operators/sitemap.py.
+        "q114_sitemap_parse": """
+          WITH d AS (
+            SELECT doc_id, CAST(doc_id AS BIGINT) AS n FROM documents
+          ), e AS (
+            SELECT n % 50 AS k, n,
+              '<url><loc>' || CASE WHEN n % 2 = 0 THEN ' ' ELSE '' END
+              || 'https://site-' || CAST(n % 50 AS VARCHAR)
+              || '.test/doc/' || doc_id || '</loc>'
+              || CASE WHEN n % 3 = 0 THEN '' ELSE
+                   '<lastmod>2026-07-' || lpad(CAST(n % 28 + 1 AS VARCHAR), 2, '0')
+                   || '</lastmod>' END
+              || CASE WHEN n % 5 = 0 THEN '' ELSE
+                   '<changefreq>'
+                   || (['daily','weekly','monthly'])[CAST(n % 3 AS INT) + 1]
+                   || '</changefreq>' END
+              || CASE WHEN n % 4 = 0 THEN '' ELSE
+                   '<priority>0.' || CAST(n % 9 + 1 AS VARCHAR)
+                   || '</priority>' END
+              || '</url>' AS entry
+            FROM d
+          ), um AS (
+            SELECT 'site-' || CAST(k AS VARCHAR) || '-urlset' AS src,
+              '<?xml version="1.0"?><urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+              || string_agg(entry, '' ORDER BY n) || '</urlset>' AS xml
+            FROM e GROUP BY k
+          ), im AS (
+            SELECT 'site-' || CAST(k AS VARCHAR) || '-index' AS src,
+              '<sitemapindex><sitemap><loc>https://site-'
+              || CAST(k AS VARCHAR)
+              || '.test/sitemap-1.xml</loc><lastmod>2026-08-01</lastmod></sitemap>'
+              || '<sitemap><loc>https://site-' || CAST(k AS VARCHAR)
+              || '.test/sitemap-2.xml</loc></sitemap></sitemapindex>' AS xml
+            FROM (SELECT DISTINCT n % 50 AS k FROM d)
+          ), allx AS (
+            SELECT * FROM um UNION ALL SELECT * FROM im
+          ), ent AS (
+            SELECT src, regexp_extract_all(xml,
+              '(?is)<(?:url|sitemap)\\b[^>]*>.*?</(?:url|sitemap)>')
+              AS blocks
+            FROM allx
+          ), ex AS (
+            SELECT src, blocks, unnest(generate_series(1, len(blocks))) AS i
+            FROM ent
+          ), f AS (
+            SELECT src, CAST(i - 1 AS INT) AS entry_pos,
+              CASE WHEN lower(blocks[i]) LIKE '<sitemap%' THEN 'sitemap'
+                   ELSE 'url' END AS kind,
+              nullif(regexp_extract(blocks[i],
+                '(?is)<loc[^>]*>\\s*(.*?)\\s*</loc>', 1), '') AS loc,
+              nullif(regexp_extract(blocks[i],
+                '(?is)<lastmod[^>]*>\\s*(.*?)\\s*</lastmod>', 1), '')
+                AS lastmod,
+              nullif(regexp_extract(blocks[i],
+                '(?is)<changefreq[^>]*>\\s*(.*?)\\s*</changefreq>', 1), '')
+                AS changefreq,
+              nullif(regexp_extract(blocks[i],
+                '(?is)<priority[^>]*>\\s*(.*?)\\s*</priority>', 1), '')
+                AS prio
+            FROM ex
+          )
+          SELECT src, entry_pos, kind, loc, lastmod, changefreq,
+            CAST(round(CAST(prio AS DOUBLE) * 1000000) AS INT)
+              AS priority_ppm
+          FROM f WHERE loc IS NOT NULL
         """,
         # q113: GROUND TRUTH — the known outlink set (5 nav/footer URLs +
         # the self doc link + 2 injected cross-site links per page) is

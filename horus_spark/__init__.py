@@ -263,6 +263,9 @@ def __getattr__(name):
         "frontier_update": (
             "horus_spark.operators.frontier", "frontier_update",
         ),
+        "parse_sitemaps": (
+            "horus_spark.operators.sitemap", "parse_sitemaps",
+        ),
     }
     if name in _API:
         import importlib
