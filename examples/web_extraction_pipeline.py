@@ -3,11 +3,14 @@ rule's HTML path driven as one pipeline, each stage a horus_spark
 operator:
 
     raw pages -> flat text-density block screen (html_blocks)
+    -> cross-page template removal (template_digests/clean_pages)
     -> DOM-tree Readability/CETD main-content extraction (dom_extract)
     -> outlink extraction + URL resolution (extract_links)
     -> domain survey (domain_counts) -> domain PageRank (graph tier)
     -> language routing + quality scoring + exact dedup on the
        extracted main content
+    -> next crawl wave: robots policy (parse_robots/apply_robots) +
+       sitemap discovery (parse_sitemaps) + frontier_update
 
 Runs locally in under a minute:
 
@@ -137,6 +140,63 @@ def main() -> None:
     print(
         f"[5] curation on extracted text: langs={by_lang}, "
         f"{good}/{n_pages} pass quality, {kept} canonical after exact dedup"
+    )
+
+    # ---- 5. cross-page template removal on the flat tier --------------
+    cb = blocks.where(F.col("is_content") == 1).withColumn(
+        "domain", src_host
+    )
+    tmpl = h.template_digests(cb, min_pages=2, min_frac_ppm=600_000)
+    cleaned = h.clean_pages(cb, tmpl)
+    t = cleaned.agg(
+        F.sum("n_template_blocks").alias("stripped"),
+        F.count(F.lit(1)).alias("docs"),
+    ).first()
+    print(
+        f"[6] template removal: {tmpl.count()} domain-template digests, "
+        f"{t['stripped']} content-looking boilerplate blocks stripped "
+        f"across {t['docs']} docs"
+    )
+
+    # ---- 6. the next crawl wave: robots + sitemaps + frontier ---------
+    hosts = pages.select(
+        src_host.alias("domain")
+    ).distinct()
+    robots = hosts.select(
+        "domain",
+        F.lit(
+            "User-agent: *\nDisallow: /private\n\n"
+            "User-agent: horusbot\nDisallow: /doc/"
+        ).alias("robots_txt"),
+    )
+    rules = h.parse_robots(robots, agent="horusbot")
+    sitemaps = hosts.select(
+        F.col("domain").alias("src"),
+        F.concat(
+            F.lit("<urlset><url><loc>https://"),
+            F.col("domain"),
+            F.lit("/fresh</loc><priority>0.8</priority></url></urlset>"),
+        ).alias("sitemap_xml"),
+    )
+    sm = h.parse_sitemaps(sitemaps)
+    sitemap_links = sm.select(
+        F.col("src").alias("doc_id"), F.col("loc").alias("resolved")
+    )
+    outlinks = links.select("doc_id", "resolved").unionByName(sitemap_links)
+    frontier = h.frontier_update(
+        outlinks, seen=pages.select("url"), rules=rules, per_host_budget=4
+    )
+    fr = frontier.agg(
+        F.count(F.lit(1)).alias("urls"),
+        F.countDistinct("host").alias("hosts"),
+    ).first()
+    assert frontier.where(F.col("url").like("%/doc/%")).count() == 0, (
+        "robots Disallow: /doc/ must keep doc links out of the frontier"
+    )
+    print(
+        f"[7] next wave: {sm.count()} sitemap entries discovered, "
+        f"frontier = {fr['urls']} urls over {fr['hosts']} hosts "
+        f"(robots-filtered, budget 4/host)"
     )
     print("DONE")
 
