@@ -2516,6 +2516,59 @@ def _q114_sitemap_parse(spark, sf_dir):
     return parse_sitemaps(urlsets.unionByName(indexes))
 
 
+def _q115_trap_families(spark, sf_dir):
+    """Spider-trap detection by URL-family templatization
+    (operators/urls.py:trap_families): every doc contributes its
+    content URL (/doc/N — one family per host, one URL per doc) plus
+    THREE calendar-generator URLs (/cal/2026/M/D?page=J — digit runs
+    and query values templated away, so the whole generator collapses
+    to ONE family per host holding ~3/4 of the host's distinct URLs),
+    plus two static pages per host (below min_urls). The family with
+    >= 50% of the host's URLs and >= 5 URLs is the trap; the frontier
+    caps or drops it. Oracle replays the synthesis, the two
+    templating regexes, and the integer-ppm rule in SQL. Scale shape:
+    templating map-side; distinct + two aggs over slim (host, family,
+    url) triples; host-total join is dimension-keyed."""
+    from horus_spark.operators.urls import trap_families
+
+    d = _load(spark, sf_dir, "documents")
+    dl = F.col("doc_id").cast("long")
+    ks = (dl % 50).cast("string")
+    site = F.concat(F.lit("https://site-"), ks, F.lit(".test"))
+    doc_url = F.concat(site, F.lit("/doc/"), F.col("doc_id"))
+
+    def cal(j):
+        return F.concat(
+            site, F.lit("/cal/2026/"), (dl % 12 + 1).cast("string"),
+            F.lit("/"), (dl % 28 + 1).cast("string"),
+            F.lit("?page="), F.lit(str(j)),
+        )
+
+    urls = d.select(
+        F.explode(F.array(doc_url, cal(1), cal(2), cal(3))).alias("url")
+    )
+    kk = F.col("k").cast("string")
+    statics = (
+        d.select((dl % 50).alias("k"))
+        .distinct()
+        .select(
+            F.explode(
+                F.array(
+                    F.concat(
+                        F.lit("https://site-"), kk, F.lit(".test/about")
+                    ),
+                    F.concat(
+                        F.lit("https://site-"), kk, F.lit(".test/contact")
+                    ),
+                )
+            ).alias("url")
+        )
+    )
+    return trap_families(
+        urls.unionByName(statics), min_urls=5, min_frac_ppm=500_000
+    )
+
+
 def _q112_template_removal(spark, sf_dir):
     """Cross-page template detection (operators/templates.py): the
     per-page density screen keeps the synthesized footer's plain-text
@@ -2758,6 +2811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q112_template_removal": _q112_template_removal,
         "q113_crawl_frontier": _q113_crawl_frontier,
         "q114_sitemap_parse": _q114_sitemap_parse,
+        "q115_trap_families": _q115_trap_families,
     }
 
 
@@ -3941,6 +3995,49 @@ def _oracle_sql_literals() -> dict[str, str]:
             nullif(CASE WHEN o_a != '' THEN o_a ELSE o_b END, '')
               AS og_title
           FROM ex
+        """,
+        # q115: replay of the URL synthesis (doc + 3 calendar-generator +
+        # 2 static URLs), the two templating regexes (query values ->
+        # '=V', digit runs -> 'N'), and the integer-ppm trap rule.
+        "q115_trap_families": """
+          WITH d AS (
+            SELECT doc_id, CAST(doc_id AS BIGINT) AS n FROM documents
+          ), u AS (
+            SELECT 'https://site-' || CAST(n % 50 AS VARCHAR)
+              || '.test/doc/' || doc_id AS url FROM d
+            UNION ALL
+            SELECT 'https://site-' || CAST(n % 50 AS VARCHAR)
+              || '.test/cal/2026/' || CAST(n % 12 + 1 AS VARCHAR) || '/'
+              || CAST(n % 28 + 1 AS VARCHAR) || '?page='
+              || CAST(j AS VARCHAR)
+            FROM d, (VALUES (1), (2), (3)) AS p(j)
+            UNION ALL
+            SELECT 'https://site-' || CAST(k AS VARCHAR) || '.test/about'
+            FROM (SELECT DISTINCT n % 50 AS k FROM d)
+            UNION ALL
+            SELECT 'https://site-' || CAST(k AS VARCHAR) || '.test/contact'
+            FROM (SELECT DISTINCT n % 50 AS k FROM d)
+          ), feat AS (
+            SELECT DISTINCT
+              regexp_extract(url, '^https://([^/]+)', 1) AS host,
+              regexp_extract(url, '^https://([^/]+)', 1)
+                || regexp_replace(regexp_replace(
+                     regexp_extract(url,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)', 1),
+                     '=[^&#]*', '=V', 'g'), '[0-9]+', 'N', 'g') AS family,
+              url
+            FROM u
+          ), fam AS (
+            SELECT host, family, count(*) AS n_urls
+            FROM feat GROUP BY 1, 2
+          ), tot AS (
+            SELECT host, count(*) AS host_urls FROM feat GROUP BY 1
+          )
+          SELECT host, family, n_urls, host_urls,
+            CAST(CASE WHEN n_urls >= 5
+                       AND n_urls * 1000000 >= 500000 * host_urls
+                      THEN 1 ELSE 0 END AS INT) AS is_trap
+          FROM fam JOIN tot USING (host)
         """,
         # q114: replay of the sitemap synthesis (string_agg in id order =
         # the Spark sort_array(struct) order) + the entry-split and

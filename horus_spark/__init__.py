@@ -266,6 +266,10 @@ def __getattr__(name):
         "parse_sitemaps": (
             "horus_spark.operators.sitemap", "parse_sitemaps",
         ),
+        "trap_families": ("horus_spark.operators.urls", "trap_families"),
+        "url_family_expr": (
+            "horus_spark.operators.urls", "url_family_expr",
+        ),
     }
     if name in _API:
         import importlib

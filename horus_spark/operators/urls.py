@@ -66,3 +66,68 @@ def domain_counts(
         F.countDistinct("norm_url").alias("n_urls"),
         F.round(F.avg("depth"), 6).alias("avg_path_depth"),
     )
+
+
+def url_family_expr(url: Column) -> Column:
+    """Structural URL template ('family'): host + path+query with query
+    values replaced by 'V' and digit runs by 'N' — e.g.
+    https://a.test/cal/2026/8/19?page=3 -> a.test/cal/N/N/N?page=V.
+    URLs minted by the same generator (calendars, pagination, session
+    ids, faceted search) collapse to one family; a crawler that counts
+    families instead of URLs sees the spider trap as ONE exploding row.
+    Fragment dropped; pure map-side expressions."""
+    pq = F.regexp_extract(
+        url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)", 1
+    )
+    pq = F.regexp_replace(pq, r"=[^&#]*", "=V")
+    pq = F.regexp_replace(pq, r"[0-9]+", "N")
+    return F.concat(host_of_expr(url), pq)
+
+
+def trap_families(
+    df: DataFrame,
+    url_col: str = "url",
+    min_urls: int = 5,
+    min_frac_ppm: int = 500_000,
+) -> DataFrame:
+    """Spider-trap / URL-family survey: per (host, family) the distinct
+    URL count, the host's total distinct URLs, and is_trap = family has
+    >= min_urls URLs AND >= min_frac_ppm ppm of the host's URLs
+    (integer arithmetic). A family hoarding most of a host's distinct
+    URLs is a generator (calendar, facet, session), not content — the
+    frontier should cap or drop it.
+
+    Scale shape: family templating is map-side; the distinct + the two
+    aggregations shuffle slim (host, family, url) triples with
+    map-side combine; the host-total join is host-keyed (hosts are
+    dimension-sized next to URLs — AQE broadcasts)."""
+    if not (0 < min_frac_ppm <= 1_000_000):
+        raise ValueError(
+            f"min_frac_ppm must be in (0, 1000000], got {min_frac_ppm}"
+        )
+    u = F.col(url_col)
+    base = df.select(
+        host_of_expr(u).alias("host"),
+        url_family_expr(u).alias("family"),
+        u.alias("url"),
+    ).distinct()
+    fam = base.groupBy("host", "family").agg(
+        F.count("*").alias("n_urls")
+    )
+    totals = base.groupBy("host").agg(F.count("*").alias("host_urls"))
+    out = fam.join(totals, "host")
+    return out.select(
+        "host",
+        "family",
+        "n_urls",
+        "host_urls",
+        (
+            (F.col("n_urls") >= min_urls)
+            & (
+                F.col("n_urls") * F.lit(1_000_000)
+                >= F.lit(min_frac_ppm) * F.col("host_urls")
+            )
+        )
+        .cast("int")
+        .alias("is_trap"),
+    )
