@@ -2516,6 +2516,32 @@ def _q114_sitemap_parse(spark, sf_dir):
     return parse_sitemaps(urlsets.unionByName(indexes))
 
 
+def _q116_anchor_stats(spark, sf_dir):
+    """Anchor-text aggregation per link destination
+    (operators/anchors.py) — the classic web signal (link text
+    describes the target; search ranking and weak-label mining) over
+    the q106 crawl graph: per resolved destination URL, total links,
+    distinct source pages, and the top-2 anchor terms (count DESC,
+    term ASC), space-joined for the gate. The oracle is GROUND TRUTH:
+    the known 8-anchor-per-page link set is synthesized from documents
+    and the count/top-k/join arithmetic replayed in SQL — green means
+    extraction, resolution and the windowed term cut all compose.
+    Scale shape: one (url, term) hash agg with map-side combine, a
+    WindowGroupLimit top-k on the aggregated counts, one slim totals
+    agg joined back on url."""
+    from horus_spark.operators.anchors import anchor_stats
+    from horus_spark.operators.html import extract_links
+
+    links = extract_links(_linked_pages(spark, sf_dir), base_url_col="url")
+    out = anchor_stats(links, k=2)
+    return out.select(
+        "url",
+        "n_refs",
+        "n_sources",
+        F.concat_ws(" ", "top_terms").alias("top_terms"),
+    )
+
+
 def _q115_trap_families(spark, sf_dir):
     """Spider-trap detection by URL-family templatization
     (operators/urls.py:trap_families): every doc contributes its
@@ -2812,6 +2838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q113_crawl_frontier": _q113_crawl_frontier,
         "q114_sitemap_parse": _q114_sitemap_parse,
         "q115_trap_families": _q115_trap_families,
+        "q116_anchor_stats": _q116_anchor_stats,
     }
 
 
@@ -3995,6 +4022,56 @@ def _oracle_sql_literals() -> dict[str, str]:
             nullif(CASE WHEN o_a != '' THEN o_a ELSE o_b END, '')
               AS og_title
           FROM ex
+        """,
+        # q116: GROUND TRUTH — the known 8-anchor-per-page link set
+        # synthesized from documents; counts, the windowed top-2 term
+        # cut, and the totals join replayed in SQL.
+        "q116_anchor_stats": """
+          WITH d AS (
+            SELECT doc_id, CAST(doc_id AS BIGINT) AS n FROM documents
+          ), links AS (
+            SELECT n AS src, 'https://site-' || CAST(n % 50 AS VARCHAR)
+              || '.test/home' AS url, 'Home' AS anchor FROM d
+            UNION ALL SELECT n, 'https://site-' || CAST(n % 50 AS VARCHAR)
+              || '.test/about', 'About us' FROM d
+            UNION ALL SELECT n, 'https://site-' || CAST(n % 50 AS VARCHAR)
+              || '.test/doc/' || doc_id, 'Doc ' || doc_id FROM d
+            UNION ALL SELECT n, 'https://site-' || CAST(n % 50 AS VARCHAR)
+              || '.test/terms', 'Terms of service' FROM d
+            UNION ALL SELECT n, 'https://site-' || CAST(n % 50 AS VARCHAR)
+              || '.test/privacy', 'Privacy policy' FROM d
+            UNION ALL SELECT n, 'https://site-' || CAST(n % 50 AS VARCHAR)
+              || '.test/contact', 'Contact' FROM d
+            UNION ALL SELECT n, 'https://site-'
+              || CAST((7 * n + 1) % 50 AS VARCHAR)
+              || '.test/doc/' || doc_id, 'Related reading' FROM d
+            UNION ALL SELECT n, 'https://site-'
+              || CAST((13 * n + 2) % 50 AS VARCHAR)
+              || '.test/', 'Partner site' FROM d
+          ), totals AS (
+            SELECT url, count(*) AS n_refs,
+                   count(DISTINCT src) AS n_sources
+            FROM links GROUP BY 1
+          ), terms AS (
+            SELECT url, t AS term, count(*) AS cnt
+            FROM (
+              SELECT url,
+                unnest(string_split_regex(lower(trim(anchor)), '\\s+'))
+                  AS t
+              FROM links)
+            WHERE t != '' GROUP BY 1, 2
+          ), top AS (
+            SELECT url, term,
+              row_number() OVER (
+                PARTITION BY url ORDER BY cnt DESC, term) AS rn
+            FROM terms
+          ), ta AS (
+            SELECT url, string_agg(term, ' ' ORDER BY rn) AS top_terms
+            FROM top WHERE rn <= 2 GROUP BY url
+          )
+          SELECT t.url, n_refs, n_sources,
+                 coalesce(top_terms, '') AS top_terms
+          FROM totals t LEFT JOIN ta USING (url)
         """,
         # q115: replay of the URL synthesis (doc + 3 calendar-generator +
         # 2 static URLs), the two templating regexes (query values ->

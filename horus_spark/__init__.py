@@ -270,6 +270,7 @@ def __getattr__(name):
         "url_family_expr": (
             "horus_spark.operators.urls", "url_family_expr",
         ),
+        "anchor_stats": ("horus_spark.operators.anchors", "anchor_stats"),
     }
     if name in _API:
         import importlib
