@@ -2516,6 +2516,36 @@ def _q114_sitemap_parse(spark, sf_dir):
     return parse_sitemaps(urlsets.unionByName(indexes))
 
 
+def _q117_redirect_resolution(spark, sf_dir):
+    """Redirect-chain resolution (operators/redirects.py): the synthetic
+    redirect map sends n -> n+1 except that every 10th id is a terminal
+    (no out-edge) and every id ending in 55 points BACK to 54, planting
+    a 2-cycle whose feeders exhaust the hop cap. Chains run 0-9 hops
+    against a cap of 8, so the corpus exercises every verdict: 0-hop
+    terminals, 1-8-hop resolved chains, 9-hop chains cut by the cap,
+    cycle members, and cycle feeders. resolve_redirects pointer-doubles
+    the map (3 self-joins of the redirect-sized table, exact hop
+    sums), applies it to the URL set in one join, and flags finals
+    that still have an out-edge. The oracle replays the walk as a
+    recursive CTE stepping to the same cap. Scale shape: the log-round
+    self-joins touch only the redirect map; corpus rows cross exactly
+    one equi-join."""
+    from horus_spark.operators.redirects import resolve_redirects
+
+    d = _load(spark, sf_dir, "documents")
+    n = F.col("doc_id").cast("long")
+    url = F.concat(F.lit("https://x.test/r/"), n.cast("string"))
+    dstn = F.when(n % 100 == 55, n - 1).otherwise(n + 1)
+    edges = d.where((n % 100 == 55) | (n % 10 != 9)).select(
+        url.alias("src_url"),
+        F.concat(F.lit("https://x.test/r/"), dstn.cast("string")).alias(
+            "dst_url"
+        ),
+    )
+    urls = d.select(url.alias("url"))
+    return resolve_redirects(urls, edges, max_hops=8)
+
+
 def _q116_anchor_stats(spark, sf_dir):
     """Anchor-text aggregation per link destination
     (operators/anchors.py) — the classic web signal (link text
@@ -2839,6 +2869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q114_sitemap_parse": _q114_sitemap_parse,
         "q115_trap_families": _q115_trap_families,
         "q116_anchor_stats": _q116_anchor_stats,
+        "q117_redirect_resolution": _q117_redirect_resolution,
     }
 
 
@@ -4022,6 +4053,37 @@ def _oracle_sql_literals() -> dict[str, str]:
             nullif(CASE WHEN o_a != '' THEN o_a ELSE o_b END, '')
               AS og_title
           FROM ex
+        """,
+        # q117: the same redirect map synthesized in SQL, then the walk
+        # replayed as a recursive CTE stepping to the same 8-hop cap;
+        # final row per url = max-hops row; status by out-edge EXISTS.
+        "q117_redirect_resolution": """
+          WITH RECURSIVE d AS (
+            SELECT CAST(doc_id AS BIGINT) AS n FROM documents
+          ), e AS (
+            SELECT 'https://x.test/r/' || CAST(n AS VARCHAR) AS src,
+              'https://x.test/r/' || CAST(
+                CASE WHEN n % 100 = 55 THEN n - 1 ELSE n + 1 END
+                AS VARCHAR) AS dst
+            FROM d WHERE n % 100 = 55 OR n % 10 <> 9
+          ), s AS (
+            SELECT 'https://x.test/r/' || CAST(n AS VARCHAR) AS url FROM d
+          ), walk AS (
+            SELECT url, url AS cur, 0 AS hops FROM s
+            UNION ALL
+            SELECT w.url, e.dst, w.hops + 1
+            FROM walk w JOIN e ON w.cur = e.src
+            WHERE w.hops < 8
+          ), f AS (
+            SELECT url, cur, hops,
+              row_number() OVER (PARTITION BY url ORDER BY hops DESC)
+                AS rn
+            FROM walk
+          )
+          SELECT url, cur AS final_url, hops,
+            CASE WHEN EXISTS (SELECT 1 FROM e WHERE e.src = f.cur)
+                 THEN 'cycle_or_long' ELSE 'resolved' END AS status
+          FROM f WHERE rn = 1
         """,
         # q116: GROUND TRUTH — the known 8-anchor-per-page link set
         # synthesized from documents; counts, the windowed top-2 term

@@ -271,6 +271,9 @@ def __getattr__(name):
             "horus_spark.operators.urls", "url_family_expr",
         ),
         "anchor_stats": ("horus_spark.operators.anchors", "anchor_stats"),
+        "resolve_redirects": (
+            "horus_spark.operators.redirects", "resolve_redirects",
+        ),
     }
     if name in _API:
         import importlib
