@@ -2516,6 +2516,87 @@ def _q114_sitemap_parse(spark, sf_dir):
     return parse_sitemaps(urlsets.unionByName(indexes))
 
 
+def _q118_host_mirrors(spark, sf_dir):
+    """Host-level mirror detection (operators/mirrors.py): every 10th
+    site gets a planted mirror host carrying the exact content digests
+    of HALF its pages — document-level dedup sees only scattered pairs,
+    but lifting fingerprints to host granularity shows the mirror's
+    digest set fully contained in the site's (containment 1e6 ppm).
+    Accidental cross-site clone digests (the corpus's dedup fixtures)
+    stay below the shared/containment cuts, and digests spread over
+    more than 20 hosts are pruned before pairing (the df-prune that
+    keeps the self-join linear in true overlap). Oracle replays the
+    synthesis, the prune, and the integer-ppm containment rule in SQL.
+    Scale shape: distinct slim (host, digest) pairs; digest-keyed
+    self-join only over pruned digests; integer arithmetic end to
+    end."""
+    from horus_spark.operators.mirrors import host_mirror_pairs
+
+    d = _load(spark, sf_dir, "documents")
+    n = F.col("doc_id").cast("long")
+    dg = F.md5(F.col("text"))
+    site = d.select(
+        F.concat(
+            F.lit("site-"), (n % 50).cast("string"), F.lit(".test")
+        ).alias("host"),
+        dg.alias("digest"),
+    )
+    mirror = d.where(((n % 50) % 10 == 0) & (n % 2 == 0)).select(
+        F.concat(
+            F.lit("mirror-"), (n % 50).cast("string"), F.lit(".test")
+        ).alias("host"),
+        dg.alias("digest"),
+    )
+    return host_mirror_pairs(
+        site.unionByName(mirror),
+        min_shared=2,
+        min_containment_ppm=800_000,
+        max_hosts_per_digest=20,
+    )
+
+
+def _q119_recrawl_delta(spark, sf_dir):
+    """Recrawl delta + per-host change rates (operators/recrawl.py):
+    wave t holds one URL per document; wave t+1 drops every 7th
+    (gone), rewrites the digest of every 3rd (modified), and adds a
+    /new/ URL for every 5th (new) — so every verdict fires on every
+    host, and the per-host integer-ppm change rate is exact. One
+    full-outer join on url of two slim (url, digest) tables + one
+    counter rollup; oracle replays the synthesis, the verdict CASE and
+    the ppm arithmetic in SQL."""
+    from horus_spark.operators.recrawl import (
+        crawl_delta,
+        host_change_rates,
+    )
+
+    d = _load(spark, sf_dir, "documents")
+    n = F.col("doc_id").cast("long")
+    ns = n.cast("string")
+    purl = F.concat(
+        F.lit("https://site-"), (n % 50).cast("string"),
+        F.lit(".test/p/"), ns,
+    )
+    prev = d.select(
+        purl.alias("url"), F.concat(F.lit("d"), ns).alias("digest")
+    )
+    curr_kept = d.where(n % 7 != 0).select(
+        purl.alias("url"),
+        F.when(n % 3 == 0, F.concat(F.lit("m"), ns))
+        .otherwise(F.concat(F.lit("d"), ns))
+        .alias("digest"),
+    )
+    curr_new = d.where(n % 5 == 0).select(
+        F.concat(
+            F.lit("https://site-"), (n % 50).cast("string"),
+            F.lit(".test/new/"), ns,
+        ).alias("url"),
+        F.concat(F.lit("x"), ns).alias("digest"),
+    )
+    return host_change_rates(
+        crawl_delta(prev, curr_kept.unionByName(curr_new))
+    )
+
+
 def _q117_redirect_resolution(spark, sf_dir):
     """Redirect-chain resolution (operators/redirects.py): the synthetic
     redirect map sends n -> n+1 except that every 10th id is a terminal
@@ -2870,6 +2951,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q115_trap_families": _q115_trap_families,
         "q116_anchor_stats": _q116_anchor_stats,
         "q117_redirect_resolution": _q117_redirect_resolution,
+        "q118_host_mirrors": _q118_host_mirrors,
+        "q119_recrawl_delta": _q119_recrawl_delta,
     }
 
 
@@ -4054,6 +4137,94 @@ def _oracle_sql_literals() -> dict[str, str]:
               AS og_title
           FROM ex
         """,
+        # q118: synthesis (site digests + half-coverage mirror hosts on
+        # every 10th site), the >20-host digest prune, the digest-keyed
+        # pair join and the integer-ppm containment rule replayed in SQL.
+        "q118_host_mirrors": """
+          WITH d AS (
+            SELECT CAST(doc_id AS BIGINT) AS n, text FROM documents
+          ), rows0 AS (
+            SELECT 'site-' || CAST(n % 50 AS VARCHAR) || '.test' AS host,
+                   md5(text) AS digest
+            FROM d
+            UNION ALL
+            SELECT 'mirror-' || CAST(n % 50 AS VARCHAR) || '.test',
+                   md5(text)
+            FROM d WHERE (n % 50) % 10 = 0 AND n % 2 = 0
+          ), sets AS (
+            SELECT DISTINCT host, digest FROM rows0
+          ), sizes AS (
+            SELECT host, count(*) AS size FROM sets GROUP BY 1
+          ), keep AS (
+            SELECT digest FROM sets GROUP BY digest HAVING count(*) <= 20
+          ), pr AS (
+            SELECT s.host, s.digest FROM sets s JOIN keep USING (digest)
+          ), sh AS (
+            SELECT a.host AS host_a, b.host AS host_b, count(*) AS shared
+            FROM pr a JOIN pr b
+              ON a.digest = b.digest AND a.host < b.host
+            GROUP BY 1, 2
+          ), j AS (
+            SELECT host_a, host_b, shared,
+                   sa.size AS size_a, sb.size AS size_b,
+                   (shared * 1000000) // sa.size AS containment_a_ppm,
+                   (shared * 1000000) // sb.size AS containment_b_ppm
+            FROM sh
+            JOIN sizes sa ON sa.host = host_a
+            JOIN sizes sb ON sb.host = host_b
+          )
+          SELECT * FROM j
+          WHERE shared >= 2
+            AND greatest(containment_a_ppm, containment_b_ppm) >= 800000
+        """,
+        # q119: synthesis (drop every 7th, modify every 3rd, add a /new/
+        # URL for every 5th), the full-outer verdict CASE and the
+        # per-host integer-ppm rollup replayed in SQL.
+        "q119_recrawl_delta": """
+          WITH d AS (
+            SELECT CAST(doc_id AS BIGINT) AS n FROM documents
+          ), prev AS (
+            SELECT n, 'https://site-' || CAST(n % 50 AS VARCHAR)
+              || '.test/p/' || CAST(n AS VARCHAR) AS url,
+              'd' || CAST(n AS VARCHAR) AS dg
+            FROM d
+          ), curr AS (
+            SELECT url,
+              CASE WHEN n % 3 = 0 THEN 'm' || CAST(n AS VARCHAR)
+                   ELSE dg END AS dg
+            FROM prev WHERE n % 7 <> 0
+            UNION ALL
+            SELECT 'https://site-' || CAST(n % 50 AS VARCHAR)
+              || '.test/new/' || CAST(n AS VARCHAR),
+              'x' || CAST(n AS VARCHAR)
+            FROM d WHERE n % 5 = 0
+          ), allu AS (
+            SELECT coalesce(p.url, c.url) AS url, p.dg AS pd, c.dg AS cd
+            FROM prev p FULL OUTER JOIN curr c ON p.url = c.url
+          ), v AS (
+            SELECT regexp_extract(url, '^https://([^/]+)', 1) AS host,
+              CASE WHEN pd IS NULL THEN 'new'
+                   WHEN cd IS NULL THEN 'gone'
+                   WHEN pd = cd THEN 'unchanged'
+                   ELSE 'modified' END AS status
+            FROM allu
+          ), agg AS (
+            SELECT host,
+              sum(CASE WHEN status = 'new' THEN 1 ELSE 0 END) AS n_new,
+              sum(CASE WHEN status = 'gone' THEN 1 ELSE 0 END) AS n_gone,
+              sum(CASE WHEN status = 'modified' THEN 1 ELSE 0 END)
+                AS n_modified,
+              sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END)
+                AS n_unchanged
+            FROM v GROUP BY host
+          )
+          SELECT host, n_new, n_gone, n_modified, n_unchanged,
+            CASE WHEN n_new + n_modified + n_unchanged = 0 THEN 0
+                 ELSE (n_new + n_modified) * 1000000
+                      // (n_new + n_modified + n_unchanged) END
+              AS change_ppm
+          FROM agg
+        """,
         # q117: the same redirect map synthesized in SQL, then the walk
         # replayed as a recursive CTE stepping to the same 8-hop cap;
         # final row per url = max-hops row; status by out-edge EXISTS.
@@ -4229,15 +4400,15 @@ def _oracle_sql_literals() -> dict[str, str]:
               CASE WHEN lower(blocks[i]) LIKE '<sitemap%' THEN 'sitemap'
                    ELSE 'url' END AS kind,
               nullif(regexp_extract(blocks[i],
-                '(?is)<loc[^>]*>\\s*(.*?)\\s*</loc>', 1), '') AS loc,
+                '(?is)<loc(?:\\s[^>]*)?>\\s*(.*?)\\s*</loc>', 1), '') AS loc,
               nullif(regexp_extract(blocks[i],
-                '(?is)<lastmod[^>]*>\\s*(.*?)\\s*</lastmod>', 1), '')
+                '(?is)<lastmod(?:\\s[^>]*)?>\\s*(.*?)\\s*</lastmod>', 1), '')
                 AS lastmod,
               nullif(regexp_extract(blocks[i],
-                '(?is)<changefreq[^>]*>\\s*(.*?)\\s*</changefreq>', 1), '')
+                '(?is)<changefreq(?:\\s[^>]*)?>\\s*(.*?)\\s*</changefreq>', 1), '')
                 AS changefreq,
               nullif(regexp_extract(blocks[i],
-                '(?is)<priority[^>]*>\\s*(.*?)\\s*</priority>', 1), '')
+                '(?is)<priority(?:\\s[^>]*)?>\\s*(.*?)\\s*</priority>', 1), '')
                 AS prio
             FROM ex
           )

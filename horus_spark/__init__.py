@@ -274,6 +274,13 @@ def __getattr__(name):
         "resolve_redirects": (
             "horus_spark.operators.redirects", "resolve_redirects",
         ),
+        "host_mirror_pairs": (
+            "horus_spark.operators.mirrors", "host_mirror_pairs",
+        ),
+        "crawl_delta": ("horus_spark.operators.recrawl", "crawl_delta"),
+        "host_change_rates": (
+            "horus_spark.operators.recrawl", "host_change_rates",
+        ),
     }
     if name in _API:
         import importlib

@@ -31,9 +31,11 @@ _ENTRY_RE = r"(?is)<(?:url|sitemap)\b[^>]*>.*?</(?:url|sitemap)>"
 
 
 def _field(block, tag: str):
+    # attrs only after whitespace: '<loc ...>' or '<loc>', never a
+    # longer tag name that merely starts with the field name
     return F.nullif(
         F.regexp_extract(
-            block, rf"(?is)<{tag}[^>]*>\s*(.*?)\s*</{tag}>", 1
+            block, rf"(?is)<{tag}(?:\s[^>]*)?>\s*(.*?)\s*</{tag}>", 1
         ),
         F.lit(""),
     )

@@ -10,6 +10,8 @@ URLSET = (
     "<url><loc>https://a.test/2</loc></url>"
     "<url><priority>0.9</priority></url>"  # no loc -> dropped
     "<URL><LOC>https://a.test/3</LOC></URL>"  # case-tolerant
+    # a tag that merely STARTS with a field name must not leak into it
+    "<url><locations>bogus</locations><loc>https://a.test/4</loc></url>"
     "</urlset>"
 )
 INDEX = (
@@ -31,7 +33,8 @@ def _parse(spark, xml):
 def test_urlset_entries(spark):
     rows = {r.entry_pos: r for r in _parse(spark, URLSET).collect()}
     # entry 2 (no loc) dropped but positions stay document-order stable
-    assert sorted(rows) == [0, 1, 3]
+    assert sorted(rows) == [0, 1, 3, 4]
+    assert rows[4].loc == "https://a.test/4"  # <locations> did not leak
     r0 = rows[0]
     assert (r0.kind, r0.loc, r0.lastmod, r0.changefreq, r0.priority_ppm) == (
         "url", "https://a.test/1", "2026-01-02", "daily", 300_000
