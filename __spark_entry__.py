@@ -2516,6 +2516,32 @@ def _q114_sitemap_parse(spark, sf_dir):
     return parse_sitemaps(urlsets.unionByName(indexes))
 
 
+def _q120_ivf_pq_ann(spark, sf_dir):
+    """IVF-PQ ANN (operators/pq.py) — the quantization ladder's top
+    rung (float q25 -> int8 q39 -> 1-bit q82 -> PQ): 64-dim vectors
+    split into 8 subspaces quantized to 8 codewords each (8 small ints
+    per vector, ~32x less coarse-tier data than float32), candidates
+    cell-pruned by q25's shuffle-free assignment, ADC-scored with
+    EXACT INTEGER micro-dot sums (m table lookups per pair, no
+    per-dimension math, no float-order hazard), exact float rerank on
+    survivors only. 'lowest_id' centroids + lowest-id-sliced codebooks
+    are the SQL-parity stand-ins (same convention as q25/q39);
+    k-means-trained codebooks plug into the same argument. The oracle
+    replays cells, per-subspace argmax encoding, the integer ADC table
+    and both rank windows in SQL."""
+    from horus_spark.operators.pq import ivf_pq_topk, pq_codebooks
+
+    e = _load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    cb = pq_codebooks(e, m=8, ksub=8)
+    return ivf_pq_topk(
+        e, q, cb, n_centroids=16, n_probe=4, k=10, rerank=3,
+        centroids="lowest_id",
+    )
+
+
 def _q118_host_mirrors(spark, sf_dir):
     """Host-level mirror detection (operators/mirrors.py): every 10th
     site gets a planted mirror host carrying the exact content digests
@@ -2953,6 +2979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q117_redirect_resolution": _q117_redirect_resolution,
         "q118_host_mirrors": _q118_host_mirrors,
         "q119_recrawl_delta": _q119_recrawl_delta,
+        "q120_ivf_pq_ann": _q120_ivf_pq_ann,
     }
 
 
@@ -4136,6 +4163,86 @@ def _oracle_sql_literals() -> dict[str, str]:
             nullif(CASE WHEN o_a != '' THEN o_a ELSE o_b END, '')
               AS og_title
           FROM ex
+        """,
+        # q120: IVF-PQ replayed in SQL — lowest-id centroids (q39's CTE),
+        # lowest-id-sliced codebooks, per-subspace argmax encoding,
+        # integer micro-dot ADC table, both rank windows, exact rerank.
+        "q120_ivf_pq_ann": f"""
+          WITH cent AS (
+            SELECT vec_id AS c_id, embedding AS c_vec
+            FROM embeddings ORDER BY vec_id LIMIT 16),
+          cw AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c,
+                   embedding AS w
+            FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)),
+          subs AS (SELECT unnest(generate_series(0, 7)) AS j),
+          ac AS (
+            SELECT e.vec_id AS neighbor_id, c.c_id,
+                   row_number() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY round({_cos_sql('e.embedding', 'c.c_vec')}, 6)
+                       DESC, c.c_id ASC
+                   ) AS c_rank
+            FROM embeddings e, cent c),
+          assigned AS (
+            SELECT neighbor_id, c_id AS cell FROM ac WHERE c_rank = 1),
+          encdot AS (
+            SELECT e.vec_id, s.j, cw.c,
+              round(list_sum([CAST(e.embedding[s.j*8 + i] AS DOUBLE)
+                              * CAST(cw.w[s.j*8 + i] AS DOUBLE)
+                              for i in generate_series(1, 8)]), 6) AS dt
+            FROM embeddings e, subs s, cw),
+          enc AS (
+            SELECT vec_id, j, c FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY vec_id, j ORDER BY dt DESC, c ASC) AS r
+              FROM encdot)
+            WHERE r = 1),
+          qc AS (
+            SELECT q.vec_id AS q_id, c.c_id AS cell,
+                   row_number() OVER (
+                     PARTITION BY q.vec_id
+                     ORDER BY round({_cos_sql('q.embedding', 'c.c_vec')}, 6)
+                       DESC, c.c_id ASC
+                   ) AS c_rank
+            FROM embeddings q, cent c WHERE q.vec_id < 10),
+          probes0 AS (SELECT q_id, cell FROM qc WHERE c_rank <= 4),
+          qd AS (
+            SELECT q.vec_id AS q_id, s.j, cw.c,
+              CAST(round(list_sum([CAST(q.embedding[s.j*8 + i] AS DOUBLE)
+                                   * CAST(cw.w[s.j*8 + i] AS DOUBLE)
+                                   for i in generate_series(1, 8)])
+                         * 1000000) AS BIGINT) AS md
+            FROM embeddings q, subs s, cw WHERE q.vec_id < 10),
+          cand AS (
+            SELECT a.neighbor_id, p.q_id, sum(qd.md) AS adc
+            FROM assigned a
+            JOIN probes0 p ON a.cell = p.cell
+            JOIN enc x ON x.vec_id = a.neighbor_id
+            JOIN qd ON qd.q_id = p.q_id AND qd.j = x.j AND qd.c = x.c
+            WHERE a.neighbor_id <> p.q_id
+            GROUP BY 1, 2),
+          topm AS (
+            SELECT q_id, neighbor_id FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY q_id ORDER BY adc DESC, neighbor_id ASC)
+                AS crank
+              FROM cand)
+            WHERE crank <= 30),
+          scored AS (
+            SELECT t.q_id, t.neighbor_id,
+                   round({_cos_sql('e.embedding', 'q.embedding')}, 6)
+                     AS score
+            FROM topm t
+            JOIN embeddings e ON e.vec_id = t.neighbor_id
+            JOIN embeddings q ON q.vec_id = t.q_id)
+          SELECT q_id, neighbor_id, CAST(rank AS INT) AS rank, score
+          FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY q_id ORDER BY score DESC, neighbor_id ASC)
+              AS rank
+            FROM scored)
+          WHERE rank <= 10
         """,
         # q118: synthesis (site digests + half-coverage mirror hosts on
         # every 10th site), the >20-host digest prune, the digest-keyed

@@ -281,6 +281,9 @@ def __getattr__(name):
         "host_change_rates": (
             "horus_spark.operators.recrawl", "host_change_rates",
         ),
+        "pq_codebooks": ("horus_spark.operators.pq", "pq_codebooks"),
+        "pq_encode": ("horus_spark.operators.pq", "pq_encode"),
+        "ivf_pq_topk": ("horus_spark.operators.pq", "ivf_pq_topk"),
     }
     if name in _API:
         import importlib
