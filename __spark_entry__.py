@@ -2516,6 +2516,30 @@ def _q114_sitemap_parse(spark, sf_dir):
     return parse_sitemaps(urlsets.unionByName(indexes))
 
 
+def _q121_semantic_decontam(spark, sf_dir):
+    """Semantic benchmark decontamination
+    (operators/semdedup.py:semantic_decontaminate): every 37th
+    embedding stands in for an eval set; every other corpus vector is
+    flagged if its cosine to ANY benchmark item reaches 0.35 — the
+    paraphrase-robust complement to q47/q50's exact n-gram collision.
+    The threshold is calibrated to THIS corpus's geometry (its
+    label-cluster embeddings top out near 0.51 pairwise, so 0.35 =
+    same-cluster proximity; real text-embedding deployments calibrate
+    on a held-out leak set) — both verdict classes fire at every SF
+    (11/12/223 contaminated at sf0.001/0.01/0.1). One broadcast join +
+    a struct-max argmax agg (map-side combinable, no window over the
+    pair set); oracle replays the cosine, the argmax tie-break and the
+    threshold in SQL."""
+    from horus_spark.operators.semdedup import semantic_decontaminate
+
+    e = _load(spark, sf_dir, "embeddings")
+    bench = e.filter(F.col("vec_id") % 37 == 0).select(
+        F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_vec")
+    )
+    corpus = e.filter(F.col("vec_id") % 37 != 0)
+    return semantic_decontaminate(corpus, bench, threshold=0.35)
+
+
 def _q120_ivf_pq_ann(spark, sf_dir):
     """IVF-PQ ANN (operators/pq.py) — the quantization ladder's top
     rung (float q25 -> int8 q39 -> 1-bit q82 -> PQ): 64-dim vectors
@@ -2980,6 +3004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q118_host_mirrors": _q118_host_mirrors,
         "q119_recrawl_delta": _q119_recrawl_delta,
         "q120_ivf_pq_ann": _q120_ivf_pq_ann,
+        "q121_semantic_decontam": _q121_semantic_decontam,
     }
 
 
@@ -4163,6 +4188,29 @@ def _oracle_sql_literals() -> dict[str, str]:
             nullif(CASE WHEN o_a != '' THEN o_a ELSE o_b END, '')
               AS og_title
           FROM ex
+        """,
+        # q121: cosine vs every benchmark vector, argmax with lowest-id
+        # tie-break, threshold verdict — replayed in SQL.
+        "q121_semantic_decontam": f"""
+          WITH b AS (
+            SELECT vec_id AS b_id, embedding AS b_vec
+            FROM embeddings WHERE vec_id % 37 = 0),
+          c AS (
+            SELECT vec_id AS id, embedding
+            FROM embeddings WHERE vec_id % 37 <> 0),
+          p AS (
+            SELECT c.id, b.b_id,
+                   round({_cos_sql('c.embedding', 'b.b_vec')}, 6) AS cs
+            FROM c, b),
+          r AS (
+            SELECT id, b_id, cs,
+              row_number() OVER (
+                PARTITION BY id ORDER BY cs DESC, b_id ASC) AS rn
+            FROM p)
+          SELECT id, b_id AS nearest_benchmark, cs AS max_cos,
+            CAST(CASE WHEN cs >= 0.35 THEN 1 ELSE 0 END AS INT)
+              AS contaminated
+          FROM r WHERE rn = 1
         """,
         # q120: IVF-PQ replayed in SQL — lowest-id centroids (q39's CTE),
         # lowest-id-sliced codebooks, per-subspace argmax encoding,

@@ -158,6 +158,7 @@ def main():
         "q17_ann_topk",
         "q34_quantized_ann",  # round 3: the int8 two-tier ANN scale path
         "q39_ivf_quantized_ann",  # round 4: IVF-SQ — cell-pruned int8 tier
+        "q120_ivf_pq_ann",  # round 4: IVF-PQ — product codes + integer ADC
         "q88_interleave_stats",  # round 4: interleaved-corpus map-side fold
         "q90_multimodal_dedup",  # round 4: content-addressed multimodal dedup
     ]

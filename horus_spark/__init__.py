@@ -284,6 +284,9 @@ def __getattr__(name):
         "pq_codebooks": ("horus_spark.operators.pq", "pq_codebooks"),
         "pq_encode": ("horus_spark.operators.pq", "pq_encode"),
         "ivf_pq_topk": ("horus_spark.operators.pq", "ivf_pq_topk"),
+        "semantic_decontaminate": (
+            "horus_spark.operators.semdedup", "semantic_decontaminate",
+        ),
     }
     if name in _API:
         import importlib

@@ -89,3 +89,54 @@ def semantic_dedup(
         "cluster_size",
         (F.col("id") != F.col("cluster_id")).alias("is_duplicate"),
     )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bench_id_col: str = "b_id",
+    bench_vec_col: str = "b_vec",
+) -> DataFrame:
+    """Semantic benchmark decontamination (the FineWeb/Llama-recipe
+    complement to q47's exact n-gram tier): flag corpus documents whose
+    EMBEDDING sits within `threshold` cosine of any benchmark item —
+    paraphrased or reformatted eval leakage that exact n-gram collision
+    provably misses. Returns (id, nearest_benchmark, max_cos,
+    contaminated).
+
+    Scale shape: the benchmark side is eval-set-sized — broadcast; the
+    corpus crosses ONE map-side broadcast join (n x |bench| slim rows
+    never hit a shuffle) and the per-doc argmax is a struct-max hash
+    aggregation with map-side combine (no window over the pair set).
+    For benchmark sets too big to broadcast, pre-prune with the q25
+    cell assignment (same composition as ivf_quantized_topk) — the
+    verdict rule is unchanged."""
+    b = benchmark.select(
+        F.col(bench_id_col).alias("_bid"),
+        F.col(bench_vec_col).cast("array<double>").alias("_bvec"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("_vec"),
+    )
+    pairs = c.join(F.broadcast(b)).withColumn(
+        "_cos", F.round(cosine_expr(F.col("_vec"), F.col("_bvec")), 6)
+    )
+    # argmax via struct max (cos desc, bench id asc) — map-side combinable
+    agg = pairs.groupBy("id").agg(
+        F.max(
+            F.struct(
+                F.col("_cos").alias("c"),
+                (-F.col("_bid")).cast("long").alias("nb"),
+            )
+        ).alias("m")
+    )
+    return agg.select(
+        "id",
+        (-F.col("m.nb")).alias("nearest_benchmark"),
+        F.col("m.c").alias("max_cos"),
+        (F.col("m.c") >= float(threshold)).cast("int").alias("contaminated"),
+    )
