@@ -2540,6 +2540,22 @@ def _q121_semantic_decontam(spark, sf_dir):
     return semantic_decontaminate(corpus, bench, threshold=0.35)
 
 
+def _q122_bpe_train(spark, sf_dir):
+    """Distributed BPE tokenizer training (operators/bpe.py): the first
+    4 merges learned from the corpus — word frequencies collapse the
+    corpus once (the only corpus-scale shuffle), then each round is one
+    vocab-sized pair-count Exchange + a zero-shuffle greedy fold merge.
+    Exact long counts + lexicographic tie-break make the merge table
+    bit-identical across partitionings/engines; the oracle replays all
+    four rounds (argmax in SQL, the greedy left-to-right fold as a
+    per-word recursive-CTE walk — validated against a pure-Python
+    Sennrich reference in pytest)."""
+    from horus_spark.operators.bpe import bpe_train
+
+    d = _fanout(_load(spark, sf_dir, "documents"))
+    return bpe_train(d, n_merges=4)
+
+
 def _q120_ivf_pq_ann(spark, sf_dir):
     """IVF-PQ ANN (operators/pq.py) — the quantization ladder's top
     rung (float q25 -> int8 q39 -> 1-bit q82 -> PQ): 64-dim vectors
@@ -3005,6 +3021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q119_recrawl_delta": _q119_recrawl_delta,
         "q120_ivf_pq_ann": _q120_ivf_pq_ann,
         "q121_semantic_decontam": _q121_semantic_decontam,
+        "q122_bpe_train": _q122_bpe_train,
     }
 
 
@@ -3097,6 +3114,55 @@ _HTML_MET_CTE = _HTML_PAGE_CTE + """, cleaned AS (
                 x -> length(x))), 0) AS INT) AS link_chars
             FROM seg
           )"""
+
+
+def _bpe_oracle_sql(n_merges: int, eow: str = "</w>") -> str:
+    """q122's oracle, generated per round: wf/s0 build the word-frequency
+    segmentation state; then for round k, p{k} explodes adjacent pairs,
+    b{k} is the argmax (count desc, pair asc — the exact Spark
+    TakeOrdered rule), and w{k} replays the greedy left-to-right merge
+    fold as a per-word recursive walk carrying (out, carry) — the same
+    (out, carry) automaton as operators/bpe.py::_merge_fold, validated
+    against a pure-Python Sennrich reference in tests/test_bpe.py."""
+    parts = [
+        r"""wf AS (SELECT word, count(*)::BIGINT AS cnt FROM
+  (SELECT unnest(string_split_regex(trim(text),'\s+')) AS word FROM documents)
+  WHERE word <> '' GROUP BY 1)""",
+        f"s0 AS (SELECT word, cnt, list_append(regexp_extract_all(word, '.'), '{eow}') AS syms FROM wf)",
+    ]
+    for k in range(1, n_merges + 1):
+        p = k - 1
+        parts.append(
+            f"""p{k} AS (SELECT syms[i] AS ml, syms[i+1] AS mr, cnt
+  FROM s{p}, unnest(generate_series(1, len(syms)-1)) AS t(i))"""
+        )
+        parts.append(
+            f"""b{k} AS (SELECT ml, mr, SUM(cnt)::BIGINT AS c FROM p{k}
+  GROUP BY 1,2 ORDER BY c DESC, ml, mr LIMIT 1)"""
+        )
+        parts.append(
+            f"""w{k} AS (
+  SELECT word, cnt, syms, ml, mr, 1 AS i, []::VARCHAR[] AS out, '' AS carry FROM s{p}, b{k}
+  UNION ALL
+  SELECT word, cnt, syms, ml, mr, i+1,
+    CASE WHEN carry = '' THEN out
+         WHEN carry = ml AND syms[i] = mr THEN list_append(out, ml || mr)
+         ELSE list_append(out, carry) END,
+    CASE WHEN carry = '' THEN syms[i]
+         WHEN carry = ml AND syms[i] = mr THEN ''
+         ELSE syms[i] END
+  FROM w{k} WHERE i <= len(syms))"""
+        )
+        parts.append(
+            f"""s{k} AS (SELECT word, cnt,
+  CASE WHEN carry='' THEN out ELSE list_append(out, carry) END AS syms
+  FROM w{k} WHERE i = len(syms)+1)"""
+        )
+    sel = "\nUNION ALL\n".join(
+        f'SELECT {k} AS merge_rank, ml AS "left", mr AS "right", c AS pair_count FROM b{k}'
+        for k in range(1, n_merges + 1)
+    )
+    return "WITH RECURSIVE\n" + ",\n".join(parts) + "\n" + sel
 
 
 def _oracle_sql_literals() -> dict[str, str]:
@@ -4189,6 +4255,8 @@ def _oracle_sql_literals() -> dict[str, str]:
               AS og_title
           FROM ex
         """,
+        # q122: all four BPE merge rounds replayed — see _bpe_oracle_sql.
+        "q122_bpe_train": _bpe_oracle_sql(4),
         # q121: cosine vs every benchmark vector, argmax with lowest-id
         # tie-break, threshold verdict — replayed in SQL.
         "q121_semantic_decontam": f"""
