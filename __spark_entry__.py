@@ -2540,6 +2540,33 @@ def _q121_semantic_decontam(spark, sf_dir):
     return semantic_decontaminate(corpus, bench, threshold=0.35)
 
 
+def _q123_hits(spark, sf_dir):
+    """Fixed-iteration HITS hubs/authorities (operators/graph.py:hits)
+    over a deterministic synthetic link graph (two edge rules over
+    doc_id mod 199; src % 17 == 0 out-edges dropped, leaving pure-sink
+    authorities with zero hub mass). Exact long sums + DECIMAL(38,0)
+    max-normalization make the 8-iteration (hub, authority) vector
+    bit-identical across partitionings and engines; the oracle replays
+    the recursion over HUGEINT in a recursive CTE."""
+    from horus_spark.operators.graph import hits
+
+    d = _load(spark, sf_dir, "documents")
+    edges = (
+        d.select(
+            (F.col("doc_id") % 199).alias("src"),
+            ((F.col("doc_id") * 13 + 5) % 199).alias("dst"),
+        )
+        .unionAll(
+            d.select(
+                (F.col("doc_id") % 199).alias("src"),
+                ((F.col("doc_id") * 29 + 11) % 199).alias("dst"),
+            )
+        )
+        .filter(F.col("src") % 17 != 0)
+    )
+    return hits(edges, n_iter=8)
+
+
 def _q122_bpe_train(spark, sf_dir):
     """Distributed BPE tokenizer training (operators/bpe.py): the first
     4 merges learned from the corpus — word frequencies collapse the
@@ -3022,6 +3049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q120_ivf_pq_ann": _q120_ivf_pq_ann,
         "q121_semantic_decontam": _q121_semantic_decontam,
         "q122_bpe_train": _q122_bpe_train,
+        "q123_hits": _q123_hits,
     }
 
 
@@ -4257,6 +4285,48 @@ def _oracle_sql_literals() -> dict[str, str]:
         """,
         # q122: all four BPE merge rounds replayed — see _bpe_oracle_sql.
         "q122_bpe_train": _bpe_oracle_sql(4),
+        # q123: HITS replayed over HUGEINT — exact long sums, integer
+        # max-normalization ((x * scale) // max), per-iteration left
+        # joins back onto the node set; matches graph.hits bit-exactly.
+        "q123_hits": """
+          WITH RECURSIVE
+          edges AS (
+            SELECT src, dst FROM (
+              SELECT (doc_id % 199)::BIGINT AS src,
+                     ((doc_id*13+5) % 199)::BIGINT AS dst FROM documents
+              UNION ALL
+              SELECT (doc_id % 199)::BIGINT,
+                     ((doc_id*29+11) % 199)::BIGINT FROM documents)
+            WHERE src % 17 <> 0 GROUP BY src, dst),
+          nodes AS (SELECT DISTINCT node FROM
+            (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+          st(iter, node, h, a) AS (
+            SELECT 0, node, 1000000000000::BIGINT, 0::BIGINT FROM nodes
+            UNION ALL
+            SELECT iter + 1, node, h, a FROM (
+              WITH prev AS (SELECT * FROM st),
+              ar AS (SELECT e.dst AS node, SUM(p.h)::BIGINT AS ar
+                     FROM prev p JOIN edges e ON e.src = p.node GROUP BY 1),
+              am AS (SELECT MAX(ar) AS amax FROM ar),
+              an AS (SELECT node,
+                       ((ar::HUGEINT * 1000000000000) // greatest(amax, 1))::BIGINT AS an
+                     FROM ar, am),
+              hr AS (SELECT e.src AS node, SUM(x.an)::BIGINT AS hr
+                     FROM an x JOIN edges e ON e.dst = x.node GROUP BY 1),
+              hm AS (SELECT MAX(hr) AS hmax FROM hr),
+              hn AS (SELECT node,
+                       ((hr::HUGEINT * 1000000000000) // greatest(hmax, 1))::BIGINT AS hn
+                     FROM hr, hm)
+              SELECT p.iter, p.node,
+                     COALESCE(hn.hn, 0)::BIGINT AS h,
+                     COALESCE(an.an, 0)::BIGINT AS a
+              FROM prev p
+              LEFT JOIN an ON an.node = p.node
+              LEFT JOIN hn ON hn.node = p.node
+            ) WHERE iter + 1 <= 8)
+          SELECT node, h AS hub_micro, a AS auth_micro
+          FROM st WHERE iter = 8
+        """,
         # q121: cosine vs every benchmark vector, argmax with lowest-id
         # tie-break, threshold verdict — replayed in SQL.
         "q121_semantic_decontam": f"""

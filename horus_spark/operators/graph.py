@@ -131,3 +131,109 @@ def pagerank(
             ranks = ranks.localCheckpoint(eager=False)
 
     return ranks.select("node", F.col("r").alias("rank_micro"))
+
+
+def _norm_div(val: str, mx: str, scale: int) -> str:
+    """(val * scale) div max — the max-normalization step in EXACT
+    integer arithmetic. The product can exceed int64 (val <= n * scale),
+    so it runs in DECIMAL(38,0); `div` returns a long, and the quotient
+    is <= scale by construction (val <= mx). DuckDB replays the same
+    expression over HUGEINT — both are exact integer division, so the
+    results are bit-identical."""
+    return (
+        f"CAST((CAST({val} AS DECIMAL(38,0)) * CAST({scale} AS DECIMAL(38,0)))"
+        f" div greatest({mx}, 1) AS BIGINT)"
+    )
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 8,
+    scale: int = 1_000_000_000_000,
+    use_local_checkpoint: bool = True,
+) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg 1999): hub and authority scores
+    over a directed edge list, in exact integer arithmetic.
+
+    PageRank's complement for web curation: authorities are the pages
+    good hubs point AT (content quality prior), hubs are the pages that
+    point at good authorities (directory/spam detection — a high-hub
+    low-authority host is a link farm). Per iteration:
+
+        a[v] = sum of h[u] over in-edges, then max-normalized;
+        h[u] = sum of a[v] over out-edges, then max-normalized.
+
+    Max-normalization (rather than L2, the textbook choice) keeps every
+    step in integers: sums are exact longs, and the normalizing division
+    runs in DECIMAL(38,0) (`_norm_div`) so the h <= n*scale products
+    cannot overflow. Long addition is associative/commutative, so the
+    result is bit-identical across partitionings and engines — the
+    DuckDB oracle replays the recursion and hash-matches.
+
+    Scale shape (per iteration): TWO hash shuffles (groupBy dst, then
+    groupBy src) over slim (node, long) contribution rows with map-side
+    combine; the normalizing max is a 1-row aggregate broadcast back.
+    No driver collect inside the loop; lineage is truncated per round
+    with localCheckpoint(eager=False), same as pagerank.
+
+    Returns (node, hub_micro, auth_micro) for every node in `edges`,
+    after exactly n_iter rounds from the uniform h = scale start. The
+    max hub and max authority are exactly `scale`; division remainders
+    truncate (deterministic, never redistributed).
+    """
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+    )
+    if use_local_checkpoint:
+        e = e.localCheckpoint(eager=False)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    state = nodes.select(
+        "node",
+        F.lit(scale).cast("long").alias("h"),
+        F.lit(0).cast("long").alias("a"),
+    )
+    for _ in range(n_iter):
+        a_raw = (
+            state.join(e, state["node"] == e["src"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("h").alias("ar"))
+        )
+        amax = a_raw.agg(F.max("ar").alias("amax"))
+        a_n = a_raw.crossJoin(F.broadcast(amax)).select(
+            "node", F.expr(_norm_div("ar", "amax", scale)).alias("an")
+        )
+        h_raw = (
+            a_n.join(e, a_n["node"] == e["dst"])
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("an").alias("hr"))
+        )
+        hmax = h_raw.agg(F.max("hr").alias("hmax"))
+        h_n = h_raw.crossJoin(F.broadcast(hmax)).select(
+            "node", F.expr(_norm_div("hr", "hmax", scale)).alias("hn")
+        )
+        state = (
+            nodes.join(a_n, "node", "left")
+            .join(h_n, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("hn"), F.lit(0)).cast("long").alias("h"),
+                F.coalesce(F.col("an"), F.lit(0)).cast("long").alias("a"),
+            )
+        )
+        if use_local_checkpoint:
+            state = state.localCheckpoint(eager=False)
+    return state.select(
+        "node",
+        F.col("h").alias("hub_micro"),
+        F.col("a").alias("auth_micro"),
+    )

@@ -276,3 +276,82 @@ def test_rollup_and_zorder_param_guards(spark):
     pts = spark.createDataFrame([(1, 2)], "x long, y long")
     with pytest.raises(ValueError):
         zorder_layout(pts, "x", "y", n_files=0)
+
+
+# ----------------------------------------------------------------- hits
+
+
+def _python_hits(edges, n_iter=8, scale=10**12):
+    """Driver-side integer replay of operators/graph.hits."""
+    edges = sorted(set(edges))
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    h = {v: scale for v in nodes}
+    a = {v: 0 for v in nodes}
+    for _ in range(n_iter):
+        ar = {}
+        for u, v in edges:
+            ar[v] = ar.get(v, 0) + h[u]
+        amax = max(ar.values())
+        an = {v: (x * scale) // max(amax, 1) for v, x in ar.items()}
+        hr = {}
+        for u, v in edges:
+            if v in an:
+                hr[u] = hr.get(u, 0) + an[v]
+        hmax = max(hr.values())
+        hn = {u: (x * scale) // max(hmax, 1) for u, x in hr.items()}
+        h = {v: hn.get(v, 0) for v in nodes}
+        a = {v: an.get(v, 0) for v in nodes}
+    return {v: (h[v], a[v]) for v in nodes}
+
+
+def test_hits_matches_integer_replay(spark):
+    from horus_spark.operators.graph import hits
+
+    edges = [(i % 11, (i * 3 + 1) % 11) for i in range(50)]
+    edges += [(4, 9), (5, 9), (6, 9)]  # boost node 9's authority
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: (r["hub_micro"], r["auth_micro"])
+        for r in hits(df, n_iter=8).collect()
+    }
+    assert got == _python_hits(edges)
+
+
+def test_hits_partitioning_invariant(spark):
+    from horus_spark.operators.graph import hits
+
+    edges = [(i % 23, (i * 7 + 2) % 23) for i in range(150)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = {
+        r["node"]: (r["hub_micro"], r["auth_micro"])
+        for r in hits(df.repartition(1), n_iter=5).collect()
+    }
+    b = {
+        r["node"]: (r["hub_micro"], r["auth_micro"])
+        for r in hits(df.repartition(16), n_iter=5).collect()
+    }
+    assert a == b
+
+
+def test_hits_hub_vs_authority_roles(spark):
+    from horus_spark.operators.graph import hits
+
+    # bipartite: hubs 0-2 each point at authorities 10-12; no back-edges.
+    edges = [(u, v) for u in (0, 1, 2) for v in (10, 11, 12)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    r = {
+        x["node"]: (x["hub_micro"], x["auth_micro"])
+        for x in hits(df, n_iter=4).collect()
+    }
+    for u in (0, 1, 2):  # pure hubs: max hub mass, zero authority
+        assert r[u] == (10**12, 0)
+    for v in (10, 11, 12):  # pure authorities: zero hub mass
+        assert r[v] == (0, 10**12)
+
+
+def test_hits_rejects_bad_iter(spark):
+    from horus_spark.operators.graph import hits
+
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError):
+        hits(df, n_iter=0)
