@@ -2540,6 +2540,58 @@ def _q121_semantic_decontam(spark, sf_dir):
     return semantic_decontaminate(corpus, bench, threshold=0.35)
 
 
+def _q124_dehyphenate(spark, sf_dir):
+    """Line-break de-hyphenation (operators/textfix.py): every 7th word
+    (when long enough and letter-shaped at the split point) is
+    hyphen-split across a synthetic line break, plus a hard wrap every
+    4 words — the PDF/OCR extraction shape. The repair fold joins
+    <letter>-$ line ends to lowercase-starting next lines, so the
+    GROUND-TRUTH oracle is the original text itself (whitespace
+    normalized) with n_joins = the synthesis's split count: green means
+    every synthetic hyphenation was repaired and nothing else was
+    touched (the corpus has no '-'-terminal words — verified — so the
+    conservative rule fires exactly on the planted splits). Zero
+    shuffle: synthesis and repair are both array expressions."""
+    from horus_spark.operators.textfix import dehyphenate
+
+    d = _load(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"),
+        lambda w: w != "",
+    )
+    def _piece(w, i):
+        h = F.floor(F.length(w) / 2).cast("int")
+        split_ok = (
+            (i % 7 == F.lit(3))
+            & (F.length(w) >= 4)
+            & w.substr(h, F.lit(1)).rlike("^[A-Za-z]$")
+            & w.substr(h + 1, F.lit(1)).rlike("^[a-z]$")
+        )
+        return (
+            F.when(
+                split_ok,
+                F.concat(
+                    w.substr(F.lit(1), h),
+                    F.lit("-\n"),
+                    w.substr(h + 1, F.length(w)),
+                ),
+            )
+            .when((i + 1) % 4 == F.lit(0), F.concat(w, F.lit("\n")))
+            .otherwise(w)
+        )
+
+    lines = F.filter(
+        F.transform(
+            F.split(F.array_join(F.transform(words, _piece), " "), "\n"),
+            lambda x: F.trim(x),
+        ),
+        lambda x: x != "",
+    )
+    return dehyphenate(
+        d.select("doc_id", lines.alias("lines")), lines_col="lines"
+    )
+
+
 def _q123_hits(spark, sf_dir):
     """Fixed-iteration HITS hubs/authorities (operators/graph.py:hits)
     over a deterministic synthetic link graph (two edge rules over
@@ -3050,6 +3102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q121_semantic_decontam": _q121_semantic_decontam,
         "q122_bpe_train": _q122_bpe_train,
         "q123_hits": _q123_hits,
+        "q124_dehyphenate": _q124_dehyphenate,
     }
 
 
@@ -4285,6 +4338,30 @@ def _oracle_sql_literals() -> dict[str, str]:
         """,
         # q122: all four BPE merge rounds replayed — see _bpe_oracle_sql.
         "q122_bpe_train": _bpe_oracle_sql(4),
+        # q124: GROUND TRUTH — the repair must reconstruct the original
+        # text exactly (whitespace-normalized) and count exactly the
+        # synthesis's splits; the oracle recomputes both from documents
+        # without replaying the fold.
+        "q124_dehyphenate": r"""
+          WITH base AS (
+            SELECT doc_id, trim(coalesce(text, '')) AS tx,
+                   list_filter(string_split_regex(trim(coalesce(text, '')), '\s+'),
+                               x -> x <> '') AS w
+            FROM documents),
+          ex AS (
+            SELECT doc_id, w[i] AS word, i
+            FROM base, unnest(generate_series(1, len(w))) AS t(i)),
+          cnt AS (
+            SELECT doc_id, SUM(CASE WHEN (i-1) % 7 = 3 AND length(word) >= 4
+              AND regexp_matches(substr(word, length(word) // 2, 1), '^[A-Za-z]$')
+              AND regexp_matches(substr(word, length(word) // 2 + 1, 1), '^[a-z]$')
+              THEN 1 ELSE 0 END)::INT AS n_joins
+            FROM ex GROUP BY 1)
+          SELECT b.doc_id,
+                 regexp_replace(b.tx, '\s+', ' ', 'g') AS text_repaired,
+                 COALESCE(c.n_joins, 0)::INT AS n_joins
+          FROM base b LEFT JOIN cnt c USING (doc_id)
+        """,
         # q123: HITS replayed over HUGEINT — exact long sums, integer
         # max-normalization ((x * scale) // max), per-iteration left
         # joins back onto the node set; matches graph.hits bit-exactly.
