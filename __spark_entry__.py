@@ -2540,6 +2540,46 @@ def _q121_semantic_decontam(spark, sf_dir):
     return semantic_decontaminate(corpus, bench, threshold=0.35)
 
 
+def _q125_reading_order(spark, sf_dir):
+    """Multi-column reading order (operators/reading_order.py): docs
+    are laid out as synthetic pages — word-triples become fragment
+    boxes; docs with doc_id % 3 != 0 alternate fragments between two
+    columns (gutter 1.5in wide), the rest span the full page width.
+    The interval-union sweep must find the gutter exactly on the
+    two-column pages and leave single-column pages row-major, so the
+    GROUND-TRUTH oracle emits the known column-major permutation
+    (left column top-down, then right) straight from the synthesis
+    arithmetic — no replay of the sweep. Green = the detector neither
+    misses a real gutter nor hallucinates one on full-width pages."""
+    from horus_spark.operators.reading_order import column_reading_order
+
+    d = _load(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"),
+        lambda w: w != "",
+    )
+    nf = F.ceil(F.size(words) / F.lit(3)).cast("int")
+    base = d.select("doc_id", nf.alias("nf")).select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.col("nf") - 1)).alias("i")
+    )
+    two_col = F.col("doc_id") % 3 != 0
+    x0 = F.when(two_col, 1.0 + (F.col("i") % 2) * 3.5).otherwise(F.lit(1.0))
+    frags = base.select(
+        "doc_id",
+        F.lit(0).alias("page"),
+        F.col("i").cast("int").alias("frag_id"),
+        x0.alias("x0"),
+        F.when(two_col, x0 + 2.0).otherwise(F.lit(7.0)).alias("x1"),
+        F.when(two_col, 1.0 + F.floor(F.col("i") / 2) * 0.3)
+        .otherwise(1.0 + F.col("i") * 0.3)
+        .alias("y0"),
+    ).withColumn("y1", F.col("y0") + 0.2)
+    out = column_reading_order(frags, min_gap=0.5, min_side_frac=0.2)
+    return out.select(
+        "doc_id", "frag_id", "n_columns", "col_idx", "read_ord"
+    )
+
+
 def _q124_dehyphenate(spark, sf_dir):
     """Line-break de-hyphenation (operators/textfix.py): every 7th word
     (when long enough and letter-shaped at the split point) is
@@ -3103,6 +3143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q122_bpe_train": _q122_bpe_train,
         "q123_hits": _q123_hits,
         "q124_dehyphenate": _q124_dehyphenate,
+        "q125_reading_order": _q125_reading_order,
     }
 
 
@@ -4338,6 +4379,31 @@ def _oracle_sql_literals() -> dict[str, str]:
         """,
         # q122: all four BPE merge rounds replayed — see _bpe_oracle_sql.
         "q122_bpe_train": _bpe_oracle_sql(4),
+        # q125: GROUND TRUTH — the expected column-major permutation is
+        # derived from the synthesis arithmetic alone (left column =
+        # even fragment indices top-down, then the right column); the
+        # sweep itself is never replayed, so a missed or hallucinated
+        # gutter cannot cancel out.
+        "q125_reading_order": r"""
+          WITH base AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(trim(coalesce(text, '')), '\s+'),
+                               x -> x <> '') AS w
+            FROM documents),
+          fr AS (SELECT doc_id, ((len(w) + 2) // 3)::BIGINT AS nf FROM base),
+          fx AS (SELECT doc_id, nf, unnest(generate_series(0, nf - 1)) AS i
+                 FROM fr WHERE nf >= 1)
+          SELECT doc_id, i::INT AS frag_id,
+            CASE WHEN doc_id % 3 <> 0 AND nf >= 2 THEN 2 ELSE 1 END::INT
+              AS n_columns,
+            CASE WHEN doc_id % 3 <> 0 AND nf >= 2 THEN (i % 2) ELSE 0 END::INT
+              AS col_idx,
+            CASE WHEN doc_id % 3 <> 0 AND nf >= 2
+                 THEN (CASE WHEN i % 2 = 0 THEN i // 2
+                            ELSE (nf + 1) // 2 + i // 2 END)
+                 ELSE i END::INT AS read_ord
+          FROM fx
+        """,
         # q124: GROUND TRUTH — the repair must reconstruct the original
         # text exactly (whitespace-normalized) and count exactly the
         # synthesis's splits; the oracle recomputes both from documents
