@@ -2540,6 +2540,44 @@ def _q121_semantic_decontam(spark, sf_dir):
     return semantic_decontaminate(corpus, bench, threshold=0.35)
 
 
+def _q126_edit1_pairs(spark, sf_dir):
+    """Deletion-neighborhood fuzzy vocabulary matching
+    (operators/fuzzy.py): every 11th token (by doc_id*31+pos phase,
+    length >= 5) is corrupted by deleting its middle character — the
+    OCR/typo injection — and edit1_pairs must recover every
+    (corrupted, clean) pair EXACTLY via the SymSpell variant join +
+    levenshtein verify, never touching an O(V^2) cross join. The
+    oracle replays the corruption, the deletion-variant blocking and
+    the verify in SQL. Candidate generation is vocabulary-sized slim
+    string pairs; the only corpus-scale stage is the token count."""
+    from horus_spark.operators.fuzzy import edit1_pairs
+
+    d = _load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(
+                F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"),
+                lambda w: w != "",
+            )
+        ).alias("pos", "w"),
+    )
+    h = (F.length("w") / 2).cast("int")
+    corrupted = toks.select(
+        F.when(
+            ((F.col("doc_id") * 31 + F.col("pos")) % 11 == 0)
+            & (F.length("w") >= 5),
+            F.concat(
+                F.col("w").substr(F.lit(1), h - 1),
+                F.col("w").substr(h + 1, F.length("w")),
+            ),
+        )
+        .otherwise(F.col("w"))
+        .alias("token")
+    )
+    return edit1_pairs(corrupted, max_len=20)
+
+
 def _q125_reading_order(spark, sf_dir):
     """Multi-column reading order (operators/reading_order.py): docs
     are laid out as synthetic pages — word-triples become fragment
@@ -3144,6 +3182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q123_hits": _q123_hits,
         "q124_dehyphenate": _q124_dehyphenate,
         "q125_reading_order": _q125_reading_order,
+        "q126_edit1_pairs": _q126_edit1_pairs,
     }
 
 
@@ -4379,6 +4418,35 @@ def _oracle_sql_literals() -> dict[str, str]:
         """,
         # q122: all four BPE merge rounds replayed — see _bpe_oracle_sql.
         "q122_bpe_train": _bpe_oracle_sql(4),
+        # q126: corruption replayed, then the SymSpell construction
+        # itself — deletion variants (i=0 keeps the word), variant
+        # equi-join, exact levenshtein verify on deduped pairs.
+        "q126_edit1_pairs": r"""
+          WITH base AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(trim(coalesce(text, '')), '\s+'),
+                               x -> x <> '') AS ws
+            FROM documents),
+          tok AS (
+            SELECT CASE WHEN (doc_id * 31 + (i - 1)) % 11 = 0
+                             AND length(ws[i]) >= 5
+                   THEN substr(ws[i], 1, length(ws[i]) // 2 - 1)
+                        || substr(ws[i], length(ws[i]) // 2 + 1)
+                   ELSE ws[i] END AS w
+            FROM base, unnest(generate_series(1, len(ws))) AS t(i)),
+          v AS (SELECT w, count(*)::BIGINT AS cnt FROM tok
+                WHERE w <> '' GROUP BY 1 HAVING length(w) <= 20),
+          vv AS (SELECT DISTINCT w,
+                   CASE WHEN i = 0 THEN w
+                        ELSE substr(w, 1, i - 1) || substr(w, i + 1) END AS var
+                 FROM v, unnest(generate_series(0, length(w))) AS t(i)),
+          c AS (SELECT DISTINCT a.w AS word_a, b.w AS word_b
+                FROM vv a JOIN vv b ON a.var = b.var AND a.w < b.w)
+          SELECT word_a, word_b, va.cnt AS count_a, vb.cnt AS count_b,
+                 levenshtein(word_a, word_b)::INT AS dist
+          FROM c JOIN v va ON va.w = word_a JOIN v vb ON vb.w = word_b
+          WHERE levenshtein(word_a, word_b) <= 1
+        """,
         # q125: GROUND TRUTH — the expected column-major permutation is
         # derived from the synthesis arithmetic alone (left column =
         # even fragment indices top-down, then the right column); the
