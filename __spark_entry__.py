@@ -2540,6 +2540,72 @@ def _q121_semantic_decontam(spark, sf_dir):
     return semantic_decontaminate(corpus, bench, threshold=0.35)
 
 
+def _q128_phrase_search(spark, sf_dir):
+    """Positional inverted index + exact phrase search
+    (operators/invindex.py): postings built in one shuffle, then the
+    corpus's MOST FREQUENT TRIGRAM (count desc, lexicographic
+    tie-break — deterministic) is answered FROM THE INDEX ALONE: k
+    filtered posting legs joined on doc, consecutive-position
+    intersection as an array expression. The oracle recomputes the top
+    trigram and every match position straight from the text — green
+    means the index round-trips exactly (no lost/duplicated positions,
+    no off-by-one in the adjacency rule)."""
+    from horus_spark.operators.invindex import build_postings, phrase_matches
+
+    d = _fanout(_load(spark, sf_dir, "documents"))
+    words = F.filter(
+        F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"),
+        lambda w: w != "",
+    )
+    tri = d.select(words.alias("w")).select(
+        F.explode(
+            F.when(
+                F.size("w") >= 3,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - 2),
+                    lambda i: F.struct(
+                        F.element_at(F.col("w"), i).alias("a"),
+                        F.element_at(F.col("w"), i + 1).alias("b"),
+                        F.element_at(F.col("w"), i + 2).alias("c"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<a:string,b:string,c:string>>"))
+        ).alias("t")
+    )
+    top = (
+        tri.groupBy("t.a", "t.b", "t.c")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("a"), F.asc("b"), F.asc("c"))
+        .limit(1)
+        .collect()[0]
+    )
+    postings = build_postings(d)
+    return phrase_matches(postings, [top["a"], top["b"], top["c"]]).select(
+        F.col("id").alias("doc_id"), "n_matches", "first_pos"
+    )
+
+
+def _q127_bpe_vocab(spark, sf_dir):
+    """BPE train -> apply composition: the 4 merges learned by q122
+    are applied back to the corpus (bpe_segment — a driver-constant
+    merge list, pure map-side folds) and the resulting subword
+    vocabulary is counted. The oracle replays training AND segmentation
+    — its s4 state is exactly the per-word segmentation after 4 merges,
+    so the token histogram is one explode away. Green proves the
+    train/apply pair is self-consistent at corpus scale, not just on
+    the pytest toy corpus."""
+    from horus_spark.operators.bpe import bpe_segment, bpe_train
+
+    d = _fanout(_load(spark, sf_dir, "documents"))
+    merges = bpe_train(d, n_merges=4).orderBy("merge_rank").collect()
+    seg = bpe_segment(d, merges)
+    return (
+        seg.select(F.explode("tokens").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+
+
 def _q126_edit1_pairs(spark, sf_dir):
     """Deletion-neighborhood fuzzy vocabulary matching
     (operators/fuzzy.py): every 11th token (by doc_id*31+pos phase,
@@ -3183,6 +3249,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q124_dehyphenate": _q124_dehyphenate,
         "q125_reading_order": _q125_reading_order,
         "q126_edit1_pairs": _q126_edit1_pairs,
+        "q127_bpe_vocab": _q127_bpe_vocab,
+        "q128_phrase_search": _q128_phrase_search,
     }
 
 
@@ -3277,7 +3345,9 @@ _HTML_MET_CTE = _HTML_PAGE_CTE + """, cleaned AS (
           )"""
 
 
-def _bpe_oracle_sql(n_merges: int, eow: str = "</w>") -> str:
+def _bpe_oracle_sql(
+    n_merges: int, eow: str = "</w>", final_select: str | None = None
+) -> str:
     """q122's oracle, generated per round: wf/s0 build the word-frequency
     segmentation state; then for round k, p{k} explodes adjacent pairs,
     b{k} is the argmax (count desc, pair asc — the exact Spark
@@ -3319,7 +3389,7 @@ def _bpe_oracle_sql(n_merges: int, eow: str = "</w>") -> str:
   CASE WHEN carry='' THEN out ELSE list_append(out, carry) END AS syms
   FROM w{k} WHERE i = len(syms)+1)"""
         )
-    sel = "\nUNION ALL\n".join(
+    sel = final_select or "\nUNION ALL\n".join(
         f'SELECT {k} AS merge_rank, ml AS "left", mr AS "right", c AS pair_count FROM b{k}'
         for k in range(1, n_merges + 1)
     )
@@ -4418,6 +4488,34 @@ def _oracle_sql_literals() -> dict[str, str]:
         """,
         # q122: all four BPE merge rounds replayed — see _bpe_oracle_sql.
         "q122_bpe_train": _bpe_oracle_sql(4),
+        # q127: same replay; the s4 state IS the segmentation after 4
+        # merges — the histogram weights each word's tokens by its count.
+        "q127_bpe_vocab": _bpe_oracle_sql(
+            4,
+            final_select=(
+                "SELECT tk AS token, SUM(cnt)::BIGINT AS n_occurrences\n"
+                "FROM (SELECT cnt, unnest(syms) AS tk FROM s4) GROUP BY 1"
+            ),
+        ),
+        # q128: GROUND TRUTH — top trigram + every match position
+        # recomputed straight from the text, never from the index.
+        "q128_phrase_search": r"""
+          WITH base AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(trim(coalesce(text, '')), '\s+'),
+                               x -> x <> '') AS w
+            FROM documents),
+          tri AS (
+            SELECT doc_id, w[i] AS a, w[i+1] AS b, w[i+2] AS c, i
+            FROM base, unnest(generate_series(1, len(w) - 2)) AS t(i)
+            WHERE len(w) >= 3),
+          top AS (SELECT a, b, c FROM tri GROUP BY 1, 2, 3
+                  ORDER BY count(*) DESC, a, b, c LIMIT 1)
+          SELECT doc_id, count(*)::INT AS n_matches,
+                 (min(i) - 1)::INT AS first_pos
+          FROM tri JOIN top USING (a, b, c)
+          GROUP BY doc_id
+        """,
         # q126: corruption replayed, then the SymSpell construction
         # itself — deletion variants (i=0 keeps the word), variant
         # equi-join, exact levenshtein verify on deduped pairs.
