@@ -2540,6 +2540,46 @@ def _q121_semantic_decontam(spark, sf_dir):
     return semantic_decontaminate(corpus, bench, threshold=0.35)
 
 
+def _q129_kmv_set_ops(spark, sf_dir):
+    """KMV sketch algebra between two crawl waves
+    (operators/sketches.py:kmv_set_ops): wave t = every page's content
+    digest; wave t+1 drops every 7th page, rewrites every 5th, adds a
+    new page per 11th — per host, the distinct-content union /
+    intersection / Jaccard are estimated from two k=8 sketches ALONE
+    (the waves are never joined). The merge property makes the union
+    sketch exact-by-construction; the oracle replays hashing, per-side
+    k-minima, the re-cut, the bottom-k Jaccard and both estimators in
+    SQL."""
+    from horus_spark.operators.sketches import kmv_set_ops, kmv_sketch
+
+    d = _load(spark, sf_dir, "documents")
+    host = F.concat(F.lit("site-"), (F.col("doc_id") % 50).cast("string"))
+    prev = d.select(host.alias("host"), F.md5("text").alias("dg"))
+    curr = (
+        d.where(F.col("doc_id") % 7 != 0)
+        .select(
+            host.alias("host"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.md5(F.concat(F.col("text"), F.lit("v2"))),
+            )
+            .otherwise(F.md5("text"))
+            .alias("dg"),
+        )
+        .unionByName(
+            d.where(F.col("doc_id") % 11 == 0).select(
+                host.alias("host"),
+                F.md5(
+                    F.concat(F.lit("new"), F.col("doc_id").cast("string"))
+                ).alias("dg"),
+            )
+        )
+    )
+    sa = kmv_sketch(prev, ["host"], "dg", k=8, salt="s129")
+    sb = kmv_sketch(curr, ["host"], "dg", k=8, salt="s129")
+    return kmv_set_ops(sa, sb, ["host"], k=8)
+
+
 def _q128_phrase_search(spark, sf_dir):
     """Positional inverted index + exact phrase search
     (operators/invindex.py): postings built in one shuffle, then the
@@ -3251,6 +3291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q126_edit1_pairs": _q126_edit1_pairs,
         "q127_bpe_vocab": _q127_bpe_vocab,
         "q128_phrase_search": _q128_phrase_search,
+        "q129_kmv_set_ops": _q129_kmv_set_ops,
     }
 
 
@@ -4497,6 +4538,62 @@ def _oracle_sql_literals() -> dict[str, str]:
                 "FROM (SELECT cnt, unnest(syms) AS tk FROM s4) GROUP BY 1"
             ),
         ),
+        # q129: both waves' hashing, per-side k-minima, the union
+        # re-cut, bottom-k Jaccard and every estimator replayed in SQL
+        # (same md5-uniform as q51: (h+1)/2^60, salt 's129', k=8).
+        "q129_kmv_set_ops": """
+          WITH prev AS (
+            SELECT 'site-' || (doc_id % 50) AS host, md5(text) AS dg
+            FROM documents),
+          curr AS (
+            SELECT 'site-' || (doc_id % 50) AS host,
+                   CASE WHEN doc_id % 5 = 0 THEN md5(text || 'v2')
+                        ELSE md5(text) END AS dg
+            FROM documents WHERE doc_id % 7 <> 0
+            UNION ALL
+            SELECT 'site-' || (doc_id % 50) AS host, md5('new' || doc_id) AS dg
+            FROM documents WHERE doc_id % 11 = 0),
+          ua AS (SELECT DISTINCT host,
+                   (CAST(concat('0x', substring(md5(dg || 's129'), 1, 15)) AS BIGINT) + 1.0)
+                     / 1152921504606846976.0 AS u
+                 FROM prev),
+          ub AS (SELECT DISTINCT host,
+                   (CAST(concat('0x', substring(md5(dg || 's129'), 1, 15)) AS BIGINT) + 1.0)
+                     / 1152921504606846976.0 AS u
+                 FROM curr),
+          ra AS (SELECT host, u FROM (
+                   SELECT host, u, row_number() OVER (PARTITION BY host ORDER BY u) AS rn
+                   FROM ua) WHERE rn <= 8),
+          rb AS (SELECT host, u FROM (
+                   SELECT host, u, row_number() OVER (PARTITION BY host ORDER BY u) AS rn
+                   FROM ub) WHERE rn <= 8),
+          un AS (SELECT host, u FROM (
+                   SELECT host, u, row_number() OVER (PARTITION BY host ORDER BY u) AS rn
+                   FROM (SELECT DISTINCT host, u FROM
+                          (SELECT * FROM ra UNION ALL SELECT * FROM rb)))
+                 WHERE rn <= 8),
+          sa AS (SELECT host, count(*) AS na, max(u) AS ka FROM ra GROUP BY 1),
+          sb AS (SELECT host, count(*) AS nb, max(u) AS kb FROM rb GROUP BY 1),
+          su AS (SELECT host, count(*) AS nu, max(u) AS ku FROM un GROUP BY 1),
+          com AS (SELECT un.host, count(*) AS c FROM un
+                  JOIN ra ON ra.host = un.host AND ra.u = un.u
+                  JOIN rb ON rb.host = un.host AND rb.u = un.u
+                  GROUP BY 1)
+          SELECT su.host,
+            round(CASE WHEN coalesce(na, 0) < 8 THEN coalesce(na, 0) * 1.0
+                       ELSE 7.0 / ka END, 4) AS est_a,
+            round(CASE WHEN coalesce(nb, 0) < 8 THEN coalesce(nb, 0) * 1.0
+                       ELSE 7.0 / kb END, 4) AS est_b,
+            round(CASE WHEN nu < 8 THEN nu * 1.0 ELSE 7.0 / ku END, 4)
+              AS est_union,
+            round(coalesce(c, 0) * 1.0 / nu, 6) AS jaccard,
+            round(coalesce(c, 0) * 1.0 / nu
+                  * (CASE WHEN nu < 8 THEN nu * 1.0 ELSE 7.0 / ku END), 4)
+              AS est_intersection
+          FROM su
+          LEFT JOIN sa USING (host) LEFT JOIN sb USING (host)
+          LEFT JOIN com USING (host)
+        """,
         # q128: GROUND TRUTH — top trigram + every match position
         # recomputed straight from the text, never from the index.
         "q128_phrase_search": r"""

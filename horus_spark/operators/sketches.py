@@ -45,20 +45,18 @@ def _uniform_expr(value: F.Column, salt: str) -> F.Column:
     return (md5_long(value, salt).cast("double") + F.lit(1.0)) / F.lit(_HASH_DEN)
 
 
-def kmv_distinct(
+def kmv_sketch(
     df: DataFrame,
     group_cols: list[str],
     value_col: str,
     k: int = 64,
     salt: str = "",
 ) -> DataFrame:
-    """Per group: KMV distinct-count estimate of `value_col`.
-
-    Returns (group_cols..., n_seen_min: int  — number of sketch slots
-    filled, = min(k, true distinct), est_distinct: double — exact count
-    when the sketch is not full, else (k-1)/h_k). Deterministic for a
-    fixed salt; invariant to input partitioning.
-    """
+    """Per group: the KMV sketch itself — (group_cols...,
+    mins: array<double>, the <= k smallest distinct md5-uniform hashes,
+    ascending). The mergeable form: sketches of two tables union by
+    re-cutting the combined arrays to k (kmv_set_ops), which by the
+    KMV merge property equals the sketch of the unioned inputs."""
     if k < 2:
         raise ValueError("k must be >= 2")
     groups = [F.col(c) for c in group_cols]
@@ -92,20 +90,102 @@ def kmv_distinct(
     )
     minima = str_in.mapInPandas(_batch_minima, schema=kernel_schema)
 
-    merged = minima.groupBy(*gcols).agg(
-        F.slice(F.array_sort(F.collect_set("_h")), 1, k).alias("_mins")
+    return minima.groupBy(*gcols).agg(
+        F.slice(F.array_sort(F.collect_set("_h")), 1, k).alias("mins")
     )
-    n_seen = F.size("_mins")
-    kth = F.element_at("_mins", k)
+
+
+def _kmv_estimate(mins, k: int):
+    """(k-1)/h_k when the sketch is full, exact slot count below."""
+    n = F.size(mins)
+    return F.when(n < k, n.cast("double")).otherwise(
+        F.lit(float(k - 1)) / F.element_at(mins, k)
+    )
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 64,
+    salt: str = "",
+) -> DataFrame:
+    """Per group: KMV distinct-count estimate of `value_col`.
+
+    Returns (group_cols..., n_seen_min: int  — number of sketch slots
+    filled, = min(k, true distinct), est_distinct: double — exact count
+    when the sketch is not full, else (k-1)/h_k). Deterministic for a
+    fixed salt; invariant to input partitioning.
+    """
+    merged = kmv_sketch(df, group_cols, value_col, k, salt)
     return merged.select(
-        *gcols,
-        n_seen.alias("n_seen_min"),
-        F.round(
-            F.when(n_seen < k, n_seen.cast("double")).otherwise(
-                F.lit(float(k - 1)) / kth
-            ),
-            4,
-        ).alias("est_distinct"),
+        *group_cols,
+        F.size("mins").alias("n_seen_min"),
+        F.round(_kmv_estimate(F.col("mins"), k), 4).alias("est_distinct"),
+    )
+
+
+def kmv_set_ops(
+    a: DataFrame,
+    b: DataFrame,
+    keys: list[str],
+    k: int,
+) -> DataFrame:
+    """Set algebra over two keyed KMV sketch tables (the `kmv_sketch`
+    output shape, SAME k and salt on both sides): per key,
+
+      est_a / est_b      — per-side distinct estimates,
+      est_union          — estimate from the merged-and-recut sketch
+                           (exact sketch of A ∪ B by the merge
+                           property),
+      jaccard            — |slots of the union sketch present in BOTH
+                           side sketches| / |union slots| (the
+                           bottom-k Jaccard estimator, Broder),
+      est_intersection   — jaccard * est_union (the standard KMV
+                           intersection estimate).
+
+    Keys missing on one side get an empty sketch (est 0). All doubles
+    derive from the same md5-uniform hashes both engines compute
+    bit-identically, so the whole algebra is oracle-replayable.
+
+    This is the 100 TB recrawl-planning shape: per-host content-change
+    volume between two crawl waves from two O(k)-per-host sketch
+    tables — the waves themselves are never joined."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    empty = F.array().cast("array<double>")
+    sa = a.select(*keys, F.col("mins").alias("_ma"))
+    sb = b.select(*keys, F.col("mins").alias("_mb"))
+    j = sa.join(sb, keys, "full_outer").select(
+        *keys,
+        F.coalesce(F.col("_ma"), empty).alias("_ma"),
+        F.coalesce(F.col("_mb"), empty).alias("_mb"),
+    )
+    union_mins = F.slice(
+        F.array_sort(F.array_distinct(F.concat(F.col("_ma"), F.col("_mb")))),
+        1,
+        k,
+    )
+    j = j.withColumn("_mu", union_mins)
+    nu = F.size("_mu")
+    common = F.size(
+        F.filter(
+            F.col("_mu"),
+            lambda h: F.array_contains(F.col("_ma"), h)
+            & F.array_contains(F.col("_mb"), h),
+        )
+    )
+    union_est = _kmv_estimate(F.col("_mu"), k)
+    jac = F.when(nu > 0, common.cast("double") / nu.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+    return j.select(
+        *keys,
+        F.round(_kmv_estimate(F.col("_ma"), k), 4).alias("est_a"),
+        F.round(_kmv_estimate(F.col("_mb"), k), 4).alias("est_b"),
+        F.round(union_est, 4).alias("est_union"),
+        F.round(jac, 6).alias("jaccard"),
+        F.round(jac * union_est, 4).alias("est_intersection"),
     )
 
 

@@ -184,3 +184,67 @@ def test_kmv_null_group_key_kept(spark):
             for r in kmv_distinct(df, ["g"], "v", k=8).collect()}
     assert rows["en"] == (2, 2.0)
     assert rows[None] == (2, 2.0)
+
+
+# ---------------------------------------------------------- kmv set ops
+
+
+def test_kmv_set_ops_exact_below_k(spark):
+    from horus_spark.operators.sketches import kmv_set_ops, kmv_sketch
+
+    # tiny sets (< k): every estimate must be EXACT set arithmetic
+    a = spark.createDataFrame(
+        [("h", str(v)) for v in [1, 2, 3, 4]], ["g", "v"]
+    )
+    b = spark.createDataFrame(
+        [("h", str(v)) for v in [3, 4, 5]], ["g", "v"]
+    )
+    sa = kmv_sketch(a, ["g"], "v", k=16, salt="t")
+    sb = kmv_sketch(b, ["g"], "v", k=16, salt="t")
+    r = kmv_set_ops(sa, sb, ["g"], k=16).collect()[0]
+    assert r["est_a"] == 4.0 and r["est_b"] == 3.0
+    assert r["est_union"] == 5.0
+    assert r["jaccard"] == 0.4  # |{3,4}| / |{1..5}|
+    assert r["est_intersection"] == 2.0
+
+
+def test_kmv_union_sketch_equals_sketch_of_union(spark):
+    from horus_spark.operators.sketches import kmv_distinct, kmv_set_ops, kmv_sketch
+
+    vals_a = [("g", f"a{i}") for i in range(200)]
+    vals_b = [("g", f"a{i}") for i in range(100, 300)]  # overlap 100..199
+    a = spark.createDataFrame(vals_a, ["g", "v"])
+    b = spark.createDataFrame(vals_b, ["g", "v"])
+    k = 32
+    ops = kmv_set_ops(
+        kmv_sketch(a, ["g"], "v", k=k, salt="u"),
+        kmv_sketch(b, ["g"], "v", k=k, salt="u"),
+        ["g"],
+        k=k,
+    ).collect()[0]
+    direct = kmv_distinct(
+        a.unionByName(b), ["g"], "v", k=k, salt="u"
+    ).collect()[0]
+    # merge property: the recut union sketch IS the union's sketch
+    assert ops["est_union"] == direct["est_distinct"]
+
+
+def test_kmv_set_ops_missing_side_empty(spark):
+    from horus_spark.operators.sketches import kmv_set_ops, kmv_sketch
+
+    a = spark.createDataFrame([("only_a", "x"), ("only_a", "y")], ["g", "v"])
+    b = spark.createDataFrame([("only_b", "z")], ["g", "v"])
+    out = {
+        r["g"]: r
+        for r in kmv_set_ops(
+            kmv_sketch(a, ["g"], "v", k=8, salt="m"),
+            kmv_sketch(b, ["g"], "v", k=8, salt="m"),
+            ["g"],
+            k=8,
+        ).collect()
+    }
+    assert out["only_a"]["est_b"] == 0.0
+    assert out["only_a"]["est_a"] == 2.0
+    assert out["only_a"]["jaccard"] == 0.0
+    assert out["only_b"]["est_a"] == 0.0
+    assert out["only_b"]["est_intersection"] == 0.0
