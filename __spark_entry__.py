@@ -2540,6 +2540,44 @@ def _q121_semantic_decontam(spark, sf_dir):
     return semantic_decontaminate(corpus, bench, threshold=0.35)
 
 
+def _q130_deskew(spark, sf_dir):
+    """Scanned-page deskew (operators/deskew.py): each document's words
+    are laid on a 6-column grid sheared by a per-doc slope of
+    (doc_id % 21 - 10) * 5000 ppm (up to ±5% feeder skew — enough to
+    interleave adjacent 0.3in lines across the 6in page width). The
+    integer least-squares fit recovers the slope, the sign-magnitude
+    shear removes it, and the deskewed gap count recovers the printed
+    line structure. The oracle replays synthesis, the DECIMAL/HUGEINT
+    product sums, both sign-magnitude divisions and the lag-gap line
+    count — bit-exact across engines by construction."""
+    from horus_spark.operators.deskew import estimate_skew
+
+    d = _load(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"),
+        lambda w: w != "",
+    )
+    base = d.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.size(words) - 1)).alias("i")
+    )
+    sm = "(((doc_id % 21) - 10) * 5000)"
+    xme = "(CAST(i % 6 AS BIGINT) * 1000000 + 1000000)"
+    shear = (
+        f"(CASE WHEN {sm} < 0 THEN -((abs({sm}) * {xme}) div 1000000)"
+        f" ELSE ({sm} * {xme}) div 1000000 END)"
+    )
+    geo = base.select(
+        "doc_id",
+        F.lit(0).alias("page"),
+        F.expr(f"CAST({xme} AS DOUBLE) / 1e6").alias("xc"),
+        F.expr(
+            f"CAST(CAST(i div 6 AS BIGINT) * 300000 + 1000000 + {shear}"
+            " AS DOUBLE) / 1e6"
+        ).alias("yc"),
+    )
+    return estimate_skew(geo, line_gap=150_000)
+
+
 def _q129_kmv_set_ops(spark, sf_dir):
     """KMV sketch algebra between two crawl waves
     (operators/sketches.py:kmv_set_ops): wave t = every page's content
@@ -3292,6 +3330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q127_bpe_vocab": _q127_bpe_vocab,
         "q128_phrase_search": _q128_phrase_search,
         "q129_kmv_set_ops": _q129_kmv_set_ops,
+        "q130_deskew": _q130_deskew,
     }
 
 
@@ -4538,6 +4577,55 @@ def _oracle_sql_literals() -> dict[str, str]:
                 "FROM (SELECT cnt, unnest(syms) AS tk FROM s4) GROUP BY 1"
             ),
         ),
+        # q130: synthesis, HUGEINT product sums, both sign-magnitude
+        # divisions and the lag-gap line count replayed in SQL.
+        "q130_deskew": r"""
+          WITH base AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(trim(coalesce(text, '')), '\s+'),
+                               x -> x <> '') AS ws
+            FROM documents),
+          wrd AS (SELECT doc_id, (i - 1)::BIGINT AS idx
+                  FROM base, unnest(generate_series(1, len(ws))) AS t(i)),
+          geo AS (
+            SELECT doc_id,
+              ((doc_id % 21) - 10) * 5000 AS s,
+              (idx % 6) * 1000000 + 1000000 AS xm,
+              (idx // 6) * 300000 + 1000000
+                + CASE WHEN ((doc_id % 21) - 10) * 5000 < 0
+                  THEN -((abs(((doc_id % 21) - 10) * 5000)
+                          * ((idx % 6) * 1000000 + 1000000)) // 1000000)
+                  ELSE ((((doc_id % 21) - 10) * 5000)
+                          * ((idx % 6) * 1000000 + 1000000)) // 1000000 END
+                AS ym
+            FROM wrd),
+          st AS (SELECT doc_id, count(*)::BIGINT AS n,
+                        SUM(xm)::HUGEINT AS sx, SUM(ym)::HUGEINT AS sy,
+                        SUM(xm::HUGEINT * xm) AS sxx,
+                        SUM(xm::HUGEINT * ym) AS sxy
+                 FROM geo GROUP BY 1),
+          sl AS (SELECT doc_id, n,
+                   CASE WHEN den = 0 THEN 0
+                        WHEN num < 0 THEN -((abs(num) * 1000000) // den)
+                        ELSE (num * 1000000) // den END::BIGINT AS slope_ppm
+                 FROM (SELECT doc_id, n,
+                         n::HUGEINT * sxy - sx * sy AS num,
+                         n::HUGEINT * sxx - sx * sx AS den
+                       FROM st)),
+          yp AS (SELECT g.doc_id,
+                   CASE WHEN slope_ppm < 0
+                        THEN ym + (abs(slope_ppm) * xm) // 1000000
+                        ELSE ym - (slope_ppm * xm) // 1000000 END AS yp
+                 FROM geo g JOIN sl USING (doc_id)),
+          ln AS (SELECT doc_id,
+                   SUM(CASE WHEN prev IS NULL OR yp - prev > 150000
+                       THEN 1 ELSE 0 END)::INT AS n_lines
+                 FROM (SELECT doc_id, yp,
+                         lag(yp) OVER (PARTITION BY doc_id ORDER BY yp) AS prev
+                       FROM yp) GROUP BY 1)
+          SELECT sl.doc_id, 0::INT AS page, n AS n_words, slope_ppm, n_lines
+          FROM sl JOIN ln USING (doc_id)
+        """,
         # q129: both waves' hashing, per-side k-minima, the union
         # re-cut, bottom-k Jaccard and every estimator replayed in SQL
         # (same md5-uniform as q51: (h+1)/2^60, salt 's129', k=8).
