@@ -676,6 +676,89 @@ _LINE_ITEM_COLS = [
 _ERROR_COLS = ["code", "severity", "message"]
 
 
+def _snapshot_chunks(out_dir: str, snapshot: int) -> list[str]:
+    """Chunk list archived by snapshot N (loud error if expired)."""
+    path = os.path.join(
+        out_dir, "_snapshots", f"snapshot_{int(snapshot):06d}.json"
+    )
+    if not os.path.exists(path):
+        raise ValueError(
+            f"snapshot {snapshot} not found; available: {list_snapshots(out_dir)}"
+        )
+    with open(path) as fh:
+        return list(json.load(fh)["chunks"])
+
+
+def snapshot_diff(
+    spark,
+    out_dir: str,
+    table: str,
+    from_snapshot: int,
+    to_snapshot: int,
+    change_col: str = "change_type",
+) -> DataFrame:
+    """Net row-level changes of `table` between two snapshots — the
+    Iceberg incremental/changelog read, generalized to copy-on-write
+    rewrites.
+
+    Only chunks that DIFFER between the two manifests are read: chunks
+    present in both snapshots cannot contribute net changes and are
+    never scanned, so an incremental consumer pays O(changed data), not
+    O(table) — the property that makes CDC off a 100 TB table viable.
+
+    Copy-on-write correctness: a merge/delete/compaction rewrites whole
+    chunks, carrying untouched rows into the replacement chunk. Those
+    carried rows appear in BOTH legs (removed chunk and added chunk)
+    and cancel under MULTISET difference (exceptAll), leaving exactly
+    the net changes: an update surfaces as its delete+insert pair, a
+    pure compaction diffs to ZERO rows (pinned by pytest). exceptAll
+    (not except) so duplicate identical rows keep their multiplicity.
+
+    Returns the table's columns plus `change_col` in
+    {'insert', 'delete'}. from_snapshot must be <= to_snapshot and both
+    retained (expired snapshots raise, same contract as read_output
+    time travel)."""
+    if from_snapshot > to_snapshot:
+        raise ValueError(
+            f"from_snapshot {from_snapshot} > to_snapshot {to_snapshot}"
+        )
+    old = set(_snapshot_chunks(out_dir, from_snapshot))
+    new = set(_snapshot_chunks(out_dir, to_snapshot))
+
+    def _read_leg(chunks: set) -> DataFrame | None:
+        paths = [
+            p
+            for c in sorted(chunks)
+            if os.path.isdir(p := os.path.join(out_dir, c, table))
+        ]
+        if not paths:
+            return None
+        # no basePath option: the chunk partition column must NOT be
+        # part of the row identity or carried rows would never cancel
+        return spark.read.parquet(*paths)
+
+    added = _read_leg(new - old)
+    removed = _read_leg(old - new)
+    if added is None and removed is None:
+        # identical manifests (or table absent from every changed
+        # chunk): diff is empty on the table's current schema
+        base = read_output(spark, out_dir, table, snapshot=to_snapshot)
+        if "chunk" in base.columns:
+            base = base.drop("chunk")
+        return base.limit(0).withColumn(change_col, F.lit(""))
+    if added is None:
+        added = removed.limit(0)
+    if removed is None:
+        removed = added.limit(0)
+    inserts = added.exceptAll(removed).withColumn(
+        change_col, F.lit("insert")
+    )
+    deletes = removed.exceptAll(added).withColumn(
+        change_col, F.lit("delete")
+    )
+    return inserts.unionByName(deletes)
+
+
 def load_documents(
     spark, out_dir: str, file_names: list[str] | None = None, chunked: bool = False
 ) -> DataFrame:
