@@ -2540,6 +2540,65 @@ def _q121_semantic_decontam(spark, sf_dir):
     return semantic_decontaminate(corpus, bench, threshold=0.35)
 
 
+def _q131_snapshot_diff(spark, sf_dir):
+    """Incremental/changelog read over the snapshot catalog
+    (sink.py:snapshot_diff): q101's DML history is replayed (4 appends
+    -> snapshots 1-4, MERGE -> 5, DELETE -> 6) and the net row-level
+    delta between snapshots 4 and 6 is computed from the CHANGED chunks
+    only — copy-on-write carry-over rows cancel under exceptAll, so
+    updates surface as delete+insert pairs and untouched rows never
+    appear. The oracle derives the same delta from the DML algebra
+    directly (final state EXCEPT ALL snapshot-4 state, both ways) —
+    green means the catalog's chunk bookkeeping, rewrite carries and
+    multiset cancellation are all exact."""
+    import shutil
+    import tempfile
+
+    from horus_spark.sources.sink import (
+        append_chunk,
+        delete_rows,
+        merge_upsert,
+        snapshot_diff,
+    )
+
+    o = _load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    out = tempfile.mkdtemp(prefix="horus_q131_")
+    try:
+        for i in range(4):
+            append_chunk(
+                out,
+                {"orders": o.filter(F.col("o_orderkey") % 4 == i)},
+                run_id=f"seed{i}",
+            )
+        upd = o.filter(F.col("o_orderkey") % 10 == 3).withColumn(
+            "o_totalprice", F.col("o_totalprice") + F.lit(1000.0)
+        )
+        ins = spark.createDataFrame(
+            [(-1, 1, "X", 1.5), (-2, 2, "X", 2.5)],
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double",
+        )
+        merge_upsert(spark, out, "orders", upd.unionByName(ins), ["o_orderkey"])
+        delete_rows(
+            spark,
+            out,
+            "orders",
+            o.filter(F.col("o_orderkey") % 7 == 0).select("o_orderkey"),
+            ["o_orderkey"],
+        )
+        diff = snapshot_diff(spark, out, "orders", 4, 6)
+        rows = diff.collect()  # materialize before the tempdir vanishes
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, change_type string",
+    )
+
+
 def _q130_deskew(spark, sf_dir):
     """Scanned-page deskew (operators/deskew.py): each document's words
     are laid on a 6-column grid sheared by a per-doc slope of
@@ -3331,6 +3390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q128_phrase_search": _q128_phrase_search,
         "q129_kmv_set_ops": _q129_kmv_set_ops,
         "q130_deskew": _q130_deskew,
+        "q131_snapshot_diff": _q131_snapshot_diff,
     }
 
 
@@ -4577,6 +4637,28 @@ def _oracle_sql_literals() -> dict[str, str]:
                 "FROM (SELECT cnt, unnest(syms) AS tk FROM s4) GROUP BY 1"
             ),
         ),
+        # q131: the DML algebra's own net delta — final state vs the
+        # post-append state, EXCEPT ALL both directions (multiset).
+        "q131_snapshot_diff": """
+          WITH o AS (
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+            FROM orders),
+          fin AS (
+            SELECT o_orderkey, o_custkey, o_orderstatus,
+                   CASE WHEN o_orderkey % 10 = 3
+                        THEN o_totalprice + 1000.0
+                        ELSE o_totalprice END AS o_totalprice
+            FROM o WHERE o_orderkey % 7 <> 0
+            UNION ALL
+            SELECT -1::BIGINT, 1::BIGINT, 'X', 1.5::DOUBLE
+            UNION ALL
+            SELECT -2::BIGINT, 2::BIGINT, 'X', 2.5::DOUBLE),
+          ins AS (SELECT * FROM fin EXCEPT ALL SELECT * FROM o),
+          del AS (SELECT * FROM o EXCEPT ALL SELECT * FROM fin)
+          SELECT *, 'insert' AS change_type FROM ins
+          UNION ALL
+          SELECT *, 'delete' AS change_type FROM del
+        """,
         # q130: synthesis, HUGEINT product sums, both sign-magnitude
         # divisions and the lag-gap line count replayed in SQL.
         "q130_deskew": r"""
