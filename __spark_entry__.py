@@ -2540,6 +2540,85 @@ def _q121_semantic_decontam(spark, sf_dir):
     return semantic_decontaminate(corpus, bench, threshold=0.35)
 
 
+def _q132_stats_cube(spark, sf_dir):
+    """OLAP CUBE over the corpus dimensions: doc counts, exact token
+    mass and distinct sources per (lang, source) with all subtotal
+    planes (lang-only, source-only, grand total) in ONE pass — Spark's
+    cube() lowers to a single Expand + hash agg, the warehouse-native
+    rollup shape (no per-plane re-scan). grouping_id disambiguates
+    NULL-as-subtotal from NULL-as-value; token mass is an exact long
+    so every plane hash-matches DuckDB's CUBE."""
+    d = _fanout(_load(spark, sf_dir, "documents"))
+    toks = F.size(
+        F.filter(
+            F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"),
+            lambda w: w != "",
+        )
+    ).cast("long")
+    return (
+        d.select("lang", "source", toks.alias("ntok"))
+        .cube("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ntok").alias("n_tokens"),
+            F.grouping_id("lang", "source").cast("int").alias("gid"),
+        )
+    )
+
+
+def _q133_event_transitions(spark, sf_dir):
+    """Per-user event-sequence transition mining: each user's events
+    ordered by (ts, event_id — a total, deterministic order), adjacent
+    (event_type -> next event_type) pairs counted corpus-wide, plus
+    each state's top successor (count desc, successor asc). One window
+    pass (lag over the user partition, no self-join) + one hash agg —
+    the Markov-chain view behind session-flow and funnel analytics."""
+    e = _load(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.withColumn("next_type", F.lead("event_type").over(w))
+        .where(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    w2 = Window.partitionBy("from_type").orderBy(
+        F.desc("n_transitions"), F.asc("to_type")
+    )
+    return pairs.withColumn(
+        "is_top_successor", (F.row_number().over(w2) == 1).cast("int")
+    )
+
+
+def _q134_cohort_retention(spark, sf_dir):
+    """Cohort retention: users bucketed by first-seen day (their
+    cohort), activity counted per (cohort_day, activity_day) with the
+    day offset — the classic warehouse retention triangle. The
+    first-seen day is a per-user min (one agg), joined back (broadcast
+    at real scale: the user dimension is small next to the event
+    stream); day arithmetic is integer epoch-days so every engine
+    agrees."""
+    e = _load(spark, sf_dir, "events")
+    day = (F.unix_timestamp("ts") / 86400).cast("long")
+    ev = e.select("user_id", day.alias("d"))
+    first = ev.groupBy("user_id").agg(F.min("d").alias("cohort_d"))
+    return (
+        ev.join(first, "user_id")
+        .groupBy("cohort_d", F.col("d").alias("activity_d"))
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .withColumn(
+            "day_offset", (F.col("activity_d") - F.col("cohort_d")).cast("int")
+        )
+    )
+
+
 def _q131_snapshot_diff(spark, sf_dir):
     """Incremental/changelog read over the snapshot catalog
     (sink.py:snapshot_diff): q101's DML history is replayed (4 appends
@@ -3391,6 +3470,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q129_kmv_set_ops": _q129_kmv_set_ops,
         "q130_deskew": _q130_deskew,
         "q131_snapshot_diff": _q131_snapshot_diff,
+        "q132_stats_cube": _q132_stats_cube,
+        "q133_event_transitions": _q133_event_transitions,
+        "q134_cohort_retention": _q134_cohort_retention,
     }
 
 
@@ -4637,6 +4719,53 @@ def _oracle_sql_literals() -> dict[str, str]:
                 "FROM (SELECT cnt, unnest(syms) AS tk FROM s4) GROUP BY 1"
             ),
         ),
+        # q132: identical CUBE planes; GROUPING(lang, source) packs the
+        # same bit order as Spark's grouping_id.
+        "q132_stats_cube": r"""
+          WITH base AS (
+            SELECT lang, source,
+                   len(list_filter(string_split_regex(trim(coalesce(text, '')), '\s+'),
+                                   x -> x <> ''))::BIGINT AS ntok
+            FROM documents)
+          SELECT lang, source, count(*)::BIGINT AS n_docs,
+                 SUM(ntok)::BIGINT AS n_tokens,
+                 GROUPING(lang, source)::INT AS gid
+          FROM base GROUP BY CUBE(lang, source)
+        """,
+        # q133: lag/lead parity — the (ts, event_id) order is total, so
+        # adjacency is engine-independent.
+        "q133_event_transitions": """
+          WITH seq AS (
+            SELECT user_id, event_type,
+                   lead(event_type) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+            FROM events),
+          pairs AS (
+            SELECT event_type AS from_type, next_type AS to_type,
+                   count(*)::BIGINT AS n_transitions
+            FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2)
+          SELECT from_type, to_type, n_transitions,
+                 CASE WHEN row_number() OVER (
+                        PARTITION BY from_type
+                        ORDER BY n_transitions DESC, to_type) = 1
+                      THEN 1 ELSE 0 END::INT AS is_top_successor
+          FROM pairs
+        """,
+        # q134: integer epoch-day arithmetic (same floor(epoch) device
+        # as q68), exact distinct users per retention cell.
+        "q134_cohort_retention": """
+          WITH ev AS (
+            SELECT user_id,
+                   (CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS d
+            FROM events),
+          first AS (SELECT user_id, min(d) AS cohort_d FROM ev GROUP BY 1)
+          SELECT cohort_d, d AS activity_d,
+                 count(DISTINCT ev.user_id)::BIGINT AS n_users,
+                 count(*)::BIGINT AS n_events,
+                 (d - cohort_d)::INT AS day_offset
+          FROM ev JOIN first USING (user_id)
+          GROUP BY cohort_d, d
+        """,
         # q131: the DML algebra's own net delta — final state vs the
         # post-append state, EXCEPT ALL both directions (multiset).
         "q131_snapshot_diff": """
