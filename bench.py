@@ -166,6 +166,17 @@ def main():
         runner = make_runner(qs[name](spark, SF_DIR))  # probe run warms
         timings[name] = timed_min(runner, n=2)
 
+    # q122 BPE training is ITERATIVE (localCheckpoint truncation per
+    # merge round): a fresh QueryExecution from one cached plan would
+    # reuse the checkpointed round RDDs and time only the tail, so it
+    # is timed by rebuilding the WHOLE plan per run (plan-build py4j
+    # cost included — it is part of an iterative driver's real cost).
+    def bpe_fresh() -> int:
+        return qs["q122_bpe_train"](spark, SF_DIR).count()
+
+    bpe_fresh()  # warm
+    timings["q122_bpe_train_fresh"] = timed_min(bpe_fresh, n=2)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
