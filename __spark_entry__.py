@@ -2619,6 +2619,41 @@ def _q134_cohort_retention(spark, sf_dir):
     )
 
 
+def _q135_mojibake(spark, sf_dir):
+    """Encoding-rehab tier (operators/textfix.py:fix_mojibake): three
+    deterministic document classes — doc_id%4==1 gets umlauts planted
+    (translate a/e/u -> accented) THEN the classic double-encoding
+    corruption (UTF-8 bytes re-read as ISO-8859-1), %4==2 gets the same
+    umlauts but stays CLEAN (the repair must not touch genuine
+    accents), everything else stays ASCII. The conservative repair must
+    restore class 1 exactly and leave classes 2+ byte-identical, so the
+    GROUND-TRUTH oracle emits the planted (pre-corruption) text's md5
+    and restored=TRUE unconditionally — green means every corrupted doc
+    round-trips and no clean doc was rewritten. Zero shuffle."""
+    from horus_spark.operators.textfix import fix_mojibake_expr
+
+    d = _load(spark, sf_dir, "documents")
+    cls = F.col("doc_id") % 4
+    planted = F.when(
+        cls.isin(1, 2),
+        F.translate(F.coalesce(F.col("text"), F.lit("")), "aeu", "\u00e4\u00e9\u00fc"),
+    ).otherwise(F.coalesce(F.col("text"), F.lit("")))
+    wire = F.when(
+        cls == 1, F.decode(F.encode(planted, "UTF-8"), "ISO-8859-1")
+    ).otherwise(planted)
+    base = d.select(
+        "doc_id", planted.alias("planted"), wire.alias("text")
+    )
+    fx = fix_mojibake_expr(F.col("text"))
+    return base.select(
+        "doc_id",
+        fx["was_mojibake"].alias("was_mojibake"),
+        fx["n_fixed"].alias("n_fixed"),
+        F.md5(fx["text_fixed"]).alias("fixed_md5"),
+        (fx["text_fixed"] == F.col("planted")).alias("restored"),
+    )
+
+
 def _q131_snapshot_diff(spark, sf_dir):
     """Incremental/changelog read over the snapshot catalog
     (sink.py:snapshot_diff): q101's DML history is replayed (4 appends
@@ -3473,6 +3508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q132_stats_cube": _q132_stats_cube,
         "q133_event_transitions": _q133_event_transitions,
         "q134_cohort_retention": _q134_cohort_retention,
+        "q135_mojibake": _q135_mojibake,
     }
 
 
@@ -4753,6 +4789,31 @@ def _oracle_sql_literals() -> dict[str, str]:
         """,
         # q134: integer epoch-day arithmetic (same floor(epoch) device
         # as q68), exact distinct users per retention cell.
+        # q135: GROUND TRUTH - the repair must reconstruct the planted
+        # (pre-corruption) text exactly, detect exactly the corrupted
+        # class, and count exactly the planted accents; the oracle never
+        # simulates the corruption, it emits the expected end state.
+        "q135_mojibake": """
+          WITH base AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 4 IN (1, 2)
+                        THEN translate(coalesce(text, ''),
+                                       'aeu', '\u00e4\u00e9\u00fc')
+                        ELSE coalesce(text, '') END AS planted
+            FROM documents)
+          SELECT doc_id,
+                 (doc_id % 4 = 1
+                  AND regexp_matches(planted, '[\u00e4\u00e9\u00fc]'))
+                   AS was_mojibake,
+                 CASE WHEN doc_id % 4 = 1
+                      THEN (length(planted)
+                            - length(regexp_replace(
+                                planted, '[\u00e4\u00e9\u00fc]', '', 'g')))
+                      ELSE 0 END::INT AS n_fixed,
+                 md5(planted) AS fixed_md5,
+                 TRUE AS restored
+          FROM base
+        """,
         "q134_cohort_retention": """
           WITH ev AS (
             SELECT user_id,

@@ -83,3 +83,73 @@ def dehyphenate(
         out["text_repaired"].alias("text_repaired"),
         out["n_joins"].alias("n_joins"),
     )
+
+
+# --- mojibake (double-encoding) detection + repair -------------------
+
+# A UTF-8 byte sequence misread as ISO-8859-1 turns every multi-byte
+# codepoint into a lead char in U+00C2-U+00F4 followed by 1-3 chars in
+# U+0080-U+00BF (the continuation-byte range) - the classic "A-tilde
+# garbage" web-corpus artifact. Genuine Latin text never places a
+# continuation-range char (C1 controls, NBSP-to-upside-down-question
+# punctuation) right after an accented capital, so lead+continuation
+# PAIRS are the standard detection heuristic (same signal ftfy keys
+# on). Escaped \uXXXX forms keep raw C1 control bytes out of source.
+_MOJIBAKE_RE = "[\\u00C2-\\u00F4][\\u0080-\\u00BF]"
+
+
+def fix_mojibake_expr(text: Column) -> Column:
+    """struct(text_fixed, was_mojibake, n_fixed) repairing UTF-8-read-
+    as-Latin-1 double encoding: re-encode the string as ISO-8859-1 and
+    decode the bytes as UTF-8 - the exact inverse of the corruption.
+
+    Three guards make the repair conservative (never corrupts clean
+    text, mojibake or not):
+      1. the lead+continuation pair pattern must appear (clean "hallo
+         with umlauts" has accents followed by ASCII letters - no
+         match, untouched);
+      2. no codepoint may exceed U+00FF (one proves the string is NOT
+         a misread Latin-1 buffer, and Spark 4's strict encode would
+         RAISE on it rather than substitute);
+      3. the re-encoded bytes must be valid UTF-8 (is_valid_utf8) -
+         Spark 4's decode also raises on malformed input instead of
+         inserting U+FFFD, so validity is checked before, not after.
+    The strict encode/decode sit under nested CASE WHEN conditions
+    (guards 1+2 first, then 3), so they only ever run on rows already
+    proven safe - CaseWhen codegen evaluates branches per row, unlike
+    a flat AND chain whose conjuncts Catalyst may reorder.
+
+    n_fixed counts collapsed chars (length delta): each repaired
+    2-byte codepoint shrinks the string by 1, a 3-byte one by 2 - the
+    corpus-health signal (a spike means an upstream reader regressed
+    to the wrong charset). Zero shuffle, zero Python."""
+    s = F.coalesce(text, F.lit(""))
+    lat = F.encode(s, "ISO-8859-1")
+    pre = s.rlike(_MOJIBAKE_RE) & ~s.rlike("[^\\u0000-\\u00FF]")
+    fire = F.when(pre, F.is_valid_utf8(lat)).otherwise(F.lit(False))
+    fixed = F.when(fire, F.decode(lat, "UTF-8")).otherwise(s)
+    return F.struct(
+        fixed.alias("text_fixed"),
+        fire.alias("was_mojibake"),
+        F.when(fire, F.length(s) - F.length(fixed))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("n_fixed"),
+    )
+
+
+def fix_mojibake(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id_col, text_fixed, was_mojibake, n_fixed) per document -
+    conservative double-encoding repair over a text column. Zero
+    shuffle; pure whole-stage-codegen expressions."""
+    out = fix_mojibake_expr(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        out["text_fixed"].alias("text_fixed"),
+        out["was_mojibake"].alias("was_mojibake"),
+        out["n_fixed"].alias("n_fixed"),
+    )

@@ -72,3 +72,78 @@ def test_zero_shuffle_plan(spark):
     )
     plan = dehyphenate(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+# --- mojibake repair (q135 unit) -------------------------------------
+
+from horus_spark.operators.textfix import fix_mojibake  # noqa: E402
+
+
+def _moji(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    corrupted = df.select(
+        "doc_id",
+        F.decode(F.encode(F.col("text"), "UTF-8"), "ISO-8859-1").alias("text"),
+    )
+    return {r["doc_id"]: r for r in fix_mojibake(corrupted).collect()}
+
+
+def test_mojibake_roundtrip_two_byte(spark):
+    orig = "hällo wörld"
+    r = _moji(spark, [orig])[0]
+    assert r["text_fixed"] == orig
+    assert r["was_mojibake"] is True
+    assert r["n_fixed"] == 2  # two 2-byte codepoints, one char saved each
+
+
+def test_mojibake_roundtrip_three_byte(spark):
+    orig = "price €50 only"  # euro sign: 3-byte UTF-8
+    r = _moji(spark, [orig])[0]
+    assert r["text_fixed"] == orig
+    assert r["was_mojibake"] is True
+    assert r["n_fixed"] == 2  # 3 bytes collapse to 1 char
+
+
+def test_ascii_untouched(spark):
+    r = _moji(spark, ["plain ascii text"])[0]
+    assert r["text_fixed"] == "plain ascii text"
+    assert r["was_mojibake"] is False
+    assert r["n_fixed"] == 0
+
+
+def test_clean_accents_not_misrepaired(spark):
+    # NOT corrupted: genuine umlauts followed by ASCII letters never
+    # form a lead+continuation pair, so the repair must not fire.
+    df = spark.createDataFrame(
+        [(0, "hällo wörld")], "doc_id long, text string"
+    )
+    r = fix_mojibake(df).collect()[0]
+    assert r["text_fixed"] == "hällo wörld"
+    assert r["was_mojibake"] is False
+
+
+def test_wide_codepoint_blocks_repair(spark):
+    # A codepoint beyond U+00FF proves the buffer is NOT misread
+    # Latin-1; even with a mojibake-looking pair present the
+    # round-trip guard must skip the (lossy) repair.
+    s = "Ã¤ looks broken but 世界 is genuine"
+    df = spark.createDataFrame([(0, s)], "doc_id long, text string")
+    r = fix_mojibake(df).collect()[0]
+    assert r["text_fixed"] == s
+    assert r["was_mojibake"] is False
+
+
+def test_null_text_empty_result(spark):
+    df = spark.createDataFrame([(0, None)], "doc_id long, text string")
+    r = fix_mojibake(df).collect()[0]
+    assert r["text_fixed"] == ""
+    assert r["was_mojibake"] is False
+    assert r["n_fixed"] == 0
+
+
+def test_mojibake_zero_shuffle_plan(spark):
+    df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    plan = fix_mojibake(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan
