@@ -2654,6 +2654,80 @@ def _q135_mojibake(spark, sf_dir):
     )
 
 
+def _q136_incremental_view(spark, sf_dir):
+    """Incremental materialized-view maintenance (operators/ivm.py)
+    over the snapshot catalog: q131's DML history is replayed (3
+    appends -> snapshots 1-3, MERGE -> 4, DELETE -> 5) on an
+    integer-cents orders projection, and a per-customer (SUM, COUNT)
+    view is advanced snapshot by snapshot by folding each changelog
+    delta into the state — never recomputing from the table. The oracle
+    recomputes the final view from the DML algebra directly, so green
+    means five consecutive delta folds (inserts, a copy-on-write update
+    whose carried rows cancel, and deletes that erase whole groups)
+    land on exactly the recompute. Chunk-pruned O(changed data) reads
+    and the per-snapshot parity loop are pinned by tests/test_ivm.py."""
+    import shutil
+    import tempfile
+
+    from horus_spark.operators.ivm import maintain_view, view_from_table
+    from horus_spark.sources.sink import (
+        append_chunk,
+        delete_rows,
+        list_snapshots,
+        merge_upsert,
+        read_output,
+    )
+
+    o = _load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    keys, sums = ["o_custkey"], {"sum_cents": "cents"}
+    out = tempfile.mkdtemp(prefix="horus_q136_")
+    try:
+        for i in range(3):
+            append_chunk(
+                out,
+                {"orders": o.filter(F.col("o_orderkey") % 3 == i)},
+                run_id=f"seed{i}",
+            )
+        upd = o.filter(F.col("o_orderkey") % 10 == 3).withColumn(
+            "cents", F.col("cents") + F.lit(100000).cast("long")
+        )
+        ins = spark.createDataFrame(
+            [(-1, 1, 150), (-2, 2, 250)],
+            "o_orderkey long, o_custkey long, cents long",
+        )
+        merge_upsert(
+            spark, out, "orders", upd.unionByName(ins), ["o_orderkey"]
+        )
+        delete_rows(
+            spark,
+            out,
+            "orders",
+            o.filter(F.col("o_orderkey") % 7 == 0).select("o_orderkey"),
+            ["o_orderkey"],
+        )
+        snaps = list_snapshots(out)
+        t1 = read_output(spark, out, "orders", snapshot=snaps[0])
+        if "chunk" in t1.columns:
+            t1 = t1.drop("chunk")
+        state = view_from_table(t1, keys, sums)
+        for a, b in zip(snaps, snaps[1:]):
+            state = maintain_view(
+                spark, out, "orders", keys, sums, state, a, b
+            )
+        rows = state.collect()  # materialize before the tempdir vanishes
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "o_custkey long, sum_cents long, n_rows long"
+    )
+
+
 def _q131_snapshot_diff(spark, sf_dir):
     """Incremental/changelog read over the snapshot catalog
     (sink.py:snapshot_diff): q101's DML history is replayed (4 appends
@@ -3509,6 +3583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q133_event_transitions": _q133_event_transitions,
         "q134_cohort_retention": _q134_cohort_retention,
         "q135_mojibake": _q135_mojibake,
+        "q136_incremental_view": _q136_incremental_view,
     }
 
 
@@ -4789,6 +4864,25 @@ def _oracle_sql_literals() -> dict[str, str]:
         """,
         # q134: integer epoch-day arithmetic (same floor(epoch) device
         # as q68), exact distinct users per retention cell.
+        # q136: the final view recomputed straight from the DML
+        # algebra — five incremental delta folds must land exactly here.
+        "q136_incremental_view": """
+          WITH o AS (
+            SELECT o_orderkey, o_custkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders),
+          fin AS (
+            SELECT o_orderkey, o_custkey,
+                   CASE WHEN o_orderkey % 10 = 3
+                        THEN cents + 100000 ELSE cents END AS cents
+            FROM o WHERE o_orderkey % 7 <> 0
+            UNION ALL SELECT -1::BIGINT, 1::BIGINT, 150::BIGINT
+            UNION ALL SELECT -2::BIGINT, 2::BIGINT, 250::BIGINT)
+          SELECT o_custkey,
+                 SUM(cents)::BIGINT AS sum_cents,
+                 COUNT(*)::BIGINT AS n_rows
+          FROM fin GROUP BY o_custkey
+        """,
         # q135: GROUND TRUTH - the repair must reconstruct the planted
         # (pre-corruption) text exactly, detect exactly the corrupted
         # class, and count exactly the planted accents; the oracle never
