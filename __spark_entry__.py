@@ -2728,6 +2728,43 @@ def _q136_incremental_view(spark, sf_dir):
     )
 
 
+def _q137_triangles(spark, sf_dir):
+    """Exact triangle counting + local clustering coefficient
+    (operators/graph.py:triangles) over a deterministic synthetic link
+    graph (three edge rules over doc_id mod 101 -> 295 canonical edges,
+    16 triangles at every SF). Degree-ordered orientation bounds the
+    wedge join at O(m^1.5) — the Suri-Vassilvitskii MapReduce shape —
+    and integer-ppm coefficients make every row engine-exact; the
+    oracle replays the orientation, wedge closure and ppm division."""
+    from horus_spark.operators.graph import triangles
+
+    d = _load(spark, sf_dir, "documents")
+    edges = None
+    for mul, add in ((3, 1), (7, 2), (1, 1)):
+        e = d.select(
+            (F.col("doc_id") % 101).alias("src"),
+            ((F.col("doc_id") * mul + add) % 101).alias("dst"),
+        )
+        edges = e if edges is None else edges.unionAll(e)
+    return triangles(edges)
+
+
+def _q138_funnel(spark, sf_dir):
+    """Per-user funnel analysis (operators/funnel.py): signup -> view
+    -> purchase within a 24 h window of the anchor (first signup),
+    matched greedily over the (ts, event_id) total order. One hash
+    shuffle (per-user collect) + a zero-shuffle F.aggregate fold; the
+    oracle replays the same earliest-match chain as per-step QUALIFY
+    joins. All three depth tiers fire at every SF (sf0.01:
+    111/29/10)."""
+    from horus_spark.operators.funnel import funnel
+
+    e = _load(spark, sf_dir, "events")
+    return funnel(
+        e, ["signup", "view", "purchase"], window_s=86400
+    )
+
+
 def _q131_snapshot_diff(spark, sf_dir):
     """Incremental/changelog read over the snapshot catalog
     (sink.py:snapshot_diff): q101's DML history is replayed (4 appends
@@ -3584,6 +3621,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q134_cohort_retention": _q134_cohort_retention,
         "q135_mojibake": _q135_mojibake,
         "q136_incremental_view": _q136_incremental_view,
+        "q137_triangles": _q137_triangles,
+        "q138_funnel": _q138_funnel,
     }
 
 
@@ -4920,6 +4959,100 @@ def _oracle_sql_literals() -> dict[str, str]:
                  (d - cohort_d)::INT AS day_offset
           FROM ev JOIN first USING (user_id)
           GROUP BY cohort_d, d
+        """,
+        # q137: the same degree-ordered orientation + wedge closure —
+        # row-value tuple comparisons replay the (degree, node) total
+        # order; // is integer division on BIGINT, matching Spark's div.
+        "q137_triangles": """
+          WITH raw AS (
+            SELECT (doc_id % 101) AS u, ((doc_id * 3 + 1) % 101) AS v
+            FROM documents
+            UNION ALL
+            SELECT (doc_id % 101), ((doc_id * 7 + 2) % 101) FROM documents
+            UNION ALL
+            SELECT (doc_id % 101), ((doc_id + 1) % 101) FROM documents),
+          e AS (
+            SELECT DISTINCT least(u, v)::BIGINT AS a,
+                            greatest(u, v)::BIGINT AS b
+            FROM raw WHERE u <> v),
+          deg AS (
+            SELECT node, count(*)::BIGINT AS degree FROM (
+              SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+            GROUP BY 1),
+          o AS (
+            SELECT CASE WHEN (da.degree, e.a) < (db.degree, e.b)
+                        THEN e.a ELSE e.b END AS o_src,
+                   CASE WHEN (da.degree, e.a) < (db.degree, e.b)
+                        THEN e.b ELSE e.a END AS o_dst
+            FROM e
+            JOIN deg da ON da.node = e.a
+            JOIN deg db ON db.node = e.b),
+          tri AS (
+            SELECT w1.o_src AS p, w1.o_dst AS x, w2.o_dst AS y
+            FROM o w1
+            JOIN o w2 ON w1.o_src = w2.o_src
+            JOIN deg dx ON dx.node = w1.o_dst
+            JOIN deg dy ON dy.node = w2.o_dst
+            JOIN o c ON c.o_src = w1.o_dst AND c.o_dst = w2.o_dst
+            WHERE (dx.degree, w1.o_dst) < (dy.degree, w2.o_dst)),
+          corners AS (
+            SELECT node, count(*)::BIGINT AS n_triangles FROM (
+              SELECT p AS node FROM tri
+              UNION ALL SELECT x FROM tri
+              UNION ALL SELECT y FROM tri)
+            GROUP BY 1)
+          SELECT deg.node, deg.degree,
+                 coalesce(c.n_triangles, 0)::BIGINT AS n_triangles,
+                 (CASE WHEN deg.degree >= 2
+                       THEN (2 * coalesce(c.n_triangles, 0) * 1000000)
+                            // (deg.degree * (deg.degree - 1))
+                       ELSE 0 END)::BIGINT AS clustering_ppm
+          FROM deg LEFT JOIN corners c ON c.node = deg.node
+        """,
+        # q138: the greedy earliest-match fold replayed as per-step
+        # QUALIFY chains — step k = first qualifying event after step
+        # k-1's match in the (us, eid) total order, within 24 h of the
+        # anchor. epoch_us over naive timestamps == Spark's UTC-session
+        # unix_micros (q134 precedent).
+        "q138_funnel": """
+          WITH ev AS (
+            SELECT user_id, event_type,
+                   epoch_us(ts)::BIGINT AS us, event_id::BIGINT AS eid
+            FROM events
+            WHERE event_type IN ('signup', 'view', 'purchase')),
+          users AS (SELECT DISTINCT user_id FROM ev),
+          s1 AS (
+            SELECT user_id, us, eid FROM ev WHERE event_type = 'signup'
+            QUALIFY row_number() OVER (
+              PARTITION BY user_id ORDER BY us, eid) = 1),
+          s2 AS (
+            SELECT e.user_id, e.us, e.eid, s1.us AS anchor
+            FROM ev e JOIN s1 ON e.user_id = s1.user_id
+            WHERE e.event_type = 'view'
+              AND (e.us, e.eid) > (s1.us, s1.eid)
+              AND e.us <= s1.us + 86400000000
+            QUALIFY row_number() OVER (
+              PARTITION BY e.user_id ORDER BY e.us, e.eid) = 1),
+          s3 AS (
+            SELECT e.user_id, e.us, e.eid
+            FROM ev e JOIN s2 ON e.user_id = s2.user_id
+            WHERE e.event_type = 'purchase'
+              AND (e.us, e.eid) > (s2.us, s2.eid)
+              AND e.us <= s2.anchor + 86400000000
+            QUALIFY row_number() OVER (
+              PARTITION BY e.user_id ORDER BY e.us, e.eid) = 1)
+          SELECT u.user_id,
+                 (CASE WHEN s3.user_id IS NOT NULL THEN 3
+                       WHEN s2.user_id IS NOT NULL THEN 2
+                       WHEN s1.user_id IS NOT NULL THEN 1
+                       ELSE 0 END)::INT AS n_steps,
+                 (s3.user_id IS NOT NULL) AS completed,
+                 s1.us AS anchor_us,
+                 coalesce(s3.us, s2.us, s1.us) AS last_us
+          FROM users u
+          LEFT JOIN s1 USING (user_id)
+          LEFT JOIN s2 USING (user_id)
+          LEFT JOIN s3 USING (user_id)
         """,
         # q131: the DML algebra's own net delta — final state vs the
         # post-append state, EXCEPT ALL both directions (multiset).

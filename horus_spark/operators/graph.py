@@ -237,3 +237,112 @@ def hits(
         F.col("h").alias("hub_micro"),
         F.col("a").alias("auth_micro"),
     )
+
+
+def triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Exact triangle counting + local clustering coefficient over an
+    undirected graph, via degree-ordered edge orientation (Suri &
+    Vassilvitskii 2011, "Counting triangles and the curse of the last
+    reducer" — the standard MapReduce shape).
+
+    Web-curation uses: the host-graph clustering coefficient separates
+    organic link neighborhoods (high closure) from spam farms and
+    mirror rings (cliques -> coefficient ~1e6 ppm with high degree) and
+    from pure hub/directory pages (near-zero closure); triangle density
+    is also the basis of trust propagation and community detection
+    preprocessing.
+
+    Algorithm and why it scales:
+    - Edges are canonicalized (self-loops dropped, (min,max) distinct),
+      so the input order or duplication cannot change the answer.
+    - Each undirected edge {u,v} is ORIENTED u->v iff (deg(u), u) <
+      (deg(v), v) — a total order, so orientation is deterministic, and
+      every node's OUT-degree is O(sqrt(m)): the wedge self-join below
+      is O(m^1.5) total work instead of sum(deg^2), which at web scale
+      is the difference between hours and never (a celebrity host with
+      10^7 in-links contributes zero wedges from its own pivot).
+    - Wedges (a<b out-neighbors of the same pivot) equi-join the
+      oriented edge list on (a,b): each triangle is found EXACTLY once
+      (at its lowest-order vertex's pivot). Three slim shuffles total:
+      degree agg, wedge self-join, closing-edge join; all rows are
+      (long, long) pairs — no payloads.
+    - Per-node counts credit all three corners (explode, one hash agg);
+      clustering coefficient is integer ppm: (2 * tri * 1e6) div
+      (deg * (deg-1)), 0 where deg < 2 — exact, engine-portable.
+
+    Returns (node, degree, n_triangles, clustering_ppm), one row per
+    node that appears in any surviving edge.
+    """
+    e = (
+        edges.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull() & (F.col("u") != F.col("v")))
+        .select(
+            F.least("u", "v").alias("a"),
+            F.greatest("u", "v").alias("b"),
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    # orient by (degree, node): lower end points at higher end
+    da = deg.select(F.col("node").alias("a"), F.col("degree").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("degree").alias("db"))
+    lt = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        e.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(lt, F.col("a")).otherwise(F.col("b")).alias("o_src"),
+            F.when(lt, F.col("b")).otherwise(F.col("a")).alias("o_dst"),
+        )
+    )
+    # wedges from each pivot: unordered out-neighbor pairs, kept in the
+    # same (degree, node) total order the orientation uses — which on the
+    # oriented list is simply o_dst's own orientation order; re-derive it
+    # by joining degrees on both legs of the wedge.
+    w1 = oriented.select(F.col("o_src").alias("p"), F.col("o_dst").alias("x"))
+    w2 = oriented.select(F.col("o_src").alias("p"), F.col("o_dst").alias("y"))
+    dx = deg.select(F.col("node").alias("x"), F.col("degree").alias("dx"))
+    dy = deg.select(F.col("node").alias("y"), F.col("degree").alias("dy"))
+    wedges = (
+        w1.join(w2, "p")
+        .join(dx, "x")
+        .join(dy, "y")
+        .filter(
+            (F.col("dx") < F.col("dy"))
+            | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
+        )
+        .select("p", "x", "y")
+    )
+    closing = oriented.select(F.col("o_src").alias("x"), F.col("o_dst").alias("y"))
+    tris = wedges.join(closing, ["x", "y"]).select("p", "x", "y")
+    corners = (
+        tris.select(F.col("p").alias("node"))
+        .unionAll(tris.select(F.col("x").alias("node")))
+        .unionAll(tris.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        deg.join(corners, "node", "left")
+        .select(
+            "node",
+            F.col("degree").cast("long").alias("degree"),
+            F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long").alias("n_triangles"),
+        )
+        .withColumn(
+            "clustering_ppm",
+            F.when(
+                F.col("degree") >= 2,
+                F.expr(
+                    "CAST((2 * n_triangles * 1000000) div (degree * (degree - 1)) AS BIGINT)"
+                ),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+    )
