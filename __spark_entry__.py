@@ -2765,6 +2765,26 @@ def _q138_funnel(spark, sf_dir):
     )
 
 
+def _q139_prefix_jaccard(spark, sf_dir):
+    """Exact all-pairs set-similarity join via prefix filtering
+    (operators/ssjoin.py — SSJoin/AllPairs/PPJoin family): the third
+    leg of the near-dup stack. Exact like q11's inverted index but
+    with NO df-cap recall hole (the prefix-filter principle indexes
+    each doc's rarest (1-t) shingles only, so bucket sizes are small by
+    construction, not by a recall-losing frequency cap); deterministic
+    unlike q21's MinHash. 3-gram shingle sets at J >= 0.5; all
+    threshold decisions in exact integer ppm, so the oracle — an
+    INDEPENDENT unfiltered all-pairs join — must agree bit-for-bit."""
+    from horus_spark.operators.ssjoin import prefix_jaccard_pairs
+
+    d = _fanout(
+        _load(spark, sf_dir, "documents").withColumn(
+            "doc_id", F.col("doc_id").cast("string")
+        )
+    )
+    return prefix_jaccard_pairs(d, threshold_ppm=500_000, n=3)
+
+
 def _q131_snapshot_diff(spark, sf_dir):
     """Incremental/changelog read over the snapshot catalog
     (sink.py:snapshot_diff): q101's DML history is replayed (4 appends
@@ -3623,6 +3643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q136_incremental_view": _q136_incremental_view,
         "q137_triangles": _q137_triangles,
         "q138_funnel": _q138_funnel,
+        "q139_prefix_jaccard": _q139_prefix_jaccard,
     }
 
 
@@ -4339,6 +4360,22 @@ def _oracle_sql_literals() -> dict[str, str]:
                  round(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
           FROM pairs JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
           WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= 0.12
+        """,
+        # q139: INDEPENDENT oracle for the prefix-filter exact SSJoin —
+        # a plain unfiltered all-pairs join over the same shingle sets
+        # with the same integer-ppm threshold test; if the prefix filter
+        # dropped any qualifying pair (or admitted a junk one) the row
+        # sets diverge.
+        "q139_prefix_jaccard": shingle_cte + """
+          , pairs AS (
+            SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+            GROUP BY 1,2)
+          SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
+                 CAST(sa.n_sh + sb.n_sh - inter AS BIGINT) AS union_,
+                 CAST((inter * 1000000) // (sa.n_sh + sb.n_sh - inter) AS BIGINT) AS jaccard_ppm
+          FROM pairs JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+          WHERE inter * 1000000 >= 500000 * (sa.n_sh + sb.n_sh - inter)
         """,
         "q12_token_stats": f"""
           SELECT source, count(*) AS n_docs,
