@@ -2785,6 +2785,35 @@ def _q139_prefix_jaccard(spark, sf_dir):
     return prefix_jaccard_pairs(d, threshold_ppm=500_000, n=3)
 
 
+# q140's dictionary: literal phrases over the generator vocabulary, mixed
+# 1/2/3-word lengths so every per-length gram branch exercises; shared
+# with the oracle's VALUES list
+_GAZETTEER = [
+    ("table scan", "PLAN"),
+    ("hash join", "PLAN"),
+    ("sort merge join", "PLAN"),
+    ("window agg", "PLAN"),
+    ("spark", "ENGINE"),
+    ("stream batch", "ENGINE"),
+]
+
+
+def _q140_gazetteer(spark, sf_dir):
+    """Gazetteer phrase matching (operators/gazetteer.py): every
+    occurrence of a broadcast dictionary of multi-word phrases, with
+    1-based token positions. The corpus side is entirely map-side
+    (per-length gram transforms -> explode -> broadcast hash join, zero
+    corpus Exchange — pytest asserts the plan); the oracle replays the
+    same per-length gram generation and dictionary join in SQL."""
+    from horus_spark.operators.gazetteer import gazetteer_match
+
+    d = _load(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("string")
+    )
+    dim = spark.createDataFrame(_GAZETTEER, "phrase string, label string")
+    return gazetteer_match(d, dim)
+
+
 def _q131_snapshot_diff(spark, sf_dir):
     """Incremental/changelog read over the snapshot catalog
     (sink.py:snapshot_diff): q101's DML history is replayed (4 appends
@@ -3644,6 +3673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q137_triangles": _q137_triangles,
         "q138_funnel": _q138_funnel,
         "q139_prefix_jaccard": _q139_prefix_jaccard,
+        "q140_gazetteer": _q140_gazetteer,
     }
 
 
@@ -4376,6 +4406,38 @@ def _oracle_sql_literals() -> dict[str, str]:
                  CAST((inter * 1000000) // (sa.n_sh + sb.n_sh - inter) AS BIGINT) AS jaccard_ppm
           FROM pairs JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
           WHERE inter * 1000000 >= 500000 * (sa.n_sh + sb.n_sh - inter)
+        """,
+        # q140: the same per-length gram generation + dictionary join in
+        # SQL — positions are 1-based token indexes, grams built only for
+        # the lengths present in the dictionary (1/2/3)
+        "q140_gazetteer": """
+          WITH dict AS (
+            SELECT * FROM (VALUES """ + ", ".join(
+            f"('{p}', '{l}', {len(p.split())})" for p, l in _GAZETTEER
+        ) + """) AS v(phrase, label, nw)),
+          tok AS (
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   list_filter(string_split_regex(trim(lower(coalesce(text, ''))), '\\s+'),
+                               x -> x <> '') AS t
+            FROM documents),
+          g AS (
+            SELECT doc_id, 1 AS nw,
+                   unnest([{'pos': i, 'gram': t[i]}
+                           for i in generate_series(1, len(t))], recursive := true)
+            FROM tok
+            UNION ALL
+            SELECT doc_id, 2,
+                   unnest([{'pos': i, 'gram': t[i] || ' ' || t[i+1]}
+                           for i in generate_series(1, len(t)-1)], recursive := true)
+            FROM tok
+            UNION ALL
+            SELECT doc_id, 3,
+                   unnest([{'pos': i, 'gram': t[i] || ' ' || t[i+1] || ' ' || t[i+2]}
+                           for i in generate_series(1, len(t)-2)], recursive := true)
+            FROM tok)
+          SELECT g.doc_id, d.phrase, d.label, CAST(g.pos AS INT) AS start,
+                 CAST(g.pos + g.nw - 1 AS INT) AS end_, CAST(g.nw AS INT) AS n_words
+          FROM g JOIN dict d ON d.phrase = g.gram AND d.nw = g.nw
         """,
         "q12_token_stats": f"""
           SELECT source, count(*) AS n_docs,
