@@ -2814,6 +2814,38 @@ def _q140_gazetteer(spark, sf_dir):
     return gazetteer_match(d, dim)
 
 
+# q141's probe keys: generator-vocabulary words guaranteed hot, one word
+# guaranteed absent — shared with the oracle's VALUES list
+_CMS_PROBES = ["spark", "join", "window", "table", "never-in-corpus"]
+_CMS_D, _CMS_W = 4, 512
+
+
+def _q141_cms_freq(spark, sf_dir):
+    """Count-min-sketch point frequencies (operators/sketches.py:
+    cms_sketch/cms_estimate): token occurrences over the whole corpus
+    collapse to a d*w-bounded mergeable sketch (map-side cell
+    projection, one explode, one hash agg whose output is <=2048 rows
+    regardless of corpus size), then probe keys read min-over-rows
+    estimates against the BROADCAST sketch. The oracle replays the
+    identical md5 hash family cell-by-cell, so green means every
+    counter — not just the estimates — is engine-portable."""
+    from horus_spark.operators.sketches import cms_estimate, cms_sketch
+    from horus_spark.operators.textstats import tokens_expr
+
+    d = _fanout(_load(spark, sf_dir, "documents"))
+    toks = d.select(
+        F.explode(
+            F.filter(
+                tokens_expr(F.lower(F.coalesce(F.col("text"), F.lit("")))),
+                lambda x: x != "",
+            )
+        ).alias("tok")
+    )
+    sk = cms_sketch(toks, "tok", d=_CMS_D, w=_CMS_W)
+    probes = spark.createDataFrame([(p,) for p in _CMS_PROBES], "key string")
+    return cms_estimate(sk, probes, d=_CMS_D, w=_CMS_W)
+
+
 def _q131_snapshot_diff(spark, sf_dir):
     """Incremental/changelog read over the snapshot catalog
     (sink.py:snapshot_diff): q101's DML history is replayed (4 appends
@@ -3674,6 +3706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q138_funnel": _q138_funnel,
         "q139_prefix_jaccard": _q139_prefix_jaccard,
         "q140_gazetteer": _q140_gazetteer,
+        "q141_cms_freq": _q141_cms_freq,
     }
 
 
@@ -4438,6 +4471,34 @@ def _oracle_sql_literals() -> dict[str, str]:
           SELECT g.doc_id, d.phrase, d.label, CAST(g.pos AS INT) AS start,
                  CAST(g.pos + g.nw - 1 AS INT) AS end_, CAST(g.nw AS INT) AS n_words
           FROM g JOIN dict d ON d.phrase = g.gram AND d.nw = g.nw
+        """,
+        "q141_cms_freq": """
+          WITH tok AS (
+            SELECT unnest(list_filter(
+                     string_split_regex(trim(lower(coalesce(text, ''))), '\\s+'),
+                     x -> x <> '')) AS v
+            FROM documents),
+          cells AS (
+            SELECT g.i AS row_i,
+                   CAST(CAST(concat('0x', substring(
+                          md5(v || 'cms' || CAST(g.i AS VARCHAR)), 1, 15))
+                        AS BIGINT) % """ + str(_CMS_W) + """ AS INT) AS col_j
+            FROM tok, generate_series(0, """ + str(_CMS_D - 1) + """) AS g(i)),
+          sketch AS (
+            SELECT row_i, col_j, count(*) AS c FROM cells GROUP BY 1, 2),
+          probes AS (
+            SELECT * FROM (VALUES """ + ", ".join(
+            f"('{p}')" for p in _CMS_PROBES
+        ) + """) AS p(key)),
+          pc AS (
+            SELECT key, g.i AS row_i,
+                   CAST(CAST(concat('0x', substring(
+                          md5(key || 'cms' || CAST(g.i AS VARCHAR)), 1, 15))
+                        AS BIGINT) % """ + str(_CMS_W) + """ AS INT) AS col_j
+            FROM probes, generate_series(0, """ + str(_CMS_D - 1) + """) AS g(i))
+          SELECT key, min(CAST(coalesce(s.c, 0) AS BIGINT)) AS est
+          FROM pc LEFT JOIN sketch s USING (row_i, col_j)
+          GROUP BY key
         """,
         "q12_token_stats": f"""
           SELECT source, count(*) AS n_docs,

@@ -171,6 +171,17 @@ def __getattr__(name):
         ),
         "pagerank": ("horus_spark.operators.graph", "pagerank"),
         "heavy_hitters": ("horus_spark.operators.sketches", "heavy_hitters"),
+        "cms_sketch": ("horus_spark.operators.sketches", "cms_sketch"),
+        "cms_estimate": ("horus_spark.operators.sketches", "cms_estimate"),
+        "prefix_jaccard_pairs": (
+            "horus_spark.operators.ssjoin", "prefix_jaccard_pairs",
+        ),
+        "gazetteer_match": (
+            "horus_spark.operators.gazetteer", "gazetteer_match",
+        ),
+        "gazetteer_counts": (
+            "horus_spark.operators.gazetteer", "gazetteer_counts",
+        ),
         "time_bucket_rollup": (
             "horus_spark.operators.rollup", "time_bucket_rollup",
         ),

@@ -406,3 +406,104 @@ def hll_distinct(
         F.col("_v").cast("int").alias("n_registers_hit"),
         F.round(est, 4).alias("est_distinct"),
     )
+
+
+def cms_sketch(
+    df: DataFrame,
+    value_col: str,
+    d: int = 4,
+    w: int = 1024,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) over a value
+    column: d independent hash rows x w counters, returned as at most
+    d*w (row_i, col_j, c) rows — a bounded, MERGEABLE summary of an
+    unbounded stream of occurrences.
+
+    Complements heavy_hitters (Misra-Gries): MG certifies the top
+    candidates but keeps only k counters and answers nothing about
+    non-candidates; CMS answers a point frequency estimate for ANY key
+    with the one-sided guarantee est >= true (never under), and
+    est <= true + (e/w)*N with probability 1 - (1/e)^d over the hash
+    draw. Counters are plain sums, so sketches are additive: sketching
+    partitions independently and summing cells equals sketching the
+    whole corpus (partitioning-invariance, pinned by pytest).
+
+    Shape at scale: one map-side projection per row builds the d
+    (row, cell) targets (md5_long with per-row salts — deterministic
+    and engine-portable, so the oracle replays every counter), one
+    explode (d rows per item, d is 2-8), one hash aggregate whose
+    output is <= d*w rows no matter the corpus size. Map-side partial
+    aggregation collapses within-partition repeats before the Exchange.
+
+    Null values are dropped (they are not occurrences of any key).
+    `weight_col` generalizes occurrence counting to weighted sums.
+    """
+    if d < 1 or w < 2:
+        raise ValueError(f"need d >= 1 and w >= 2, got d={d}, w={w}")
+    val = F.col(value_col)
+    wt = (
+        F.col(weight_col).cast("long")
+        if weight_col
+        else F.lit(1).cast("long")
+    )
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row_i"),
+                (md5_long(val.cast("string"), f"cms{i}") % w)
+                .cast("int")
+                .alias("col_j"),
+            )
+            for i in range(d)
+        ]
+    )
+    return (
+        df.filter(val.isNotNull())
+        .select(F.explode(cells).alias("cell"), wt.alias("_w"))
+        .groupBy(
+            F.col("cell.row_i").alias("row_i"),
+            F.col("cell.col_j").alias("col_j"),
+        )
+        .agg(F.sum("_w").alias("c"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str = "key",
+    d: int = 4,
+    w: int = 1024,
+) -> DataFrame:
+    """Point frequency estimates from a cms_sketch: for each key,
+    est = min over the d rows of its counter cell (missing cell = 0).
+    `d`/`w` MUST match the sketch's build parameters — they define the
+    hash family, not a tuning knob to vary per query.
+
+    The sketch is d*w bounded rows and is BROADCAST; the keys side can
+    be corpus-scale: its d cells are computed map-side and the join
+    never shuffles the probe rows. Returns (key, est).
+    """
+    k = F.col(key_col)
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row_i"),
+                (md5_long(k.cast("string"), f"cms{i}") % w)
+                .cast("int")
+                .alias("col_j"),
+            )
+            for i in range(d)
+        ]
+    )
+    probes = (
+        keys.filter(k.isNotNull())
+        .select(k.alias("key"), F.explode(cells).alias("cell"))
+        .select("key", F.col("cell.row_i").alias("row_i"), F.col("cell.col_j").alias("col_j"))
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["row_i", "col_j"], "left")
+        .groupBy("key")
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0).cast("long"))).alias("est"))
+    )
