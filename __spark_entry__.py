@@ -2846,6 +2846,33 @@ def _q141_cms_freq(spark, sf_dir):
     return cms_estimate(sk, probes, d=_CMS_D, w=_CMS_W)
 
 
+_CLF_B = 512  # q142's hash width — small enough that collisions occur
+
+
+def _q142_classifier(spark, sf_dir):
+    """fastText-shape hashed linear quality classifier
+    (operators/classifier.py): fit NB log-odds over hashed
+    unigram+bigram features on the corpus labeled lang='en', then score
+    every document map-side (broadcast weight table, integer micro-nat
+    sums). Training is one n_buckets-bounded aggregation; scoring's only
+    Exchange carries (doc_id, partial-long) pairs. The oracle replays
+    the hash family, both smoothing terms, the sentinel rows and the
+    per-doc sum bit-for-bit, so green means the full train->apply loop
+    is engine-portable."""
+    from horus_spark.operators.classifier import (
+        classifier_score,
+        fit_hashed_classifier,
+    )
+
+    d = _fanout(_load(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
+        (F.coalesce(F.col("lang"), F.lit("")) == "en").alias("y"),
+    )
+    model = fit_hashed_classifier(d, "y", n_buckets=_CLF_B)
+    return classifier_score(d, model, n_buckets=_CLF_B)
+
+
 def _q131_snapshot_diff(spark, sf_dir):
     """Incremental/changelog read over the snapshot catalog
     (sink.py:snapshot_diff): q101's DML history is replayed (4 appends
@@ -3707,6 +3734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q139_prefix_jaccard": _q139_prefix_jaccard,
         "q140_gazetteer": _q140_gazetteer,
         "q141_cms_freq": _q141_cms_freq,
+        "q142_classifier": _q142_classifier,
     }
 
 
@@ -4499,6 +4527,52 @@ def _oracle_sql_literals() -> dict[str, str]:
           SELECT key, min(CAST(coalesce(s.c, 0) AS BIGINT)) AS est
           FROM pc LEFT JOIN sketch s USING (row_i, col_j)
           GROUP BY key
+        """,
+        "q142_classifier": f"""
+          WITH d AS (
+            SELECT doc_id,
+                   CASE WHEN trim(coalesce(text, '')) = ''
+                        THEN CAST([] AS VARCHAR[])
+                        ELSE string_split_regex(trim(coalesce(text, '')), '\\s+')
+                   END AS toks,
+                   CASE WHEN coalesce(lang, '') = 'en' THEN 1 ELSE 0 END AS y
+            FROM documents),
+          g AS (
+            SELECT doc_id, y,
+                   toks || list_transform(range(1, len(toks)),
+                                          i -> toks[i] || ' ' || toks[i+1])
+                     AS grams
+            FROM d),
+          fb AS (
+            SELECT doc_id, y,
+                   CAST(CAST(concat('0x', substring(md5(gr || 'clf'), 1, 15))
+                        AS BIGINT) % {_CLF_B} AS INT) AS bucket
+            FROM (SELECT doc_id, y, unnest(grams) AS gr FROM g)),
+          c AS (SELECT bucket, sum(y) AS pos, sum(1 - y) AS neg
+                FROM fb GROUP BY 1),
+          t AS (SELECT CAST(sum(pos) AS DOUBLE) AS pos_tot,
+                       CAST(sum(neg) AS DOUBLE) AS neg_tot FROM c),
+          nd AS (SELECT CAST(sum(y) AS DOUBLE) AS n_pos,
+                        CAST(sum(1 - y) AS DOUBLE) AS n_neg FROM d),
+          w AS (SELECT bucket,
+                       CAST(round((ln((pos + 1.0) / (pos_tot + {_CLF_B}.0))
+                                 - ln((neg + 1.0) / (neg_tot + {_CLF_B}.0)))
+                                  * 1e6) AS BIGINT) AS wm
+                FROM c, t),
+          bias AS (SELECT CAST(round(ln((n_pos + 1.0) / (n_neg + 1.0)) * 1e6)
+                          AS BIGINT) AS b FROM nd),
+          u AS (SELECT CAST(round((ln(neg_tot + {_CLF_B}.0)
+                                 - ln(pos_tot + {_CLF_B}.0)) * 1e6)
+                       AS BIGINT) AS uw FROM t),
+          s AS (
+            SELECT fb.doc_id, count(*) AS nf,
+                   sum(coalesce(w.wm, u.uw)) AS ssum
+            FROM fb LEFT JOIN w USING (bucket), u
+            GROUP BY 1)
+          SELECT d.doc_id, CAST(coalesce(s.nf, 0) AS BIGINT) AS n_feats,
+                 CAST(bias.b + coalesce(s.ssum, 0) AS BIGINT) AS score_micro,
+                 (bias.b + coalesce(s.ssum, 0)) >= 0 AS keep
+          FROM d LEFT JOIN s USING (doc_id), bias
         """,
         "q12_token_stats": f"""
           SELECT source, count(*) AS n_docs,

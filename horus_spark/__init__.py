@@ -173,6 +173,12 @@ def __getattr__(name):
         "heavy_hitters": ("horus_spark.operators.sketches", "heavy_hitters"),
         "cms_sketch": ("horus_spark.operators.sketches", "cms_sketch"),
         "cms_estimate": ("horus_spark.operators.sketches", "cms_estimate"),
+        "fit_hashed_classifier": (
+            "horus_spark.operators.classifier", "fit_hashed_classifier",
+        ),
+        "classifier_score": (
+            "horus_spark.operators.classifier", "classifier_score",
+        ),
         "prefix_jaccard_pairs": (
             "horus_spark.operators.ssjoin", "prefix_jaccard_pairs",
         ),
