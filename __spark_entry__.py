@@ -2873,6 +2873,26 @@ def _q142_classifier(spark, sf_dir):
     return classifier_score(d, model, n_buckets=_CLF_B)
 
 
+_HDR_QS = [250_000, 500_000, 900_000, 990_000]
+
+
+def _q143_hdr_quantiles(spark, sf_dir):
+    """Mergeable HDR-histogram quantile sketch (operators/sketches.py:
+    hdr_sketch/hdr_quantiles): per-source document-length distribution
+    collapsed to a ~1k-cell deterministic sketch (map-side integer
+    bucketing, one bounded hash agg), then p25/p50/p90/p99 read back as
+    bucket-lower-bound floor estimates with relative error <= 2^-k.
+    Unlike t-digest/KLL the bucketing is a pure function of the value,
+    so the sketch is partitioning-invariant and the oracle replays every
+    cell, cumulative rank and inverse-bucket lower bound bit-for-bit."""
+    from horus_spark.operators.sketches import hdr_quantiles, hdr_sketch
+
+    d = _fanout(_load(spark, sf_dir, "documents"))
+    sk = hdr_sketch(d, "n_chars", ["source"], k=4)
+    out = hdr_quantiles(sk, _HDR_QS, ["source"], k=4)
+    return out.select("source", "q_ppm", "est", "n")
+
+
 def _q131_snapshot_diff(spark, sf_dir):
     """Incremental/changelog read over the snapshot catalog
     (sink.py:snapshot_diff): q101's DML history is replayed (4 appends
@@ -3735,6 +3755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q140_gazetteer": _q140_gazetteer,
         "q141_cms_freq": _q141_cms_freq,
         "q142_classifier": _q142_classifier,
+        "q143_hdr_quantiles": _q143_hdr_quantiles,
     }
 
 
@@ -4573,6 +4594,44 @@ def _oracle_sql_literals() -> dict[str, str]:
                  CAST(bias.b + coalesce(s.ssum, 0) AS BIGINT) AS score_micro,
                  (bias.b + coalesce(s.ssum, 0)) >= 0 AS keep
           FROM d LEFT JOIN s USING (doc_id), bias
+        """,
+        "q143_hdr_quantiles": """
+          WITH v AS (
+            SELECT source, CAST(n_chars AS BIGINT) AS val FROM documents
+            WHERE n_chars IS NOT NULL),
+          bk AS (
+            SELECT source,
+                   CASE WHEN val < 16 THEN val
+                        ELSE CAST((length(bin(val)) - 1 - 4 + 1) AS BIGINT) * 16
+                             + ((val - (CAST(1 AS BIGINT)
+                                        << (length(bin(val)) - 1)))
+                                >> (length(bin(val)) - 1 - 4))
+                   END AS bucket
+            FROM v),
+          sk AS (SELECT source, bucket, count(*) AS c FROM bk GROUP BY 1, 2),
+          cum AS (
+            SELECT source, bucket,
+                   sum(c) OVER (PARTITION BY source ORDER BY bucket
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+                   sum(c) OVER (PARTITION BY source) AS n
+            FROM sk),
+          qq AS (SELECT * FROM (VALUES (250000), (500000), (900000),
+                                       (990000)) AS q(q_ppm)),
+          probe AS (
+            SELECT source, bucket, cum, n, q_ppm,
+                   greatest((CAST(q_ppm AS BIGINT) * n + 999999) // 1000000,
+                            1) AS r
+            FROM cum, qq),
+          hit AS (
+            SELECT source, q_ppm, min(bucket) AS b, max(n) AS n
+            FROM probe WHERE cum >= r GROUP BY 1, 2)
+          SELECT source, CAST(q_ppm AS INT) AS q_ppm,
+                 CASE WHEN b < 32 THEN CAST(b AS BIGINT)
+                      ELSE (CAST(1 AS BIGINT) << (CAST(b // 16 AS INT) + 3))
+                           + ((b % 16) << (CAST(b // 16 AS INT) - 1))
+                 END AS est,
+                 CAST(n AS BIGINT) AS n
+          FROM hit
         """,
         "q12_token_stats": f"""
           SELECT source, count(*) AS n_docs,

@@ -179,6 +179,8 @@ def __getattr__(name):
         "classifier_score": (
             "horus_spark.operators.classifier", "classifier_score",
         ),
+        "hdr_sketch": ("horus_spark.operators.sketches", "hdr_sketch"),
+        "hdr_quantiles": ("horus_spark.operators.sketches", "hdr_quantiles"),
         "prefix_jaccard_pairs": (
             "horus_spark.operators.ssjoin", "prefix_jaccard_pairs",
         ),

@@ -507,3 +507,154 @@ def cms_estimate(
         .groupBy("key")
         .agg(F.min(F.coalesce(F.col("c"), F.lit(0).cast("long"))).alias("est"))
     )
+
+
+def _hdr_bucket_sql(v: str, k: int) -> str:
+    """SQL-text HDR bucket id for non-negative BIGINT column `v` (shared
+    verbatim with the DuckDB oracle, modulo DIV spelling): values < 2^k
+    get exact buckets (bucket = v); larger values split each binary
+    octave [2^e, 2^(e+1)) into 2^k equal steps —
+    bucket = (e - k + 1) * 2^k + ((v - 2^e) >> (e - k)) with
+    e = floor(log2 v) computed as length(bin(v)) - 1. Pure integer
+    arithmetic (string-length log2, shifts for the step), so Spark and
+    the oracle cannot diverge by a ULP. Negative input poisons the plan
+    lazily via raise_error — no eager validation job."""
+    m = 1 << k
+    e = f"(length(bin({v})) - 1)"
+    return f"""CASE
+      WHEN {v} < 0 THEN CAST(raise_error(concat(
+        'hdr_sketch requires non-negative values, got ',
+        CAST({v} AS STRING))) AS BIGINT)
+      WHEN {v} < {m} THEN CAST({v} AS BIGINT)
+      ELSE CAST(({e} - {k} + 1) AS BIGINT) * {m}
+           + shiftright({v} - shiftleft(CAST(1 AS BIGINT), {e}), {e} - {k})
+    END"""
+
+
+def _hdr_lower_sql(b: str, k: int) -> str:
+    """SQL-text exact integer lower bound of an HDR bucket id (inverse
+    of _hdr_bucket_sql): ids below 2^(k+1) are exact values; otherwise
+    e = b div 2^k + k - 1 and lower = 2^e + (b mod 2^k) << (e - k)."""
+    m = 1 << k
+    return f"""CASE
+      WHEN {b} < {2 * m} THEN CAST({b} AS BIGINT)
+      ELSE shiftleft(CAST(1 AS BIGINT),
+                     CAST({b} DIV {m} AS INT) + {k} - 1)
+           + shiftleft({b} % {m}, CAST({b} DIV {m} AS INT) - 1)
+    END"""
+
+
+def hdr_sketch(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    k: int = 4,
+) -> DataFrame:
+    """Mergeable quantile sketch over non-negative long values — the
+    t-digest/KLL role (bounded-size distribution summary answering
+    percentile queries, composable across corpus slices) — but
+    DETERMINISTIC: the HDR-histogram bucketing (Tene's HdrHistogram;
+    DDSketch's dyadic-gamma variant is the same idea) is a pure function
+    of the value, so sketches are partitioning-invariant,
+    engine-portable, and merge by plain cell addition — unlike
+    t-digest/KLL, whose centroids/compactions depend on arrival order
+    and therefore cannot be oracle-checked bit-for-bit.
+
+    Buckets guarantee per-value relative error <= 2^-k (k=4 -> 6.25%,
+    k=7 -> 0.8%); a full long range needs at most ~(64 - k) * 2^k
+    buckets (~1k cells at k=4) no matter the data volume.
+
+    Shape at scale: one map-side bucket projection, one hash aggregation
+    with map-side combine whose output is bucket-bounded per group.
+    Merging sketches = unionAll + the same re-aggregation (pinned by
+    pytest against sketching the unioned input directly).
+
+    Returns (group_cols..., bucket:long, c:long). NULL values are
+    dropped; negative values fail the job lazily with a diagnosable
+    raise_error.
+    """
+    if not 1 <= k <= 16:
+        raise ValueError(f"need 1 <= k <= 16, got {k}")
+    groups = list(group_cols or [])
+    pre = df.filter(F.col(value_col).isNotNull()).select(
+        *groups, F.col(value_col).cast("long").alias("_v")
+    )
+    return (
+        pre.withColumn("bucket", F.expr(_hdr_bucket_sql("_v", k)))
+        .groupBy(*groups, "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def hdr_quantiles(
+    sketch: DataFrame,
+    q_ppm: list[int],
+    group_cols: list[str] | None = None,
+    k: int = 4,
+) -> DataFrame:
+    """Quantile estimates from an hdr_sketch: for each group and each
+    requested quantile (parts-per-million ints — no float quantile
+    column), the estimate is the LOWER BOUND of the first bucket whose
+    cumulative count reaches ceil(q_ppm * n / 1e6) (clamped >= 1) in
+    ascending bucket order — a one-sided floor estimate with
+    est <= true quantile < (est + bucket width), bucket width / est
+    <= 2^-k. `k` MUST match the sketch's build parameter — it defines
+    the bucket family, not a tuning knob.
+
+    The rank target is computed in pure integer arithmetic
+    ((q * n + 999999) div 1e6 as BIGINT) — no double rounding even at
+    10^12-row corpora. The sketch is bucket-bounded, so the per-group
+    running sum is a window over ~1k rows per group, never a
+    corpus-scale sort. Returns (group_cols..., q_ppm:int, est:long,
+    n:long).
+    """
+    from pyspark.sql import Window
+
+    if not q_ppm:
+        raise ValueError("q_ppm must be a non-empty list of ppm ints")
+    for q in q_ppm:
+        if not 0 < q <= 1_000_000:
+            raise ValueError(f"q_ppm entries must be in (0, 1e6], got {q}")
+    if not 1 <= k <= 16:
+        raise ValueError(f"need 1 <= k <= 16, got {k}")
+    groups = list(group_cols or [])
+    gcols = [F.col(g) for g in groups]
+    cum = sketch.select(
+        *groups,
+        "bucket",
+        F.sum("c")
+        .over(
+            Window.partitionBy(*gcols)
+            .orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .alias("cum"),
+        F.sum("c")
+        .over(
+            Window.partitionBy(*gcols).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("n"),
+    )
+    qs = F.explode(
+        F.array(*[F.lit(int(q)) for q in q_ppm])
+    ).alias("q_ppm")
+    probe = cum.select(*groups, "bucket", "cum", "n", qs).withColumn(
+        "_r",
+        F.expr(
+            "greatest(CAST((CAST(q_ppm AS BIGINT) * n + 999999) "
+            "DIV 1000000 AS BIGINT), CAST(1 AS BIGINT))"
+        ),
+    )
+    hit = (
+        probe.filter(F.col("cum") >= F.col("_r"))
+        .groupBy(*groups, "q_ppm")
+        .agg(F.min("bucket").alias("_b"), F.max("n").alias("n"))
+    )
+    return hit.select(
+        *groups,
+        F.col("q_ppm").cast("int").alias("q_ppm"),
+        F.expr(_hdr_lower_sql("_b", k)).alias("est"),
+        F.col("n").cast("long").alias("n"),
+    )
