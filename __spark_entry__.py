@@ -2893,6 +2893,45 @@ def _q143_hdr_quantiles(spark, sf_dir):
     return out.select("source", "q_ppm", "est", "n")
 
 
+def _q144_politeness(spark, sf_dir):
+    """Crawl politeness scheduling (operators/politeness.py:
+    schedule_fetches): a synthetic frontier wave (37 hosts, documents as
+    pages, n_chars as indegree priority) is turned into a fetch plan —
+    host-sticky md5 workers (map-side), per-host priority sequencing
+    (the one host-keyed Exchange), and exact integer fetch offsets
+    seq * delay_ms, with a broadcast per-host Crawl-delay table
+    (hosts 0 mod 5 -> 2500 ms) falling back to 1000 ms. The oracle
+    replays the worker hash, the window order and the offset arithmetic
+    row-for-row."""
+    from horus_spark.operators.politeness import schedule_fetches
+
+    d = _fanout(_load(spark, sf_dir, "documents"))
+    hn = F.col("doc_id") % 37
+    fr = d.select(
+        F.concat(F.lit("host"), hn.cast("string"), F.lit(".example")).alias(
+            "host"
+        ),
+        F.concat(
+            F.lit("https://host"),
+            hn.cast("string"),
+            F.lit(".example/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.col("n_chars").cast("int").alias("indegree"),
+    )
+    delays = (
+        spark.range(0, 37)
+        .filter((F.col("id") % 5) == 0)
+        .select(
+            F.concat(
+                F.lit("host"), F.col("id").cast("string"), F.lit(".example")
+            ).alias("host"),
+            F.lit(2500).alias("delay_ms"),
+        )
+    )
+    return schedule_fetches(fr, delays, n_workers=8, default_delay_ms=1000)
+
+
 def _q131_snapshot_diff(spark, sf_dir):
     """Incremental/changelog read over the snapshot catalog
     (sink.py:snapshot_diff): q101's DML history is replayed (4 appends
@@ -3756,6 +3795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q141_cms_freq": _q141_cms_freq,
         "q142_classifier": _q142_classifier,
         "q143_hdr_quantiles": _q143_hdr_quantiles,
+        "q144_politeness": _q144_politeness,
     }
 
 
@@ -4632,6 +4672,29 @@ def _oracle_sql_literals() -> dict[str, str]:
                  END AS est,
                  CAST(n AS BIGINT) AS n
           FROM hit
+        """,
+        "q144_politeness": """
+          WITH fr AS (
+            SELECT doc_id % 37 AS hn,
+                   'host' || CAST(doc_id % 37 AS VARCHAR) || '.example'
+                     AS host,
+                   'https://host' || CAST(doc_id % 37 AS VARCHAR)
+                     || '.example/p/' || CAST(doc_id AS VARCHAR) AS url,
+                   CAST(n_chars AS INT) AS indegree
+            FROM documents)
+          SELECT host, url,
+                 CAST(CAST(concat('0x', substring(md5(host || 'worker'),
+                       1, 15)) AS BIGINT) % 8 AS INT) AS worker,
+                 CAST(row_number() OVER (PARTITION BY host
+                       ORDER BY indegree DESC, url ASC) - 1 AS BIGINT)
+                   AS seq,
+                 CAST(CASE WHEN hn % 5 = 0 THEN 2500 ELSE 1000 END
+                      AS BIGINT) AS delay_ms,
+                 CAST((row_number() OVER (PARTITION BY host
+                       ORDER BY indegree DESC, url ASC) - 1)
+                      * (CASE WHEN hn % 5 = 0 THEN 2500 ELSE 1000 END)
+                      AS BIGINT) AS fetch_offset_ms
+          FROM fr
         """,
         "q12_token_stats": f"""
           SELECT source, count(*) AS n_docs,

@@ -181,6 +181,10 @@ def __getattr__(name):
         ),
         "hdr_sketch": ("horus_spark.operators.sketches", "hdr_sketch"),
         "hdr_quantiles": ("horus_spark.operators.sketches", "hdr_quantiles"),
+        "schedule_fetches": (
+            "horus_spark.operators.politeness", "schedule_fetches",
+        ),
+        "worker_load": ("horus_spark.operators.politeness", "worker_load"),
         "prefix_jaccard_pairs": (
             "horus_spark.operators.ssjoin", "prefix_jaccard_pairs",
         ),
