@@ -2932,6 +2932,28 @@ def _q144_politeness(spark, sf_dir):
     return schedule_fetches(fr, delays, n_workers=8, default_delay_ms=1000)
 
 
+def _q145_domain_prior(spark, sf_dir):
+    """Empirical-Bayes domain quality prior (operators/priors.py:
+    shrunk_keep_rate) composed over q142's classifier verdicts: per
+    source, the raw keep rate and the Beta-shrunk rate with 25
+    pseudo-docs of the corpus mean — all exact integer ppm via
+    DECIMAL(38,0) products (HUGEINT in the oracle), so a 10^12-doc
+    corpus computes the identical bits. One domain-keyed aggregation
+    over the scored frame + one broadcast global scalar; small sources
+    provably shrink toward the mean while big ones keep their measured
+    rate."""
+    from horus_spark.operators.priors import shrunk_keep_rate
+
+    scored = _q142_classifier(spark, sf_dir).select("doc_id", "keep")
+    src = _load(spark, sf_dir, "documents").select("doc_id", "source")
+    return shrunk_keep_rate(
+        scored.join(src, "doc_id"),
+        keep_col="keep",
+        group_col="source",
+        strength=25,
+    )
+
+
 def _q131_snapshot_diff(spark, sf_dir):
     """Incremental/changelog read over the snapshot catalog
     (sink.py:snapshot_diff): q101's DML history is replayed (4 appends
@@ -3796,6 +3818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q142_classifier": _q142_classifier,
         "q143_hdr_quantiles": _q143_hdr_quantiles,
         "q144_politeness": _q144_politeness,
+        "q145_domain_prior": _q145_domain_prior,
     }
 
 
@@ -4427,6 +4450,54 @@ def _oracle_sql_literals() -> dict[str, str]:
                / greatest(length(text),1) AS punct_ratio
       FROM documents
     """
+    # q142's full train->apply classifier replay, reused verbatim as
+    # q145's scoring stage (oracle composition mirrors the Spark one)
+    clf_sql = f"""
+          WITH d AS (
+            SELECT doc_id,
+                   CASE WHEN trim(coalesce(text, '')) = ''
+                        THEN CAST([] AS VARCHAR[])
+                        ELSE string_split_regex(trim(coalesce(text, '')), '\\s+')
+                   END AS toks,
+                   CASE WHEN coalesce(lang, '') = 'en' THEN 1 ELSE 0 END AS y
+            FROM documents),
+          g AS (
+            SELECT doc_id, y,
+                   toks || list_transform(range(1, len(toks)),
+                                          i -> toks[i] || ' ' || toks[i+1])
+                     AS grams
+            FROM d),
+          fb AS (
+            SELECT doc_id, y,
+                   CAST(CAST(concat('0x', substring(md5(gr || 'clf'), 1, 15))
+                        AS BIGINT) % {_CLF_B} AS INT) AS bucket
+            FROM (SELECT doc_id, y, unnest(grams) AS gr FROM g)),
+          c AS (SELECT bucket, sum(y) AS pos, sum(1 - y) AS neg
+                FROM fb GROUP BY 1),
+          t AS (SELECT CAST(sum(pos) AS DOUBLE) AS pos_tot,
+                       CAST(sum(neg) AS DOUBLE) AS neg_tot FROM c),
+          nd AS (SELECT CAST(sum(y) AS DOUBLE) AS n_pos,
+                        CAST(sum(1 - y) AS DOUBLE) AS n_neg FROM d),
+          w AS (SELECT bucket,
+                       CAST(round((ln((pos + 1.0) / (pos_tot + {_CLF_B}.0))
+                                 - ln((neg + 1.0) / (neg_tot + {_CLF_B}.0)))
+                                  * 1e6) AS BIGINT) AS wm
+                FROM c, t),
+          bias AS (SELECT CAST(round(ln((n_pos + 1.0) / (n_neg + 1.0)) * 1e6)
+                          AS BIGINT) AS b FROM nd),
+          u AS (SELECT CAST(round((ln(neg_tot + {_CLF_B}.0)
+                                 - ln(pos_tot + {_CLF_B}.0)) * 1e6)
+                       AS BIGINT) AS uw FROM t),
+          s AS (
+            SELECT fb.doc_id, count(*) AS nf,
+                   sum(coalesce(w.wm, u.uw)) AS ssum
+            FROM fb LEFT JOIN w USING (bucket), u
+            GROUP BY 1)
+          SELECT d.doc_id, CAST(coalesce(s.nf, 0) AS BIGINT) AS n_feats,
+                 CAST(bias.b + coalesce(s.ssum, 0) AS BIGINT) AS score_micro,
+                 (bias.b + coalesce(s.ssum, 0)) >= 0 AS keep
+          FROM d LEFT JOIN s USING (doc_id), bias
+        """
     return {
         "q01_pricing_summary": """
           SELECT l_returnflag, l_linestatus,
@@ -4589,52 +4660,7 @@ def _oracle_sql_literals() -> dict[str, str]:
           FROM pc LEFT JOIN sketch s USING (row_i, col_j)
           GROUP BY key
         """,
-        "q142_classifier": f"""
-          WITH d AS (
-            SELECT doc_id,
-                   CASE WHEN trim(coalesce(text, '')) = ''
-                        THEN CAST([] AS VARCHAR[])
-                        ELSE string_split_regex(trim(coalesce(text, '')), '\\s+')
-                   END AS toks,
-                   CASE WHEN coalesce(lang, '') = 'en' THEN 1 ELSE 0 END AS y
-            FROM documents),
-          g AS (
-            SELECT doc_id, y,
-                   toks || list_transform(range(1, len(toks)),
-                                          i -> toks[i] || ' ' || toks[i+1])
-                     AS grams
-            FROM d),
-          fb AS (
-            SELECT doc_id, y,
-                   CAST(CAST(concat('0x', substring(md5(gr || 'clf'), 1, 15))
-                        AS BIGINT) % {_CLF_B} AS INT) AS bucket
-            FROM (SELECT doc_id, y, unnest(grams) AS gr FROM g)),
-          c AS (SELECT bucket, sum(y) AS pos, sum(1 - y) AS neg
-                FROM fb GROUP BY 1),
-          t AS (SELECT CAST(sum(pos) AS DOUBLE) AS pos_tot,
-                       CAST(sum(neg) AS DOUBLE) AS neg_tot FROM c),
-          nd AS (SELECT CAST(sum(y) AS DOUBLE) AS n_pos,
-                        CAST(sum(1 - y) AS DOUBLE) AS n_neg FROM d),
-          w AS (SELECT bucket,
-                       CAST(round((ln((pos + 1.0) / (pos_tot + {_CLF_B}.0))
-                                 - ln((neg + 1.0) / (neg_tot + {_CLF_B}.0)))
-                                  * 1e6) AS BIGINT) AS wm
-                FROM c, t),
-          bias AS (SELECT CAST(round(ln((n_pos + 1.0) / (n_neg + 1.0)) * 1e6)
-                          AS BIGINT) AS b FROM nd),
-          u AS (SELECT CAST(round((ln(neg_tot + {_CLF_B}.0)
-                                 - ln(pos_tot + {_CLF_B}.0)) * 1e6)
-                       AS BIGINT) AS uw FROM t),
-          s AS (
-            SELECT fb.doc_id, count(*) AS nf,
-                   sum(coalesce(w.wm, u.uw)) AS ssum
-            FROM fb LEFT JOIN w USING (bucket), u
-            GROUP BY 1)
-          SELECT d.doc_id, CAST(coalesce(s.nf, 0) AS BIGINT) AS n_feats,
-                 CAST(bias.b + coalesce(s.ssum, 0) AS BIGINT) AS score_micro,
-                 (bias.b + coalesce(s.ssum, 0)) >= 0 AS keep
-          FROM d LEFT JOIN s USING (doc_id), bias
-        """,
+        "q142_classifier": clf_sql,
         "q143_hdr_quantiles": """
           WITH v AS (
             SELECT source, CAST(n_chars AS BIGINT) AS val FROM documents
@@ -4695,6 +4721,27 @@ def _oracle_sql_literals() -> dict[str, str]:
                       * (CASE WHEN hn % 5 = 0 THEN 2500 ELSE 1000 END)
                       AS BIGINT) AS fetch_offset_ms
           FROM fr
+        """,
+        "q145_domain_prior": f"""
+          WITH scored AS ({clf_sql}),
+          j AS (
+            SELECT doc.source, scored.keep
+            FROM scored JOIN documents doc USING (doc_id)),
+          per AS (
+            SELECT source, count(*) AS n_docs,
+                   sum(CASE WHEN keep THEN 1 ELSE 0 END) AS n_keep
+            FROM j GROUP BY 1),
+          tot AS (
+            SELECT sum(n_docs) AS nn, sum(n_keep) AS kk FROM per)
+          SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+                 CAST(n_keep AS BIGINT) AS n_keep,
+                 CAST((n_keep * CAST(1000000 AS BIGINT)) // n_docs
+                      AS BIGINT) AS raw_ppm,
+                 CAST(((CAST(n_keep AS HUGEINT) * nn
+                        + CAST(25 AS HUGEINT) * kk) * 1000000)
+                      // (CAST(n_docs + 25 AS HUGEINT) * nn)
+                      AS BIGINT) AS shrunk_ppm
+          FROM per, tot
         """,
         "q12_token_stats": f"""
           SELECT source, count(*) AS n_docs,

@@ -185,6 +185,7 @@ def __getattr__(name):
             "horus_spark.operators.politeness", "schedule_fetches",
         ),
         "worker_load": ("horus_spark.operators.politeness", "worker_load"),
+        "shrunk_keep_rate": ("horus_spark.operators.priors", "shrunk_keep_rate"),
         "prefix_jaccard_pairs": (
             "horus_spark.operators.ssjoin", "prefix_jaccard_pairs",
         ),
