@@ -2954,6 +2954,67 @@ def _q145_domain_prior(spark, sf_dir):
     )
 
 
+def _q146_span_diff(spark, sf_dir):
+    """Span-sequence regression audit (operators/interleave.py:
+    span_diff) — the north rule's per-row invariant (span-sequence
+    equality of kind/text/media_ref/order) as a distributed operator.
+    GROUND-TRUTH oracle: the 'actual' side is the interleaved corpus
+    with four planted mutation classes (doc_id mod 11: 3 -> first text
+    chunk corrupted, 5 -> first media_ref swapped, 7 -> last span
+    dropped, 9/10 -> doc missing from one side), and the oracle derives
+    every verdict/first-divergence/field from the mutation rules — so
+    green means the digest screen, the prefix scan and the field
+    precedence all reproduce the known corruption exactly. Scale shape:
+    equal docs (the vast majority) are confirmed by a map-side digest
+    and never ship their spans; only divergent ids re-fetch payloads."""
+    from horus_spark.operators.interleave import span_diff
+
+    exp_all = _interleaved_docs(spark, sf_dir)
+    mod = F.col("doc_id").cast("long") % 11
+    spans = F.col("spans")
+    n = F.size(spans)
+    corrupt_text = F.transform(
+        spans,
+        lambda s: F.struct(
+            s["kind"].alias("kind"),
+            F.when(
+                (s["offset"] == 0) & (s["kind"] == "text"),
+                F.concat(s["text"], F.lit(" CORRUPTED")),
+            )
+            .otherwise(s["text"])
+            .alias("text"),
+            s["media_ref"].alias("media_ref"),
+            s["offset"].alias("offset"),
+        ),
+    )
+    swap_ref = F.transform(
+        spans,
+        lambda s: F.struct(
+            s["kind"].alias("kind"),
+            s["text"].alias("text"),
+            F.when(
+                (s["offset"] == 3) & (s["kind"] != "text"),
+                F.lit("asset-SWAPPED"),
+            )
+            .otherwise(s["media_ref"])
+            .alias("media_ref"),
+            s["offset"].alias("offset"),
+        ),
+    )
+    drop_last = F.filter(spans, lambda s: s["offset"] < n - 1)
+    mutated = (
+        F.when(mod == 3, corrupt_text)
+        .when(mod == 5, swap_ref)
+        .when(mod == 7, drop_last)
+        .otherwise(spans)
+    )
+    expected = exp_all.filter(mod != 10)
+    actual = exp_all.filter(mod != 9).select(
+        "doc_id", mutated.alias("spans")
+    )
+    return span_diff(_fanout(actual), expected)
+
+
 def _q131_snapshot_diff(spark, sf_dir):
     """Incremental/changelog read over the snapshot catalog
     (sink.py:snapshot_diff): q101's DML history is replayed (4 appends
@@ -3819,6 +3880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q143_hdr_quantiles": _q143_hdr_quantiles,
         "q144_politeness": _q144_politeness,
         "q145_domain_prior": _q145_domain_prior,
+        "q146_span_diff": _q146_span_diff,
     }
 
 
@@ -4742,6 +4804,93 @@ def _oracle_sql_literals() -> dict[str, str]:
                       // (CAST(n_docs + 25 AS HUGEINT) * nn)
                       AS BIGINT) AS shrunk_ppm
           FROM per, tot
+        """,
+        "q146_span_diff": """
+          WITH tok AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+            FROM documents
+          ), chunks AS (
+            SELECT doc_id, w,
+                   unnest(generate_series(0,
+                     greatest(CAST(ceil(len(w) / 12.0) AS INT), 1) - 1)) AS i
+            FROM tok
+          ), raw AS (
+            SELECT doc_id, i*2 AS ord, 'text' AS kind,
+                   array_to_string(w[i*12+1 : i*12+12], ' ') AS text,
+                   '' AS media_ref
+            FROM chunks
+            UNION ALL
+            SELECT doc_id, i*2+1,
+                   CASE WHEN (doc_id + i) % 2 = 0 THEN 'image' ELSE 'video' END,
+                   '', 'asset-' || CAST(doc_id AS VARCHAR) || '-'
+                       || CAST(i AS VARCHAR)
+            FROM chunks WHERE i % 3 = 2
+          ), exp0 AS (
+            SELECT doc_id,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1
+                     AS off,
+                   kind, text, media_ref
+            FROM raw
+          ), cnt AS (SELECT doc_id, count(*) AS n FROM exp0 GROUP BY 1),
+          expd AS (SELECT * FROM exp0 WHERE doc_id % 11 <> 10),
+          act AS (
+            SELECT e.doc_id, e.off, e.kind,
+                   CASE WHEN e.doc_id % 11 = 3 AND e.off = 0
+                             AND e.kind = 'text'
+                        THEN e.text || ' CORRUPTED' ELSE e.text END AS text,
+                   CASE WHEN e.doc_id % 11 = 5 AND e.off = 3
+                             AND e.kind <> 'text'
+                        THEN 'asset-SWAPPED' ELSE e.media_ref END
+                     AS media_ref
+            FROM exp0 e JOIN cnt c USING (doc_id)
+            WHERE e.doc_id % 11 <> 9
+              AND NOT (e.doc_id % 11 = 7 AND e.off = c.n - 1)
+          ),
+          -- counts derive from the mutation rules, not act/expd row
+          -- presence: a 1-span doc under the drop-last mutation is an
+          -- EMPTY actual document (0 spans), not a missing one
+          na AS (SELECT doc_id,
+                        n - CASE WHEN doc_id % 11 = 7 THEN 1 ELSE 0 END
+                          AS n_a
+                 FROM cnt WHERE doc_id % 11 <> 9),
+          ne AS (SELECT doc_id, n AS n_e FROM cnt WHERE doc_id % 11 <> 10),
+          ids AS (
+            SELECT coalesce(a.doc_id, e.doc_id) AS doc_id, a.n_a, e.n_e
+            FROM na a FULL JOIN ne e ON a.doc_id = e.doc_id),
+          pairs AS (
+            SELECT x.doc_id, x.off,
+                   x.kind AS ak, x.text AS at_, x.media_ref AS am,
+                   y.kind AS ek, y.text AS et, y.media_ref AS em
+            FROM act x JOIN expd y ON y.doc_id = x.doc_id
+                                  AND y.off = x.off),
+          mism AS (
+            SELECT doc_id, min(off) AS fd
+            FROM pairs
+            WHERE NOT (ak = ek AND at_ = et AND am = em)
+            GROUP BY 1),
+          fieldx AS (
+            SELECT p.doc_id,
+                   CASE WHEN p.ak <> p.ek THEN 'kind'
+                        WHEN p.at_ <> p.et THEN 'text'
+                        ELSE 'media_ref' END AS field
+            FROM pairs p JOIN mism m
+              ON p.doc_id = m.doc_id AND p.off = m.fd)
+          SELECT CAST(i.doc_id AS VARCHAR) AS doc_id,
+                 CASE WHEN i.n_a IS NULL THEN 'missing_actual'
+                      WHEN i.n_e IS NULL THEN 'missing_expected'
+                      WHEN m.fd IS NOT NULL THEN 'diverged'
+                      WHEN i.n_a <> i.n_e THEN 'length_mismatch'
+                      ELSE 'equal' END AS verdict,
+                 CAST(i.n_a AS BIGINT) AS n_actual,
+                 CAST(i.n_e AS BIGINT) AS n_expected,
+                 CAST(CASE WHEN i.n_a IS NULL OR i.n_e IS NULL THEN NULL
+                           WHEN m.fd IS NOT NULL THEN m.fd
+                           WHEN i.n_a <> i.n_e THEN least(i.n_a, i.n_e)
+                           ELSE -1 END AS BIGINT) AS first_divergence,
+                 f.field
+          FROM ids i
+          LEFT JOIN mism m ON m.doc_id = i.doc_id
+          LEFT JOIN fieldx f ON f.doc_id = i.doc_id
         """,
         "q12_token_stats": f"""
           SELECT source, count(*) AS n_docs,

@@ -233,6 +233,7 @@ def __getattr__(name):
             "horus_spark.operators.interleave", "interleave_token_costs",
         ),
         "dedup_assets": ("horus_spark.operators.interleave", "dedup_assets"),
+        "span_diff": ("horus_spark.operators.interleave", "span_diff"),
         "rewrite_media_refs": (
             "horus_spark.operators.interleave", "rewrite_media_refs",
         ),

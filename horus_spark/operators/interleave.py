@@ -1040,3 +1040,145 @@ def span_languages(
         ided.cast("long").alias("ided_tokens"),
         F.col("m")["total"].alias("text_tokens"),
     )
+
+
+def span_diff(
+    actual: DataFrame,
+    expected: DataFrame,
+    id_col: str = "doc_id",
+    spans_col: str = "spans",
+) -> DataFrame:
+    """Span-sequence regression audit — the north-rule invariant
+    (span-sequence equality of (kind, text, media_ref, order)) as a
+    first-class distributed operator: compare an extraction run against
+    golden fixtures (or the previous run) and report, per document, the
+    verdict and the exact first divergence. This is what the pytest
+    golden tests do doc-by-doc, lifted to corpus scale.
+
+    Verdicts:
+      equal            — same span count, every (kind, text, media_ref)
+                         triple matches in offset order (offset VALUES
+                         are not compared — the invariant is the order);
+      diverged         — a triple mismatch inside the common prefix:
+                         first_divergence = its 0-based position, field
+                         = the first differing field (kind > text >
+                         media_ref precedence);
+      length_mismatch  — common prefix matches but counts differ:
+                         first_divergence = the shorter length;
+      missing_actual / missing_expected — the doc exists on one side
+                         only (counts/positions NULL for the absent
+                         side).
+
+    Shape at scale: regression runs are overwhelmingly 'equal', so the
+    comparison is digest-screened — each side serializes its ordered
+    triples map-side into one md5 (fixed-width per-field digests, no
+    separator-escaping hazard) and the full-outer join ships only
+    (id, digest, n). Only documents whose digests differ re-fetch their
+    span payloads (two semi-join-pruned id joins over the tiny divergent
+    set) for the element-wise first-mismatch scan. Returns
+    (id_col, verdict, n_actual, n_expected, first_divergence, field).
+    """
+    def slim(df: DataFrame) -> DataFrame:
+        sp = _by_offset(F.col(spans_col))
+        ser = F.md5(
+            F.concat_ws(
+                "",
+                F.transform(
+                    sp,
+                    lambda s: F.concat(
+                        F.md5(F.coalesce(s["kind"], F.lit(""))),
+                        F.md5(F.coalesce(s["text"], F.lit(""))),
+                        F.md5(F.coalesce(s["media_ref"], F.lit(""))),
+                    ),
+                ),
+            )
+        )
+        return df.select(
+            F.col(id_col).alias("id"),
+            ser.alias("dg"),
+            F.coalesce(F.size(F.col(spans_col)), F.lit(0))
+            .cast("long")
+            .alias("n"),
+        )
+
+    a, e = slim(actual), slim(expected)
+    j = a.select("id", F.col("dg").alias("dg_a"), F.col("n").alias("n_a")).join(
+        e.select("id", F.col("dg").alias("dg_e"), F.col("n").alias("n_e")),
+        "id",
+        "full_outer",
+    )
+    missing = j.filter(
+        F.col("dg_a").isNull() | F.col("dg_e").isNull()
+    ).select(
+        "id",
+        F.when(F.col("dg_a").isNull(), F.lit("missing_actual"))
+        .otherwise(F.lit("missing_expected"))
+        .alias("verdict"),
+        F.col("n_a").alias("n_actual"),
+        F.col("n_e").alias("n_expected"),
+        F.lit(None).cast("long").alias("first_divergence"),
+        F.lit(None).cast("string").alias("field"),
+    )
+    same = j.filter(
+        F.col("dg_a").isNotNull() & (F.col("dg_a") == F.col("dg_e"))
+    ).select(
+        "id",
+        F.lit("equal").alias("verdict"),
+        F.col("n_a").alias("n_actual"),
+        F.col("n_e").alias("n_expected"),
+        F.lit(-1).cast("long").alias("first_divergence"),
+        F.lit(None).cast("string").alias("field"),
+    )
+    div_ids = j.filter(
+        F.col("dg_a").isNotNull()
+        & F.col("dg_e").isNotNull()
+        & (F.col("dg_a") != F.col("dg_e"))
+    ).select("id")
+    pay_a = actual.join(
+        div_ids, actual[id_col] == div_ids["id"], "left_semi"
+    ).select(F.col(id_col).alias("id"), _by_offset(F.col(spans_col)).alias("sa"))
+    pay_e = expected.join(
+        div_ids, expected[id_col] == div_ids["id"], "left_semi"
+    ).select(F.col(id_col).alias("id"), _by_offset(F.col(spans_col)).alias("se"))
+    both = pay_a.join(pay_e, "id")
+    m = F.least(F.size("sa"), F.size("se"))
+    trip_eq = lambda l, r: (  # noqa: E731 - local comparator
+        l["kind"].eqNullSafe(r["kind"])
+        & l["text"].eqNullSafe(r["text"])
+        & l["media_ref"].eqNullSafe(r["media_ref"])
+    )
+    flags = F.zip_with(
+        F.slice(F.col("sa"), F.lit(1), m),
+        F.slice(F.col("se"), F.lit(1), m),
+        lambda l, r: ~trip_eq(l, r),
+    )
+    first1 = F.array_position(flags, F.lit(True))  # 1-based, 0 if none
+    el = F.element_at(F.col("sa"), first1.cast("int"))
+    er = F.element_at(F.col("se"), first1.cast("int"))
+    detailed = both.select(
+        "id",
+        F.when(first1 > 0, F.lit("diverged"))
+        .otherwise(F.lit("length_mismatch"))
+        .alias("verdict"),
+        F.size("sa").cast("long").alias("n_actual"),
+        F.size("se").cast("long").alias("n_expected"),
+        F.when(first1 > 0, first1 - 1)
+        .otherwise(m)
+        .cast("long")
+        .alias("first_divergence"),
+        F.when(
+            first1 > 0,
+            F.when(
+                ~el["kind"].eqNullSafe(er["kind"]), F.lit("kind")
+            )
+            .when(~el["text"].eqNullSafe(er["text"]), F.lit("text"))
+            .otherwise(F.lit("media_ref")),
+        )
+        .cast("string")
+        .alias("field"),
+    )
+    return (
+        same.unionByName(missing)
+        .unionByName(detailed)
+        .withColumnRenamed("id", id_col)
+    )
