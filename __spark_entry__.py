@@ -3015,6 +3015,25 @@ def _q146_span_diff(spark, sf_dir):
     return span_diff(_fanout(actual), expected)
 
 
+def _q147_srp_project(spark, sf_dir):
+    """Signed-random-projection JL reduction (operators/similarity.py:
+    srp_project): every 64-dim embedding maps to 16 exact integer
+    micro-unit coordinates via a +-1 matrix regenerated from md5 parity
+    — pure map-side folds inside whole-stage codegen, ZERO shuffle, no
+    stored matrix. The oracle rebuilds the identical matrix from the
+    same md5 formula and replays every +-1-weighted long sum, so green
+    means the whole projection (quantization, matrix, fold) is
+    bit-portable. The projected space is the cheap 4x-smaller tier for
+    clustering/ANN candidates (magnitudes kept, unlike the 1-bit
+    binary_quantize tier)."""
+    from horus_spark.operators.similarity import srp_project
+
+    e = _fanout(_load(spark, sf_dir, "embeddings"), key="vec_id")
+    return srp_project(e, in_dim=64, out_dim=16).select(
+        F.col("id").alias("vec_id"), "dim", "value"
+    )
+
+
 def _q131_snapshot_diff(spark, sf_dir):
     """Incremental/changelog read over the snapshot catalog
     (sink.py:snapshot_diff): q101's DML history is replayed (4 appends
@@ -3881,6 +3900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q144_politeness": _q144_politeness,
         "q145_domain_prior": _q145_domain_prior,
         "q146_span_diff": _q146_span_diff,
+        "q147_srp_project": _q147_srp_project,
     }
 
 
@@ -4891,6 +4911,26 @@ def _oracle_sql_literals() -> dict[str, str]:
           FROM ids i
           LEFT JOIN mism m ON m.doc_id = i.doc_id
           LEFT JOIN fieldx f ON f.doc_id = i.doc_id
+        """,
+        "q147_srp_project": """
+          WITH x AS (
+            SELECT vec_id, g.i,
+                   CAST(floor(CAST(embedding[g.i + 1] AS DOUBLE) * 1000000
+                              + 0.5) AS BIGINT) AS xq
+            FROM embeddings, generate_series(0, 63) AS g(i)
+            WHERE embedding IS NOT NULL),
+          s AS (
+            SELECT a.j, b.i,
+                   CASE WHEN CAST(concat('0x', substring(
+                          md5(CAST(a.j AS VARCHAR) || '-'
+                              || CAST(b.i AS VARCHAR) || '-srp'), 1, 15))
+                        AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+            FROM generate_series(0, 15) AS a(j),
+                 generate_series(0, 63) AS b(i))
+          SELECT x.vec_id, CAST(s.j AS INT) AS dim,
+                 CAST(sum(s.sgn * x.xq) AS BIGINT) AS value
+          FROM x JOIN s USING (i)
+          GROUP BY 1, 2
         """,
         "q12_token_stats": f"""
           SELECT source, count(*) AS n_docs,

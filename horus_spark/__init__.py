@@ -234,6 +234,8 @@ def __getattr__(name):
         ),
         "dedup_assets": ("horus_spark.operators.interleave", "dedup_assets"),
         "span_diff": ("horus_spark.operators.interleave", "span_diff"),
+        "srp_project": ("horus_spark.operators.similarity", "srp_project"),
+        "srp_signs": ("horus_spark.operators.similarity", "srp_signs"),
         "rewrite_media_refs": (
             "horus_spark.operators.interleave", "rewrite_media_refs",
         ),

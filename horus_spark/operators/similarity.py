@@ -659,3 +659,94 @@ def hamming_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "neighbor_id", "rank", "score")
     )
+
+
+def srp_signs(out_dim: int, in_dim: int, salt: str = "srp") -> list[list[int]]:
+    """The deterministic +-1 projection matrix srp_project uses: sign of
+    cell (j, i) is the parity of md5('{j}-{i}-{salt}') (first 15 hex
+    digits as an integer — the package-wide md5_long construction), so
+    ANY engine regenerates the identical matrix from (out_dim, in_dim,
+    salt) alone; no matrix needs to be stored or shipped."""
+    import hashlib
+
+    def sgn(j: int, i: int) -> int:
+        h = int(
+            hashlib.md5(f"{j}-{i}-{salt}".encode()).hexdigest()[:15], 16
+        )
+        return 1 if h % 2 == 0 else -1
+
+    return [[sgn(j, i) for i in range(in_dim)] for j in range(out_dim)]
+
+
+def srp_project(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    in_dim: int = 64,
+    out_dim: int = 16,
+    salt: str = "srp",
+) -> DataFrame:
+    """Signed-random-projection dimensionality reduction (Achlioptas
+    2003's +-1 database-friendly JL variant): project each embedding
+    onto out_dim deterministic +-1 hyperplanes. The JL lemma bounds the
+    distortion of pairwise distances, so the projected space is a valid
+    cheap tier for clustering / ANN candidate generation at out_dim/
+    in_dim of the I/O — the continuous counterpart of the 1-bit simhash
+    tier (binary_quantize keeps only the sign of each projection; this
+    keeps the magnitude).
+
+    Determinism: inputs quantize to integer micro-units
+    (round(x * 1e6), half-up — the quantize_embeddings convention) and
+    each output coordinate is an exact +-1-weighted LONG sum, so results
+    are partitioning-invariant and bit-identical across engines; the
+    matrix itself regenerates from md5 parity (srp_signs), never stored.
+
+    Shape at scale: pure map-side — the matrix is a plan literal
+    (out_dim x in_dim ints), each row computes out_dim integer folds
+    inside whole-stage codegen, ZERO shuffle, zero Python. Returns
+    exploded (id, dim:int, value:long) rows — the join-friendly shape
+    for downstream bucket/cluster keys. Vectors whose length differs
+    from in_dim poison the plan lazily via raise_error (malformed
+    corpus rows must not silently project to garbage)."""
+    if out_dim < 1 or in_dim < 1:
+        raise ValueError(
+            f"need in_dim, out_dim >= 1, got {in_dim}, {out_dim}"
+        )
+    signs = srp_signs(out_dim, in_dim, salt)
+    v = F.col(vec_col).cast("array<double>")
+    qvec = F.transform(
+        v, lambda x: F.floor(x * 1e6 + F.lit(0.5)).cast("long")
+    )
+    guarded = F.when(
+        F.size(v) != in_dim,
+        F.raise_error(
+            F.concat(
+                F.lit(f"srp_project expects {in_dim}-dim vectors, got "),
+                F.size(v).cast("string"),
+            )
+        ).cast("array<bigint>"),
+    ).otherwise(qvec)
+    projs = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.col("_q"),
+                    F.array(*[F.lit(s) for s in signs[j]]),
+                    lambda x, s: x * s.cast("long"),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            for j in range(out_dim)
+        ]
+    )
+    return (
+        embeddings.filter(v.isNotNull())
+        .select(F.col(id_col).alias("id"), guarded.alias("_q"))
+        .select("id", F.posexplode(projs).alias("dim", "value"))
+        .select(
+            F.col("id"),
+            F.col("dim").cast("int").alias("dim"),
+            F.col("value").cast("long").alias("value"),
+        )
+    )
