@@ -3517,6 +3517,21 @@ def _q119_recrawl_delta(spark, sf_dir):
     )
 
 
+def _q148_recrawl_schedule(spark, sf_dir):
+    """Adaptive recrawl scheduling (operators/recrawl.py:
+    recrawl_schedule) composed over q119's change rates: the freshness
+    loop's DECISION stage — interval_hours = clamp(base * ref_ppm div
+    churn_ppm) in pure integer arithmetic plus hot/warm/cold/dead
+    tiering, map-side over the host-bounded rates frame. The oracle
+    replays q119's synthesis + verdicts + ppm arithmetic AND the policy
+    formula, so green means the whole freshness pipeline (delta ->
+    rates -> schedule) is engine-portable end-to-end."""
+    from horus_spark.operators.recrawl import recrawl_schedule
+
+    rates = _q119_recrawl_delta(spark, sf_dir)
+    return recrawl_schedule(rates)
+
+
 def _q117_redirect_resolution(spark, sf_dir):
     """Redirect-chain resolution (operators/redirects.py): the synthetic
     redirect map sends n -> n+1 except that every 10th id is a terminal
@@ -3901,6 +3916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q145_domain_prior": _q145_domain_prior,
         "q146_span_diff": _q146_span_diff,
         "q147_srp_project": _q147_srp_project,
+        "q148_recrawl_schedule": _q148_recrawl_schedule,
     }
 
 
@@ -4532,6 +4548,51 @@ def _oracle_sql_literals() -> dict[str, str]:
                / greatest(length(text),1) AS punct_ratio
       FROM documents
     """
+    recrawl_sql = """
+          WITH d AS (
+            SELECT CAST(doc_id AS BIGINT) AS n FROM documents
+          ), prev AS (
+            SELECT n, 'https://site-' || CAST(n % 50 AS VARCHAR)
+              || '.test/p/' || CAST(n AS VARCHAR) AS url,
+              'd' || CAST(n AS VARCHAR) AS dg
+            FROM d
+          ), curr AS (
+            SELECT url,
+              CASE WHEN n % 3 = 0 THEN 'm' || CAST(n AS VARCHAR)
+                   ELSE dg END AS dg
+            FROM prev WHERE n % 7 <> 0
+            UNION ALL
+            SELECT 'https://site-' || CAST(n % 50 AS VARCHAR)
+              || '.test/new/' || CAST(n AS VARCHAR),
+              'x' || CAST(n AS VARCHAR)
+            FROM d WHERE n % 5 = 0
+          ), allu AS (
+            SELECT coalesce(p.url, c.url) AS url, p.dg AS pd, c.dg AS cd
+            FROM prev p FULL OUTER JOIN curr c ON p.url = c.url
+          ), v AS (
+            SELECT regexp_extract(url, '^https://([^/]+)', 1) AS host,
+              CASE WHEN pd IS NULL THEN 'new'
+                   WHEN cd IS NULL THEN 'gone'
+                   WHEN pd = cd THEN 'unchanged'
+                   ELSE 'modified' END AS status
+            FROM allu
+          ), agg AS (
+            SELECT host,
+              sum(CASE WHEN status = 'new' THEN 1 ELSE 0 END) AS n_new,
+              sum(CASE WHEN status = 'gone' THEN 1 ELSE 0 END) AS n_gone,
+              sum(CASE WHEN status = 'modified' THEN 1 ELSE 0 END)
+                AS n_modified,
+              sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END)
+                AS n_unchanged
+            FROM v GROUP BY host
+          )
+          SELECT host, n_new, n_gone, n_modified, n_unchanged,
+            CASE WHEN n_new + n_modified + n_unchanged = 0 THEN 0
+                 ELSE (n_new + n_modified) * 1000000
+                      // (n_new + n_modified + n_unchanged) END
+              AS change_ppm
+          FROM agg
+        """
     # q142's full train->apply classifier replay, reused verbatim as
     # q145's scoring stage (oracle composition mirrors the Spark one)
     clf_sql = f"""
@@ -6058,50 +6119,21 @@ def _oracle_sql_literals() -> dict[str, str]:
         # q119: synthesis (drop every 7th, modify every 3rd, add a /new/
         # URL for every 5th), the full-outer verdict CASE and the
         # per-host integer-ppm rollup replayed in SQL.
-        "q119_recrawl_delta": """
-          WITH d AS (
-            SELECT CAST(doc_id AS BIGINT) AS n FROM documents
-          ), prev AS (
-            SELECT n, 'https://site-' || CAST(n % 50 AS VARCHAR)
-              || '.test/p/' || CAST(n AS VARCHAR) AS url,
-              'd' || CAST(n AS VARCHAR) AS dg
-            FROM d
-          ), curr AS (
-            SELECT url,
-              CASE WHEN n % 3 = 0 THEN 'm' || CAST(n AS VARCHAR)
-                   ELSE dg END AS dg
-            FROM prev WHERE n % 7 <> 0
-            UNION ALL
-            SELECT 'https://site-' || CAST(n % 50 AS VARCHAR)
-              || '.test/new/' || CAST(n AS VARCHAR),
-              'x' || CAST(n AS VARCHAR)
-            FROM d WHERE n % 5 = 0
-          ), allu AS (
-            SELECT coalesce(p.url, c.url) AS url, p.dg AS pd, c.dg AS cd
-            FROM prev p FULL OUTER JOIN curr c ON p.url = c.url
-          ), v AS (
-            SELECT regexp_extract(url, '^https://([^/]+)', 1) AS host,
-              CASE WHEN pd IS NULL THEN 'new'
-                   WHEN cd IS NULL THEN 'gone'
-                   WHEN pd = cd THEN 'unchanged'
-                   ELSE 'modified' END AS status
-            FROM allu
-          ), agg AS (
-            SELECT host,
-              sum(CASE WHEN status = 'new' THEN 1 ELSE 0 END) AS n_new,
-              sum(CASE WHEN status = 'gone' THEN 1 ELSE 0 END) AS n_gone,
-              sum(CASE WHEN status = 'modified' THEN 1 ELSE 0 END)
-                AS n_modified,
-              sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END)
-                AS n_unchanged
-            FROM v GROUP BY host
-          )
-          SELECT host, n_new, n_gone, n_modified, n_unchanged,
-            CASE WHEN n_new + n_modified + n_unchanged = 0 THEN 0
-                 ELSE (n_new + n_modified) * 1000000
-                      // (n_new + n_modified + n_unchanged) END
-              AS change_ppm
-          FROM agg
+        "q119_recrawl_delta": recrawl_sql,
+        "q148_recrawl_schedule": f"""
+          WITH rates AS ({recrawl_sql})
+          SELECT host, CAST(change_ppm AS BIGINT) AS change_ppm,
+                 CASE WHEN n_new + n_modified + n_unchanged = 0 THEN 'dead'
+                      WHEN change_ppm >= 200000 THEN 'hot'
+                      WHEN change_ppm <= 10000 THEN 'cold'
+                      ELSE 'warm' END AS tier,
+                 CAST(CASE WHEN n_new + n_modified + n_unchanged = 0
+                           THEN 720
+                           ELSE least(greatest(
+                                  CAST(168 AS BIGINT) * 100000
+                                  // greatest(change_ppm, 1), 6), 720)
+                      END AS BIGINT) AS interval_hours
+          FROM rates
         """,
         # q117: the same redirect map synthesized in SQL, then the walk
         # replayed as a recursive CTE stepping to the same 8-hop cap;

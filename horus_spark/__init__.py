@@ -236,6 +236,7 @@ def __getattr__(name):
         "span_diff": ("horus_spark.operators.interleave", "span_diff"),
         "srp_project": ("horus_spark.operators.similarity", "srp_project"),
         "srp_signs": ("horus_spark.operators.similarity", "srp_signs"),
+        "recrawl_schedule": ("horus_spark.operators.recrawl", "recrawl_schedule"),
         "rewrite_media_refs": (
             "horus_spark.operators.interleave", "rewrite_media_refs",
         ),
