@@ -3034,6 +3034,34 @@ def _q147_srp_project(spark, sf_dir):
     )
 
 
+def _q149_profile_drift(spark, sf_dir):
+    """Per-batch stats drift detection (operators/profile.py:
+    profile_drift) over two q103-style profiles of orders: the 'new'
+    snapshot plants one of each failure class — o_custkey collapsed to
+    10 values (upstream constant-fill/fanout bug), o_orderstatus nulled
+    for every 5th order (null-rate creep), o_orderpriority dropped,
+    o_flag added — while o_orderkey stays byte-stable. The two
+    corpus-scale passes are the profiles themselves; the drift compare
+    is a bounded column-count join in exact integer ppm. The oracle
+    replays both profiles column-by-column AND the verdict arithmetic."""
+    from horus_spark.operators.profile import profile_drift, profile_table
+
+    o = _fanout(_load(spark, sf_dir, "orders"), key="o_orderkey")
+    old_cols = ["o_orderkey", "o_custkey", "o_orderstatus",
+                "o_orderpriority"]
+    new = o.select(
+        "o_orderkey",
+        (F.col("o_custkey") % 10).alias("o_custkey"),
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit(None))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        (F.col("o_orderkey") % 2).alias("o_flag"),
+    )
+    return profile_drift(
+        profile_table(o.select(*old_cols)), profile_table(new)
+    )
+
+
 def _q131_snapshot_diff(spark, sf_dir):
     """Incremental/changelog read over the snapshot catalog
     (sink.py:snapshot_diff): q101's DML history is replayed (4 appends
@@ -3917,6 +3945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q146_span_diff": _q146_span_diff,
         "q147_srp_project": _q147_srp_project,
         "q148_recrawl_schedule": _q148_recrawl_schedule,
+        "q149_profile_drift": _q149_profile_drift,
     }
 
 
@@ -4992,6 +5021,93 @@ def _oracle_sql_literals() -> dict[str, str]:
                  CAST(sum(s.sgn * x.xq) AS BIGINT) AS value
           FROM x JOIN s USING (i)
           GROUP BY 1, 2
+        """,
+        "q149_profile_drift": """
+          WITH src AS (SELECT * FROM orders),
+          newsrc AS (
+            SELECT o_orderkey, o_custkey % 10 AS o_custkey,
+                   CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                        ELSE o_orderstatus END AS o_orderstatus,
+                   o_orderkey % 2 AS o_flag
+            FROM src),
+          oldp AS (
+            SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+                   sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+                   count(DISTINCT o_orderkey) AS nd,
+                   CAST(min(o_orderkey) AS VARCHAR) AS mn,
+                   CAST(max(o_orderkey) AS VARCHAR) AS mx FROM src
+            UNION ALL
+            SELECT 'o_custkey', count(*),
+                   sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+                   count(DISTINCT o_custkey),
+                   CAST(min(o_custkey) AS VARCHAR),
+                   CAST(max(o_custkey) AS VARCHAR) FROM src
+            UNION ALL
+            SELECT 'o_orderstatus', count(*),
+                   sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+                   count(DISTINCT o_orderstatus),
+                   CAST(min(o_orderstatus) AS VARCHAR),
+                   CAST(max(o_orderstatus) AS VARCHAR) FROM src
+            UNION ALL
+            SELECT 'o_orderpriority', count(*),
+                   sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+                   count(DISTINCT o_orderpriority),
+                   CAST(min(o_orderpriority) AS VARCHAR),
+                   CAST(max(o_orderpriority) AS VARCHAR) FROM src),
+          newp AS (
+            SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+                   sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+                   count(DISTINCT o_orderkey) AS nd,
+                   CAST(min(o_orderkey) AS VARCHAR) AS mn,
+                   CAST(max(o_orderkey) AS VARCHAR) AS mx FROM newsrc
+            UNION ALL
+            SELECT 'o_custkey', count(*),
+                   sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+                   count(DISTINCT o_custkey),
+                   CAST(min(o_custkey) AS VARCHAR),
+                   CAST(max(o_custkey) AS VARCHAR) FROM newsrc
+            UNION ALL
+            SELECT 'o_orderstatus', count(*),
+                   sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+                   count(DISTINCT o_orderstatus),
+                   CAST(min(o_orderstatus) AS VARCHAR),
+                   CAST(max(o_orderstatus) AS VARCHAR) FROM newsrc
+            UNION ALL
+            SELECT 'o_flag', count(*),
+                   sum(CASE WHEN o_flag IS NULL THEN 1 ELSE 0 END),
+                   count(DISTINCT o_flag),
+                   CAST(min(o_flag) AS VARCHAR),
+                   CAST(max(o_flag) AS VARCHAR) FROM newsrc),
+          j AS (
+            SELECT coalesce(o.col_name, n.col_name) AS col_name,
+                   o.n_rows AS ro, o.n_nulls AS no, o.nd AS ndo,
+                   o.mn AS mno, o.mx AS mxo,
+                   n.n_rows AS rn, n.n_nulls AS nn, n.nd AS ndn,
+                   n.mn AS mnn, n.mx AS mxn
+            FROM oldp o FULL JOIN newp n ON o.col_name = n.col_name)
+          SELECT col_name,
+                 CASE WHEN ndn IS NULL THEN 'dropped'
+                      WHEN ndo IS NULL THEN 'added'
+                      WHEN abs(nn * 1000000 // greatest(rn, 1)
+                               - no * 1000000 // greatest(ro, 1)) > 10000
+                           OR (ndn * 1000000 // greatest(ndo, 1)) < 500000
+                           OR (ndn * 1000000 // greatest(ndo, 1)) > 2000000
+                           OR NOT (mno IS NOT DISTINCT FROM mnn
+                                   AND mxo IS NOT DISTINCT FROM mxn)
+                        THEN 'drift'
+                      ELSE 'stable' END AS status,
+                 CAST(CASE WHEN ndn IS NULL OR ndo IS NULL THEN NULL
+                      ELSE nn * 1000000 // greatest(rn, 1)
+                           - no * 1000000 // greatest(ro, 1) END
+                      AS BIGINT) AS null_delta_ppm,
+                 CAST(CASE WHEN ndn IS NULL OR ndo IS NULL THEN NULL
+                      ELSE ndn * 1000000 // greatest(ndo, 1) END
+                      AS BIGINT) AS distinct_ratio_ppm,
+                 CASE WHEN ndn IS NULL OR ndo IS NULL THEN FALSE
+                      ELSE NOT (mno IS NOT DISTINCT FROM mnn
+                                AND mxo IS NOT DISTINCT FROM mxn) END
+                   AS range_changed
+          FROM j
         """,
         "q12_token_stats": f"""
           SELECT source, count(*) AS n_docs,

@@ -161,6 +161,7 @@ def main():
         "q120_ivf_pq_ann",  # round 4: IVF-PQ — product codes + integer ADC
         "q88_interleave_stats",  # round 4: interleaved-corpus map-side fold
         "q90_multimodal_dedup",  # round 4: content-addressed multimodal dedup
+        "q142_classifier",  # round 4: hashed quality classifier train+apply
     ]
     for name in headline:
         runner = make_runner(qs[name](spark, SF_DIR))  # probe run warms

@@ -237,6 +237,7 @@ def __getattr__(name):
         "srp_project": ("horus_spark.operators.similarity", "srp_project"),
         "srp_signs": ("horus_spark.operators.similarity", "srp_signs"),
         "recrawl_schedule": ("horus_spark.operators.recrawl", "recrawl_schedule"),
+        "profile_drift": ("horus_spark.operators.profile", "profile_drift"),
         "rewrite_media_refs": (
             "horus_spark.operators.interleave", "rewrite_media_refs",
         ),

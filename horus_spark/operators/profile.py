@@ -79,3 +79,86 @@ def profile_table(
         )
     )
     return one.select(F.explode(entries).alias("p")).select("p.*")
+
+
+def profile_drift(
+    old: DataFrame,
+    new: DataFrame,
+    null_delta_ppm: int = 10_000,
+    distinct_lo_ppm: int = 500_000,
+    distinct_hi_ppm: int = 2_000_000,
+) -> DataFrame:
+    """Schema/stats drift report between two profile_table outputs —
+    the check a 10^12-row ingestion pipeline runs per batch: compare
+    THIS snapshot's per-column profile against the previous one and
+    flag what a schema registry alone cannot see (null-rate creep, a
+    distinct-count collapse that signals an upstream join fanout or a
+    constant-fill bug, range drift).
+
+    Verdicts per column:
+      added / dropped — present in only one profile;
+      drift           — |null-rate delta| > null_delta_ppm, OR the
+                        distinct ratio new/old (ppm) leaves
+                        [distinct_lo_ppm, distinct_hi_ppm], OR the
+                        min/max strings changed;
+      stable          — none of the above.
+
+    All comparisons are exact integer ppm (BIGINT products — profiles
+    are column-counted, so nothing here can overflow); the inputs are
+    one row per COLUMN, so this is a bounded full-outer join + map-side
+    arithmetic — the profiles themselves were the corpus-scale pass.
+    Returns (col_name, status, null_delta_ppm, distinct_ratio_ppm,
+    range_changed); the ppm deltas are NULL for added/dropped columns
+    (no counterpart to compare), range_changed is false there — a
+    non-null boolean keeps downstream filters total."""
+    if not 0 < distinct_lo_ppm <= distinct_hi_ppm:
+        raise ValueError(
+            "need 0 < distinct_lo_ppm <= distinct_hi_ppm, got "
+            f"{distinct_lo_ppm}, {distinct_hi_ppm}"
+        )
+
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            "col_name",
+            F.expr("n_nulls * 1000000 div greatest(n_rows, 1)").alias(
+                f"null_ppm_{tag}"
+            ),
+            F.col("n_distinct").alias(f"nd_{tag}"),
+            F.col("min_value").alias(f"min_{tag}"),
+            F.col("max_value").alias(f"max_{tag}"),
+        )
+
+    j = side(old, "o").join(side(new, "n"), "col_name", "full_outer")
+    only_old = F.col("nd_n").isNull() & F.col("nd_o").isNotNull()
+    only_new = F.col("nd_o").isNull() & F.col("nd_n").isNotNull()
+    nd_delta = (F.col("null_ppm_n") - F.col("null_ppm_o")).cast("long")
+    dist_ratio = F.expr(
+        "CAST(nd_n * 1000000 div greatest(nd_o, 1) AS BIGINT)"
+    )
+    range_changed = ~(
+        F.col("min_o").eqNullSafe(F.col("min_n"))
+        & F.col("max_o").eqNullSafe(F.col("max_n"))
+    )
+    drifted = (
+        (F.abs(nd_delta) > null_delta_ppm)
+        | (dist_ratio < distinct_lo_ppm)
+        | (dist_ratio > distinct_hi_ppm)
+        | range_changed
+    )
+    return j.select(
+        "col_name",
+        F.when(only_old, F.lit("dropped"))
+        .when(only_new, F.lit("added"))
+        .when(drifted, F.lit("drift"))
+        .otherwise(F.lit("stable"))
+        .alias("status"),
+        F.when(only_old | only_new, F.lit(None).cast("long"))
+        .otherwise(nd_delta)
+        .alias("null_delta_ppm"),
+        F.when(only_old | only_new, F.lit(None).cast("long"))
+        .otherwise(dist_ratio)
+        .alias("distinct_ratio_ppm"),
+        F.when(only_old | only_new, F.lit(False))
+        .otherwise(range_changed)
+        .alias("range_changed"),
+    )
