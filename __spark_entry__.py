@@ -3062,6 +3062,23 @@ def _q149_profile_drift(spark, sf_dir):
     )
 
 
+def _q150_outlier_gate(spark, sf_dir):
+    """Per-source p99 length-outlier gate (operators/sketches.py:
+    quantile_outlier_gate): the q143 sketch's deterministic floor
+    quantile becomes a broadcast per-group bound and every document is
+    verdicted map-side — reproducible run-to-run (no approxQuantile
+    sampling), bounded memory at any corpus size, and the floor
+    estimate errs toward KEEPING boundary docs. The oracle replays the
+    sketch, the rank read and the verdict join end-to-end."""
+    from horus_spark.operators.sketches import quantile_outlier_gate
+
+    d = _fanout(_load(spark, sf_dir, "documents"))
+    out = quantile_outlier_gate(
+        d, "n_chars", ["source"], q=990_000, k=4
+    )
+    return out.select("doc_id", "source", "n_chars", "q_est", "outlier")
+
+
 def _q131_snapshot_diff(spark, sf_dir):
     """Incremental/changelog read over the snapshot catalog
     (sink.py:snapshot_diff): q101's DML history is replayed (4 appends
@@ -3946,6 +3963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q147_srp_project": _q147_srp_project,
         "q148_recrawl_schedule": _q148_recrawl_schedule,
         "q149_profile_drift": _q149_profile_drift,
+        "q150_outlier_gate": _q150_outlier_gate,
     }
 
 
@@ -4622,6 +4640,44 @@ def _oracle_sql_literals() -> dict[str, str]:
               AS change_ppm
           FROM agg
         """
+    hdr_sql = """
+          WITH v AS (
+            SELECT source, CAST(n_chars AS BIGINT) AS val FROM documents
+            WHERE n_chars IS NOT NULL),
+          bk AS (
+            SELECT source,
+                   CASE WHEN val < 16 THEN val
+                        ELSE CAST((length(bin(val)) - 1 - 4 + 1) AS BIGINT) * 16
+                             + ((val - (CAST(1 AS BIGINT)
+                                        << (length(bin(val)) - 1)))
+                                >> (length(bin(val)) - 1 - 4))
+                   END AS bucket
+            FROM v),
+          sk AS (SELECT source, bucket, count(*) AS c FROM bk GROUP BY 1, 2),
+          cum AS (
+            SELECT source, bucket,
+                   sum(c) OVER (PARTITION BY source ORDER BY bucket
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+                   sum(c) OVER (PARTITION BY source) AS n
+            FROM sk),
+          qq AS (SELECT * FROM (VALUES (250000), (500000), (900000),
+                                       (990000)) AS q(q_ppm)),
+          probe AS (
+            SELECT source, bucket, cum, n, q_ppm,
+                   greatest((CAST(q_ppm AS BIGINT) * n + 999999) // 1000000,
+                            1) AS r
+            FROM cum, qq),
+          hit AS (
+            SELECT source, q_ppm, min(bucket) AS b, max(n) AS n
+            FROM probe WHERE cum >= r GROUP BY 1, 2)
+          SELECT source, CAST(q_ppm AS INT) AS q_ppm,
+                 CASE WHEN b < 32 THEN CAST(b AS BIGINT)
+                      ELSE (CAST(1 AS BIGINT) << (CAST(b // 16 AS INT) + 3))
+                           + ((b % 16) << (CAST(b // 16 AS INT) - 1))
+                 END AS est,
+                 CAST(n AS BIGINT) AS n
+          FROM hit
+        """
     # q142's full train->apply classifier replay, reused verbatim as
     # q145's scoring stage (oracle composition mirrors the Spark one)
     clf_sql = f"""
@@ -4833,43 +4889,15 @@ def _oracle_sql_literals() -> dict[str, str]:
           GROUP BY key
         """,
         "q142_classifier": clf_sql,
-        "q143_hdr_quantiles": """
-          WITH v AS (
-            SELECT source, CAST(n_chars AS BIGINT) AS val FROM documents
-            WHERE n_chars IS NOT NULL),
-          bk AS (
-            SELECT source,
-                   CASE WHEN val < 16 THEN val
-                        ELSE CAST((length(bin(val)) - 1 - 4 + 1) AS BIGINT) * 16
-                             + ((val - (CAST(1 AS BIGINT)
-                                        << (length(bin(val)) - 1)))
-                                >> (length(bin(val)) - 1 - 4))
-                   END AS bucket
-            FROM v),
-          sk AS (SELECT source, bucket, count(*) AS c FROM bk GROUP BY 1, 2),
-          cum AS (
-            SELECT source, bucket,
-                   sum(c) OVER (PARTITION BY source ORDER BY bucket
-                                ROWS UNBOUNDED PRECEDING) AS cum,
-                   sum(c) OVER (PARTITION BY source) AS n
-            FROM sk),
-          qq AS (SELECT * FROM (VALUES (250000), (500000), (900000),
-                                       (990000)) AS q(q_ppm)),
-          probe AS (
-            SELECT source, bucket, cum, n, q_ppm,
-                   greatest((CAST(q_ppm AS BIGINT) * n + 999999) // 1000000,
-                            1) AS r
-            FROM cum, qq),
-          hit AS (
-            SELECT source, q_ppm, min(bucket) AS b, max(n) AS n
-            FROM probe WHERE cum >= r GROUP BY 1, 2)
-          SELECT source, CAST(q_ppm AS INT) AS q_ppm,
-                 CASE WHEN b < 32 THEN CAST(b AS BIGINT)
-                      ELSE (CAST(1 AS BIGINT) << (CAST(b // 16 AS INT) + 3))
-                           + ((b % 16) << (CAST(b // 16 AS INT) - 1))
-                 END AS est,
-                 CAST(n AS BIGINT) AS n
-          FROM hit
+        "q143_hdr_quantiles": hdr_sql,
+        "q150_outlier_gate": f"""
+          WITH qq2 AS (
+            SELECT source, est AS q_est
+            FROM ({hdr_sql}) WHERE q_ppm = 990000)
+          SELECT d.doc_id, d.source, d.n_chars, qq2.q_est,
+                 coalesce(CAST(d.n_chars AS BIGINT) > qq2.q_est, FALSE)
+                   AS outlier
+          FROM documents d LEFT JOIN qq2 USING (source)
         """,
         "q144_politeness": """
           WITH fr AS (

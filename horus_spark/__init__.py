@@ -238,6 +238,7 @@ def __getattr__(name):
         "srp_signs": ("horus_spark.operators.similarity", "srp_signs"),
         "recrawl_schedule": ("horus_spark.operators.recrawl", "recrawl_schedule"),
         "profile_drift": ("horus_spark.operators.profile", "profile_drift"),
+        "quantile_outlier_gate": ("horus_spark.operators.sketches", "quantile_outlier_gate"),
         "rewrite_media_refs": (
             "horus_spark.operators.interleave", "rewrite_media_refs",
         ),

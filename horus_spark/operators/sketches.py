@@ -658,3 +658,42 @@ def hdr_quantiles(
         F.expr(_hdr_lower_sql("_b", k)).alias("est"),
         F.col("n").cast("long").alias("n"),
     )
+
+
+def quantile_outlier_gate(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    q: int = 990_000,
+    k: int = 4,
+) -> DataFrame:
+    """Per-group quantile outlier gate — the bounded-memory form of
+    "drop documents longer than this group's p99": build the hdr_sketch
+    per group, read the q-th quantile, broadcast the per-group bound
+    back and verdict every row map-side. Because the quantile estimate
+    is the deterministic bucket floor, the gate is reproducible
+    run-to-run and engine-portable — unlike approxQuantile, whose
+    result depends on sampling.
+
+    Two passes over the value column (sketch, then verdict) but ZERO
+    corpus-keyed shuffles: the sketch agg is bucket-bounded and the
+    bound table (one row per group) broadcasts. A row is an outlier
+    when value > est (est <= true quantile, so the gate errs toward
+    keeping at most the sketch's 2^-k relative slack — never toward
+    dropping a sub-quantile row). Returns the input columns plus
+    (q_est:long, outlier:boolean)."""
+    groups = list(group_cols or [])
+    sk = hdr_sketch(df, value_col, groups, k=k)
+    bounds = hdr_quantiles(sk, [q], groups, k=k).select(
+        *groups, F.col("est").alias("q_est")
+    )
+    if groups:
+        joined = df.join(F.broadcast(bounds), groups, "left")
+    else:
+        joined = df.crossJoin(F.broadcast(bounds))
+    return joined.withColumn(
+        "outlier",
+        F.coalesce(
+            F.col(value_col).cast("long") > F.col("q_est"), F.lit(False)
+        ),
+    )

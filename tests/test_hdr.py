@@ -129,3 +129,18 @@ def test_negative_value_fails_lazily(spark):
     sk = hdr_sketch(df, "v", k=K)  # no job yet -> no error yet
     with pytest.raises(Exception, match="non-negative"):
         sk.collect()
+
+
+def test_quantile_outlier_gate(spark):
+    from horus_spark.operators.sketches import quantile_outlier_gate
+
+    rows = [("g", v) for v in range(1, 101)] + [("g", 10_000)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = quantile_outlier_gate(df, "v", ["g"], q=990_000, k=K)
+    out = {(r.g, r.v): (r.q_est, r.outlier) for r in got.collect()}
+    # the one huge value must be flagged; small values must not be
+    assert out[("g", 10_000)][1] is True
+    assert all(not o for (g, v), (_, o) in out.items() if v <= 90)
+    # ungrouped path
+    un = quantile_outlier_gate(df, "v", None, q=500_000, k=K)
+    assert un.filter("outlier").count() > 0
