@@ -3079,6 +3079,19 @@ def _q150_outlier_gate(spark, sf_dir):
     return out.select("doc_id", "source", "n_chars", "q_est", "outlier")
 
 
+def _q151_zipf_fit(spark, sf_dir):
+    """Zipf power-law slope of the corpus token distribution
+    (operators/textstats.py:zipf_fit): one token-count aggregation,
+    TakeOrdered top-10k (no global sort), micro-nat least squares with
+    DECIMAL(38,0) moment sums and sign-magnitude division — the
+    corpus-health number (natural text ~ -1) computed bit-identically
+    in both engines. The oracle replays ranks, logs, HUGEINT moments
+    and the floor division."""
+    from horus_spark.operators.textstats import zipf_fit
+
+    return zipf_fit(_fanout(_load(spark, sf_dir, "documents")), top_k=10_000)
+
+
 def _q131_snapshot_diff(spark, sf_dir):
     """Incremental/changelog read over the snapshot catalog
     (sink.py:snapshot_diff): q101's DML history is replayed (4 appends
@@ -3964,6 +3977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q148_recrawl_schedule": _q148_recrawl_schedule,
         "q149_profile_drift": _q149_profile_drift,
         "q150_outlier_gate": _q150_outlier_gate,
+        "q151_zipf_fit": _q151_zipf_fit,
     }
 
 
@@ -4898,6 +4912,40 @@ def _oracle_sql_literals() -> dict[str, str]:
                  coalesce(CAST(d.n_chars AS BIGINT) > qq2.q_est, FALSE)
                    AS outlier
           FROM documents d LEFT JOIN qq2 USING (source)
+        """,
+        "q151_zipf_fit": """
+          WITH tok AS (
+            SELECT unnest(list_filter(
+                     string_split_regex(trim(lower(coalesce(text, ''))),
+                                        '\\s+'),
+                     x -> x <> '')) AS t
+            FROM documents),
+          c AS (SELECT t, count(*) AS c FROM tok GROUP BY 1),
+          top AS (SELECT t, c FROM c ORDER BY c DESC, t ASC LIMIT 10000),
+          rk AS (SELECT c,
+                        row_number() OVER (ORDER BY c DESC, t ASC) AS r
+                 FROM top),
+          xy AS (SELECT CAST(round(ln(CAST(r AS DOUBLE)) * 1e6) AS BIGINT)
+                          AS x,
+                        CAST(round(ln(CAST(c AS DOUBLE)) * 1e6) AS BIGINT)
+                          AS y
+                 FROM rk),
+          m AS (SELECT count(*) AS n,
+                       sum(CAST(x AS HUGEINT)) AS sx,
+                       sum(CAST(y AS HUGEINT)) AS sy,
+                       sum(CAST(x AS HUGEINT) * y) AS sxy,
+                       sum(CAST(x AS HUGEINT) * x) AS sxx
+                FROM xy)
+          SELECT CAST(n AS BIGINT) AS n_ranks,
+                 CAST(CASE
+                   WHEN n < 2 OR (n * sxx - sx * sx) = 0 THEN NULL
+                   WHEN (n * sxy - sx * sy) < 0
+                   THEN -((-(n * sxy - sx * sy) * 1000000)
+                          // (n * sxx - sx * sx))
+                   ELSE ((n * sxy - sx * sy) * 1000000)
+                        // (n * sxx - sx * sx)
+                 END AS BIGINT) AS slope_micro
+          FROM m
         """,
         "q144_politeness": """
           WITH fr AS (

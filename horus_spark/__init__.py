@@ -239,6 +239,7 @@ def __getattr__(name):
         "recrawl_schedule": ("horus_spark.operators.recrawl", "recrawl_schedule"),
         "profile_drift": ("horus_spark.operators.profile", "profile_drift"),
         "quantile_outlier_gate": ("horus_spark.operators.sketches", "quantile_outlier_gate"),
+        "zipf_fit": ("horus_spark.operators.textstats", "zipf_fit"),
         "rewrite_media_refs": (
             "horus_spark.operators.interleave", "rewrite_media_refs",
         ),

@@ -261,3 +261,85 @@ def top_ngrams(
         .orderBy(F.desc("n_occurrences"), F.asc("gram"))
         .limit(k)
     )
+
+
+def zipf_fit(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_k: int = 10_000,
+) -> DataFrame:
+    """Zipf power-law fit of the corpus token distribution — the
+    corpus-health diagnostic: natural text follows freq ~ rank^s with
+    s near -1; a much flatter slope signals shuffled/templated junk, a
+    much steeper one signals boilerplate domination or a collapsed
+    vocabulary. Fits least-squares on (ln rank, ln count) over the TOP
+    top_k tokens (standard practice — the unigram tail bends away from
+    the power law and would bias the fit; and bounding k keeps every
+    moment sum within DECIMAL(38,0)/HUGEINT exactly).
+
+    Determinism: counts are exact longs; ln values are rounded once to
+    integer micro-nats; every moment (Sx, Sy, Sxy, Sxx) is an exact
+    DECIMAL(38,0) sum; and the closed-form slope
+        (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2)
+    is evaluated with SIGN-MAGNITUDE integer division (the q130 deskew
+    convention) so Spark's truncate-toward-zero and the oracle's floor
+    division cannot diverge on the negative slope.
+
+    Shape at scale: ONE token-count aggregation (map-side combine) ->
+    TakeOrdered top_k (per-partition top-k, no global sort) -> a window
+    + moment sums over the k-bounded set. Returns one row
+    (n_ranks:long, slope_micro:long — e.g. -987654 means s ~ -0.9877);
+    slope is NULL when fewer than 2 distinct ranks exist."""
+    from pyspark.sql import Window
+
+    if top_k < 2:
+        raise ValueError(f"need top_k >= 2, got {top_k}")
+    toks = F.explode(
+        F.filter(
+            tokens_expr(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit(""))))),
+            lambda x: x != "",
+        )
+    ).alias("token")
+    counts = docs.select(toks).groupBy("token").agg(F.count("*").alias("c"))
+    top = counts.orderBy(F.col("c").desc(), F.col("token").asc()).limit(
+        int(top_k)
+    )
+    ranked = top.withColumn(
+        "r",
+        F.row_number().over(
+            Window.orderBy(F.col("c").desc(), F.col("token").asc())
+        ),
+    )
+    xy = ranked.select(
+        F.round(F.log(F.col("r").cast("double")) * 1e6)
+        .cast("long")
+        .alias("x"),
+        F.round(F.log(F.col("c").cast("double")) * 1e6)
+        .cast("long")
+        .alias("y"),
+    )
+    mom = xy.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0))")).alias("sx"),
+        F.sum(F.expr("CAST(y AS DECIMAL(38,0))")).alias("sy"),
+        F.sum(
+            F.expr("CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))")
+        ).alias("sxy"),
+        F.sum(
+            F.expr("CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))")
+        ).alias("sxx"),
+    )
+    return mom.select(
+        F.col("n").alias("n_ranks"),
+        F.expr(
+            """
+            CASE WHEN n < 2 OR (n * sxx - sx * sx) = 0 THEN NULL
+                 WHEN (n * sxy - sx * sy) < 0
+                 THEN -CAST((-(n * sxy - sx * sy) * 1000000)
+                            div (n * sxx - sx * sx) AS BIGINT)
+                 ELSE CAST(((n * sxy - sx * sy) * 1000000)
+                           div (n * sxx - sx * sx) AS BIGINT)
+            END
+            """
+        ).alias("slope_micro"),
+    )
