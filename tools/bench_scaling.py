@@ -28,8 +28,8 @@ sys.path.insert(0, REPO)
 N_DOCS = int(os.environ.get("HORUS_SCALE_DOCS", "100000"))
 CORPUS = f"/tmp/horus_bench_corpus_{N_DOCS}"
 LEVELS = [int(x) for x in os.environ.get("HORUS_SCALE_LEVELS", "8,32").split(",")]
-WARMUPS = 4
-RUNS = 6
+WARMUPS = int(os.environ.get("HORUS_SCALE_WARMUPS", "4"))
+RUNS = int(os.environ.get("HORUS_SCALE_RUNS", "6"))
 
 
 def _level_child(cores: int) -> None:
