@@ -3092,6 +3092,36 @@ def _q151_zipf_fit(spark, sf_dir):
     return zipf_fit(_fanout(_load(spark, sf_dir, "documents")), top_k=10_000)
 
 
+def _q152_rate_anomalies(spark, sf_dir):
+    """Event-rate spike detection (operators/anomaly.py:rate_anomalies)
+    over the events stream plus a PLANTED burst (every 97th event
+    recloned as an 'error' at a fixed hour, 1704258000): gap-filled
+    hourly rollup (q68's machinery) -> trailing-24h integer baseline ->
+    flag buckets whose count exceeds 3x the trailing mean with an
+    absolute floor and a warmup guard. The oracle replays bucketing,
+    gap-fill, the trailing window and the DECIMAL/HUGEINT threshold
+    product, so green means the whole telemetry health check is
+    engine-portable — including that the planted burst (and only
+    genuine spikes) fires."""
+    from horus_spark.operators.anomaly import rate_anomalies
+
+    ev = _fanout(_load(spark, sf_dir, "events"), key="event_id")
+    base = ev.select("ts", "event_type")
+    burst = ev.filter(F.col("event_id") % 97 == 0).select(
+        F.expr(
+            "timestamp_seconds(1704258000 + (event_id % 60) * 60)"
+        ).alias("ts"),
+        F.lit("error").alias("event_type"),
+    )
+    return rate_anomalies(
+        base.unionByName(burst),
+        width_s=3600,
+        trailing=24,
+        mult_ppm=3_000_000,
+        min_count=10,
+    )
+
+
 def _q131_snapshot_diff(spark, sf_dir):
     """Incremental/changelog read over the snapshot catalog
     (sink.py:snapshot_diff): q101's DML history is replayed (4 appends
@@ -3978,6 +4008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q149_profile_drift": _q149_profile_drift,
         "q150_outlier_gate": _q150_outlier_gate,
         "q151_zipf_fit": _q151_zipf_fit,
+        "q152_rate_anomalies": _q152_rate_anomalies,
     }
 
 
@@ -4946,6 +4977,47 @@ def _oracle_sql_literals() -> dict[str, str]:
                         // (n * sxx - sx * sx)
                  END AS BIGINT) AS slope_micro
           FROM m
+        """,
+        "q152_rate_anomalies": """
+          WITH ev AS (
+            SELECT event_type AS k,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS es
+            FROM events
+            UNION ALL
+            SELECT 'error', 1704258000 + (event_id % 60) * 60
+            FROM events WHERE event_id % 97 = 0),
+          base AS (
+            SELECT k, ((es // 3600) * 3600)::BIGINT AS bucket_start
+            FROM ev),
+          agg AS (SELECT k, bucket_start, count(*)::BIGINT AS n
+                  FROM base GROUP BY 1, 2),
+          span AS (SELECT min(bucket_start) AS lo, max(bucket_start) AS hi
+                   FROM base),
+          dims AS (
+            SELECT k,
+                   unnest(generate_series(span.lo, span.hi, 3600))::BIGINT
+                     AS bucket_start
+            FROM (SELECT DISTINCT k FROM base), span),
+          j AS (
+            SELECT d.k, d.bucket_start, COALESCE(a.n, 0)::BIGINT AS n
+            FROM dims d LEFT JOIN agg a
+              ON a.k = d.k AND a.bucket_start = d.bucket_start),
+          wnd AS (
+            SELECT k, bucket_start, n,
+                   sum(n) OVER (PARTITION BY k ORDER BY bucket_start
+                                ROWS BETWEEN 24 PRECEDING
+                                AND 1 PRECEDING) AS tsum,
+                   count(n) OVER (PARTITION BY k ORDER BY bucket_start
+                                  ROWS BETWEEN 24 PRECEDING
+                                  AND 1 PRECEDING) AS tn
+            FROM j)
+          SELECT k AS event_type, bucket_start, n AS n_events,
+                 CAST(CASE WHEN tn = 24 THEN tsum END AS BIGINT)
+                   AS trailing_sum,
+                 (tn = 24 AND n >= 10
+                  AND CAST(n AS HUGEINT) * 24 * 1000000
+                      > CAST(3000000 AS HUGEINT) * tsum) AS flagged
+          FROM wnd
         """,
         "q144_politeness": """
           WITH fr AS (

@@ -240,6 +240,7 @@ def __getattr__(name):
         "profile_drift": ("horus_spark.operators.profile", "profile_drift"),
         "quantile_outlier_gate": ("horus_spark.operators.sketches", "quantile_outlier_gate"),
         "zipf_fit": ("horus_spark.operators.textstats", "zipf_fit"),
+        "rate_anomalies": ("horus_spark.operators.anomaly", "rate_anomalies"),
         "rewrite_media_refs": (
             "horus_spark.operators.interleave", "rewrite_media_refs",
         ),
