@@ -160,17 +160,27 @@ def classifier_score(
     per-doc long-sum aggregation. Returns
     (id_col, n_feats, score_micro, keep); every input doc gets a row
     (empty docs score the bias alone)."""
-    sent = {
-        r["bucket"]: r["w_micro"]
-        for r in model.filter(F.col("bucket") < 0).collect()
-    }
+    # the model is n_buckets-bounded BY CONSTRUCTION, so collect it ONCE
+    # (a lazy sentinel filter + a separate broadcast of the same frame
+    # would execute the training aggregation twice) and ship the weights
+    # back as a local relation — Spark broadcasts it without recomputing
+    # any lineage
+    rows = [(int(r["bucket"]), int(r["w_micro"])) for r in model.collect()]
+    sent = {b: w for b, w in rows if b < 0}
     if BIAS_BUCKET not in sent or UNSEEN_BUCKET not in sent:
         raise ValueError(
             "model frame is missing its bias/unseen sentinel rows; "
             "was it produced by fit_hashed_classifier?"
         )
     bias, unseen_w = int(sent[BIAS_BUCKET]), int(sent[UNSEEN_BUCKET])
-    weights = model.filter(F.col("bucket") >= 0)
+    weights = docs.sparkSession.createDataFrame(
+        [(b, w) for b, w in rows if b >= 0] or [(0, 0)],
+        "bucket int, w_micro long",
+    )
+    if not any(b >= 0 for b, _ in rows):
+        # degenerate empty-vocabulary model: keep an impossible bucket
+        # row so the left join below stays well-formed
+        weights = weights.filter(F.col("bucket") < 0)
 
     feats = docs.select(
         F.col(id_col).alias("id"),
