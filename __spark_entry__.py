@@ -3122,6 +3122,36 @@ def _q152_rate_anomalies(spark, sf_dir):
     )
 
 
+def _q153_cdc_dedup(spark, sf_dir):
+    """Content-defined chunking dedup (operators/cdc.py): every 13th
+    document is cloned with an INSERTED PREAMBLE (offsets shifted) —
+    fixed-width chunking would share nothing between clone and
+    original, but CDC boundaries resynchronize after the edit, so the
+    shared passages dedup and the per-doc duplicated-token ppm is
+    nonzero exactly where clones exist. Chunking is pure map-side array
+    expressions (boundary filter + zip_with segmentation, no quadratic
+    scan, no per-doc window); the dedup join ships (digest, id,
+    n_tokens) triples only. The oracle replays normalization, every
+    boundary hash, the segmentation and the ppm rollup."""
+    from horus_spark.operators.cdc import cdc_chunks, cdc_dup_stats
+
+    d = _fanout(_load(spark, sf_dir, "documents")).select("doc_id", "text")
+    clones = d.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 1_000_000_000).alias("doc_id"),
+        F.concat(F.lit("inserted preamble words "), F.col("text")).alias(
+            "text"
+        ),
+    )
+    corpus = d.unionByName(clones)
+    return cdc_dup_stats(cdc_chunks(corpus, k=3, divisor=8)).select(
+        F.col("id").alias("doc_id"),
+        "n_chunks",
+        "n_dup_chunks",
+        "n_tokens",
+        "dup_token_ppm",
+    )
+
+
 def _q131_snapshot_diff(spark, sf_dir):
     """Incremental/changelog read over the snapshot catalog
     (sink.py:snapshot_diff): q101's DML history is replayed (4 appends
@@ -4009,6 +4039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q150_outlier_gate": _q150_outlier_gate,
         "q151_zipf_fit": _q151_zipf_fit,
         "q152_rate_anomalies": _q152_rate_anomalies,
+        "q153_cdc_dedup": _q153_cdc_dedup,
     }
 
 
@@ -5018,6 +5049,55 @@ def _oracle_sql_literals() -> dict[str, str]:
                   AND CAST(n AS HUGEINT) * 24 * 1000000
                       > CAST(3000000 AS HUGEINT) * tsum) AS flagged
           FROM wnd
+        """,
+        "q153_cdc_dedup": """
+          WITH src AS (
+            SELECT doc_id AS id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000000,
+                   'inserted preamble words ' || text
+            FROM documents WHERE doc_id % 13 = 0),
+          nrm AS (
+            SELECT id,
+                   trim(regexp_replace(regexp_replace(regexp_replace(
+                     lower(text), '\\s+', ' ', 'g'), '[^a-z0-9 ]', '', 'g'),
+                     ' +', ' ', 'g')) AS t
+            FROM src),
+          tok AS (
+            SELECT id, string_split(t, ' ') AS w
+            FROM nrm WHERE len(replace(t, ' ', '')) > 0),
+          bnd AS (
+            SELECT id, w,
+                   [i for i in generate_series(2, len(w) - 2)
+                    if CAST(concat('0x', substring(
+                         md5(array_to_string(w[i - 1 : i + 1], ' ')),
+                         1, 15)) AS BIGINT) % 8 = 0] AS bpos
+            FROM tok),
+          segs AS (
+            SELECT id, w,
+                   [0] || list_transform(bpos, p -> p + 1) AS starts,
+                   bpos || [len(w) - 1] AS ends
+            FROM bnd),
+          ch AS (
+            SELECT id,
+                   unnest(list_transform(generate_series(1, len(starts)),
+                     j -> struct_pack(
+                            nt := ends[j] - starts[j] + 1,
+                            dg := md5(array_to_string(
+                                    w[starts[j] + 1 : ends[j] + 1], ' ')))),
+                     recursive := true)
+            FROM segs),
+          cnt AS (SELECT dg, count(DISTINCT id) AS nd FROM ch GROUP BY 1)
+          SELECT ch.id AS doc_id,
+                 count(*)::BIGINT AS n_chunks,
+                 sum(CASE WHEN cnt.nd > 1 THEN 1 ELSE 0 END)::BIGINT
+                   AS n_dup_chunks,
+                 sum(ch.nt)::BIGINT AS n_tokens,
+                 CAST(sum(CASE WHEN cnt.nd > 1 THEN ch.nt ELSE 0 END)
+                      * 1000000 // greatest(sum(ch.nt), 1) AS BIGINT)
+                   AS dup_token_ppm
+          FROM ch JOIN cnt USING (dg)
+          GROUP BY 1
         """,
         "q144_politeness": """
           WITH fr AS (

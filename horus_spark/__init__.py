@@ -241,6 +241,8 @@ def __getattr__(name):
         "quantile_outlier_gate": ("horus_spark.operators.sketches", "quantile_outlier_gate"),
         "zipf_fit": ("horus_spark.operators.textstats", "zipf_fit"),
         "rate_anomalies": ("horus_spark.operators.anomaly", "rate_anomalies"),
+        "cdc_chunks": ("horus_spark.operators.cdc", "cdc_chunks"),
+        "cdc_dup_stats": ("horus_spark.operators.cdc", "cdc_dup_stats"),
         "rewrite_media_refs": (
             "horus_spark.operators.interleave", "rewrite_media_refs",
         ),
