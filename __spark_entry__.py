@@ -3152,6 +3152,47 @@ def _q153_cdc_dedup(spark, sf_dir):
     )
 
 
+def _q154_hll_wave_overlap(spark, sf_dir):
+    """HLL set algebra over two crawl waves (operators/sketches.py:
+    hll_sketch/hll_set_ops — the register-sketch sibling of q129's KMV
+    algebra): per host, the q119 wave synthesis's previous and current
+    URL sets collapse to 64-register sketches, union comes from the
+    EXACT max-merge property, intersection from inclusion-exclusion —
+    the waves themselves are never joined, so yesterday's persisted
+    O(m) sketch is all a recrawl comparison needs. Hosts exercise both
+    the linear-counting and raw-estimate branches. The oracle replays
+    registers, merges, both correction branches and the rounded
+    inclusion-exclusion arithmetic."""
+    from horus_spark.operators.sketches import hll_set_ops, hll_sketch
+
+    d = _fanout(_load(spark, sf_dir, "documents"))
+    n = F.col("doc_id").cast("long")
+    ns = n.cast("string")
+    host = F.concat(F.lit("site-"), (n % 50).cast("string"), F.lit(".test"))
+    purl = F.concat(
+        F.lit("https://site-"), (n % 50).cast("string"),
+        F.lit(".test/p/"), ns,
+    )
+    prev = d.select(host.alias("host"), purl.alias("url"))
+    curr = d.where(n % 7 != 0).select(
+        host.alias("host"), purl.alias("url")
+    ).unionByName(
+        d.where(n % 5 == 0).select(
+            host.alias("host"),
+            F.concat(
+                F.lit("https://site-"), (n % 50).cast("string"),
+                F.lit(".test/new/"), ns,
+            ).alias("url"),
+        )
+    )
+    return hll_set_ops(
+        hll_sketch(prev, ["host"], "url", p=6),
+        hll_sketch(curr, ["host"], "url", p=6),
+        ["host"],
+        p=6,
+    )
+
+
 def _q131_snapshot_diff(spark, sf_dir):
     """Incremental/changelog read over the snapshot catalog
     (sink.py:snapshot_diff): q101's DML history is replayed (4 appends
@@ -4040,6 +4081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q151_zipf_fit": _q151_zipf_fit,
         "q152_rate_anomalies": _q152_rate_anomalies,
         "q153_cdc_dedup": _q153_cdc_dedup,
+        "q154_hll_wave_overlap": _q154_hll_wave_overlap,
     }
 
 
@@ -5098,6 +5140,84 @@ def _oracle_sql_literals() -> dict[str, str]:
                    AS dup_token_ppm
           FROM ch JOIN cnt USING (dg)
           GROUP BY 1
+        """,
+        "q154_hll_wave_overlap": """
+          WITH d AS (SELECT CAST(doc_id AS BIGINT) AS nn FROM documents),
+          prev AS (
+            SELECT 'site-' || CAST(nn % 50 AS VARCHAR) || '.test' AS host,
+                   'https://site-' || CAST(nn % 50 AS VARCHAR)
+                     || '.test/p/' || CAST(nn AS VARCHAR) AS url
+            FROM d),
+          curr AS (
+            SELECT 'site-' || CAST(nn % 50 AS VARCHAR) || '.test' AS host,
+                   'https://site-' || CAST(nn % 50 AS VARCHAR)
+                     || '.test/p/' || CAST(nn AS VARCHAR) AS url
+            FROM d WHERE nn % 7 <> 0
+            UNION ALL
+            SELECT 'site-' || CAST(nn % 50 AS VARCHAR) || '.test',
+                   'https://site-' || CAST(nn % 50 AS VARCHAR)
+                     || '.test/new/' || CAST(nn AS VARCHAR)
+            FROM d WHERE nn % 5 = 0),
+          ra AS (
+            SELECT host, hv >> 54 AS reg,
+                   max(CASE WHEN (hv & 18014398509481983) = 0 THEN 55
+                        ELSE 55 - length(bin(hv & 18014398509481983))
+                       END) AS m
+            FROM (SELECT host, CAST(concat('0x',
+                    substring(md5(url), 1, 15)) AS BIGINT) AS hv FROM prev)
+            GROUP BY 1, 2),
+          rb AS (
+            SELECT host, hv >> 54 AS reg,
+                   max(CASE WHEN (hv & 18014398509481983) = 0 THEN 55
+                        ELSE 55 - length(bin(hv & 18014398509481983))
+                       END) AS m
+            FROM (SELECT host, CAST(concat('0x',
+                    substring(md5(url), 1, 15)) AS BIGINT) AS hv FROM curr)
+            GROUP BY 1, 2),
+          ru AS (
+            SELECT host, reg, max(m) AS m
+            FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb)
+            GROUP BY 1, 2),
+          ea AS (
+            SELECT host, round(CASE WHEN e_raw <= 160.0 AND v < 64
+                   THEN 64.0 * ln(64.0 / (64 - v)) ELSE e_raw END, 4) AS e
+            FROM (SELECT host, count(*) AS v,
+                         0.709 * 4096.0
+                         / (sum(CAST(pow(2.0, 55 - m) AS BIGINT))
+                            / 36028797018963968.0 + (64 - count(*)))
+                           AS e_raw
+                  FROM ra GROUP BY 1)),
+          eb AS (
+            SELECT host, round(CASE WHEN e_raw <= 160.0 AND v < 64
+                   THEN 64.0 * ln(64.0 / (64 - v)) ELSE e_raw END, 4) AS e
+            FROM (SELECT host, count(*) AS v,
+                         0.709 * 4096.0
+                         / (sum(CAST(pow(2.0, 55 - m) AS BIGINT))
+                            / 36028797018963968.0 + (64 - count(*)))
+                           AS e_raw
+                  FROM rb GROUP BY 1)),
+          eu AS (
+            SELECT host, round(CASE WHEN e_raw <= 160.0 AND v < 64
+                   THEN 64.0 * ln(64.0 / (64 - v)) ELSE e_raw END, 4) AS e
+            FROM (SELECT host, count(*) AS v,
+                         0.709 * 4096.0
+                         / (sum(CAST(pow(2.0, 55 - m) AS BIGINT))
+                            / 36028797018963968.0 + (64 - count(*)))
+                           AS e_raw
+                  FROM ru GROUP BY 1))
+          SELECT eu.host,
+                 round(coalesce(ea.e, 0.0), 4) AS est_a,
+                 round(coalesce(eb.e, 0.0), 4) AS est_b,
+                 eu.e AS est_union,
+                 round(greatest(coalesce(ea.e, 0.0) + coalesce(eb.e, 0.0)
+                                - eu.e, 0.0), 4) AS est_intersection,
+                 round(CASE WHEN eu.e > 0.0
+                       THEN greatest(coalesce(ea.e, 0.0)
+                                     + coalesce(eb.e, 0.0) - eu.e, 0.0)
+                            / eu.e
+                       ELSE 0.0 END, 6) AS jaccard
+          FROM eu LEFT JOIN ea ON ea.host = eu.host
+                  LEFT JOIN eb ON eb.host = eu.host
         """,
         "q144_politeness": """
           WITH fr AS (

@@ -243,6 +243,9 @@ def __getattr__(name):
         "rate_anomalies": ("horus_spark.operators.anomaly", "rate_anomalies"),
         "cdc_chunks": ("horus_spark.operators.cdc", "cdc_chunks"),
         "cdc_dup_stats": ("horus_spark.operators.cdc", "cdc_dup_stats"),
+        "hll_sketch": ("horus_spark.operators.sketches", "hll_sketch"),
+        "hll_estimate": ("horus_spark.operators.sketches", "hll_estimate"),
+        "hll_set_ops": ("horus_spark.operators.sketches", "hll_set_ops"),
         "rewrite_media_refs": (
             "horus_spark.operators.interleave", "rewrite_media_refs",
         ),

@@ -324,6 +324,72 @@ def _hll_alpha(m: int) -> float:
     return 0.7213 / (1.0 + 1.079 / m)
 
 
+def hll_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    p: int = 6,
+    salt: str = "",
+) -> DataFrame:
+    """The mergeable HLL register table behind hll_distinct:
+    (group_cols..., reg:int, rho_max:int) — at most 2^p rows per group
+    regardless of input size. Registers merge by MAX, so sketches built
+    over different corpus slices (files, days, crawl waves) compose
+    without re-reading data; hll_estimate turns any merged register
+    table back into a distinct-count estimate, and hll_set_ops derives
+    union/intersection/Jaccard from two sketches. Construction and
+    determinism notes in hll_distinct's docstring."""
+    if not 4 <= p <= 16:
+        raise ValueError("p must be in [4, 16]")
+    rem_bits = 60 - p
+    h = md5_long(F.col(value_col), salt)
+    reg = F.shiftright(h, rem_bits)
+    rest = h.bitwiseAND(F.lit((1 << rem_bits) - 1))
+    rho = F.when(rest == 0, F.lit(rem_bits + 1)).otherwise(
+        F.lit(rem_bits + 1) - F.length(F.bin(rest))
+    )
+    groups = [F.col(c) for c in group_cols]
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*groups, reg.cast("int").alias("reg"), rho.alias("_rho"))
+        .groupBy(*group_cols, "reg")
+        .agg(F.max("_rho").cast("int").alias("rho_max"))
+    )
+
+
+def hll_estimate(
+    regs: DataFrame, group_cols: list[str], p: int = 6
+) -> DataFrame:
+    """Fold an hll_sketch register table (possibly merged across
+    slices) into per-group estimates: (group_cols...,
+    n_registers_hit:int, est_distinct:double). Exact-integer dyadic
+    fold + small-range linear counting per hll_distinct's notes."""
+    if not 4 <= p <= 16:
+        raise ValueError("p must be in [4, 16]")
+    m = 1 << p
+    rem_bits = 60 - p
+    alpha = _hll_alpha(m)
+    scale = float(1 << (rem_bits + 1))
+    term = F.pow(F.lit(2.0), F.lit(rem_bits + 1) - F.col("rho_max")).cast(
+        "long"
+    )
+    folded = regs.groupBy(*group_cols).agg(
+        F.count("*").alias("_v"),
+        (F.sum(term).cast("double") / F.lit(scale)).alias("_s"),
+    )
+    n_empty = F.lit(m) - F.col("_v")
+    e_raw = F.lit(alpha * m * m) / (F.col("_s") + n_empty.cast("double"))
+    est = F.when(
+        (e_raw <= 2.5 * m) & (n_empty > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / n_empty.cast("double")),
+    ).otherwise(e_raw)
+    return folded.select(
+        *group_cols,
+        F.col("_v").cast("int").alias("n_registers_hit"),
+        F.round(est, 4).alias("est_distinct"),
+    )
+
+
 def hll_distinct(
     df: DataFrame,
     group_cols: list[str],
@@ -367,44 +433,64 @@ def hll_distinct(
     Returns (group_cols..., n_registers_hit: int, est_distinct: double
     rounded to 4dp). Invariant to input partitioning (pinned by pytest).
     """
-    if not 4 <= p <= 16:
-        raise ValueError("p must be in [4, 16]")
-    m = 1 << p
-    rem_bits = 60 - p
-    alpha = _hll_alpha(m)
-
-    h = md5_long(F.col(value_col), salt)
-    reg = F.shiftright(h, rem_bits)
-    rest = h.bitwiseAND(F.lit((1 << rem_bits) - 1))
-    rho = F.when(rest == 0, F.lit(rem_bits + 1)).otherwise(
-        F.lit(rem_bits + 1) - F.length(F.bin(rest))
+    return hll_estimate(
+        hll_sketch(df, group_cols, value_col, p=p, salt=salt),
+        group_cols,
+        p=p,
     )
 
-    groups = [F.col(c) for c in group_cols]
-    regs = (
-        df.filter(F.col(value_col).isNotNull())
-        .select(*groups, reg.alias("_reg"), rho.alias("_rho"))
-        .groupBy(*group_cols, "_reg")
-        .agg(F.max("_rho").alias("_m"))
+
+def hll_set_ops(
+    a: DataFrame,
+    b: DataFrame,
+    group_cols: list[str] | None = None,
+    p: int = 6,
+) -> DataFrame:
+    """Set algebra over two hll_sketch register tables — the HLL
+    sibling of kmv_set_ops: union by register MAX-merge (EXACT by the
+    merge property — identical to sketching the unioned inputs),
+    intersection by inclusion-exclusion (est_a + est_b - est_union,
+    clamped at 0), and Jaccard from the two. Everything runs on the
+    O(2^p)-row sketch tables; the original inputs are never touched,
+    so two crawl waves can be compared from yesterday's persisted
+    sketches alone. Returns (group_cols..., est_a, est_b, est_union,
+    est_intersection, jaccard — all doubles, 4dp; groups present in
+    only one sketch estimate the other side as 0)."""
+    groups = list(group_cols or [])
+    u = (
+        a.unionByName(b)
+        .groupBy(*groups, "reg")
+        .agg(F.max("rho_max").cast("int").alias("rho_max"))
     )
-    # 2^(rem_bits+1-M) via pow(2.0, e) with e in [0, rem_bits] is exact in
-    # a double (<= 2^54 for p >= 4) and casts to long losslessly.
-    scale = float(1 << (rem_bits + 1))
-    term = F.pow(F.lit(2.0), F.lit(rem_bits + 1) - F.col("_m")).cast("long")
-    folded = regs.groupBy(*group_cols).agg(
-        F.count("*").alias("_v"),
-        (F.sum(term).cast("double") / F.lit(scale)).alias("_s"),
+
+    def est(regs: DataFrame, name: str) -> DataFrame:
+        e = hll_estimate(regs, groups, p=p)
+        return e.select(
+            *groups, F.col("est_distinct").alias(name)
+        )
+
+    ea, eb, eu = est(a, "est_a"), est(b, "est_b"), est(u, "est_union")
+    if groups:
+        j = eu.join(ea, groups, "left").join(eb, groups, "left")
+    else:
+        j = eu.crossJoin(ea).crossJoin(eb)
+    inter = F.greatest(
+        F.coalesce("est_a", F.lit(0.0))
+        + F.coalesce("est_b", F.lit(0.0))
+        - F.col("est_union"),
+        F.lit(0.0),
     )
-    n_empty = F.lit(m) - F.col("_v")
-    e_raw = F.lit(alpha * m * m) / (F.col("_s") + n_empty.cast("double"))
-    est = F.when(
-        (e_raw <= 2.5 * m) & (n_empty > 0),
-        F.lit(float(m)) * F.log(F.lit(float(m)) / n_empty.cast("double")),
-    ).otherwise(e_raw)
-    return folded.select(
-        *group_cols,
-        F.col("_v").cast("int").alias("n_registers_hit"),
-        F.round(est, 4).alias("est_distinct"),
+    return j.select(
+        *groups,
+        F.round(F.coalesce("est_a", F.lit(0.0)), 4).alias("est_a"),
+        F.round(F.coalesce("est_b", F.lit(0.0)), 4).alias("est_b"),
+        F.col("est_union"),
+        F.round(inter, 4).alias("est_intersection"),
+        F.round(
+            F.when(F.col("est_union") > 0.0, inter / F.col("est_union"))
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("jaccard"),
     )
 
 
