@@ -3193,6 +3193,40 @@ def _q154_hll_wave_overlap(spark, sf_dir):
     )
 
 
+def _q155_sitemap_coverage(spark, sf_dir):
+    """Sitemap-vs-crawl coverage audit (operators/sitemap.py:
+    sitemap_coverage): the site declares /p/<id> for ids not 2 mod 3;
+    the crawler holds /p/<id> for ids not 0 mod 7 plus undeclared
+    /extra/<id> for ids 0 mod 11 — so every host has all four
+    disjoint classes (both, listed-only, crawled-only and the exact
+    ppm ratios) derivable from the modular rules, which is exactly
+    what the oracle recomputes. One slim (host, url) full-outer join +
+    per-host counters, all integer ppm."""
+    from horus_spark.operators.sitemap import sitemap_coverage
+
+    d = _fanout(_load(spark, sf_dir, "documents"))
+    n = F.col("doc_id").cast("long")
+    ns = n.cast("string")
+    host = F.concat(F.lit("site-"), (n % 50).cast("string"), F.lit(".test"))
+    purl = F.concat(
+        F.lit("https://site-"), (n % 50).cast("string"),
+        F.lit(".test/p/"), ns,
+    )
+    listed = d.where(n % 3 != 2).select(host.alias("host"), purl.alias("url"))
+    crawled = d.where(n % 7 != 0).select(
+        host.alias("host"), purl.alias("url")
+    ).unionByName(
+        d.where(n % 11 == 0).select(
+            host.alias("host"),
+            F.concat(
+                F.lit("https://site-"), (n % 50).cast("string"),
+                F.lit(".test/extra/"), ns,
+            ).alias("url"),
+        )
+    )
+    return sitemap_coverage(listed, crawled)
+
+
 def _q131_snapshot_diff(spark, sf_dir):
     """Incremental/changelog read over the snapshot catalog
     (sink.py:snapshot_diff): q101's DML history is replayed (4 appends
@@ -4082,6 +4116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q152_rate_anomalies": _q152_rate_anomalies,
         "q153_cdc_dedup": _q153_cdc_dedup,
         "q154_hll_wave_overlap": _q154_hll_wave_overlap,
+        "q155_sitemap_coverage": _q155_sitemap_coverage,
     }
 
 
@@ -5218,6 +5253,46 @@ def _oracle_sql_literals() -> dict[str, str]:
                        ELSE 0.0 END, 6) AS jaccard
           FROM eu LEFT JOIN ea ON ea.host = eu.host
                   LEFT JOIN eb ON eb.host = eu.host
+        """,
+        "q155_sitemap_coverage": """
+          WITH d AS (SELECT CAST(doc_id AS BIGINT) AS nn FROM documents),
+          listed AS (
+            SELECT DISTINCT
+                   'site-' || CAST(nn % 50 AS VARCHAR) || '.test' AS host,
+                   'https://site-' || CAST(nn % 50 AS VARCHAR)
+                     || '.test/p/' || CAST(nn AS VARCHAR) AS url
+            FROM d WHERE nn % 3 <> 2),
+          crawled AS (
+            SELECT DISTINCT host, url FROM (
+              SELECT 'site-' || CAST(nn % 50 AS VARCHAR) || '.test' AS host,
+                     'https://site-' || CAST(nn % 50 AS VARCHAR)
+                       || '.test/p/' || CAST(nn AS VARCHAR) AS url
+              FROM d WHERE nn % 7 <> 0
+              UNION ALL
+              SELECT 'site-' || CAST(nn % 50 AS VARCHAR) || '.test',
+                     'https://site-' || CAST(nn % 50 AS VARCHAR)
+                       || '.test/extra/' || CAST(nn AS VARCHAR)
+              FROM d WHERE nn % 11 = 0)),
+          j AS (
+            SELECT coalesce(l.host, c.host) AS host,
+                   CASE WHEN l.url IS NOT NULL THEN 1 ELSE 0 END AS lf,
+                   CASE WHEN c.url IS NOT NULL THEN 1 ELSE 0 END AS cf
+            FROM listed l FULL JOIN crawled c
+              ON l.host = c.host AND l.url = c.url),
+          agg AS (
+            SELECT host, sum(lf)::BIGINT AS n_listed,
+                   sum(cf)::BIGINT AS n_crawled,
+                   sum(lf * cf)::BIGINT AS n_both
+            FROM j GROUP BY 1)
+          SELECT host, n_listed, n_crawled, n_both,
+                 (n_listed - n_both)::BIGINT AS listed_not_crawled,
+                 (n_crawled - n_both)::BIGINT AS crawled_not_listed,
+                 CAST(n_both * 1000000 // greatest(n_listed, 1) AS BIGINT)
+                   AS coverage_ppm,
+                 CAST((n_crawled - n_both) * 1000000
+                      // greatest(n_crawled, 1) AS BIGINT)
+                   AS discovery_ppm
+          FROM agg
         """,
         "q144_politeness": """
           WITH fr AS (

@@ -246,6 +246,7 @@ def __getattr__(name):
         "hll_sketch": ("horus_spark.operators.sketches", "hll_sketch"),
         "hll_estimate": ("horus_spark.operators.sketches", "hll_estimate"),
         "hll_set_ops": ("horus_spark.operators.sketches", "hll_set_ops"),
+        "sitemap_coverage": ("horus_spark.operators.sitemap", "sitemap_coverage"),
         "rewrite_media_refs": (
             "horus_spark.operators.interleave", "rewrite_media_refs",
         ),

@@ -73,3 +73,64 @@ def parse_sitemaps(
         .alias("priority_ppm"),
     )
     return out.where(F.col("loc").isNotNull())
+
+
+def sitemap_coverage(
+    listed: DataFrame,
+    crawled: DataFrame,
+    host_col: str = "host",
+    url_col: str = "url",
+) -> DataFrame:
+    """Sitemap-vs-crawl coverage audit — the crawl-ops report joining
+    the two URL inventories a host exposes: what the site DECLARES
+    (parse_sitemaps output) versus what the crawler actually HOLDS
+    (frontier/seen set). Two numbers matter operationally:
+    coverage_ppm (declared URLs we hold — low means the crawler is
+    missing announced content, check robots/budget/traps) and
+    discovery_ppm (held URLs the site never declared — high means
+    deep-link discovery is doing the work and the sitemap is stale).
+
+    Both inputs are deduplicated on (host, url); pass both sides
+    through the same URL normalization (urls.normalize_url_expr)
+    upstream or fragment/trailing-slash variants will read as
+    disagreement. One full-outer join on slim (host, url) pairs + a
+    per-host counter rollup; all ratios exact integer ppm. Returns
+    (host, n_listed, n_crawled, n_both, listed_not_crawled,
+    crawled_not_listed, coverage_ppm, discovery_ppm)."""
+    l = (
+        listed.select(
+            F.col(host_col).alias("host"), F.col(url_col).alias("url")
+        )
+        .distinct()
+        .withColumn("_l", F.lit(1))
+    )
+    c = (
+        crawled.select(
+            F.col(host_col).alias("host"), F.col(url_col).alias("url")
+        )
+        .distinct()
+        .withColumn("_c", F.lit(1))
+    )
+    j = l.join(c, ["host", "url"], "full_outer")
+    agg = j.groupBy("host").agg(
+        F.sum(F.coalesce("_l", F.lit(0))).cast("long").alias("n_listed"),
+        F.sum(F.coalesce("_c", F.lit(0))).cast("long").alias("n_crawled"),
+        F.sum(
+            (F.col("_l").isNotNull() & F.col("_c").isNotNull()).cast("long")
+        ).alias("n_both"),
+    )
+    return agg.select(
+        "host",
+        "n_listed",
+        "n_crawled",
+        F.col("n_both").cast("long").alias("n_both"),
+        (F.col("n_listed") - F.col("n_both")).alias("listed_not_crawled"),
+        (F.col("n_crawled") - F.col("n_both")).alias("crawled_not_listed"),
+        F.expr(
+            "CAST(n_both * 1000000 div greatest(n_listed, 1) AS BIGINT)"
+        ).alias("coverage_ppm"),
+        F.expr(
+            "CAST((n_crawled - n_both) * 1000000"
+            " div greatest(n_crawled, 1) AS BIGINT)"
+        ).alias("discovery_ppm"),
+    )

@@ -59,3 +59,35 @@ def test_parse_is_map_side(spark):
         _parse(spark, URLSET)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_sitemap_coverage(spark):
+    from horus_spark.operators.sitemap import sitemap_coverage
+
+    listed = spark.createDataFrame(
+        [
+            ("a", "u1"), ("a", "u2"), ("a", "u3"), ("a", "u3"),  # dup row
+            ("b", "v1"),
+            ("c", "w1"),  # host with no crawl at all
+        ],
+        "host string, url string",
+    )
+    crawled = spark.createDataFrame(
+        [
+            ("a", "u1"), ("a", "u2"), ("a", "x9"),  # x9 undeclared
+            ("b", "v1"),
+            ("d", "z1"),  # crawled host with no sitemap
+        ],
+        "host string, url string",
+    )
+    got = {
+        r.host: (
+            r.n_listed, r.n_crawled, r.n_both, r.listed_not_crawled,
+            r.crawled_not_listed, r.coverage_ppm, r.discovery_ppm,
+        )
+        for r in sitemap_coverage(listed, crawled).collect()
+    }
+    assert got["a"] == (3, 3, 2, 1, 1, 666666, 333333)
+    assert got["b"] == (1, 1, 1, 0, 0, 1_000_000, 0)
+    assert got["c"] == (1, 0, 0, 1, 0, 0, 0)
+    assert got["d"] == (0, 1, 0, 0, 1, 0, 1_000_000)
