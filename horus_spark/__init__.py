@@ -247,6 +247,10 @@ def __getattr__(name):
         "hll_estimate": ("horus_spark.operators.sketches", "hll_estimate"),
         "hll_set_ops": ("horus_spark.operators.sketches", "hll_set_ops"),
         "sitemap_coverage": ("horus_spark.operators.sitemap", "sitemap_coverage"),
+        "stream_sketch_maintenance": (
+            "horus_spark.streaming.incremental", "stream_sketch_maintenance",
+        ),
+        "read_sketch": ("horus_spark.streaming.incremental", "read_sketch"),
         "rewrite_media_refs": (
             "horus_spark.operators.interleave", "rewrite_media_refs",
         ),

@@ -426,3 +426,79 @@ def stream_html_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+_DOCS_SCHEMA = "doc_id string, text string"
+
+
+def _sketch_batch(
+    batch_df: DataFrame, batch_id: int, sketch_dir: str, d: int, w: int
+) -> None:
+    """One micro-batch of stream_sketch_maintenance: sketch the batch's
+    tokens and overwrite the batch-keyed slice. Module-level so replay
+    can be exercised directly in tests."""
+    from pyspark.sql import functions as F
+
+    from horus_spark.operators.sketches import cms_sketch
+
+    toks = batch_df.select(
+        F.explode(
+            F.filter(
+                F.split(
+                    F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))),
+                    r"\s+",
+                ),
+                lambda x: x != "",
+            )
+        ).alias("tok")
+    )
+    cms_sketch(toks, "tok", d=d, w=w).write.mode("overwrite").parquet(
+        f"{sketch_dir}/batch={batch_id}"
+    )
+
+
+def stream_sketch_maintenance(
+    spark: SparkSession,
+    source_dir: str,
+    sketch_dir: str,
+    checkpoint_dir: str,
+    d: int = 4,
+    w: int = 1024,
+    available_now: bool = True,
+):
+    """Continuously maintain a corpus token-frequency count-min sketch
+    over a document stream — the streaming face of cms_sketch, built
+    entirely on the sketch's ADDITIVITY: each micro-batch writes its
+    own d*w-bounded partial-cell slice under sketch_dir/batch=<id>/
+    (batch-keyed OVERWRITE, so a replayed batch rewrites identical
+    cells instead of double-counting — the same idempotence contract
+    as the versioned sink), and the live sketch at any moment is
+    read_sketch's sum over slices. No read-modify-write of shared
+    state, no stateful-operator memory: the only state is bounded
+    parquet slices that merge by addition, so the stream can run for
+    years and the sketch read stays O(batches * d * w) -> compact
+    slices periodically by re-summing old batches into one (same
+    additivity). Returns the started StreamingQuery."""
+    stream = spark.readStream.schema(_DOCS_SCHEMA).parquet(source_dir)
+    writer = (
+        stream.writeStream.foreachBatch(
+            lambda df, bid: _sketch_batch(df, bid, sketch_dir, d, w)
+        ).option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_sketch(spark: SparkSession, sketch_dir: str) -> DataFrame:
+    """The live merged CMS from a stream_sketch_maintenance directory:
+    sum the batch slices cell-wise (exact by additivity — bit-identical
+    to sketching the whole corpus at once, pinned by pytest). Feed the
+    result to cms_estimate."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(sketch_dir)
+        .groupBy("row_i", "col_j")
+        .agg(F.sum("c").alias("c"))
+    )
