@@ -3227,6 +3227,39 @@ def _q155_sitemap_coverage(spark, sf_dir):
     return sitemap_coverage(listed, crawled)
 
 
+def _q156_tokenizer_fertility(spark, sf_dir):
+    """Per-language tokenizer fertility (the multilingual tokenizer
+    health metric: how many subwords a word costs, and how many
+    characters a subword carries — languages the vocabulary underserves
+    show high fertility, the signal behind byte-premium accounting):
+    q122's trained BPE merges applied corpus-wide (bpe_segment — driver
+    -constant merge list, map-side folds, zero shuffle), word rows
+    joined to their doc's lang, exact integer ppm ratios per language.
+    The oracle replays training AND segmentation (the _bpe_oracle_sql
+    s4 state joined back to per-doc words) plus the ppm arithmetic."""
+    from horus_spark.operators.bpe import bpe_segment, bpe_train
+
+    d = _fanout(_load(spark, sf_dir, "documents"))
+    merges = bpe_train(d, n_merges=4).orderBy("merge_rank").collect()
+    seg = bpe_segment(d, merges)
+    j = seg.join(
+        d.select(F.col("doc_id").alias("id"), "lang"), "id"
+    )
+    return j.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum(F.size("tokens")).cast("long").alias("n_subwords"),
+        F.sum(F.length("word")).cast("long").alias("n_chars"),
+        F.expr(
+            "CAST(sum(size(tokens)) * CAST(1000000 AS BIGINT)"
+            " div count(1) AS BIGINT)"
+        ).alias("subwords_per_word_ppm"),
+        F.expr(
+            "CAST(sum(length(word)) * CAST(1000000 AS BIGINT)"
+            " div sum(size(tokens)) AS BIGINT)"
+        ).alias("chars_per_subword_ppm"),
+    )
+
+
 def _q131_snapshot_diff(spark, sf_dir):
     """Incremental/changelog read over the snapshot catalog
     (sink.py:snapshot_diff): q101's DML history is replayed (4 appends
@@ -4117,6 +4150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q153_cdc_dedup": _q153_cdc_dedup,
         "q154_hll_wave_overlap": _q154_hll_wave_overlap,
         "q155_sitemap_coverage": _q155_sitemap_coverage,
+        "q156_tokenizer_fertility": _q156_tokenizer_fertility,
     }
 
 
@@ -6059,6 +6093,28 @@ def _oracle_sql_literals() -> dict[str, str]:
             final_select=(
                 "SELECT tk AS token, SUM(cnt)::BIGINT AS n_occurrences\n"
                 "FROM (SELECT cnt, unnest(syms) AS tk FROM s4) GROUP BY 1"
+            ),
+        ),
+        # q156: same replay; s4's per-word segmentation joined back to
+        # per-doc word rows carrying lang, then exact ppm fertility.
+        "q156_tokenizer_fertility": _bpe_oracle_sql(
+            4,
+            final_select=(
+                "SELECT t.lang, count(*)::BIGINT AS n_words,\n"
+                "       SUM(len(s4.syms))::BIGINT AS n_subwords,\n"
+                "       SUM(length(t.word))::BIGINT AS n_chars,\n"
+                "       CAST(SUM(len(s4.syms)) * 1000000 // count(*)\n"
+                "            AS BIGINT) AS subwords_per_word_ppm,\n"
+                "       CAST(SUM(length(t.word)) * 1000000\n"
+                "            // SUM(len(s4.syms)) AS BIGINT)\n"
+                "         AS chars_per_subword_ppm\n"
+                "FROM (SELECT lang,\n"
+                "             unnest(string_split_regex(trim(text),"
+                " '\\s+')) AS word\n"
+                "      FROM documents) t\n"
+                "JOIN s4 ON s4.word = t.word\n"
+                "WHERE t.word <> ''\n"
+                "GROUP BY 1"
             ),
         ),
         # q132: identical CUBE planes; GROUPING(lang, source) packs the
