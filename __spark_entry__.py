@@ -3260,6 +3260,51 @@ def _q156_tokenizer_fertility(spark, sf_dir):
     )
 
 
+def _q157_robots_audit(spark, sf_dir):
+    """Crawl-compliance audit (operators/robots.py:robots_audit).
+    GROUND-TRUTH oracle: domains 0 mod 3 publish 'Disallow: /private /
+    Allow: /private/ok'; the crawl log holds /p/<id> for every doc,
+    /private/x<id> for ids 0 mod 4 (the planted VIOLATIONS on policy
+    domains — elsewhere no policy exists so they are legal) and
+    /private/ok<id> for ids 0 mod 6 (longest-match Allow must clear
+    them). The oracle derives every count from those modular rules
+    alone — green means parse_robots + apply_robots longest-match
+    evaluation + the ppm rollup reproduce the planted policy exactly."""
+    from horus_spark.operators.robots import parse_robots, robots_audit
+
+    d = _fanout(_load(spark, sf_dir, "documents"))
+    n = F.col("doc_id").cast("long")
+    ns = n.cast("string")
+    ks = (n % 50).cast("string")
+    base = F.concat(F.lit("https://site-"), ks, F.lit(".test"))
+    robots = (
+        spark.range(0, 50)
+        .filter((F.col("id") % 3) == 0)
+        .select(
+            F.concat(
+                F.lit("site-"), F.col("id").cast("string"), F.lit(".test")
+            ).alias("domain"),
+            F.lit(
+                "User-agent: *\nDisallow: /private\nAllow: /private/ok"
+            ).alias("robots_txt"),
+        )
+    )
+    crawled = (
+        d.select(F.concat(base, F.lit("/p/"), ns).alias("url"))
+        .unionByName(
+            d.where(n % 4 == 0).select(
+                F.concat(base, F.lit("/private/x"), ns).alias("url")
+            )
+        )
+        .unionByName(
+            d.where(n % 6 == 0).select(
+                F.concat(base, F.lit("/private/ok"), ns).alias("url")
+            )
+        )
+    )
+    return robots_audit(crawled, parse_robots(robots))
+
+
 def _q131_snapshot_diff(spark, sf_dir):
     """Incremental/changelog read over the snapshot catalog
     (sink.py:snapshot_diff): q101's DML history is replayed (4 appends
@@ -4151,6 +4196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q154_hll_wave_overlap": _q154_hll_wave_overlap,
         "q155_sitemap_coverage": _q155_sitemap_coverage,
         "q156_tokenizer_fertility": _q156_tokenizer_fertility,
+        "q157_robots_audit": _q157_robots_audit,
     }
 
 
@@ -5327,6 +5373,23 @@ def _oracle_sql_literals() -> dict[str, str]:
                       // greatest(n_crawled, 1) AS BIGINT)
                    AS discovery_ppm
           FROM agg
+        """,
+        "q157_robots_audit": """
+          WITH d AS (SELECT CAST(doc_id AS BIGINT) AS nn FROM documents),
+          crawled AS (
+            SELECT nn % 50 AS k, 0 AS viol FROM d
+            UNION ALL
+            SELECT nn % 50,
+                   CASE WHEN (nn % 50) % 3 = 0 THEN 1 ELSE 0 END
+            FROM d WHERE nn % 4 = 0
+            UNION ALL
+            SELECT nn % 50, 0 FROM d WHERE nn % 6 = 0)
+          SELECT 'site-' || CAST(k AS VARCHAR) || '.test' AS domain,
+                 count(*)::BIGINT AS n_crawled,
+                 sum(viol)::BIGINT AS n_violations,
+                 CAST(sum(viol) * 1000000 // count(*) AS BIGINT)
+                   AS violation_ppm
+          FROM crawled GROUP BY 1
         """,
         "q144_politeness": """
           WITH fr AS (

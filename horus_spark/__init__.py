@@ -251,6 +251,7 @@ def __getattr__(name):
             "horus_spark.streaming.incremental", "stream_sketch_maintenance",
         ),
         "read_sketch": ("horus_spark.streaming.incremental", "read_sketch"),
+        "robots_audit": ("horus_spark.operators.robots", "robots_audit"),
         "rewrite_media_refs": (
             "horus_spark.operators.interleave", "rewrite_media_refs",
         ),

@@ -131,3 +131,31 @@ def apply_robots(
         .otherwise(F.lit(0))
         .alias("allowed"),
     )
+
+
+def robots_audit(
+    crawled: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Crawl-compliance report — the governance check a responsible
+    crawler runs over its own fetch log: verdict every crawled URL
+    against the robots policy (apply_robots: longest-match, Allow wins
+    ties, no-match allowed) and roll violations up per domain. Nonzero
+    violation_ppm means the fetcher raced a robots update, a frontier
+    bypassed the policy filter, or a redirect landed somewhere
+    disallowed — all three happen in real crawls, which is why the
+    audit exists separately from the frontier's pre-filter (q113).
+
+    One broadcast-sized rules join + a domain-keyed rollup; ratios are
+    exact integer ppm. Returns (domain, n_crawled, n_violations,
+    violation_ppm)."""
+    v = apply_robots(crawled, rules, url_col=url_col)
+    return v.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("long").alias("n_crawled"),
+        F.sum(1 - F.col("allowed")).cast("long").alias("n_violations"),
+        F.expr(
+            "CAST(sum(1 - allowed) * CAST(1000000 AS BIGINT)"
+            " div count(1) AS BIGINT)"
+        ).alias("violation_ppm"),
+    )

@@ -95,3 +95,27 @@ def test_catch_all_disallow_for_named_agent(spark):
 def test_parse_is_map_side(spark, rules):
     plan = rules._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_robots_audit(spark):
+    from horus_spark.operators.robots import parse_robots, robots_audit
+
+    robots = spark.createDataFrame(
+        [("a.test", "User-agent: *\nDisallow: /private\nAllow: /private/ok")],
+        "domain string, robots_txt string",
+    )
+    crawled = spark.createDataFrame(
+        [
+            ("https://a.test/p/1",),
+            ("https://a.test/private/x1",),   # violation
+            ("https://a.test/private/ok2",),  # allow wins the tie-length
+            ("https://b.test/private/x1",),   # no policy -> legal
+        ],
+        "url string",
+    )
+    got = {
+        r.domain: (r.n_crawled, r.n_violations, r.violation_ppm)
+        for r in robots_audit(crawled, parse_robots(robots)).collect()
+    }
+    assert got["a.test"] == (3, 1, 333333)
+    assert got["b.test"] == (1, 0, 0)
