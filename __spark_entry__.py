@@ -3305,6 +3305,68 @@ def _q157_robots_audit(spark, sf_dir):
     return robots_audit(crawled, parse_robots(robots))
 
 
+def _q158_html_tables(spark, sf_dir):
+    """HTML table extraction (operators/html.py:extract_tables) —
+    GROUND-TRUTH oracle. Pages are synthesized with a planted markup
+    grid: every doc with n % 7 != 0 carries a bordered table whose
+    header row is <th>key</th><th class="v">value</th> and whose
+    2 + n%3 data rows hold ('r'||r, 'v '||(n*7+r)) with formatting
+    noise (bold wrap on even rows, a class attribute on every third
+    <tr>); docs with n % 5 == 0 add a second header-less table with a
+    deliberately EMPTY trailing cell; docs with n % 7 == 0 have no
+    table at all. The oracle derives every expected cell row straight
+    from those modular rules — green means the three-level regex scan
+    (tables -> rows -> cells), the header flag, the markup strip and
+    the empty-cell preservation all recover the planted grid exactly."""
+    from horus_spark.operators.html import extract_tables
+
+    d = _fanout(_load(spark, sf_dir, "documents"))
+    n = F.col("doc_id").cast("long")
+    ns = n.cast("string")
+    nrows = (F.lit(2) + (n % 3)).cast("int")
+
+    def row_html(r):
+        val = F.concat(F.lit("v "), (n * 7 + r).cast("string"))
+        cell2 = (
+            F.when(
+                r % 2 == 0, F.concat(F.lit("<b>"), val, F.lit("</b>"))
+            ).otherwise(val)
+        )
+        attr = (
+            F.when(r % 3 == 0, F.lit(' class="odd"')).otherwise(F.lit(""))
+        )
+        return F.concat(
+            F.lit("<tr"), attr, F.lit("><td>r"), r.cast("string"),
+            F.lit("</td><td>"), cell2, F.lit("</td></tr>"),
+        )
+
+    body = F.concat_ws(
+        "", F.transform(F.sequence(F.lit(0), nrows - 1), row_html)
+    )
+    t0 = F.concat(
+        F.lit(
+            '<table border="1"><tr><th>key</th><th class="v">value</th>'
+            "</tr>"
+        ),
+        body,
+        F.lit("</table>"),
+    )
+    t1 = F.when(
+        n % 5 == 0,
+        F.concat(
+            F.lit("<table><tr><td>only "), ns,
+            F.lit("</td><td></td></tr></table>"),
+        ),
+    ).otherwise(F.lit(""))
+    tables = F.when(n % 7 == 0, F.lit("")).otherwise(F.concat(t0, t1))
+    page = F.concat(
+        F.lit("<html><body><p>Doc "), ns, F.lit("</p>"), tables,
+        F.lit("</body></html>"),
+    )
+    pages = d.select("doc_id", page.alias("html"))
+    return extract_tables(pages)
+
+
 def _q131_snapshot_diff(spark, sf_dir):
     """Incremental/changelog read over the snapshot catalog
     (sink.py:snapshot_diff): q101's DML history is replayed (4 appends
@@ -4197,6 +4259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q155_sitemap_coverage": _q155_sitemap_coverage,
         "q156_tokenizer_fertility": _q156_tokenizer_fertility,
         "q157_robots_audit": _q157_robots_audit,
+        "q158_html_tables": _q158_html_tables,
     }
 
 
@@ -5390,6 +5453,43 @@ def _oracle_sql_literals() -> dict[str, str]:
                  CAST(sum(viol) * 1000000 // count(*) AS BIGINT)
                    AS violation_ppm
           FROM crawled GROUP BY 1
+        """,
+        # GROUND TRUTH: expected cell rows derived straight from the
+        # synthesis rules — never from the regex parse under test.
+        "q158_html_tables": """
+          WITH d AS (
+            SELECT doc_id, CAST(doc_id AS BIGINT) AS n FROM documents
+            WHERE CAST(doc_id AS BIGINT) % 7 <> 0
+          ), c AS (SELECT 0 AS c UNION ALL SELECT 1),
+          hdr AS (
+            SELECT doc_id, 0 AS table_pos, 0 AS row_pos, c.c AS col_pos,
+                   TRUE AS is_header,
+                   CASE WHEN c.c = 0 THEN 'key' ELSE 'value' END
+                     AS cell_text
+            FROM d, c
+          ), data AS (
+            SELECT doc_id, 0 AS table_pos, CAST(g.r + 1 AS INT)
+                     AS row_pos,
+                   c.c AS col_pos, FALSE AS is_header,
+                   CASE WHEN c.c = 0 THEN 'r' || g.r
+                        ELSE 'v ' || (n * 7 + g.r) END AS cell_text
+            FROM d,
+                 unnest(generate_series(0, CAST(1 + n % 3 AS INT)))
+                   AS g(r),
+                 c
+          ), extra AS (
+            SELECT doc_id, 1 AS table_pos, 0 AS row_pos, c.c AS col_pos,
+                   FALSE AS is_header,
+                   CASE WHEN c.c = 0 THEN 'only ' || n ELSE '' END
+                     AS cell_text
+            FROM d, c WHERE n % 5 = 0
+          )
+          SELECT doc_id, CAST(table_pos AS INT) AS table_pos,
+                 CAST(row_pos AS INT) AS row_pos,
+                 CAST(col_pos AS INT) AS col_pos,
+                 is_header, cell_text
+          FROM (SELECT * FROM hdr UNION ALL SELECT * FROM data
+                UNION ALL SELECT * FROM extra)
         """,
         "q144_politeness": """
           WITH fr AS (

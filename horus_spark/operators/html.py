@@ -700,3 +700,111 @@ def synthesize_html(
         ),
     )
     return df.select(did.alias("doc_id"), html.alias("html"))
+
+
+# ---------------------------------------------------------------------------
+# table extraction: pure expressions
+# ---------------------------------------------------------------------------
+
+_TABLE_RE = r"(?is)<table\b[^>]*>.*?</table>"
+_TR_RE = r"(?is)<tr\b[^>]*>.*?</tr>"
+_CELL_RE = r"(?is)<t[dh]\b[^>]*>.*?</t[dh]>"
+
+
+def extract_tables(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """HTML ``<table>`` bodies -> typed cell rows — the structured-data
+    complement of the OCR grid inference (operators/layout.py infers a
+    grid from word geometry; here the markup declares it).
+
+    One row per cell:
+
+      (doc_id, table_pos, row_pos, col_pos, is_header, cell_text)
+
+    - table_pos / row_pos / col_pos: document-order indices of the
+      table on the page, the ``<tr>`` in the table and the ``<td|th>``
+      in the row — ragged rows keep their true per-row arity, so
+      downstream sees missing trailing cells as absent columns (no
+      padding is invented).
+    - is_header: the cell was a ``<th>``.
+    - cell_text: inline markup replaced by spaces, whitespace
+      collapsed, trimmed — an empty cell survives as ''.
+
+    Tolerances/limits (documented, protocol-typical): tag matching is
+    case-insensitive and attribute-bearing; ``<thead>/<tbody>`` wrappers
+    are transparent (rows are pulled from the whole table body in
+    document order); colspan/rowspan are treated as single cells (the
+    grid is the MARKUP grid, not the render grid); a nested inner
+    ``<table>`` truncates its outer table at the inner ``</table>``
+    (non-greedy scan — same tolerance class as the flat block tier).
+
+    Scale shape: three map-side regexp_extract_all + posexplode stages —
+    a pure Generate chain, ZERO shuffle, scan-parallel at any corpus
+    size.
+    """
+    tables = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.regexp_extract_all(F.col(html_col), F.lit(_TABLE_RE), 0)
+        ).alias("table_pos", "tbl"),
+    )
+    rows = tables.select(
+        "doc_id",
+        "table_pos",
+        F.posexplode(
+            F.regexp_extract_all(F.col("tbl"), F.lit(_TR_RE), 0)
+        ).alias("row_pos", "tr"),
+    )
+    cells = rows.select(
+        "doc_id",
+        "table_pos",
+        "row_pos",
+        F.posexplode(
+            F.regexp_extract_all(F.col("tr"), F.lit(_CELL_RE), 0)
+        ).alias("col_pos", "cell"),
+    )
+    text = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.col("cell"), _TAG_RE, " "), r"\s+", " "
+        )
+    )
+    return cells.select(
+        "doc_id",
+        F.col("table_pos").cast("int").alias("table_pos"),
+        F.col("row_pos").cast("int").alias("row_pos"),
+        F.col("col_pos").cast("int").alias("col_pos"),
+        F.lower(F.col("cell")).startswith("<th").alias("is_header"),
+        text.alias("cell_text"),
+    )
+
+
+def table_shapes(cells: DataFrame) -> DataFrame:
+    """Per-table structural summary over `extract_tables` output:
+
+      (doc_id, table_pos, n_rows, n_cols, min_cols, ragged,
+       n_header_cells, n_empty_cells)
+
+    n_cols is the widest row's arity, min_cols the narrowest's, and
+    ragged flags disagreement — the data-quality gate before a table is
+    promoted to a typed relation. One slim two-level aggregation
+    ((doc, table, row) -> (doc, table)); only small counter rows
+    shuffle, never cell text.
+    """
+    per_row = cells.groupBy("doc_id", "table_pos", "row_pos").agg(
+        F.count(F.lit(1)).cast("int").alias("_cells"),
+        F.sum(F.col("is_header").cast("int")).cast("int").alias("_hdr"),
+        F.sum((F.col("cell_text") == "").cast("int"))
+        .cast("int")
+        .alias("_empty"),
+    )
+    return per_row.groupBy("doc_id", "table_pos").agg(
+        F.count(F.lit(1)).cast("int").alias("n_rows"),
+        F.max("_cells").alias("n_cols"),
+        F.min("_cells").alias("min_cols"),
+        (F.max("_cells") != F.min("_cells")).alias("ragged"),
+        F.sum("_hdr").cast("int").alias("n_header_cells"),
+        F.sum("_empty").cast("int").alias("n_empty_cells"),
+    )
