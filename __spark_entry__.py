@@ -3367,6 +3367,141 @@ def _q158_html_tables(spark, sf_dir):
     return extract_tables(pages)
 
 
+def _q159_feed_parse(spark, sf_dir):
+    """RSS/Atom feed parsing (operators/feeds.py) — GROUND-TRUTH
+    oracle. 50 feeds are synthesized over documents (k = n % 50; even k
+    -> RSS 2.0 <item> blocks, odd k -> Atom <entry> blocks, and since
+    50 is even the doc parity matches the dialect's). Per entry the
+    modular rules plant every field AND its failure mode: title carries
+    inline markup every 4th doc (must strip to 'Post n'), the link is
+    absent every 6th doc (entry dropped, later positions unshifted),
+    guid/id absent every 5th, dates absent every 3rd; Atom links flip
+    attribute order by n % 4 and Atom dates carry BOTH <published> and
+    <updated> except every 7th doc which has only <updated> (the
+    fallback must fire). Channel/feed-level <title> and chrome sit
+    outside entry blocks as decoys. The oracle recomputes every
+    surviving row straight from those rules — green means the
+    entry-split, dialect detection, per-field coalescing, markup strip
+    and drop-without-reindex semantics are all exact."""
+    from horus_spark.operators.feeds import parse_feeds
+
+    d = _load(spark, sf_dir, "documents")
+    n = F.col("doc_id").cast("long")
+    ns = n.cast("string")
+    k = n % 50
+    ks = k.cast("string")
+    url = F.concat(
+        F.lit("https://site-"), ks, F.lit(".test/post/"), ns
+    )
+    title = F.concat(
+        F.lit("<title>Post "),
+        F.when(
+            n % 4 == 0, F.concat(F.lit("<b>"), ns, F.lit("</b>"))
+        ).otherwise(ns),
+        F.lit("</title>"),
+    )
+    rss_item = F.concat(
+        F.lit("<item>"),
+        title,
+        F.when(n % 6 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("<link>"), url, F.lit("</link>"))
+        ),
+        F.when(n % 5 == 0, F.lit("")).otherwise(
+            F.concat(
+                F.lit('<guid isPermaLink="false">tag-'), ns,
+                F.lit("</guid>"),
+            )
+        ),
+        F.when(n % 3 == 0, F.lit("")).otherwise(
+            F.concat(
+                F.lit("<pubDate>2026-07-"),
+                F.lpad((n % 28 + 1).cast("string"), 2, "0"),
+                F.lit("</pubDate>"),
+            )
+        ),
+        F.lit("</item>"),
+    )
+    atom_link = F.when(n % 6 == 0, F.lit("")).otherwise(
+        F.when(
+            n % 4 == 1,
+            F.concat(
+                F.lit('<link href="'), url, F.lit('" rel="alternate"/>')
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit('<link rel="alternate" href="'), url, F.lit('"/>')
+            )
+        )
+    )
+    atom_dates = F.when(n % 3 == 0, F.lit("")).otherwise(
+        F.when(
+            n % 7 == 0,
+            F.concat(F.lit("<updated>U"), ns, F.lit("</updated>")),
+        ).otherwise(
+            F.concat(
+                F.lit("<published>P"), ns, F.lit("</published>"),
+                F.lit("<updated>U"), ns, F.lit("</updated>"),
+            )
+        )
+    )
+    atom_entry = F.concat(
+        F.lit("<entry>"),
+        title,
+        atom_link,
+        F.when(n % 5 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("<id>urn:"), ns, F.lit("</id>"))
+        ),
+        atom_dates,
+        F.lit("</entry>"),
+    )
+    entry = F.when(k % 2 == 0, rss_item).otherwise(atom_entry)
+    feeds = (
+        d.select(k.alias("k"), n.alias("n"), entry.alias("e"))
+        .groupBy("k")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("n", "e"))),
+                    lambda s: s["e"],
+                ),
+            ).alias("body")
+        )
+        .select(
+            F.concat(F.lit("feed-"), F.col("k").cast("string")).alias(
+                "src"
+            ),
+            F.when(
+                F.col("k") % 2 == 0,
+                F.concat(
+                    F.lit(
+                        '<?xml version="1.0"?><rss version="2.0">'
+                        "<channel><title>Channel "
+                    ),
+                    F.col("k").cast("string"),
+                    F.lit("</title>"),
+                    F.col("body"),
+                    F.lit("</channel></rss>"),
+                ),
+            )
+            .otherwise(
+                F.concat(
+                    F.lit(
+                        '<feed xmlns="http://www.w3.org/2005/Atom">'
+                        "<title>Feed "
+                    ),
+                    F.col("k").cast("string"),
+                    F.lit("</title>"),
+                    F.col("body"),
+                    F.lit("</feed>"),
+                )
+            )
+            .alias("feed_xml"),
+        )
+    )
+    return parse_feeds(feeds)
+
+
 def _q131_snapshot_diff(spark, sf_dir):
     """Incremental/changelog read over the snapshot catalog
     (sink.py:snapshot_diff): q101's DML history is replayed (4 appends
@@ -4260,6 +4395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q156_tokenizer_fertility": _q156_tokenizer_fertility,
         "q157_robots_audit": _q157_robots_audit,
         "q158_html_tables": _q158_html_tables,
+        "q159_feed_parse": _q159_feed_parse,
     }
 
 
@@ -5490,6 +5626,34 @@ def _oracle_sql_literals() -> dict[str, str]:
                  is_header, cell_text
           FROM (SELECT * FROM hdr UNION ALL SELECT * FROM data
                 UNION ALL SELECT * FROM extra)
+        """,
+        # GROUND TRUTH: surviving entries derived from the synthesis
+        # rules; positions rank ALL entries (dropped ones unshift none).
+        "q159_feed_parse": """
+          WITH d AS (
+            SELECT CAST(doc_id AS BIGINT) AS n,
+                   CAST(doc_id AS BIGINT) % 50 AS k
+            FROM documents
+          ), pos AS (
+            SELECT n, k,
+                   CAST(row_number() OVER (PARTITION BY k ORDER BY n)
+                        - 1 AS INT) AS entry_pos
+            FROM d
+          )
+          SELECT 'feed-' || CAST(k AS VARCHAR) AS src, entry_pos,
+                 CASE WHEN k % 2 = 0 THEN 'rss' ELSE 'atom' END AS kind,
+                 'Post ' || n AS title,
+                 'https://site-' || CAST(k AS VARCHAR) || '.test/post/'
+                   || n AS link,
+                 CASE WHEN n % 5 = 0 THEN NULL
+                      WHEN k % 2 = 0 THEN 'tag-' || n
+                      ELSE 'urn:' || n END AS guid,
+                 CASE WHEN n % 3 = 0 THEN NULL
+                      WHEN k % 2 = 0 THEN '2026-07-'
+                        || lpad(CAST(n % 28 + 1 AS VARCHAR), 2, '0')
+                      WHEN n % 7 = 0 THEN 'U' || n
+                      ELSE 'P' || n END AS published
+          FROM pos WHERE n % 6 <> 0
         """,
         "q144_politeness": """
           WITH fr AS (
