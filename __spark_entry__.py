@@ -3502,6 +3502,25 @@ def _q159_feed_parse(spark, sf_dir):
     return parse_feeds(feeds)
 
 
+def _q160_maxscore_topk(spark, sf_dir):
+    """MaxScore dynamic-pruned BM25 retrieval
+    (operators/ranking.py:maxscore_topk): the rarest query term ('dup',
+    df≈5% of the corpus) seeds the threshold from its small posting,
+    per-term tf-saturation bounds (idf*(k1+1)) prune every doc whose
+    optimistic score cannot reach the top-25, and only survivors are
+    exactly scored and sorted. The oracle is the EXHAUSTIVE BM25
+    scorer (q52's SQL shape with this query) — green means the pruned
+    plan returns the bit-identical top-k the full scan would."""
+    from horus_spark.operators.ranking import maxscore_topk
+
+    d = _fanout(
+        _load(spark, sf_dir, "documents").withColumn(
+            "doc_id", F.col("doc_id").cast("string")
+        )
+    )
+    return maxscore_topk(d, "dup scan merge filter", k=25)
+
+
 def _q131_snapshot_diff(spark, sf_dir):
     """Incremental/changelog read over the snapshot catalog
     (sink.py:snapshot_diff): q101's DML history is replayed (4 appends
@@ -4396,6 +4415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q157_robots_audit": _q157_robots_audit,
         "q158_html_tables": _q158_html_tables,
         "q159_feed_parse": _q159_feed_parse,
+        "q160_maxscore_topk": _q160_maxscore_topk,
     }
 
 
@@ -5654,6 +5674,45 @@ def _oracle_sql_literals() -> dict[str, str]:
                       WHEN n % 7 = 0 THEN 'U' || n
                       ELSE 'P' || n END AS published
           FROM pos WHERE n % 6 <> 0
+        """,
+        # the EXHAUSTIVE scorer: the pruned plan must reproduce it
+        # bit-identically (same arithmetic as q52's oracle).
+        "q160_maxscore_topk": """
+          WITH norm AS (
+            SELECT CAST(doc_id AS VARCHAR) AS id,
+                   trim(regexp_replace(regexp_replace(regexp_replace(
+                     lower(text), '\\s+', ' ', 'g'), '[^a-z0-9 ]', '',
+                     'g'), ' +', ' ', 'g')) AS t
+            FROM documents
+          ), base AS (
+            SELECT id,
+                   CASE WHEN length(t) > 0
+                        THEN len(string_split(t, ' ')) ELSE 0 END AS dl,
+                   string_split(t, ' ') AS w
+            FROM norm
+          ), stats AS (
+            SELECT count(*) * 1.0 AS n_docs, avg(dl) AS avgdl FROM base
+          ), matched AS (
+            SELECT id, dl, unnest(w) AS term FROM base
+          ), tf AS (
+            SELECT id, dl, term, count(*) AS tf FROM matched
+            WHERE term IN ('dup', 'scan', 'merge', 'filter')
+            GROUP BY 1, 2, 3
+          ), dft AS (
+            SELECT term, count(*) * 1.0 AS df FROM tf GROUP BY term
+          ), scored AS (
+            SELECT tf.id,
+                   round(sum(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5)
+                           + 1.0)
+                         * tf.tf * 2.2
+                         / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl
+                                           / s.avgdl))), 6) AS score,
+                   count(*) AS n_matched_terms
+            FROM tf JOIN dft d ON tf.term = d.term CROSS JOIN stats s
+            GROUP BY tf.id
+          )
+          SELECT id AS doc_id, score, n_matched_terms
+          FROM scored ORDER BY score DESC, doc_id ASC LIMIT 25
         """,
         "q144_politeness": """
           WITH fr AS (

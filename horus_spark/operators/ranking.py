@@ -59,7 +59,33 @@ def bm25_topk(
     terms = normalize_query(query)
     if not terms:
         raise ValueError("query has no terms after normalization")
+    scored = (
+        _term_scores(docs, terms, id_col, text_col, k1, b)
+        .groupBy("id")
+        .agg(
+            F.round(F.sum("term_score"), 6).alias("score"),
+            F.count("*").alias("n_matched_terms"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("score"), F.asc("id"))
+        .limit(k)
+        .select(F.col("id").alias(id_col), "score", "n_matched_terms")
+    )
 
+
+def _term_scores(
+    docs: DataFrame,
+    terms: list[str],
+    id_col: str,
+    text_col: str,
+    k1: float,
+    b: float,
+) -> DataFrame:
+    """Per-(doc, query-term) BM25 contribution frame: (id, dl, term, tf,
+    idf, term_score). Shared by the exhaustive scorer (bm25_topk) and
+    the MaxScore-pruned tier (maxscore_topk) — identical arithmetic by
+    construction."""
     toks = F.split(_norm_text(F.col(text_col)), " ")
     base = docs.select(
         F.col(id_col).alias("id"),
@@ -83,9 +109,11 @@ def bm25_topk(
         .filter(F.col("term").isin(terms))
     )
     tf = matched.groupBy("id", "dl", "term").agg(F.count("*").alias("tf"))
-    df_t = F.broadcast(tf.groupBy("term").agg(F.count("*").cast("double").alias("df")))
+    df_t = F.broadcast(
+        tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    )
 
-    scored = (
+    return (
         tf.join(df_t, "term")
         .crossJoin(stats)
         .withColumn(
@@ -99,6 +127,110 @@ def bm25_topk(
             * (k1 + 1.0)
             / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))),
         )
+    )
+
+
+def maxscore_candidates(
+    ts: DataFrame,
+    k: int,
+    k1: float,
+) -> DataFrame:
+    """MaxScore candidate set over a `_term_scores` frame: doc ids whose
+    OPTIMISTIC score bound can still reach the top-k.
+
+    The classic dynamic-pruning argument (Turtle & Flood 1995; the
+    MaxScore used by Lucene's WAND family), restated for a batch plan:
+
+    - per-term impact bound: term_score <= idf(t) * (k1 + 1) — the
+      tf-saturation limit of the BM25 term formula, independent of tf
+      and document length. At index time engines store this next to the
+      posting list; here it is a |q|-row aggregate of the ts frame.
+    - threshold seeding: the RAREST query term (max idf — the smallest
+      posting with the largest contribution) is scored EXACTLY, and the
+      k-th best seed score becomes the pruning threshold theta. Fewer
+      than k seed docs -> theta = -inf (prune degrades to exhaustive,
+      never to wrong).
+    - prune: a doc whose sum of per-term bounds (over the terms it
+      actually contains) is below theta cannot reach the top-k, because
+      its true score <= that optimistic sum < theta <= true k-th best.
+      Every true top-k doc survives: score >= k-th best >= theta and
+      bound >= score. A one-ulp slack (1e-6, the output rounding grain)
+      is subtracted from theta so 6-dp rounding collisions at the
+      boundary cannot flip the final deterministic (score, id) order
+      against the exhaustive scorer.
+
+    Returns (id, ub_sum, theta) for surviving docs. Scale shape: the
+    bound table and theta are broadcast scalars/|q|-rows; the seed
+    scoring touches only the rare term's posting (semi-join); the prune
+    is one slim (id, term) aggregation — the EXPENSIVE per-doc exact
+    scoring and the top-k sort then run over the surviving fraction
+    only, which on skewed web corpora (few rare informative terms, long
+    common-term postings) is orders of magnitude smaller than the
+    match-any union."""
+    ub = F.broadcast(
+        ts.groupBy("term")
+        .agg(F.max("idf").alias("_idf"))
+        .select("term", (F.col("_idf") * (k1 + 1.0)).alias("ub"))
+    )
+    t_star = F.broadcast(
+        ub.orderBy(F.desc("ub"), F.asc("term"))
+        .limit(1)
+        .select(F.col("term").alias("t_star"))
+    )
+    seed_ids = (
+        ts.join(t_star, ts["term"] == t_star["t_star"], "inner")
+        .select("id")
+        .distinct()
+    )
+    seed_topk = (
+        ts.join(seed_ids, "id", "left_semi")
+        .groupBy("id")
+        .agg(F.sum("term_score").alias("s"))
+        .orderBy(F.desc("s"), F.asc("id"))
+        .limit(k)
+    )
+    theta = F.broadcast(
+        seed_topk.agg(
+            F.count("*").alias("_n"), F.min("s").alias("_min")
+        ).select(
+            F.when(F.col("_n") < k, F.lit(float("-inf")))
+            .otherwise(F.col("_min") - 1e-6)
+            .alias("theta")
+        )
+    )
+    ub_sum = (
+        ts.join(ub, "term")
+        .groupBy("id")
+        .agg(F.sum("ub").alias("ub_sum"))
+    )
+    return ub_sum.crossJoin(theta).where(F.col("ub_sum") >= F.col("theta"))
+
+
+def maxscore_topk(
+    docs: DataFrame,
+    query: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 top-k with MaxScore dynamic pruning — EXACTLY the
+    bm25_topk answer (same columns, same deterministic (score, id)
+    order; the q160 oracle is the exhaustive scorer), but only docs
+    whose optimistic impact bound clears the seeded threshold are ever
+    exactly scored and sorted. See `maxscore_candidates` for the
+    argument; the shared term-score stage is localCheckpoint'd (three
+    consumers — seed, bound, final — must not recompute the scan)."""
+    terms = normalize_query(query)
+    if not terms:
+        raise ValueError("query has no terms after normalization")
+    ts = _term_scores(docs, terms, id_col, text_col, k1, b).localCheckpoint(
+        eager=False
+    )
+    cands = maxscore_candidates(ts, k, k1).select("id")
+    final = (
+        ts.join(cands, "id", "left_semi")
         .groupBy("id")
         .agg(
             F.round(F.sum("term_score"), 6).alias("score"),
@@ -106,7 +238,7 @@ def bm25_topk(
         )
     )
     return (
-        scored.orderBy(F.desc("score"), F.asc("id"))
+        final.orderBy(F.desc("score"), F.asc("id"))
         .limit(k)
         .select(F.col("id").alias(id_col), "score", "n_matched_terms")
     )
