@@ -3521,6 +3521,70 @@ def _q160_maxscore_topk(spark, sf_dir):
     return maxscore_topk(d, "dup scan merge filter", k=25)
 
 
+def _q161_bloom_dml(spark, sf_dir):
+    """Bloom-sidecar data skipping under the DML triad
+    (sink.py:add_bloom_index + _bloom_candidate_chunks): orders is
+    INSERTed as four append_chunk batches keyed o_orderkey % 4 — an
+    INTERLEAVED layout whose per-chunk [min, max] all span the whole
+    key domain, so footer-stats pruning keeps every chunk and only the
+    bloom membership tier can skip (the pytest asserts it does). Bloom
+    sidecars are built, a MERGE prices up every key ≡ 4 mod 10 (+2000)
+    and adds two new rows, sidecars are rebuilt over the rewritten
+    chunks, and a DELETE removes every key ≡ 0 mod 9; the final
+    snapshot is read back. The oracle replays the same algebra as one
+    SQL expression — green means the bloom-pruned probe path commits
+    the exact same snapshots the unpruned scan would."""
+    import shutil
+    import tempfile
+
+    from horus_spark.sources.sink import (
+        add_bloom_index,
+        append_chunk,
+        delete_rows,
+        merge_upsert,
+        read_output,
+    )
+
+    o = _load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    out = tempfile.mkdtemp(prefix="horus_q161_")
+    try:
+        for i in range(4):
+            append_chunk(
+                out,
+                {"orders": o.filter(F.col("o_orderkey") % 4 == i)},
+                run_id=f"seed{i}",
+            )
+        add_bloom_index(spark, out, "orders", "o_orderkey", n_bits=1 << 16)
+        upd = o.filter(F.col("o_orderkey") % 10 == 4).withColumn(
+            "o_totalprice", F.col("o_totalprice") + F.lit(2000.0)
+        )
+        ins = spark.createDataFrame(
+            [(-3, 1, "Y", 3.5), (-4, 2, "Y", 4.5)],
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double",
+        )
+        merge_upsert(spark, out, "orders", upd.unionByName(ins), ["o_orderkey"])
+        add_bloom_index(spark, out, "orders", "o_orderkey", n_bits=1 << 16)
+        delete_rows(
+            spark,
+            out,
+            "orders",
+            o.filter(F.col("o_orderkey") % 9 == 0).select("o_orderkey"),
+            ["o_orderkey"],
+        )
+        final = read_output(spark, out, "orders").drop("chunk")
+        rows = final.collect()  # materialize before the tempdir vanishes
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double",
+    )
+
+
 def _q131_snapshot_diff(spark, sf_dir):
     """Incremental/changelog read over the snapshot catalog
     (sink.py:snapshot_diff): q101's DML history is replayed (4 appends
@@ -4416,6 +4480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q158_html_tables": _q158_html_tables,
         "q159_feed_parse": _q159_feed_parse,
         "q160_maxscore_topk": _q160_maxscore_topk,
+        "q161_bloom_dml": _q161_bloom_dml,
     }
 
 
@@ -5696,7 +5761,7 @@ def _oracle_sql_literals() -> dict[str, str]:
             SELECT id, dl, unnest(w) AS term FROM base
           ), tf AS (
             SELECT id, dl, term, count(*) AS tf FROM matched
-            WHERE term IN ('dup', 'scan', 'merge', 'filter')
+            WHERE term IN ('dup', 'scan', 'merge', 'filter')  -- q160
             GROUP BY 1, 2, 3
           ), dft AS (
             SELECT term, count(*) * 1.0 AS df FROM tf GROUP BY term
@@ -5713,6 +5778,23 @@ def _oracle_sql_literals() -> dict[str, str]:
           )
           SELECT id AS doc_id, score, n_matched_terms
           FROM scored ORDER BY score DESC, doc_id ASC LIMIT 25
+        """,
+        "q161_bloom_dml": """
+          WITH merged AS (
+            SELECT o_orderkey, o_custkey, o_orderstatus,
+                   CASE WHEN o_orderkey % 10 = 4
+                        THEN o_totalprice + 2000.0 ELSE o_totalprice END
+                     AS o_totalprice
+            FROM orders
+            UNION ALL
+            SELECT * FROM (VALUES (-3, 1, 'Y', 3.5), (-4, 2, 'Y', 4.5))
+              AS ins(o_orderkey, o_custkey, o_orderstatus, o_totalprice)
+          )
+          SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+                 CAST(o_custkey AS BIGINT) AS o_custkey,
+                 o_orderstatus,
+                 CAST(o_totalprice AS DOUBLE) AS o_totalprice
+          FROM merged WHERE o_orderkey % 9 != 0
         """,
         "q144_politeness": """
           WITH fr AS (

@@ -1078,15 +1078,183 @@ def _stats_candidate_chunks(
     return kept
 
 
+_BLOOM_VERSION = 1
+
+
+def _bloom_path(out_dir: str, chunk: str, table: str, col: str) -> str:
+    return os.path.join(out_dir, chunk, f"_bloom_{table}_{col}.json")
+
+
+def _bloom_positions_py(s: str, n_bits: int, n_hashes: int) -> list[int]:
+    """Driver-side twin of the Spark bit-position expression in
+    add_bloom_index: md5 double hashing (Kirsch–Mitzenmacher), h2
+    forced odd-ish into [1, n_bits-1] so positions never degenerate."""
+    import hashlib
+
+    h = hashlib.md5(s.encode("utf-8")).hexdigest()
+    h1 = int(h[0:15], 16)
+    h2 = (int(h[16:31], 16) % (n_bits - 1)) + 1
+    return [(h1 + i * h2) % n_bits for i in range(n_hashes)]
+
+
+def add_bloom_index(
+    spark,
+    out_dir: str,
+    table: str,
+    key_col: str,
+    n_bits: int = 1 << 17,
+    n_hashes: int = 5,
+    chunks: list[str] | None = None,
+) -> list[str]:
+    """Build per-chunk Bloom-filter sidecars for point-lookup data
+    skipping — the secondary-index tier ABOVE the parquet-footer
+    min/max pruning the DML probe already does. Footer stats prune by
+    RANGE; interleaved key layouts (round-robin ingest, hash-bucketed
+    writers) make every chunk's [min, max] span the whole key domain,
+    so stats keep everything. The bloom answers MEMBERSHIP: a chunk
+    whose filter rejects every probe key is provably key-free (no
+    false negatives by construction) and is skipped before any scan.
+
+    For each committed chunk holding `table`, the chunk's distinct
+    key strings are hashed executor-side (md5 double hashing — the
+    same expression `_bloom_positions_py` mirrors on the driver), the
+    bit positions fold into 64-bit words via one slim bit_or
+    aggregation (<= n_bits/64 rows ever reach the driver — never the
+    keys), and the word map is written as a JSON sidecar inside the
+    chunk dir with tmp+os.replace atomicity. Chunk dirs are immutable
+    by the catalog's copy-on-write contract (merge/delete/compact
+    rewrite into NEW dirs), so a sidecar can never go stale; rewritten
+    chunks simply lack one until re-indexed and are kept conservatively
+    by the probe. Sidecars ride along on vacuum (whole-dir delete) and
+    are invisible to parquet readers.
+
+    Returns the chunk dirnames indexed. Keys are matched via their
+    Spark CAST(... AS STRING) form; the probe only trusts sidecars for
+    int/string key values (other types fall back to unpruned)."""
+    if n_bits < 64 or n_bits & (n_bits - 1):
+        raise ValueError("n_bits must be a power of two >= 64")
+    if n_hashes < 1:
+        raise ValueError("n_hashes must be >= 1")
+    m = _read_table_manifest(out_dir)
+    if m is None:
+        raise ValueError(f"no committed catalog under {out_dir}")
+    todo = list(chunks) if chunks is not None else list(m.get("chunks", []))
+    md5b = "md5(cast(s as binary))"
+    h1 = f"cast(conv(substring({md5b},1,15),16,10) as bigint)"
+    h2 = (
+        f"(pmod(cast(conv(substring({md5b},17,15),16,10) as bigint),"
+        f" {n_bits - 1}) + 1)"
+    )
+    pos_expr = (
+        f"transform(sequence(0, {n_hashes - 1}),"
+        f" i -> pmod({h1} + cast(i as bigint) * {h2}, {n_bits}))"
+    )
+    written: list[str] = []
+    for c in todo:
+        tdir = os.path.join(out_dir, c, table)
+        if not os.path.isdir(tdir):
+            continue
+        sdf = (
+            spark.read.parquet(tdir)
+            .select(F.col(key_col).cast("string").alias("s"))
+            .where(F.col("s").isNotNull())
+            .distinct()
+        )
+        words = (
+            sdf.select(F.explode(F.expr(pos_expr)).alias("pos"))
+            .groupBy(F.expr("cast(pos div 64 as bigint)").alias("w"))
+            .agg(
+                F.expr(
+                    "bit_or(shiftleft(cast(1 as bigint),"
+                    " cast(pmod(pos, 64) as int)))"
+                ).alias("bits")
+            )
+        )
+        word_map = {
+            str(int(r["w"])): format(
+                int(r["bits"]) & 0xFFFFFFFFFFFFFFFF, "016x"
+            )
+            for r in words.collect()
+        }
+        sidecar = {
+            "version": _BLOOM_VERSION,
+            "table": table,
+            "col": key_col,
+            "n_bits": n_bits,
+            "n_hashes": n_hashes,
+            "words": word_map,
+        }
+        path = _bloom_path(out_dir, c, table, key_col)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(sidecar, f)
+        os.replace(tmp, path)
+        written.append(c)
+    return written
+
+
+def _bloom_candidate_chunks(
+    out_dir: str, table: str, chunks: list[str], key_cols: list[str],
+    keys: DataFrame,
+) -> list[str]:
+    """Bloom-sidecar membership pruning of the DML probe, applied after
+    footer-stats pruning. Conservative everywhere: multi-column keys,
+    oversized key sets, non-int/string values, missing/unreadable/
+    mismatched sidecars all keep the chunk — correctness never depends
+    on pruning (the scan probe over candidates is the authority)."""
+    if len(key_cols) != 1:
+        return chunks
+    rows = keys.limit(_STATS_PRUNE_MAX_KEYS + 1).collect()
+    if len(rows) > _STATS_PRUNE_MAX_KEYS:
+        return chunks
+    vals = [r[0] for r in rows if r[0] is not None]
+    if not vals:
+        return chunks
+    if not all(
+        isinstance(v, (str, int)) and not isinstance(v, bool) for v in vals
+    ):
+        return chunks  # str(v) must match Spark's CAST AS STRING
+    kept: list[str] = []
+    for c in chunks:
+        try:
+            with open(_bloom_path(out_dir, c, table, key_cols[0])) as f:
+                sc = json.load(f)
+            if (
+                sc.get("version") != _BLOOM_VERSION
+                or sc.get("col") != key_cols[0]
+            ):
+                kept.append(c)
+                continue
+            nb, nh = int(sc["n_bits"]), int(sc["n_hashes"])
+            words = {int(i): int(w, 16) for i, w in sc["words"].items()}
+            hit = any(
+                all(
+                    (words.get(p // 64, 0) >> (p % 64)) & 1
+                    for p in _bloom_positions_py(str(v), nb, nh)
+                )
+                for v in vals
+            )
+        except Exception:  # sidecars are best-effort; keep the chunk
+            kept.append(c)
+            continue
+        if hit:
+            kept.append(c)
+    return kept
+
+
 def _probe_affected(
     spark, out_dir: str, table: str, keys: DataFrame, key_cols: list[str],
     chunks: list[str], base_snap: int,
 ) -> tuple[list[str], int, int]:
     """Which baseline chunks hold any of `keys`? Footer-stats pruning
-    first (no job), then one column-pruned scan over the surviving
+    first (no job), then bloom-sidecar membership pruning where
+    indexed, then one column-pruned scan over the surviving
     candidates, pinned to the baseline snapshot. Returns (affected
     chunk dirnames, n distinct keys matched, n rows matched)."""
     candidates = _stats_candidate_chunks(out_dir, table, chunks, key_cols, keys)
+    candidates = _bloom_candidate_chunks(
+        out_dir, table, candidates, key_cols, keys
+    )
     if not candidates:
         return [], 0, 0
     paths = [
