@@ -3585,6 +3585,51 @@ def _q161_bloom_dml(spark, sf_dir):
     )
 
 
+def _q162_sentences(spark, sf_dir):
+    """Sentence segmentation (operators/sentences.py:split_sentences) —
+    GROUND-TRUTH oracle. Each document's words are regrouped into known
+    sentences of 7 tokens: the first token capitalized (so the NEXT
+    boundary fires), a terminator cycling . ! ? by (doc+i) % 3, an
+    'i.e. decoy' abbreviation appended every 5th sentence (the dot is
+    followed by lowercase — must NOT split) and a '3.14' decimal every
+    7th (dot without whitespace — must NOT split). The oracle rebuilds
+    the exact expected sentence strings from the construction rules
+    alone — green means the boundary heuristic recovers every planted
+    boundary and none of the planted traps."""
+    from horus_spark.operators.sentences import split_sentences
+
+    d = _fanout(_load(spark, sf_dir, "documents"))
+    n = F.col("doc_id").cast("long")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    ns = F.ceil(F.size(toks) / 7).cast("int")
+
+    def sent(i):
+        chunk = F.slice(toks, (i * 7 + 1).cast("int"), 7)
+        first = F.element_at(chunk, 1)
+        cap = F.concat(
+            F.upper(F.substring(first, 1, 1)), F.substring(first, 2, 1 << 20)
+        )
+        body = F.concat_ws(
+            " ", F.concat(F.array(cap), F.slice(chunk, 2, 6))
+        )
+        body = F.concat(
+            body,
+            F.when(i % 5 == 0, F.lit(" i.e. decoy")).otherwise(F.lit("")),
+            F.when(i % 7 == 3, F.lit(" 3.14")).otherwise(F.lit("")),
+        )
+        term = F.element_at(
+            F.array(F.lit("."), F.lit("!"), F.lit("?")),
+            ((n + i) % 3 + 1).cast("int"),
+        )
+        return F.concat(body, term)
+
+    text2 = F.concat_ws(
+        " ", F.transform(F.sequence(F.lit(0), ns - 1), sent)
+    )
+    pages = d.select("doc_id", text2.alias("text"))
+    return split_sentences(pages)
+
+
 def _q131_snapshot_diff(spark, sf_dir):
     """Incremental/changelog read over the snapshot catalog
     (sink.py:snapshot_diff): q101's DML history is replayed (4 appends
@@ -4481,6 +4526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q159_feed_parse": _q159_feed_parse,
         "q160_maxscore_topk": _q160_maxscore_topk,
         "q161_bloom_dml": _q161_bloom_dml,
+        "q162_sentences": _q162_sentences,
     }
 
 
@@ -5795,6 +5841,37 @@ def _oracle_sql_literals() -> dict[str, str]:
                  o_orderstatus,
                  CAST(o_totalprice AS DOUBLE) AS o_totalprice
           FROM merged WHERE o_orderkey % 9 != 0
+        """,
+        # GROUND TRUTH: expected sentences rebuilt from the
+        # construction rules, never from the splitter under test.
+        "q162_sentences": """
+          WITH d AS (
+            SELECT doc_id, CAST(doc_id AS BIGINT) AS n,
+                   string_split(trim(regexp_replace(text, '\\s+', ' ',
+                     'g')), ' ') AS w
+            FROM documents
+          ), s AS (
+            SELECT doc_id, n, w,
+                   CAST(ceil(len(w) / 7.0) AS INT) AS ns
+            FROM d
+          ), e AS (
+            SELECT doc_id, n, CAST(g.i AS INT) AS sent_pos,
+                   list_slice(w, CAST(g.i * 7 + 1 AS INT),
+                              CAST(g.i * 7 + 7 AS INT)) AS chunk
+            FROM s, unnest(generate_series(0, ns - 1)) AS g(i)
+          )
+          SELECT doc_id AS id, sent_pos,
+                 upper(substr(chunk[1], 1, 1)) || substr(chunk[1], 2)
+                 || CASE WHEN len(chunk) > 1
+                         THEN ' ' || array_to_string(
+                           list_slice(chunk, 2, len(chunk)), ' ')
+                         ELSE '' END
+                 || CASE WHEN sent_pos % 5 = 0 THEN ' i.e. decoy'
+                         ELSE '' END
+                 || CASE WHEN sent_pos % 7 = 3 THEN ' 3.14' ELSE '' END
+                 || (['.', '!', '?'])[CAST((n + sent_pos) % 3 AS INT) + 1]
+                   AS sentence
+          FROM e
         """,
         "q144_politeness": """
           WITH fr AS (

@@ -1,0 +1,112 @@
+"""Sentence segmentation: deterministic boundary heuristic + stats.
+
+The unit between the document and the token: quality filters (Gopher's
+mean-words-per-sentence band), chunkers that must not cut mid-sentence,
+and citation/quote mining all consume sentence rows. Real NLP sentence
+splitters are model-based; a corpus engine needs a DETERMINISTIC,
+engine-portable rule so the same corpus always yields the same rows.
+
+The rule (conservative English-typography heuristic, the same family
+as spaCy's rule-based sentencizer / NLTK's regex fallback):
+
+    boundary  =  a terminator run [.!?]+   (ellipses and '?!' collapse
+                 into one boundary)
+              +  whitespace
+              +  an upper-case letter or digit opening the next
+                 sentence.
+
+What it deliberately does NOT split — the classic false boundaries:
+
+    - abbreviations followed by a lowercase continuation
+      ("i.e. more", "e.g. this"): next char fails [A-Z0-9];
+    - decimals and version numbers ("3.14", "v1.2"): no whitespace
+      after the dot;
+    - terminators at end-of-text: nothing follows, the tail is the
+      last sentence.
+
+Abbreviations followed by a capitalized word ("Dr. Smith") DO split —
+documented lossiness of any lexicon-free rule; the corpus-level stats
+this feeds are insensitive to it, and a lexicon tier can be composed
+upstream by protecting known abbreviations before the split.
+
+Scale shape: one regex split + posexplode — pure map-side codegen,
+ZERO shuffle (`split_sentences`); `sentence_stats` adds one per-doc
+fold over the array, still zero shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Java regex (Spark side): zero-width context so terminators stay with
+# their sentence and the capital stays with the next one.
+_BOUNDARY_RE = r"(?<=[.!?])\s+(?=[A-Z0-9])"
+
+
+def split_sentences(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Documents -> one row per sentence: (id, sent_pos, sentence),
+    document order preserved. Empty/NULL texts yield no rows; the
+    sentence keeps its terminator, boundary whitespace is consumed."""
+    sents = F.split(F.trim(F.col(text_col)), _BOUNDARY_RE)
+    out = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(sents).alias("sent_pos", "sentence"),
+    )
+    return out.where(F.length("sentence") > 0).select(
+        "id", F.col("sent_pos").cast("int").alias("sent_pos"), "sentence"
+    )
+
+
+def sentence_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document sentence-shape stats, computed as ONE map-side
+    array fold (no explode, no shuffle): (id, n_sentences,
+    mean_sent_chars_ppm, max_sent_chars, mean_sent_words_ppm). The
+    Gopher-style quality bands read these directly; ppm values are
+    exact integer divisions so every engine agrees."""
+    sents = F.filter(
+        F.split(F.trim(F.col(text_col)), _BOUNDARY_RE),
+        lambda s: F.length(s) > 0,
+    )
+    n = F.size(sents)
+    chars = F.aggregate(
+        sents, F.lit(0).cast("long"), lambda a, s: a + F.length(s)
+    )
+    words = F.aggregate(
+        sents,
+        F.lit(0).cast("long"),
+        lambda a, s: a + F.size(F.split(s, r"\s+")),
+    )
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        F.coalesce(n, F.lit(0)).cast("int").alias("n_sentences"),
+        F.coalesce(chars, F.lit(0)).cast("long").alias("_chars"),
+        F.coalesce(words, F.lit(0)).cast("long").alias("_words"),
+        F.coalesce(
+            F.aggregate(
+                sents, F.lit(0), lambda a, s: F.greatest(a, F.length(s))
+            ),
+            F.lit(0),
+        ).alias("max_sent_chars"),
+    )
+    # exact integer floor division: every engine agrees bit-for-bit
+    mean = "CAST({c} * CAST(1000000 AS BIGINT) div n_sentences AS BIGINT)"
+    return staged.select(
+        "id",
+        "n_sentences",
+        F.when(
+            F.col("n_sentences") > 0, F.expr(mean.format(c="_chars"))
+        ).alias("mean_sent_chars_ppm"),
+        "max_sent_chars",
+        F.when(
+            F.col("n_sentences") > 0, F.expr(mean.format(c="_words"))
+        ).alias("mean_sent_words_ppm"),
+    )

@@ -1,0 +1,78 @@
+"""Sentence segmentation (operators/sentences.py)."""
+
+from pyspark.sql import functions as F
+
+from horus_spark.operators.sentences import sentence_stats, split_sentences
+
+TEXT = (
+    "First sentence ends here. Second one, i.e. with an abbreviation, "
+    "survives. Pi is 3.14 and stays whole! Really?! Yes. trailing "
+    "lowercase never splits. Final tail without terminator"
+)
+
+
+def _sents(spark, text):
+    df = spark.createDataFrame([("d1", text)], "doc_id string, text string")
+    return [r["sentence"] for r in split_sentences(df).orderBy("sent_pos").collect()]
+
+
+def test_boundaries_and_traps(spark):
+    got = _sents(spark, TEXT)
+    assert got == [
+        "First sentence ends here.",
+        "Second one, i.e. with an abbreviation, survives.",
+        "Pi is 3.14 and stays whole!",
+        "Really?!",
+        "Yes. trailing lowercase never splits.",
+        "Final tail without terminator",
+    ]
+
+
+def test_multi_terminator_run_is_one_boundary(spark):
+    assert _sents(spark, "Wait... What now? Done.") == [
+        "Wait...",
+        "What now?",
+        "Done.",
+    ]
+
+
+def test_digit_opens_sentence(spark):
+    assert _sents(spark, "Version one shipped. 2 bugs remained.") == [
+        "Version one shipped.",
+        "2 bugs remained.",
+    ]
+
+
+def test_empty_and_null(spark):
+    df = spark.createDataFrame(
+        [("a", ""), ("b", None), ("c", "  Only one.  ")],
+        "doc_id string, text string",
+    )
+    rows = split_sentences(df).collect()
+    assert [(r["id"], r["sentence"]) for r in rows] == [("c", "Only one.")]
+
+
+def test_stats(spark):
+    df = spark.createDataFrame(
+        [("d1", "One two. Three four five. Six."), ("d2", "")],
+        "doc_id string, text string",
+    )
+    rows = {r["id"]: r.asDict() for r in sentence_stats(df).collect()}
+    d1 = rows["d1"]
+    assert d1["n_sentences"] == 3
+    # chars: 8 + 16 + 4 = 28 -> 28e6 div 3
+    assert d1["mean_sent_chars_ppm"] == 28_000_000 // 3
+    assert d1["max_sent_chars"] == 16
+    # words: 2 + 3 + 1 = 6 -> exactly 2e6
+    assert d1["mean_sent_words_ppm"] == 2_000_000
+    d2 = rows["d2"]
+    assert d2["n_sentences"] == 0
+    assert d2["mean_sent_chars_ppm"] is None
+    assert d2["max_sent_chars"] == 0
+
+
+def test_plans_shuffle_free(spark):
+    df = spark.createDataFrame([("d1", TEXT)], "doc_id string, text string")
+    for frame in (split_sentences(df), sentence_stats(df)):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
