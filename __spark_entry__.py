@@ -3630,6 +3630,59 @@ def _q162_sentences(spark, sf_dir):
     return split_sentences(pages)
 
 
+def _q163_page_outline(spark, sf_dir):
+    """Heading-outline extraction (operators/html.py:page_outline) —
+    GROUND-TRUTH oracle. Every page plants a known heading tree:
+    <h1>Report n</h1>, then 2 + n%3 sections whose <h2> flips tag case
+    every 3rd and carries attributes every 2nd, with an <h3>Sub i</h3>
+    nested under exactly the sections where (n+i) is even; paragraphs
+    sit between as non-heading decoys. The oracle recomputes each
+    heading's document position (a closed-form prefix count of the
+    planted h3s), level, stripped text and outline parent (nearest
+    preceding smaller level) straight from the modular rules — green
+    means the backreference-pinned heading scan and the array-scan
+    parent resolution reproduce the planted tree exactly."""
+    from horus_spark.operators.html import page_outline
+
+    d = _fanout(_load(spark, sf_dir, "documents"))
+    n = F.col("doc_id").cast("long")
+    ns = n.cast("string")
+    nsec = (F.lit(2) + (n % 3)).cast("int")
+
+    def section(i):
+        i_s = i.cast("string")
+        open_tag = F.when(
+            i % 3 == 2,
+            F.when(i % 2 == 1, F.lit('<H2 class="s">')).otherwise(
+                F.lit("<H2>")
+            ),
+        ).otherwise(
+            F.when(i % 2 == 1, F.lit('<h2 class="s">')).otherwise(
+                F.lit("<h2>")
+            )
+        )
+        close_tag = F.when(i % 3 == 2, F.lit("</H2>")).otherwise(
+            F.lit("</h2>")
+        )
+        h3 = F.when(
+            (n + i) % 2 == 0,
+            F.concat(F.lit("<h3>Sub "), i_s, F.lit("</h3>")),
+        ).otherwise(F.lit(""))
+        return F.concat(
+            open_tag, F.lit("Section "), i_s, close_tag,
+            F.lit("<p>para "), i_s, F.lit("</p>"), h3,
+        )
+
+    body = F.concat_ws(
+        "", F.transform(F.sequence(F.lit(0), nsec - 1), section)
+    )
+    page = F.concat(
+        F.lit("<html><body><h1>Report "), ns, F.lit("</h1>"), body,
+        F.lit("</body></html>"),
+    )
+    return page_outline(d.select("doc_id", page.alias("html")))
+
+
 def _q131_snapshot_diff(spark, sf_dir):
     """Incremental/changelog read over the snapshot catalog
     (sink.py:snapshot_diff): q101's DML history is replayed (4 appends
@@ -4527,6 +4580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q160_maxscore_topk": _q160_maxscore_topk,
         "q161_bloom_dml": _q161_bloom_dml,
         "q162_sentences": _q162_sentences,
+        "q163_page_outline": _q163_page_outline,
     }
 
 
@@ -5872,6 +5926,38 @@ def _oracle_sql_literals() -> dict[str, str]:
                  || (['.', '!', '?'])[CAST((n + sent_pos) % 3 AS INT) + 1]
                    AS sentence
           FROM e
+        """,
+        # GROUND TRUTH: the planted heading tree recomputed from the
+        # modular rules (prefix-count positions, parent = the section's
+        # h2 for every h3, the h1 for every h2).
+        "q163_page_outline": """
+          WITH d AS (
+            SELECT doc_id, CAST(doc_id AS BIGINT) AS n,
+                   CAST(2 + CAST(doc_id AS BIGINT) % 3 AS INT) AS nsec
+            FROM documents
+          ), h1 AS (
+            SELECT doc_id, 0 AS heading_pos, 1 AS level,
+                   'Report ' || n AS heading_text,
+                   CAST(NULL AS INT) AS parent_pos
+            FROM d
+          ), sec AS (
+            SELECT doc_id, n, CAST(g.i AS INT) AS i,
+                   CAST(1 + g.i + (g.i + 1 - n % 2) // 2 AS INT) AS pos2
+            FROM d, unnest(generate_series(0, nsec - 1)) AS g(i)
+          ), h2 AS (
+            SELECT doc_id, pos2 AS heading_pos, 2 AS level,
+                   'Section ' || i AS heading_text, 0 AS parent_pos
+            FROM sec
+          ), h3 AS (
+            SELECT doc_id, pos2 + 1 AS heading_pos, 3 AS level,
+                   'Sub ' || i AS heading_text, pos2 AS parent_pos
+            FROM sec WHERE (n + i) % 2 = 0
+          )
+          SELECT doc_id, CAST(heading_pos AS INT) AS heading_pos,
+                 CAST(level AS INT) AS level, heading_text,
+                 CAST(parent_pos AS INT) AS parent_pos
+          FROM (SELECT * FROM h1 UNION ALL SELECT * FROM h2
+                UNION ALL SELECT * FROM h3)
         """,
         "q144_politeness": """
           WITH fr AS (

@@ -808,3 +808,74 @@ def table_shapes(cells: DataFrame) -> DataFrame:
         F.sum("_hdr").cast("int").alias("n_header_cells"),
         F.sum("_empty").cast("int").alias("n_empty_cells"),
     )
+
+
+# ---------------------------------------------------------------------------
+# heading outline: pure expressions
+# ---------------------------------------------------------------------------
+
+_HEADING_RE = r"(?is)<h([1-6])(?:\s[^>]*)?>.*?</h\1>"
+
+
+def page_outline(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Document structure from heading markup: one row per h1-h6
+    element in document order, with its nesting parent resolved —
+
+      (doc_id, heading_pos, level, heading_text, parent_pos)
+
+    parent_pos is the NEAREST PRECEDING heading with a strictly
+    smaller level (the outline rule: an h3 nests under the last open
+    h2/h1), NULL for top-of-document headings. Section assignment,
+    table-of-contents construction and heading-keyed chunking all read
+    this tree directly.
+
+    Tag matching is case-insensitive and attribute-bearing (the level
+    digit is pinned by a backreference so <h2>..</h3> mismatches never
+    pair); heading text has inline markup replaced by spaces and
+    whitespace collapsed. Pages without headings yield no rows.
+
+    Scale shape: the heading list is ONE regexp_extract_all per page,
+    and the parent resolution is an array-expression scan over that
+    per-page list (headings per page are tens, not thousands — the
+    O(h^2) filter is bounded) — pure map-side codegen, ZERO shuffle.
+    """
+    heads = F.regexp_extract_all(
+        F.col(html_col), F.lit(_HEADING_RE), 0
+    )
+    levels = F.transform(
+        heads,
+        lambda h: F.regexp_extract(h, r"(?i)^<h([1-6])", 1).cast("int"),
+    )
+    pairs = F.transform(
+        levels, lambda lv, j: F.struct(j.alias("pos"), lv.alias("lv"))
+    )
+
+    def row(h, i):
+        lv = F.regexp_extract(h, r"(?i)^<h([1-6])", 1).cast("int")
+        text = F.trim(
+            F.regexp_replace(
+                F.regexp_replace(h, _TAG_RE, " "), r"\s+", " "
+            )
+        )
+        prior = F.slice(pairs, 1, i)
+        parent = F.array_max(
+            F.transform(
+                F.filter(prior, lambda p: p["lv"] < lv),
+                lambda p: p["pos"],
+            )
+        )
+        return F.struct(
+            i.cast("int").alias("heading_pos"),
+            lv.alias("level"),
+            text.alias("heading_text"),
+            parent.cast("int").alias("parent_pos"),
+        )
+
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.inline(F.transform(heads, row)),
+    )
