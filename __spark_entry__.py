@@ -3683,6 +3683,29 @@ def _q163_page_outline(spark, sf_dir):
     return page_outline(d.select("doc_id", page.alias("html")))
 
 
+def _q164_label_propagation(spark, sf_dir):
+    """Deterministic synchronous label-propagation communities
+    (operators/graph.py:label_propagation) over a planted caveman
+    graph: 16 disjoint 13-node groups (node = doc_id % 208), each
+    wired as a ring plus +3 chords — dense inside, no edges between.
+    Four synchronous rounds with the (max count, min label) rule; the
+    oracle replays the identical recursion as a recursive CTE (the
+    q66/q123 house pattern) — green means the distributed
+    join+count+argmax loop is a bit-exact pure function of the graph,
+    independent of partitioning."""
+    from horus_spark.operators.graph import label_propagation
+
+    d = _fanout(_load(spark, sf_dir, "documents"))
+    n = F.col("doc_id").cast("long")
+    v = (n % 208).alias("src")
+    g = (n % 208) - ((n % 208) % 13)  # group base
+    pos = (n % 208) % 13
+    ring = (g + (pos + 1) % 13).alias("dst")
+    chord = (g + (pos + 3) % 13).alias("dst")
+    edges = d.select(v, ring).unionByName(d.select(v, chord))
+    return label_propagation(edges, n_iter=4)
+
+
 def _q131_snapshot_diff(spark, sf_dir):
     """Incremental/changelog read over the snapshot catalog
     (sink.py:snapshot_diff): q101's DML history is replayed (4 appends
@@ -4581,6 +4604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q161_bloom_dml": _q161_bloom_dml,
         "q162_sentences": _q162_sentences,
         "q163_page_outline": _q163_page_outline,
+        "q164_label_propagation": _q164_label_propagation,
     }
 
 
@@ -5958,6 +5982,47 @@ def _oracle_sql_literals() -> dict[str, str]:
                  CAST(parent_pos AS INT) AS parent_pos
           FROM (SELECT * FROM h1 UNION ALL SELECT * FROM h2
                 UNION ALL SELECT * FROM h3)
+        """,
+        # the identical synchronous-LPA recursion replayed as a
+        # recursive CTE (q66/q123 house pattern): symmetrize, per-round
+        # neighbor-label counts, argmax by (count DESC, label ASC).
+        "q164_label_propagation": """
+          WITH RECURSIVE
+          raw AS (
+            SELECT (doc_id % 208)::BIGINT AS a,
+                   ((doc_id % 208) - (doc_id % 208) % 13
+                    + ((doc_id % 208) % 13 + 1) % 13)::BIGINT AS b
+            FROM documents
+            UNION ALL
+            SELECT (doc_id % 208)::BIGINT,
+                   ((doc_id % 208) - (doc_id % 208) % 13
+                    + ((doc_id % 208) % 13 + 3) % 13)::BIGINT
+            FROM documents),
+          sym AS (
+            SELECT DISTINCT a, b FROM (
+              SELECT a, b FROM raw WHERE a <> b
+              UNION ALL
+              SELECT b, a FROM raw WHERE a <> b)),
+          lab(iter, node, label) AS (
+            SELECT 0, a, a FROM (SELECT DISTINCT a FROM sym)
+            UNION ALL
+            SELECT iter + 1, node, label FROM (
+              WITH prev AS (SELECT * FROM lab),
+              cnt AS (
+                SELECT e.a AS node, p.label, count(*)::BIGINT AS c
+                FROM prev p JOIN sym e ON e.b = p.node
+                GROUP BY 1, 2),
+              pick AS (
+                SELECT node, label AS new_label FROM (
+                  SELECT node, label,
+                         row_number() OVER (PARTITION BY node
+                           ORDER BY c DESC, label ASC) AS rn
+                  FROM cnt) WHERE rn = 1)
+              SELECT p.iter, p.node,
+                     COALESCE(k.new_label, p.label) AS label
+              FROM prev p LEFT JOIN pick k ON k.node = p.node
+            ) WHERE iter + 1 <= 4)
+          SELECT node, label FROM lab WHERE iter = 4
         """,
         "q144_politeness": """
           WITH fr AS (

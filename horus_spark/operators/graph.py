@@ -346,3 +346,86 @@ def triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame
             ).otherwise(F.lit(0).cast("long")),
         )
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 5,
+    use_local_checkpoint: bool = True,
+) -> DataFrame:
+    """Fixed-iteration SYNCHRONOUS label propagation (Raghavan et al.
+    2007) — community detection over the undirected link graph, the
+    mesoscale complement to connected components (components.py finds
+    reachability; LPA finds densely-linked clusters inside one
+    component — mirror farms, forums, template families).
+
+    Determinism (classic LPA is famously order-dependent; this variant
+    is a pure function of the graph): updates are synchronous (every
+    node reads the PREVIOUS round's labels), and the new label is the
+    neighbor label with the highest count, ties broken by SMALLEST
+    label. A node with no neighbors keeps its label. After exactly
+    `n_iter` rounds from the self-label start, returns (node, label) —
+    equal labels = same community. The q164 oracle replays the same
+    recursion in SQL, so the distributed loop is pinned bit-exactly.
+
+    Input edges are treated as UNDIRECTED: each pair is symmetrized;
+    self-loops are dropped (a node never votes for itself — pure LPA).
+    Known synchronous-LPA property (Raghavan et al. §3): bipartite-ish
+    regions can oscillate with period 2 instead of converging; the
+    fixed iteration count makes even that reproducible (the pytest
+    pins one phase of a path graph's oscillation), and community
+    consumers should treat labels from n_iter and n_iter+1 as equally
+    valid partitions.
+
+    Scale shape per round (Pregel-on-DataFrames, the pagerank pattern):
+    one join of the label state onto the symmetrized edge list, one
+    (node, label) count aggregation with map-side combine, one argmax
+    aggregation — slim (node, label, count) rows only; the edge
+    relation is localCheckpoint'd once up front so rounds never
+    re-derive it, and the label state is checkpointed per round to
+    truncate the iterative lineage (swap for checkpoint()/persist on a
+    real cluster)."""
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(
+            F.col("a").isNotNull()
+            & F.col("b").isNotNull()
+            & (F.col("a") != F.col("b"))
+        )
+    )
+    sym = (
+        e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+    )
+    if use_local_checkpoint:
+        sym = sym.localCheckpoint(eager=False)
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+    )
+    for _ in range(n_iter):
+        nbr = sym.join(
+            labels, sym["b"] == labels["node"], "inner"
+        ).select(F.col("a").alias("node"), "label")
+        cnt = nbr.groupBy("node", "label").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        # argmax by (count desc, label asc) as ONE min-struct aggregate
+        pick = cnt.groupBy("node").agg(
+            F.min(
+                F.struct((-F.col("c")).alias("nc"), F.col("label"))
+            ).alias("m")
+        ).select("node", F.col("m.label").alias("new_label"))
+        labels = (
+            labels.join(pick, "node", "left")
+            .select(
+                "node",
+                F.coalesce("new_label", "label").alias("label"),
+            )
+        )
+        if use_local_checkpoint:
+            labels = labels.localCheckpoint(eager=False)
+    return labels
