@@ -3598,6 +3598,13 @@ def _q162_sentences(spark, sf_dir):
     boundary and none of the planted traps."""
     from horus_spark.operators.sentences import split_sentences
 
+    return split_sentences(_synth_sentence_corpus(spark, sf_dir))
+
+
+def _synth_sentence_corpus(spark, sf_dir):
+    """Shared q162/q165 synthesis: documents' words regrouped into
+    KNOWN sentences (7 tokens, capitalized opener, cycling terminator,
+    planted abbreviation/decimal traps)."""
     d = _fanout(_load(spark, sf_dir, "documents"))
     n = F.col("doc_id").cast("long")
     toks = F.split(F.trim(F.col("text")), r"\s+")
@@ -3626,8 +3633,20 @@ def _q162_sentences(spark, sf_dir):
     text2 = F.concat_ws(
         " ", F.transform(F.sequence(F.lit(0), ns - 1), sent)
     )
-    pages = d.select("doc_id", text2.alias("text"))
-    return split_sentences(pages)
+    return d.select("doc_id", text2.alias("text"))
+
+
+def _q165_readability(spark, sf_dir):
+    """Integer Flesch reading-ease (operators/sentences.py:readability)
+    over the q162 synthesized sentence corpus. The oracle rebuilds the
+    sentences from the construction rules (GROUND-TRUTH sentence count
+    — q162 already pins the splitter string-exactly), re-derives word
+    and vowel-group syllable counts per word in SQL, and replays the
+    micro/milli integer formula — all divisions on non-negative
+    operands, so Spark div and DuckDB // agree bit-for-bit."""
+    from horus_spark.operators.sentences import readability
+
+    return readability(_synth_sentence_corpus(spark, sf_dir))
 
 
 def _q163_page_outline(spark, sf_dir):
@@ -4605,6 +4624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q162_sentences": _q162_sentences,
         "q163_page_outline": _q163_page_outline,
         "q164_label_propagation": _q164_label_propagation,
+        "q165_readability": _q165_readability,
     }
 
 
@@ -5950,6 +5970,57 @@ def _oracle_sql_literals() -> dict[str, str]:
                  || (['.', '!', '?'])[CAST((n + sent_pos) % 3 AS INT) + 1]
                    AS sentence
           FROM e
+        """,
+        # q162's construction re-derived, then the integer Flesch
+        # formula over ground-truth sentence/word/syllable counts.
+        "q165_readability": """
+          WITH d AS (
+            SELECT doc_id, CAST(doc_id AS BIGINT) AS n,
+                   string_split(trim(regexp_replace(text, '\\s+', ' ',
+                     'g')), ' ') AS w
+            FROM documents
+          ), s AS (
+            SELECT doc_id, n, w,
+                   CAST(ceil(len(w) / 7.0) AS INT) AS ns
+            FROM d
+          ), e AS (
+            SELECT doc_id, n, CAST(g.i AS INT) AS sent_pos,
+                   list_slice(w, CAST(g.i * 7 + 1 AS INT),
+                              CAST(g.i * 7 + 7 AS INT)) AS chunk
+            FROM s, unnest(generate_series(0, ns - 1)) AS g(i)
+          ), b AS (
+            SELECT doc_id, sent_pos,
+                   upper(substr(chunk[1], 1, 1)) || substr(chunk[1], 2)
+                   || CASE WHEN len(chunk) > 1
+                           THEN ' ' || array_to_string(
+                             list_slice(chunk, 2, len(chunk)), ' ')
+                           ELSE '' END
+                   || CASE WHEN sent_pos % 5 = 0 THEN ' i.e. decoy'
+                           ELSE '' END
+                   || CASE WHEN sent_pos % 7 = 3 THEN ' 3.14' ELSE '' END
+                   || (['.', '!', '?'])[CAST((n + sent_pos) % 3 AS INT)
+                                        + 1] AS sentence
+            FROM e
+          ), wq AS (
+            SELECT doc_id, unnest(string_split(sentence, ' ')) AS tok
+            FROM b
+          ), wagg AS (
+            SELECT doc_id, count(*)::BIGINT AS n_words,
+                   sum(greatest(1, len(regexp_extract_all(lower(tok),
+                     '[aeiouy]+'))))::BIGINT AS n_syllables
+            FROM wq GROUP BY 1
+          ), sagg AS (
+            SELECT doc_id, count(*)::BIGINT AS n_sentences
+            FROM b GROUP BY 1
+          )
+          SELECT wagg.doc_id AS id, n_words, n_sentences, n_syllables,
+                 CAST(206835
+                  - (1015 * (n_words * CAST(1000000 AS BIGINT)
+                             // n_sentences)) // 1000000
+                  - (84600 * (n_syllables * CAST(1000000 AS BIGINT)
+                              // n_words)) // 1000000 AS BIGINT)
+                   AS flesch_milli
+          FROM wagg JOIN sagg USING (doc_id)
         """,
         # GROUND TRUTH: the planted heading tree recomputed from the
         # modular rules (prefix-count positions, parent = the section's

@@ -110,3 +110,69 @@ def sentence_stats(
             F.col("n_sentences") > 0, F.expr(mean.format(c="_words"))
         ).alias("mean_sent_words_ppm"),
     )
+
+
+def readability(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Flesch reading-ease scoring in EXACT integer arithmetic — the
+    classic prose-complexity prior (quality filters band on it next to
+    the Gopher rules):
+
+        flesch = 206.835 - 1.015 * words/sentence
+                         - 84.6  * syllables/word
+
+    restated in integer micro/milli units so every engine agrees
+    bit-for-bit (the q130/q151 convention — no float division anywhere;
+    both inner divisions run on non-negative operands so floor/trunc
+    semantics cannot diverge):
+
+        wps_ppm      = n_words  * 1e6 div n_sentences
+        spw_ppm      = n_syllables * 1e6 div n_words
+        flesch_milli = 206835 - (1015 * wps_ppm)  div 1e6
+                              - (84600 * spw_ppm) div 1e6
+
+    Sentences come from the same boundary rule as `split_sentences`;
+    syllables use the standard lexicon-free heuristic max(1, vowel
+    groups [aeiouy]+) per lowercased word. Returns (id, n_words,
+    n_sentences, n_syllables, flesch_milli); empty/NULL texts score
+    NULL with zero counts. ZERO shuffle — one map-side projection of
+    array folds."""
+    sents = F.filter(
+        F.split(F.trim(F.col(text_col)), _BOUNDARY_RE),
+        lambda s: F.length(s) > 0,
+    )
+    words = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"),
+        lambda w: F.length(w) > 0,
+    )
+    syll = F.aggregate(
+        words,
+        F.lit(0).cast("long"),
+        lambda a, w: a
+        + F.greatest(F.lit(1), F.regexp_count(F.lower(w), F.lit("[aeiouy]+"))),
+    )
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        F.coalesce(F.size(words), F.lit(0)).cast("long").alias("n_words"),
+        F.coalesce(F.size(sents), F.lit(0)).cast("long").alias("n_sentences"),
+        F.coalesce(syll, F.lit(0)).cast("long").alias("n_syllables"),
+    )
+    return staged.select(
+        "id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.when(
+            (F.col("n_words") > 0) & (F.col("n_sentences") > 0),
+            F.expr(
+                "CAST(206835"
+                " - (1015 * (n_words * CAST(1000000 AS BIGINT)"
+                "            div n_sentences)) div 1000000"
+                " - (84600 * (n_syllables * CAST(1000000 AS BIGINT)"
+                "             div n_words)) div 1000000 AS BIGINT)"
+            ),
+        ).alias("flesch_milli"),
+    )

@@ -76,3 +76,45 @@ def test_plans_shuffle_free(spark):
     for frame in (split_sentences(df), sentence_stats(df)):
         plan = frame._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+def test_readability_hand_values(spark):
+    from horus_spark.operators.sentences import readability
+
+    # "Go now. Stop here." : 4 words, 2 sentences, syllables:
+    # go=1, now=1, stop=1, here=2 -> 5
+    df = spark.createDataFrame(
+        [("d1", "Go now. Stop here."), ("d2", ""), ("d3", None)],
+        "doc_id string, text string",
+    )
+    rows = {r["id"]: r.asDict() for r in readability(df).collect()}
+    d1 = rows["d1"]
+    assert (d1["n_words"], d1["n_sentences"], d1["n_syllables"]) == (4, 2, 5)
+    wps = 4 * 1_000_000 // 2
+    spw = 5 * 1_000_000 // 4
+    assert d1["flesch_milli"] == (
+        206_835 - (1015 * wps) // 1_000_000 - (84_600 * spw) // 1_000_000
+    )
+    for k in ("d2", "d3"):
+        assert rows[k]["n_words"] == 0
+        assert rows[k]["flesch_milli"] is None
+
+
+def test_readability_syllable_floor_and_case(spark):
+    from horus_spark.operators.sentences import readability
+
+    # "Mth" has no vowels -> floored to 1; "AEIOU" is one vowel group
+    # after lowercasing; "3.14" floors to 1
+    df = spark.createDataFrame(
+        [("d", "Mth AEIOU 3.14")], "doc_id string, text string"
+    )
+    r = readability(df).collect()[0]
+    assert (r["n_words"], r["n_sentences"], r["n_syllables"]) == (3, 1, 3)
+
+
+def test_readability_plan_shuffle_free(spark):
+    from horus_spark.operators.sentences import readability
+
+    df = spark.createDataFrame([("d", TEXT)], "doc_id string, text string")
+    plan = readability(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
