@@ -3725,6 +3725,44 @@ def _q164_label_propagation(spark, sf_dir):
     return label_propagation(edges, n_iter=4)
 
 
+def _q166_url_canonicalize(spark, sf_dir):
+    """Full URL canonicalization (urls.py:canonicalize_url_expr) —
+    GROUND-TRUTH oracle. Synthesized URLs plant every rule's failure
+    mode by modulus: mixed-case host (must lowercase, path case
+    preserved), ':80' default port every 4th, trailing slash every
+    3rd, '#frag' every 6th, 'utm_source' every 2nd, an out-of-order
+    'b=2&a=1' pair except every 5th (must sort), and an uppercase
+    'PHPSESSID' session param every 7th (case-insensitive tracking
+    match). The oracle rebuilds the raw URL identically AND derives
+    the canonical form straight from the rules — green means all
+    seven rules fire exactly and nothing else is touched."""
+    from horus_spark.operators.urls import canonicalize_url_expr
+
+    d = _fanout(_load(spark, sf_dir, "documents"))
+    n = F.col("doc_id").cast("long")
+    ns = n.cast("string")
+    ks = (n % 50).cast("string")
+    q = F.concat_ws(
+        "&",
+        F.when(n % 2 == 0, F.lit("utm_source=x")),
+        F.when(n % 5 != 0, F.lit("b=2&a=1")),
+        F.when(n % 7 == 0, F.lit("PHPSESSID=abc")),
+    )
+    url = F.concat(
+        F.lit("https://SITE-"), ks, F.lit(".Test"),
+        F.when(n % 4 == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.lit("/P/"), ns,
+        F.when(n % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")),
+        F.when(n % 6 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    return d.select(
+        "doc_id",
+        url.alias("url"),
+        canonicalize_url_expr(url).alias("canonical"),
+    )
+
+
 def _q131_snapshot_diff(spark, sf_dir):
     """Incremental/changelog read over the snapshot catalog
     (sink.py:snapshot_diff): q101's DML history is replayed (4 appends
@@ -4625,6 +4663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q163_page_outline": _q163_page_outline,
         "q164_label_propagation": _q164_label_propagation,
         "q165_readability": _q165_readability,
+        "q166_url_canonicalize": _q166_url_canonicalize,
     }
 
 
@@ -5970,6 +6009,33 @@ def _oracle_sql_literals() -> dict[str, str]:
                  || (['.', '!', '?'])[CAST((n + sent_pos) % 3 AS INT) + 1]
                    AS sentence
           FROM e
+        """,
+        # GROUND TRUTH: raw URL rebuilt by the same rules, canonical
+        # form derived from the rules directly (never from the expr).
+        "q166_url_canonicalize": """
+          WITH d AS (
+            SELECT doc_id, CAST(doc_id AS BIGINT) AS n,
+                   CAST(doc_id AS BIGINT) % 50 AS k
+            FROM documents
+          ), u AS (
+            SELECT doc_id, n, k,
+              concat_ws('&',
+                CASE WHEN n % 2 = 0 THEN 'utm_source=x' END,
+                CASE WHEN n % 5 <> 0 THEN 'b=2&a=1' END,
+                CASE WHEN n % 7 = 0 THEN 'PHPSESSID=abc' END) AS q
+            FROM d
+          )
+          SELECT doc_id,
+            'https://SITE-' || k || '.Test'
+              || CASE WHEN n % 4 = 0 THEN ':80' ELSE '' END
+              || '/P/' || n
+              || CASE WHEN n % 3 = 0 THEN '/' ELSE '' END
+              || CASE WHEN q <> '' THEN '?' || q ELSE '' END
+              || CASE WHEN n % 6 = 0 THEN '#frag' ELSE '' END AS url,
+            'https://site-' || k || '.test/P/' || n
+              || CASE WHEN n % 5 <> 0 THEN '?a=1&b=2' ELSE '' END
+              AS canonical
+          FROM u
         """,
         # q162's construction re-derived, then the integer Flesch
         # formula over ground-truth sentence/word/syllable counts.

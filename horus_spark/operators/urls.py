@@ -131,3 +131,63 @@ def trap_families(
         .cast("int")
         .alias("is_trap"),
     )
+
+
+# full-parameter canonicalization: tracking params that never identify
+# content (ad-click + analytics + session ids). Anchored full-match on
+# the param's key.
+_TRACKING_PARAM_RE = (
+    r"(?i)^(utm_[^=]*|gclid|fbclid|msclkid|yclid|mc_eid|igshid"
+    r"|phpsessid|jsessionid|sessionid|sid|ref)(=.*)?$"
+)
+
+
+def canonicalize_url_expr(url: Column) -> Column:
+    """Aggressive-but-safe URL canonicalization for dedup/seen-set/
+    frontier keys — `normalize_url_expr` plus full query-string
+    normalization:
+
+      1. fragment stripped;
+      2. scheme+host lowercased, default ports dropped, trailing path
+         slash stripped (the normalize_url_expr rules, applied to the
+         query-free part so a slash inside a query value is never
+         touched);
+      3. tracking parameters removed (utm_*, gclid, fbclid, session
+         ids, ... — the keys that never identify content);
+      4. surviving parameters SORTED lexicographically (param order is
+         not content-bearing; '?b=2&a=1' and '?a=1&b=2' are the same
+         resource) and empty fragments from '&&' dropped;
+      5. the '?' disappears entirely when nothing survives.
+
+    The same rules a crawl dedup needs before (url, digest) keying —
+    otherwise every utm-tagged share of a page looks like a distinct
+    URL and recrawl/mirror/coverage stats all inflate. Pure
+    expressions, zero shuffle, RE2-compatible (the q166 oracle replays
+    every rule in SQL)."""
+    u = F.regexp_replace(url, r"#.*$", "")
+    base = F.regexp_extract(u, r"^([^?]*)", 1)
+    query = F.regexp_extract(u, r"\?(.*)$", 1)
+    scheme = F.lower(
+        F.regexp_extract(base, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    )
+    host = F.lower(
+        F.regexp_extract(base, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
+    )
+    rest = F.regexp_extract(
+        base, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(.*)$", 1
+    )
+    host = F.regexp_replace(host, r":(80|443)$", "")
+    rest = F.regexp_replace(rest, r"/$", "")
+    base_n = F.when(scheme == "", base).otherwise(
+        F.concat(scheme, F.lit("://"), host, rest)
+    )
+    kept = F.sort_array(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(_TRACKING_PARAM_RE),
+        )
+    )
+    return F.when(
+        F.size(kept) > 0,
+        F.concat(base_n, F.lit("?"), F.concat_ws("&", kept)),
+    ).otherwise(base_n)

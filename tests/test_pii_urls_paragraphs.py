@@ -138,3 +138,31 @@ def test_duplicate_paragraph_shuffle_carries_digests_only(spark):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "chunk_text" not in line
+
+
+def test_canonicalize_url_rules(spark):
+    from horus_spark.operators.urls import canonicalize_url_expr
+    from pyspark.sql import functions as F
+
+    cases = [
+        # (raw, expected)
+        ("https://EX.com:443/A/b/", "https://ex.com/A/b"),
+        ("http://ex.com:80/x?b=2&a=1#frag", "http://ex.com/x?a=1&b=2"),
+        ("https://ex.com/x?utm_source=t&utm_medium=m", "https://ex.com/x"),
+        ("https://ex.com/x?a=1&&b=2", "https://ex.com/x?a=1&b=2"),
+        ("https://ex.com/x?PHPSESSID=z&a=1", "https://ex.com/x?a=1"),
+        ("https://ex.com/x?ref=abc", "https://ex.com/x"),
+        # 'refresh' is NOT the tracking key 'ref' (anchored match)
+        ("https://ex.com/x?refresh=1", "https://ex.com/x?refresh=1"),
+        # slash inside a query value survives; only the PATH slash strips
+        ("https://ex.com/p/?a=x/", "https://ex.com/p?a=x/"),
+        ("no-scheme/path?b=2&a=1", "no-scheme/path?a=1&b=2"),
+    ]
+    df = spark.createDataFrame([(r,) for r, _ in cases], "url string")
+    got = [
+        r["c"]
+        for r in df.select(
+            canonicalize_url_expr(F.col("url")).alias("c")
+        ).collect()
+    ]
+    assert got == [e for _, e in cases]
