@@ -3763,6 +3763,21 @@ def _q166_url_canonicalize(spark, sf_dir):
     )
 
 
+def _q167_span_corruption(spark, sf_dir):
+    """T5-style span-corruption mask planning
+    (operators/masking.py:span_corruption_plan): hash-derived start
+    positions (md5(doc:pos) % 20), uniform [2,5) raw lengths, interval
+    union into maximal merged spans — the reproducible denoising plan
+    every epoch must agree on. The oracle recomputes the same hash
+    positions in SQL and merges via gaps-and-islands windows; interval
+    union is representation-independent, so the zero-shuffle array
+    fold and the window recursion must agree bit-for-bit."""
+    from horus_spark.operators.masking import span_corruption_plan
+
+    d = _fanout(_load(spark, sf_dir, "documents"))
+    return span_corruption_plan(d)
+
+
 def _q131_snapshot_diff(spark, sf_dir):
     """Incremental/changelog read over the snapshot catalog
     (sink.py:snapshot_diff): q101's DML history is replayed (4 appends
@@ -4664,6 +4679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q164_label_propagation": _q164_label_propagation,
         "q165_readability": _q165_readability,
         "q166_url_canonicalize": _q166_url_canonicalize,
+        "q167_span_corruption": _q167_span_corruption,
     }
 
 
@@ -6009,6 +6025,48 @@ def _oracle_sql_literals() -> dict[str, str]:
                  || (['.', '!', '?'])[CAST((n + sent_pos) % 3 AS INT) + 1]
                    AS sentence
           FROM e
+        """,
+        # same hash positions, interval union replayed as
+        # gaps-and-islands windows instead of the array fold.
+        "q167_span_corruption": """
+          WITH d AS (
+            SELECT doc_id AS id,
+                   string_split(trim(regexp_replace(text, '\\s+', ' ',
+                     'g')), ' ') AS w
+            FROM documents
+          ), pos AS (
+            SELECT id, CAST(g.p AS INT) AS p, CAST(len(w) AS INT) AS nt
+            FROM d, unnest(generate_series(0, len(w) - 1)) AS g(p)
+          ), h AS (
+            SELECT id, p, nt,
+                   CAST(concat('0x', substring(md5(id || ':' || p),
+                     1, 15)) AS BIGINT) AS hv
+            FROM pos
+          ), st AS (
+            SELECT id, p AS s,
+                   CAST(least(p + 2 + (hv // 20) % 3, nt) AS INT) AS e
+            FROM h WHERE hv % 20 = 0
+          ), isl AS (
+            SELECT id, s, e,
+                   CASE WHEN s <= max(e) OVER (PARTITION BY id ORDER BY s
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND
+                          1 PRECEDING) THEN 0 ELSE 1 END AS brk
+            FROM st
+          ), grp AS (
+            SELECT id, s, e,
+                   sum(brk) OVER (PARTITION BY id ORDER BY s) AS g
+            FROM isl
+          ), m AS (
+            SELECT id, g, min(s) AS s, max(e) AS e
+            FROM grp GROUP BY 1, 2
+          )
+          SELECT id,
+                 CAST(row_number() OVER (PARTITION BY id ORDER BY s) - 1
+                      AS INT) AS mask_id,
+                 CAST(s AS INT) AS span_start,
+                 CAST(e AS INT) AS span_end,
+                 CAST(e - s AS INT) AS n_masked
+          FROM m
         """,
         # GROUND TRUTH: raw URL rebuilt by the same rules, canonical
         # form derived from the rules directly (never from the expr).

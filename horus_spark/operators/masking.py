@@ -1,0 +1,108 @@
+"""Span-corruption mask planning (T5 / UL2 denoising pretraining).
+
+Seq2seq pretraining corrupts ~15% of tokens in spans of mean length ~3
+(Raffel et al. 2020 §3.1.4); the PLAN — which token intervals each
+document masks — must be a pure function of the corpus so that every
+epoch, every engine and every re-run materializes the same training
+examples (the same reproducibility contract as the q74 epoch shuffle).
+
+Derivation (hash-driven, loop-free):
+
+  - a span STARTS at token position p iff
+        h(doc_id, p) % start_rate == 0
+    with h = the first 60 bits of md5(doc_id || ':' || p) — at
+    start_rate=20 and mean span 3 that corrupts ~15% of tokens;
+  - its raw length is min_len + (h div start_rate) % len_mod
+    (uniform over [min_len, min_len+len_mod), mean 3 at 2+[0,3)),
+    clipped at the document end;
+  - overlapping/adjacent raw spans MERGE into maximal intervals
+    (interval union — so the plan never double-masks a token), and
+    mask_id numbers the merged spans in document order.
+
+Output: (id, mask_id, span_start, span_end, n_masked) with span_end
+EXCLUSIVE. The q167 oracle recomputes the same hash positions in SQL
+and merges via gaps-and-islands — interval union is representation-
+independent, so the zero-shuffle array fold here and the window
+recursion there must agree bit-for-bit.
+
+Scale shape: candidate starts and the merge fold are per-document
+ARRAY expressions (transform/filter/aggregate over the token-position
+sequence) — pure map-side codegen, ZERO shuffle; only the final
+explode materializes span rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def span_corruption_plan(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    start_rate: int = 20,
+    min_len: int = 2,
+    len_mod: int = 3,
+) -> DataFrame:
+    """Deterministic denoising-mask plan; see module docstring."""
+    if start_rate < 1 or min_len < 1 or len_mod < 1:
+        raise ValueError("start_rate, min_len, len_mod must be >= 1")
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"),
+        lambda w: F.length(w) > 0,
+    )
+    nt = F.size(toks)
+    h = (
+        "cast(conv(substring(md5(cast(concat(cast(id as string), ':',"
+        " cast(p as string)) as binary)), 1, 15), 16, 10) as bigint)"
+    )
+    # raw candidate spans (s, e), e exclusive, clipped at nt — built as
+    # one array expression over token positions
+    raw = F.expr(
+        f"""
+        case when nt <= 0 then
+          cast(array() as array<struct<s: int, e: int, hit: boolean>>)
+        else
+          filter(
+            transform(sequence(0, int(nt) - 1),
+              p -> named_struct(
+                's', cast(p as int),
+                'e', cast(least(
+                       p + {min_len} + ({h} div {start_rate}) % {len_mod},
+                       nt) as int),
+                'hit', {h} % {start_rate} = 0)),
+            x -> x.hit)
+        end
+        """
+    )
+    # interval union: fold sorted candidates into merged spans
+    merged = F.expr(
+        """
+        aggregate(
+          _raw,
+          cast(array() as array<struct<s: int, e: int>>),
+          (acc, x) -> case
+            when size(acc) > 0 and x.s <= element_at(acc, -1).e then
+              concat(
+                slice(acc, 1, size(acc) - 1),
+                array(named_struct(
+                  's', element_at(acc, -1).s,
+                  'e', greatest(element_at(acc, -1).e, x.e))))
+            else concat(acc, array(named_struct('s', x.s, 'e', x.e)))
+          end)
+        """
+    )
+    staged = df.select(
+        F.col(id_col).alias("id"), F.coalesce(nt, F.lit(0)).alias("nt")
+    ).select("id", "nt", raw.alias("_raw"))
+    spans = staged.select("id", merged.alias("_m")).select(
+        "id", F.posexplode("_m").alias("mask_id", "sp")
+    )
+    return spans.select(
+        "id",
+        F.col("mask_id").cast("int").alias("mask_id"),
+        F.col("sp.s").alias("span_start"),
+        F.col("sp.e").alias("span_end"),
+        (F.col("sp.e") - F.col("sp.s")).cast("int").alias("n_masked"),
+    )
