@@ -3663,6 +3663,13 @@ def _q163_page_outline(spark, sf_dir):
     parent resolution reproduce the planted tree exactly."""
     from horus_spark.operators.html import page_outline
 
+    return page_outline(_synth_outline_pages(spark, sf_dir))
+
+
+def _synth_outline_pages(spark, sf_dir):
+    """Shared q163/q168 synthesis: pages with a planted heading tree
+    (h1 Report, 2 + n%3 h2 sections with case/attr noise, h3 under
+    the sections where (n+i) is even, paragraph decoys between)."""
     d = _fanout(_load(spark, sf_dir, "documents"))
     n = F.col("doc_id").cast("long")
     ns = n.cast("string")
@@ -3699,7 +3706,21 @@ def _q163_page_outline(spark, sf_dir):
         F.lit("<html><body><h1>Report "), ns, F.lit("</h1>"), body,
         F.lit("</body></html>"),
     )
-    return page_outline(d.select("doc_id", page.alias("html")))
+    return d.select("doc_id", page.alias("html"))
+
+
+def _q168_section_chunks(spark, sf_dir):
+    """Heading-keyed section chunking
+    (operators/html.py:section_chunks) over the q163 planted pages —
+    GROUND-TRUTH oracle: splitting at level 2 must yield the preamble
+    ('Report n', no heading) plus one section per planted h2 whose
+    text is 'para i' with ' Sub i' appended exactly where the h3 was
+    planted ((n+i) even). Every expected row derives from the modular
+    rules — green means the split boundary, heading pairing, chrome
+    strip and text normalization compose exactly."""
+    from horus_spark.operators.html import section_chunks
+
+    return section_chunks(_synth_outline_pages(spark, sf_dir))
 
 
 def _q164_label_propagation(spark, sf_dir):
@@ -4680,6 +4701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q165_readability": _q165_readability,
         "q166_url_canonicalize": _q166_url_canonicalize,
         "q167_span_corruption": _q167_span_corruption,
+        "q168_section_chunks": _q168_section_chunks,
     }
 
 
@@ -6145,6 +6167,31 @@ def _oracle_sql_literals() -> dict[str, str]:
                               // n_words)) // 1000000 AS BIGINT)
                    AS flesch_milli
           FROM wagg JOIN sagg USING (doc_id)
+        """,
+        # GROUND TRUTH: the q163 pages' planted sections derived from
+        # the modular rules (preamble = the h1 text, each h2 section's
+        # body = its paragraph + the h3 text where planted).
+        "q168_section_chunks": """
+          WITH d AS (
+            SELECT doc_id, CAST(doc_id AS BIGINT) AS n,
+                   CAST(2 + CAST(doc_id AS BIGINT) % 3 AS INT) AS nsec
+            FROM documents
+          ), pre AS (
+            SELECT doc_id, 0 AS section_pos,
+                   CAST(NULL AS VARCHAR) AS heading_text,
+                   'Report ' || n AS section_text
+            FROM d
+          ), sec AS (
+            SELECT doc_id, CAST(g.i + 1 AS INT) AS section_pos,
+                   'Section ' || g.i AS heading_text,
+                   'para ' || g.i ||
+                   CASE WHEN (n + g.i) % 2 = 0 THEN ' Sub ' || g.i
+                        ELSE '' END AS section_text
+            FROM d, unnest(generate_series(0, nsec - 1)) AS g(i)
+          )
+          SELECT doc_id, CAST(section_pos AS INT) AS section_pos,
+                 heading_text, section_text
+          FROM (SELECT * FROM pre UNION ALL SELECT * FROM sec)
         """,
         # GROUND TRUTH: the planted heading tree recomputed from the
         # modular rules (prefix-count positions, parent = the section's

@@ -879,3 +879,59 @@ def page_outline(
         F.col(id_col).alias("doc_id"),
         F.inline(F.transform(heads, row)),
     )
+
+
+def section_chunks(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    level: int = 2,
+) -> DataFrame:
+    """Heading-keyed page chunking: split the page at every h<level>
+    boundary and emit one row per section —
+
+      (doc_id, section_pos, heading_text, section_text)
+
+    section 0 is the PREAMBLE (everything before the first h<level>;
+    heading_text NULL — dropped when its text is empty), then one row
+    per heading carrying the heading's stripped text and the section
+    body up to the next same-level heading. This is the chunking
+    retrieval pipelines want ("split documentation on h2"): unlike
+    fixed token windows (chunking.py), boundaries always fall on the
+    author's own structure, and the heading rides along as the chunk
+    title for embedding/BM25 indexing.
+
+    Section text: chrome (script/style/comments) stripped first, then
+    all markup replaced by spaces and whitespace collapsed — so nested
+    h3+/p/li content flattens INTO its parent section's text. Tag
+    matching is case-insensitive and attribute-bearing.
+
+    Scale shape: one regexp split + one regexp_extract_all per page,
+    zipped positionally — pure map-side codegen, ZERO shuffle.
+    """
+    if not 1 <= level <= 6:
+        raise ValueError("level must be in [1, 6]")
+    h_re = rf"(?is)<h{level}(?:\s[^>]*)?>.*?</h{level}>"
+    cleaned = _strip_chrome(F.col(html_col))
+    heads = F.regexp_extract_all(cleaned, F.lit(h_re), 0)
+    parts = F.split(cleaned, h_re)
+
+    def strip(c):
+        return F.trim(
+            F.regexp_replace(F.regexp_replace(c, _TAG_RE, " "), r"\s+", " ")
+        )
+
+    rows = F.transform(
+        parts,
+        lambda p, i: F.struct(
+            i.cast("int").alias("section_pos"),
+            F.when(i > 0, strip(F.element_at(heads, i))).alias(
+                "heading_text"
+            ),
+            strip(p).alias("section_text"),
+        ),
+    )
+    out = df.select(F.col(id_col).alias("doc_id"), F.inline(rows))
+    return out.where(
+        F.col("heading_text").isNotNull() | (F.col("section_text") != "")
+    )

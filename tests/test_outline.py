@@ -50,3 +50,61 @@ def test_plan_shuffle_free(spark):
     df = spark.createDataFrame([("d", PAGE)], "doc_id string, html string")
     plan = page_outline(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_section_chunks(spark):
+    from horus_spark.operators.html import section_chunks
+
+    html = (
+        "<html><head><script>var x=1;</script></head><body>"
+        "<h1>Title</h1><p>intro text</p>"
+        '<H2 class="a">First <b>Part</b></H2><p>alpha</p><h3>Depth</h3>'
+        "<h2>Second Part</h2><ul><li>beta</li><li>gamma</li></ul>"
+        "<h2>Empty Part</h2>"
+        "</body></html>"
+    )
+    df = spark.createDataFrame([("d", html)], "doc_id string, html string")
+    rows = [
+        tuple(r)[1:]
+        for r in section_chunks(df).orderBy("section_pos").collect()
+    ]
+    assert rows == [
+        (0, None, "Title intro text"),
+        (1, "First Part", "alpha Depth"),  # h3 flattens into parent
+        (2, "Second Part", "beta gamma"),
+        (3, "Empty Part", ""),  # heading with no body survives
+    ]
+
+
+def test_section_chunks_no_preamble_row_when_empty(spark):
+    from horus_spark.operators.html import section_chunks
+
+    df = spark.createDataFrame(
+        [("d", "<h2>Only</h2><p>body</p>")], "doc_id string, html string"
+    )
+    rows = [tuple(r)[1:] for r in section_chunks(df).collect()]
+    assert rows == [(1, "Only", "body")]
+
+
+def test_section_chunks_level_param_and_guard(spark):
+    import pytest
+
+    from horus_spark.operators.html import section_chunks
+
+    df = spark.createDataFrame(
+        [("d", "<h3>A</h3><p>x</p><h3>B</h3>y")], "doc_id string, html string"
+    )
+    rows = [tuple(r)[1:] for r in section_chunks(df, level=3).collect()]
+    assert rows == [(1, "A", "x"), (2, "B", "y")]
+    with pytest.raises(ValueError):
+        section_chunks(df, level=0)
+
+
+def test_section_chunks_plan_shuffle_free(spark):
+    from horus_spark.operators.html import section_chunks
+
+    df = spark.createDataFrame(
+        [("d", "<h2>A</h2>x")], "doc_id string, html string"
+    )
+    plan = section_chunks(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
