@@ -502,3 +502,101 @@ def read_sketch(spark: SparkSession, sketch_dir: str) -> DataFrame:
         .groupBy("row_i", "col_j")
         .agg(F.sum("c").alias("c"))
     )
+
+
+_FEEDS_SCHEMA = "src string, feed_xml string"
+
+
+def _feed_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    out_dir: str,
+    seen_dir: str,
+) -> None:
+    """One micro-batch of stream_feed_ingest: parse the batch's feed
+    bodies, canonicalize entry links, drop URLs the durable seen set
+    already holds, write the batch-keyed discovery slice AND the
+    batch-keyed seen extension (both overwrite on replay — idempotent).
+    Module-level so replay is exercised directly in tests."""
+    from horus_spark.operators.feeds import parse_feeds
+    from horus_spark.operators.urls import canonicalize_url_expr
+
+    entries = parse_feeds(batch_df).select(
+        canonicalize_url_expr(F.col("link")).alias("url"),
+        "src", "entry_pos", "title", "published",
+    )
+    # within-batch dedup: deterministic winner per canonical URL
+    batch_urls = (
+        entries.groupBy("url")
+        .agg(
+            F.min(
+                F.struct("src", "entry_pos", "title", "published")
+            ).alias("m")
+        )
+        .select(
+            "url", F.col("m.src").alias("src"),
+            F.col("m.title").alias("title"),
+            F.col("m.published").alias("published"),
+        )
+    )
+    # read every seen slice EXCEPT this batch's own: on replay the
+    # first run's batch=N slice must not veto its own URLs, or the
+    # replayed slice would come out empty instead of identical
+    slices = (
+        [
+            os.path.join(seen_dir, name)
+            for name in sorted(os.listdir(seen_dir))
+            if name.startswith("batch=") and name != f"batch={batch_id}"
+        ]
+        if os.path.isdir(seen_dir)
+        else []
+    )
+    seen = (
+        spark.read.parquet(*slices).select("url") if slices else None
+    )
+    new = (
+        batch_urls.join(seen, "url", "left_anti")
+        if seen is not None
+        else batch_urls
+    )
+    new = new.localCheckpoint(eager=False)  # two consumers, one compute
+    new.write.mode("overwrite").parquet(
+        os.path.join(out_dir, f"batch={batch_id}")
+    )
+    new.select("url").write.mode("overwrite").parquet(
+        os.path.join(seen_dir, f"batch={batch_id}")
+    )
+
+
+def stream_feed_ingest(
+    spark: SparkSession,
+    feeds_dir: str,
+    out_dir: str,
+    seen_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Continuous FEED polling — the discovery stream next to the crawl
+    ingest (stream_html_ingest): micro-batches of raw syndication
+    bodies (src, feed_xml) parquet files are parsed (RSS <item> + Atom
+    <entry>, operators/feeds.py), entry links are fully canonicalized
+    (tracking params stripped, params sorted — urls.py, so a
+    utm-tagged re-announcement of a known URL can never re-enter the
+    frontier), and only URLs absent from the durable SEEN set survive
+    into the batch-keyed discovery slice under `out_dir` — the queue a
+    frontier builder consumes. The seen set itself is extended with
+    batch-keyed slices, so a REPLAYED micro-batch overwrites its own
+    slices and recomputes identical verdicts (exactly-once downstream
+    semantics, the stream_sketch_maintenance pattern; the seen set is
+    read whole per batch — compact old slices periodically). Returns
+    the started StreamingQuery."""
+    stream = spark.readStream.schema(_FEEDS_SCHEMA).parquet(feeds_dir)
+    writer = (
+        stream.writeStream.foreachBatch(
+            lambda df, bid: _feed_batch(spark, df, bid, out_dir, seen_dir)
+        ).option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
