@@ -3799,6 +3799,39 @@ def _q167_span_corruption(spark, sf_dir):
     return span_corruption_plan(d)
 
 
+def _q169_registered_domain(spark, sf_dir):
+    """Registered-domain (public-suffix) extraction
+    (urls.py:registered_domain_expr) — GROUND-TRUTH oracle: every 3rd
+    doc gets a mixed-case multi-label-suffix host
+    ('WWW.sub.site-k.Co.Uk' -> site-k.co.uk, the three-label tier),
+    every 11th a single-label intranet host (passthrough), the rest a
+    deep subdomain chain under .com ('cdnX.site-k.com' ->
+    site-k.com). Expected domains derive from the rules alone."""
+    from horus_spark.operators.urls import registered_domain_expr
+
+    d = _fanout(_load(spark, sf_dir, "documents"))
+    n = F.col("doc_id").cast("long")
+    ks = (n % 50).cast("string")
+    host = (
+        F.when(
+            n % 3 == 0,
+            F.concat(F.lit("WWW.sub.site-"), ks, F.lit(".Co.Uk")),
+        )
+        .when(n % 11 == 0, F.lit("intranet"))
+        .otherwise(
+            F.concat(
+                F.lit("cdn"), (n % 7).cast("string"), F.lit(".site-"),
+                ks, F.lit(".com"),
+            )
+        )
+    )
+    return d.select(
+        "doc_id",
+        host.alias("host"),
+        registered_domain_expr(host).alias("domain"),
+    )
+
+
 def _q131_snapshot_diff(spark, sf_dir):
     """Incremental/changelog read over the snapshot catalog
     (sink.py:snapshot_diff): q101's DML history is replayed (4 appends
@@ -4702,6 +4735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q166_url_canonicalize": _q166_url_canonicalize,
         "q167_span_corruption": _q167_span_corruption,
         "q168_section_chunks": _q168_section_chunks,
+        "q169_registered_domain": _q169_registered_domain,
     }
 
 
@@ -6047,6 +6081,26 @@ def _oracle_sql_literals() -> dict[str, str]:
                  || (['.', '!', '?'])[CAST((n + sent_pos) % 3 AS INT) + 1]
                    AS sentence
           FROM e
+        """,
+        # GROUND TRUTH: hosts and registered domains both derived from
+        # the synthesis rules.
+        "q169_registered_domain": """
+          WITH d AS (
+            SELECT doc_id, CAST(doc_id AS BIGINT) AS n,
+                   CAST(doc_id AS BIGINT) % 50 AS k
+            FROM documents
+          )
+          SELECT doc_id,
+                 CASE WHEN n % 3 = 0
+                        THEN 'WWW.sub.site-' || k || '.Co.Uk'
+                      WHEN n % 11 = 0 THEN 'intranet'
+                      ELSE 'cdn' || (n % 7) || '.site-' || k || '.com'
+                 END AS host,
+                 CASE WHEN n % 3 = 0 THEN 'site-' || k || '.co.uk'
+                      WHEN n % 11 = 0 THEN 'intranet'
+                      ELSE 'site-' || k || '.com'
+                 END AS domain
+          FROM d
         """,
         # same hash positions, interval union replayed as
         # gaps-and-islands windows instead of the array fold.

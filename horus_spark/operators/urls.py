@@ -191,3 +191,46 @@ def canonicalize_url_expr(url: Column) -> Column:
         F.size(kept) > 0,
         F.concat(base_n, F.lit("?"), F.concat_ws("&", kept)),
     ).otherwise(base_n)
+
+
+# compact effective-TLD tier: the high-traffic multi-label public
+# suffixes. The full PSL is a data file a deployment ships alongside;
+# the RULE (longest matching suffix + one label) is what is implemented
+# and tested here, and the list is parameterizable.
+_DEFAULT_MULTI_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
+    "co.jp", "or.jp", "ne.jp", "com.br", "com.cn", "com.mx", "co.in",
+    "co.kr", "co.za", "com.tr", "com.ar",
+)
+
+
+def registered_domain_expr(
+    host: Column,
+    multi_suffixes: tuple[str, ...] = _DEFAULT_MULTI_SUFFIXES,
+) -> Column:
+    """Registered (pay-level) domain of a hostname — the rollup key
+    host-level stats actually want: 'a.cdn.example.co.uk' and
+    'www.example.co.uk' are the same registrant, and treating every
+    subdomain as a distinct 'site' skews mirror/coverage/priors
+    tables. Public-suffix rule, two tiers:
+
+      - last two labels form a known multi-label suffix (co.uk,
+        com.au, ...): registered domain = last THREE labels;
+      - otherwise: last TWO labels;
+      - single-label hosts (localhost, intranet names) pass through.
+
+    Case-insensitive; ports must be stripped upstream (host_of_expr
+    does). Pure expressions, zero shuffle; the q169 oracle replays the
+    same slicing in SQL."""
+    h = F.lower(host)
+    labels = F.split(h, r"\.")
+    n = F.size(labels)
+    last2 = F.concat_ws(
+        ".", F.slice(labels, F.greatest(n - 1, F.lit(1)), 2)
+    )
+    tail = F.when(
+        last2.isin(*multi_suffixes) & (n >= 3), F.lit(3)
+    ).otherwise(F.lit(2))
+    return F.when(n <= 1, h).otherwise(
+        F.concat_ws(".", F.slice(labels, F.greatest(n - tail + 1, F.lit(1)), 99))
+    )

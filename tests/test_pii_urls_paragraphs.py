@@ -166,3 +166,27 @@ def test_canonicalize_url_rules(spark):
         ).collect()
     ]
     assert got == [e for _, e in cases]
+
+
+def test_registered_domain_rules(spark):
+    from pyspark.sql import functions as F
+
+    from horus_spark.operators.urls import registered_domain_expr
+
+    cases = [
+        ("www.Sub.Example.CO.UK", "example.co.uk"),
+        ("a.b.c.example.com", "example.com"),
+        ("example.com", "example.com"),
+        ("localhost", "localhost"),
+        ("co.uk", "co.uk"),  # bare suffix passes through
+        ("x.co.uk", "x.co.uk"),  # registrant directly under co.uk
+        ("deep.chain.site.com.au", "site.com.au"),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], "h string")
+    got = [
+        r["d"]
+        for r in df.select(
+            registered_domain_expr(F.col("h")).alias("d")
+        ).collect()
+    ]
+    assert got == [e for _, e in cases]
