@@ -1644,3 +1644,106 @@ def vacuum_chunks(out_dir: str, grace_s: float = 86400.0) -> list[str]:
         shutil.rmtree(path)
         removed.append(name)
     return removed
+
+
+def catalog_fsck(out_dir: str, grace_s: float = 86400.0) -> dict:
+    """Consistency audit of a snapshot-catalog store — the read-only
+    fsck an operator runs before trusting (or repairing) a dataset.
+    Pure driver-side filesystem walk; launches no Spark job, mutates
+    nothing. Returns a report dict:
+
+      ok                 every check clean
+      has_catalog        _snapshots/ exists (False = legacy bare store)
+      snapshot           the pointer manifest's snapshot id (None if
+                         unreadable)
+      max_archived       highest archived snapshot id
+      stale_pointer      pointer lags the archive (readers already
+                         treat max-archived as truth; flags a crashed
+                         commit's leftover)
+      snapshot_gaps      missing ids inside [1, max_archived] — CAS
+                         claims make ids gapless, so a gap means
+                         someone deleted archive files by hand
+      missing_chunks     referenced by a retained snapshot or the
+                         pointer but the directory is gone (data loss —
+                         the one state fsck cannot repair)
+      orphan_chunks      directories no retained snapshot references
+                         and older than `grace_s` (vacuum reclaims)
+      stale_tmp          _tmp_* staging leftovers older than `grace_s`
+                         (a crashed writer before promote; safe to
+                         delete)
+
+    The grace window mirrors vacuum_chunks' contract so fsck never
+    flags a concurrent writer's in-flight promote as damage."""
+    report: dict = {
+        "has_catalog": False,
+        "snapshot": None,
+        "max_archived": 0,
+        "stale_pointer": False,
+        "snapshot_gaps": [],
+        "missing_chunks": [],
+        "orphan_chunks": [],
+        "stale_tmp": [],
+    }
+    snaps = list_snapshots(out_dir)
+    report["has_catalog"] = bool(snaps)
+    referenced: set[str] = set()
+    for sid in snaps:
+        try:
+            with open(
+                os.path.join(
+                    out_dir, "_snapshots", f"snapshot_{sid:06d}.json"
+                )
+            ) as fh:
+                referenced.update(json.load(fh).get("chunks", []))
+        except Exception:
+            report["snapshot_gaps"].append(sid)
+    # the RAW pointer file, not _read_table_manifest: that helper
+    # already self-heals to the max archived snapshot, which is exactly
+    # the condition fsck must surface rather than paper over
+    ptr_path = os.path.join(out_dir, _TABLE_MANIFEST)
+    ptr = None
+    if os.path.exists(ptr_path):
+        try:
+            with open(ptr_path) as fh:
+                ptr = json.load(fh)
+        except Exception:
+            ptr = None
+    if ptr:
+        report["snapshot"] = int(ptr.get("snapshot", 0))
+        referenced.update(ptr.get("chunks", []))
+    m = _read_table_manifest(out_dir)
+    if m:
+        referenced.update(m.get("chunks", []))
+    if snaps:
+        report["max_archived"] = snaps[-1]
+        report["snapshot_gaps"].extend(
+            i for i in range(1, snaps[-1] + 1) if i not in set(snaps)
+        )
+        if report["snapshot"] is not None:
+            report["stale_pointer"] = report["snapshot"] < snaps[-1]
+    report["missing_chunks"] = sorted(
+        c for c in referenced
+        if not os.path.isdir(os.path.join(out_dir, c))
+    )
+    now = time.time()
+    if os.path.isdir(out_dir):
+        for name in sorted(os.listdir(out_dir)):
+            path = os.path.join(out_dir, name)
+            try:
+                age = now - os.path.getmtime(path)
+            except OSError:
+                continue
+            if name.startswith("chunk=") and name not in referenced:
+                if age > grace_s:
+                    report["orphan_chunks"].append(name)
+            elif name.startswith("_tmp_") and age > grace_s:
+                report["stale_tmp"].append(name)
+    report["ok"] = (
+        report["has_catalog"]
+        and not report["stale_pointer"]
+        and not report["snapshot_gaps"]
+        and not report["missing_chunks"]
+        and not report["orphan_chunks"]
+        and not report["stale_tmp"]
+    )
+    return report
