@@ -330,6 +330,41 @@ def __getattr__(name):
         "semantic_decontaminate": (
             "horus_spark.operators.semdedup", "semantic_decontaminate",
         ),
+        "extract_tables": ("horus_spark.operators.html", "extract_tables"),
+        "table_shapes": ("horus_spark.operators.html", "table_shapes"),
+        "page_outline": ("horus_spark.operators.html", "page_outline"),
+        "section_chunks": ("horus_spark.operators.html", "section_chunks"),
+        "parse_feeds": ("horus_spark.operators.feeds", "parse_feeds"),
+        "maxscore_topk": (
+            "horus_spark.operators.ranking", "maxscore_topk",
+        ),
+        "split_sentences": (
+            "horus_spark.operators.sentences", "split_sentences",
+        ),
+        "sentence_stats": (
+            "horus_spark.operators.sentences", "sentence_stats",
+        ),
+        "readability": ("horus_spark.operators.sentences", "readability"),
+        "label_propagation": (
+            "horus_spark.operators.graph", "label_propagation",
+        ),
+        "canonicalize_url_expr": (
+            "horus_spark.operators.urls", "canonicalize_url_expr",
+        ),
+        "registered_domain_expr": (
+            "horus_spark.operators.urls", "registered_domain_expr",
+        ),
+        "span_corruption_plan": (
+            "horus_spark.operators.masking", "span_corruption_plan",
+        ),
+        "add_bloom_index": (
+            "horus_spark.sources.sink", "add_bloom_index",
+        ),
+        "read_lookup": ("horus_spark.sources.sink", "read_lookup"),
+        "catalog_fsck": ("horus_spark.sources.sink", "catalog_fsck"),
+        "stream_feed_ingest": (
+            "horus_spark.streaming.incremental", "stream_feed_ingest",
+        ),
     }
     if name in _API:
         import importlib
