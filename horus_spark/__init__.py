@@ -36,7 +36,11 @@ Package map:
   operators/decontam.py  benchmark decontamination (n-gram collision)
   operators/bloom.py     bloom pre-filter tier for decontamination
   operators/sketches.py  KMV / HLL++ distinct-count sketches
-  operators/ranking.py   BM25 corpus ranking (query-term pruned)
+  operators/ranking.py   BM25 corpus ranking (query-term pruned) +
+                         MaxScore dynamic-pruned top-k + RRF fusion
+  operators/feeds.py     RSS/Atom feed parsing (crawl discovery)
+  operators/sentences.py sentence segmentation + integer readability
+  operators/masking.py   T5 span-corruption mask planning
   operators/chunking.py  token-window chunking (map-side only)
   operators/pii.py       PII detection/redaction (map-side regexp)
   operators/urls.py      URL normalization + per-domain survey
