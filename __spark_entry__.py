@@ -3876,6 +3876,21 @@ def _q170_read_lookup(spark, sf_dir):
     )
 
 
+def _q171_ul2_plan(spark, sf_dir):
+    """UL2 mixture-of-denoisers planning
+    (operators/masking.py:ul2_denoiser_plan): docs hash-routed to
+    R/S/X denoiser classes (md5(doc) % 3), each with its class's
+    deterministic mask plan — R = the q167 T5 spans, S = the PrefixLM
+    tail quarter as one closed-form span, X = long-span heavy
+    corruption (rate 10, spans [8,16)). The oracle replays all three
+    parameterizations of the q167 hash+islands machinery plus the S
+    arithmetic and unions them."""
+    from horus_spark.operators.masking import ul2_denoiser_plan
+
+    d = _fanout(_load(spark, sf_dir, "documents"))
+    return ul2_denoiser_plan(d)
+
+
 def _q131_snapshot_diff(spark, sf_dir):
     """Incremental/changelog read over the snapshot catalog
     (sink.py:snapshot_diff): q101's DML history is replayed (4 appends
@@ -4781,6 +4796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q168_section_chunks": _q168_section_chunks,
         "q169_registered_domain": _q169_registered_domain,
         "q170_read_lookup": _q170_read_lookup,
+        "q171_ul2_plan": _q171_ul2_plan,
     }
 
 
@@ -5543,6 +5559,69 @@ def _oracle_sql_literals() -> dict[str, str]:
                  (bias.b + coalesce(s.ssum, 0)) >= 0 AS keep
           FROM d LEFT JOIN s USING (doc_id), bias
         """
+
+    # q171: the q167 span machinery parameterized per UL2 denoiser
+    # class (same hash positions + gaps-and-islands union), S-class as
+    # a closed-form tail span; class routing by md5(doc) % 3.
+    def _ul2_span_sql(rate: int, mn: int, md: int, cls: int, tag: str) -> str:
+        return f"""
+            SELECT id, '{tag}' AS denoiser,
+                   CAST(row_number() OVER (PARTITION BY id ORDER BY s)
+                        - 1 AS INT) AS mask_id,
+                   CAST(s AS INT) AS span_start,
+                   CAST(e AS INT) AS span_end,
+                   CAST(e - s AS INT) AS n_masked
+            FROM (
+              SELECT id, g, min(s) AS s, max(e) AS e FROM (
+                SELECT id, s, e,
+                       sum(brk) OVER (PARTITION BY id ORDER BY s) AS g
+                FROM (
+                  SELECT id, s, e,
+                         CASE WHEN s <= max(e) OVER (PARTITION BY id
+                                ORDER BY s ROWS BETWEEN UNBOUNDED
+                                PRECEDING AND 1 PRECEDING)
+                              THEN 0 ELSE 1 END AS brk
+                  FROM (
+                    SELECT id, p AS s,
+                           CAST(least(p + {mn} + (hv // {rate}) % {md},
+                                nt) AS INT) AS e
+                    FROM hcls
+                    WHERE hv % {rate} = 0 AND cls = {cls})))
+              GROUP BY 1, 2)
+        """
+
+    ul2_sql = f"""
+          WITH d AS (
+            SELECT doc_id AS id, CAST(doc_id AS VARCHAR) AS sid,
+                   string_split(trim(regexp_replace(text, '\\s+', ' ',
+                     'g')), ' ') AS w
+            FROM documents
+          ), cd AS (
+            SELECT id, sid, w,
+                   CAST(concat('0x', substring(md5(sid), 1, 15))
+                        AS BIGINT) % 3 AS cls
+            FROM d
+          ), pos AS (
+            SELECT id, sid, cls, CAST(g.p AS INT) AS p,
+                   CAST(len(w) AS INT) AS nt
+            FROM cd, unnest(generate_series(0, len(w) - 1)) AS g(p)
+          ), hcls AS (
+            SELECT id, cls, p, nt,
+                   CAST(concat('0x', substring(md5(sid || ':' || p),
+                     1, 15)) AS BIGINT) AS hv
+            FROM pos
+          )
+          SELECT * FROM ({_ul2_span_sql(20, 2, 3, 0, 'R')})
+          UNION ALL
+          SELECT id, 'S' AS denoiser, 0 AS mask_id,
+                 CAST(nt - greatest(nt // 4, 1) AS INT) AS span_start,
+                 CAST(nt AS INT) AS span_end,
+                 CAST(greatest(nt // 4, 1) AS INT) AS n_masked
+          FROM (SELECT id, cls, CAST(len(w) AS INT) AS nt FROM cd)
+          WHERE cls = 1 AND nt > 0
+          UNION ALL
+          SELECT * FROM ({_ul2_span_sql(10, 8, 8, 2, 'X')})
+        """
     return {
         "q01_pricing_summary": """
           SELECT l_returnflag, l_linestatus,
@@ -6127,6 +6206,7 @@ def _oracle_sql_literals() -> dict[str, str]:
                    AS sentence
           FROM e
         """,
+        "q171_ul2_plan": ul2_sql,
         # the plain IN-filter the pruned read must reproduce exactly
         "q170_read_lookup": """
           SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,

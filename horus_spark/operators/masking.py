@@ -106,3 +106,70 @@ def span_corruption_plan(
         F.col("sp.e").alias("span_end"),
         (F.col("sp.e") - F.col("sp.s")).cast("int").alias("n_masked"),
     )
+
+
+def ul2_denoiser_plan(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """UL2 mixture-of-denoisers planning (Tay et al. 2022; the PaLM-2
+    pretraining recipe): every document is routed to ONE denoiser
+    class by hash — the mixture rides the corpus, not the trainer —
+    and gets that class's deterministic mask plan:
+
+      R (regular):    the T5 plan — start_rate 20, spans [2, 5)
+                      (~15% corrupted in short spans);
+      S (sequential): PrefixLM — ONE span covering the final quarter
+                      of the document (max(1, nt div 4) tokens);
+      X (extreme):    start_rate 10, spans [8, 16) (~long-span heavy
+                      corruption).
+
+    Routing: first 60 bits of md5(doc_id) mod 3 -> 0=R, 1=S, 2=X —
+    reproducible across epochs/engines like everything else in this
+    module. Returns (id, denoiser, mask_id, span_start, span_end,
+    n_masked); span_end exclusive; empty docs yield no rows.
+
+    Scale shape: two span_corruption_plan invocations on hash-disjoint
+    slices plus one pure projection for S — all zero-shuffle map-side
+    work; the union is a plan-level concat."""
+    doc_h = (
+        "cast(conv(substring(md5(cast(cast(id as string) as binary)),"
+        " 1, 15), 16, 10) as bigint)"
+    )
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("_text")
+    ).withColumn("_cls", F.expr(f"{doc_h} % 3"))
+    r_plan = span_corruption_plan(
+        base.filter(F.col("_cls") == 0), text_col="_text", id_col="id"
+    ).select("id", F.lit("R").alias("denoiser"), "mask_id",
+             "span_start", "span_end", "n_masked")
+    x_plan = span_corruption_plan(
+        base.filter(F.col("_cls") == 2),
+        text_col="_text",
+        id_col="id",
+        start_rate=10,
+        min_len=8,
+        len_mod=8,
+    ).select("id", F.lit("X").alias("denoiser"), "mask_id",
+             "span_start", "span_end", "n_masked")
+    toks = F.filter(
+        F.split(F.trim(F.col("_text")), r"\s+"), lambda w: F.length(w) > 0
+    )
+    nt = F.coalesce(F.size(toks), F.lit(0))
+    s_plan = (
+        base.filter(F.col("_cls") == 1)
+        .select("id", nt.alias("nt"))
+        .where(F.col("nt") > 0)
+        .select(
+            "id",
+            F.lit("S").alias("denoiser"),
+            F.lit(0).cast("int").alias("mask_id"),
+            F.expr(
+                "cast(nt - greatest(nt div 4, 1) as int)"
+            ).alias("span_start"),
+            F.col("nt").cast("int").alias("span_end"),
+            F.expr("cast(greatest(nt div 4, 1) as int)").alias("n_masked"),
+        )
+    )
+    return r_plan.unionByName(s_plan).unionByName(x_plan)

@@ -93,3 +93,40 @@ def test_plan_shuffle_free(spark):
         span_corruption_plan(df)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_ul2_routing_and_classes(spark):
+    from horus_spark.operators.masking import ul2_denoiser_plan
+
+    docs = [(f"doc{i}", " ".join(f"w{j}" for j in range(80))) for i in range(30)]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    rows = ul2_denoiser_plan(df).collect()
+    by_doc: dict[str, set] = {}
+    for r in rows:
+        by_doc.setdefault(r["id"], set()).add(r["denoiser"])
+    # each doc belongs to exactly one class, matching the hash route
+    for doc, classes in by_doc.items():
+        hv = int(hashlib.md5(doc.encode()).hexdigest()[:15], 16) % 3
+        assert classes == {"RSX"[hv]}, (doc, classes)
+    # S docs: exactly one span covering the final quarter
+    s_rows = [r for r in rows if r["denoiser"] == "S"]
+    assert s_rows, "expected some S-class docs among 30"
+    for r in s_rows:
+        assert (r["mask_id"], r["span_start"], r["span_end"]) == (0, 60, 80)
+        assert r["n_masked"] == 20
+    # R rows match span_corruption_plan on the same slice
+    r_docs = [d for d in by_doc if "R" in by_doc[d]]
+    sub = df.where(df.doc_id.isin(r_docs))
+    want = sorted(
+        tuple(r) for r in span_corruption_plan(sub).collect()
+    )
+    got = sorted(
+        (r["id"], r["mask_id"], r["span_start"], r["span_end"], r["n_masked"])
+        for r in rows
+        if r["denoiser"] == "R"
+    )
+    assert got == want
+    # X spans are long: every span >= 8 tokens unless clipped at the end
+    for r in rows:
+        if r["denoiser"] == "X":
+            assert r["n_masked"] >= 8 or r["span_end"] == 80
