@@ -3891,6 +3891,20 @@ def _q171_ul2_plan(spark, sf_dir):
     return ul2_denoiser_plan(d)
 
 
+def _q172_sentence_windows(spark, sf_dir):
+    """Sentence-boundary RAG windowing
+    (operators/sentences.py:sentence_windows) over the q162 synthesized
+    sentence corpus: greedy next-fit packing of consecutive sentences
+    into 20-token windows, sentences never split, oversized sentences
+    alone. The oracle rebuilds the ground-truth sentences and replays
+    the next-fit as a recursive CTE (q92/q99 house pattern) including
+    the concatenated window text — the zero-shuffle array fold is
+    pinned bit-exactly."""
+    from horus_spark.operators.sentences import sentence_windows
+
+    return sentence_windows(_synth_sentence_corpus(spark, sf_dir), budget=20)
+
+
 def _q131_snapshot_diff(spark, sf_dir):
     """Incremental/changelog read over the snapshot catalog
     (sink.py:snapshot_diff): q101's DML history is replayed (4 appends
@@ -4797,6 +4811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q169_registered_domain": _q169_registered_domain,
         "q170_read_lookup": _q170_read_lookup,
         "q171_ul2_plan": _q171_ul2_plan,
+        "q172_sentence_windows": _q172_sentence_windows,
     }
 
 
@@ -6207,6 +6222,60 @@ def _oracle_sql_literals() -> dict[str, str]:
           FROM e
         """,
         "q171_ul2_plan": ul2_sql,
+        # q162's sentences rebuilt, then the next-fit recursion
+        # (q92/q99 pattern) incl. window-text concatenation.
+        "q172_sentence_windows": """
+          WITH RECURSIVE d AS (
+            SELECT doc_id, CAST(doc_id AS BIGINT) AS n,
+                   string_split(trim(regexp_replace(text, '\\s+', ' ',
+                     'g')), ' ') AS w
+            FROM documents
+          ), s AS (
+            SELECT doc_id, n, w,
+                   CAST(ceil(len(w) / 7.0) AS INT) AS ns
+            FROM d
+          ), e AS (
+            SELECT doc_id, n, CAST(g.i AS INT) AS sent_pos,
+                   list_slice(w, CAST(g.i * 7 + 1 AS INT),
+                              CAST(g.i * 7 + 7 AS INT)) AS chunk
+            FROM s, unnest(generate_series(0, ns - 1)) AS g(i)
+          ), b AS (
+            SELECT doc_id, sent_pos,
+                   upper(substr(chunk[1], 1, 1)) || substr(chunk[1], 2)
+                   || CASE WHEN len(chunk) > 1
+                           THEN ' ' || array_to_string(
+                             list_slice(chunk, 2, len(chunk)), ' ')
+                           ELSE '' END
+                   || CASE WHEN sent_pos % 5 = 0 THEN ' i.e. decoy'
+                           ELSE '' END
+                   || CASE WHEN sent_pos % 7 = 3 THEN ' 3.14' ELSE '' END
+                   || (['.', '!', '?'])[CAST((n + sent_pos) % 3 AS INT)
+                                        + 1] AS sentence
+            FROM e
+          ), sc AS (
+            SELECT doc_id, sentence,
+                   CAST(len(string_split(sentence, ' ')) AS BIGINT) AS c,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY sent_pos) AS rn
+            FROM b
+          ), seg AS (
+            SELECT doc_id, rn, sentence, c, 0 AS win, c AS run
+            FROM sc WHERE rn = 1
+            UNION ALL
+            SELECT o.doc_id, o.rn, o.sentence, o.c,
+                   CASE WHEN p.run + o.c > 20 THEN p.win + 1
+                        ELSE p.win END,
+                   CASE WHEN p.run + o.c > 20 THEN o.c
+                        ELSE p.run + o.c END
+            FROM sc o JOIN seg p
+              ON o.doc_id = p.doc_id AND o.rn = p.rn + 1
+          )
+          SELECT doc_id AS id, CAST(win AS INT) AS window_id,
+                 CAST(count(*) AS INT) AS n_sentences,
+                 CAST(sum(c) AS BIGINT) AS n_tokens,
+                 string_agg(sentence, ' ' ORDER BY rn) AS window_text
+          FROM seg GROUP BY 1, 2
+        """,
         # the plain IN-filter the pruned read must reproduce exactly
         "q170_read_lookup": """
           SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,

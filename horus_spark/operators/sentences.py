@@ -176,3 +176,73 @@ def readability(
             ),
         ).alias("flesch_milli"),
     )
+
+
+def sentence_windows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    budget: int = 20,
+) -> DataFrame:
+    """Sentence-boundary windowing — the standard retrieval/RAG
+    chunker: pack CONSECUTIVE sentences greedily into windows of at
+    most `budget` whitespace tokens, never splitting a sentence
+    (chunking.py cuts mid-sentence at fixed strides; this respects the
+    author's boundaries, the q99 segment_spans convention at sentence
+    granularity). A sentence longer than the budget gets its own
+    window — spans are never split, budgets are best-effort for
+    oversized units.
+
+    Returns (id, window_id, n_sentences, n_tokens, window_text) with
+    window_id in document order. Scale shape: the boundary split, the
+    per-sentence token costs and the greedy next-fit fold are ALL
+    per-document array expressions — pure map-side codegen, ZERO
+    shuffle; only the final window rows explode. The q172 oracle
+    replays the next-fit as a recursive CTE (the q92/q99 house
+    pattern), so the fold is pinned bit-exactly."""
+    if budget < 1:
+        raise ValueError("budget must be >= 1")
+    sents = F.filter(
+        F.split(F.trim(F.col(text_col)), _BOUNDARY_RE),
+        lambda s: F.length(s) > 0,
+    )
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            sents,
+            lambda s: F.struct(
+                s.alias("s"),
+                F.size(F.split(s, r"\s+")).cast("long").alias("c"),
+            ),
+        ).alias("_sc"),
+    )
+    folded = F.expr(
+        f"""
+        aggregate(
+          _sc,
+          cast(array() as
+               array<struct<ntok: bigint, nsent: int, text: string>>),
+          (acc, x) -> case
+            when size(acc) > 0
+                 and element_at(acc, -1).ntok + x.c <= {budget} then
+              concat(
+                slice(acc, 1, size(acc) - 1),
+                array(named_struct(
+                  'ntok', element_at(acc, -1).ntok + x.c,
+                  'nsent', element_at(acc, -1).nsent + 1,
+                  'text', concat(element_at(acc, -1).text, ' ', x.s))))
+            else concat(acc, array(named_struct(
+              'ntok', x.c, 'nsent', 1, 'text', x.s)))
+          end)
+        """
+    )
+    wins = staged.select("id", folded.alias("_w")).select(
+        "id", F.posexplode("_w").alias("window_id", "w")
+    )
+    return wins.select(
+        "id",
+        F.col("window_id").cast("int").alias("window_id"),
+        F.col("w.nsent").alias("n_sentences"),
+        F.col("w.ntok").alias("n_tokens"),
+        F.col("w.text").alias("window_text"),
+    )

@@ -118,3 +118,46 @@ def test_readability_plan_shuffle_free(spark):
     df = spark.createDataFrame([("d", TEXT)], "doc_id string, text string")
     plan = readability(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_sentence_windows_next_fit(spark):
+    from horus_spark.operators.sentences import sentence_windows
+
+    # sentences of 2/3/4/8 tokens; budget 6:
+    # [2+3=5] | [4] | [8 oversized alone]
+    text = "One two. Three four five. Six seven eight nine. T0 " + " ".join(
+        f"t{i}" for i in range(1, 8)
+    ) + "."
+    df = spark.createDataFrame([("d", text)], "doc_id string, text string")
+    rows = [
+        tuple(r)[1:]
+        for r in sentence_windows(df, budget=6).orderBy("window_id").collect()
+    ]
+    assert rows == [
+        (0, 2, 5, "One two. Three four five."),
+        (1, 1, 4, "Six seven eight nine."),
+        (2, 1, 8, "T0 t1 t2 t3 t4 t5 t6 t7."),
+    ]
+
+
+def test_sentence_windows_empty_and_guard(spark):
+    import pytest
+
+    from horus_spark.operators.sentences import sentence_windows
+
+    df = spark.createDataFrame(
+        [("a", ""), ("b", None)], "doc_id string, text string"
+    )
+    assert sentence_windows(df).count() == 0
+    with pytest.raises(ValueError):
+        sentence_windows(df, budget=0)
+
+
+def test_sentence_windows_plan_shuffle_free(spark):
+    from horus_spark.operators.sentences import sentence_windows
+
+    df = spark.createDataFrame([("d", TEXT)], "doc_id string, text string")
+    plan = (
+        sentence_windows(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
