@@ -3905,6 +3905,27 @@ def _q172_sentence_windows(spark, sf_dir):
     return sentence_windows(_synth_sentence_corpus(spark, sf_dir), budget=20)
 
 
+def _q173_pairwise_moments(spark, sf_dir):
+    """Exact pairwise co-moments (operators/profile.py:
+    pairwise_moments) over lineitem's four numeric measures: cents-
+    snapped integer moment sums in DECIMAL(38,0)/HUGEINT — the
+    extended-ANALYZE tier correlation/covariance derive from, with the
+    irrational sqrt kept OUT of the engine-parity surface. ONE
+    aggregation, six exact aggregates per pair, map-side combine."""
+    from horus_spark.operators.profile import pairwise_moments
+
+    li = _fanout(_load(spark, sf_dir, "lineitem"), key="l_orderkey")
+    m = pairwise_moments(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+    # DECIMAL(38,0) exceeds int64 at scale; ship the exact integers as
+    # strings so the harness compares digits, not lossy floats
+    dec = ["sum_a", "sum_b", "sum_aa", "sum_bb", "sum_ab"]
+    return m.select(
+        "col_a", "col_b", "n", *[F.col(c).cast("string").alias(c) for c in dec]
+    )
+
+
 def _q131_snapshot_diff(spark, sf_dir):
     """Incremental/changelog read over the snapshot catalog
     (sink.py:snapshot_diff): q101's DML history is replayed (4 appends
@@ -4812,6 +4833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q170_read_lookup": _q170_read_lookup,
         "q171_ul2_plan": _q171_ul2_plan,
         "q172_sentence_windows": _q172_sentence_windows,
+        "q173_pairwise_moments": _q173_pairwise_moments,
     }
 
 
@@ -6222,6 +6244,52 @@ def _oracle_sql_literals() -> dict[str, str]:
           FROM e
         """,
         "q171_ul2_plan": ul2_sql,
+        "q173_pairwise_moments": """
+          WITH s AS (
+            SELECT CAST(round(l_quantity * 100) AS HUGEINT) AS q,
+                   CAST(round(l_extendedprice * 100) AS HUGEINT) AS p,
+                   CAST(round(l_discount * 100) AS HUGEINT) AS d,
+                   CAST(round(l_tax * 100) AS HUGEINT) AS t
+            FROM lineitem
+          )
+          SELECT * FROM (
+            SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+                   count(*)::BIGINT AS n, CAST(sum(q) AS VARCHAR) AS sum_a,
+                   CAST(sum(p) AS VARCHAR) AS sum_b, CAST(sum(q*q) AS VARCHAR) AS sum_aa,
+                   CAST(sum(p*p) AS VARCHAR) AS sum_bb, CAST(sum(q*p) AS VARCHAR) AS sum_ab
+            FROM s
+            UNION ALL
+            SELECT 'l_quantity' AS col_a, 'l_discount' AS col_b,
+                   count(*)::BIGINT AS n, CAST(sum(q) AS VARCHAR) AS sum_a,
+                   CAST(sum(d) AS VARCHAR) AS sum_b, CAST(sum(q*q) AS VARCHAR) AS sum_aa,
+                   CAST(sum(d*d) AS VARCHAR) AS sum_bb, CAST(sum(q*d) AS VARCHAR) AS sum_ab
+            FROM s
+            UNION ALL
+            SELECT 'l_quantity' AS col_a, 'l_tax' AS col_b,
+                   count(*)::BIGINT AS n, CAST(sum(q) AS VARCHAR) AS sum_a,
+                   CAST(sum(t) AS VARCHAR) AS sum_b, CAST(sum(q*q) AS VARCHAR) AS sum_aa,
+                   CAST(sum(t*t) AS VARCHAR) AS sum_bb, CAST(sum(q*t) AS VARCHAR) AS sum_ab
+            FROM s
+            UNION ALL
+            SELECT 'l_extendedprice' AS col_a, 'l_discount' AS col_b,
+                   count(*)::BIGINT AS n, CAST(sum(p) AS VARCHAR) AS sum_a,
+                   CAST(sum(d) AS VARCHAR) AS sum_b, CAST(sum(p*p) AS VARCHAR) AS sum_aa,
+                   CAST(sum(d*d) AS VARCHAR) AS sum_bb, CAST(sum(p*d) AS VARCHAR) AS sum_ab
+            FROM s
+            UNION ALL
+            SELECT 'l_extendedprice' AS col_a, 'l_tax' AS col_b,
+                   count(*)::BIGINT AS n, CAST(sum(p) AS VARCHAR) AS sum_a,
+                   CAST(sum(t) AS VARCHAR) AS sum_b, CAST(sum(p*p) AS VARCHAR) AS sum_aa,
+                   CAST(sum(t*t) AS VARCHAR) AS sum_bb, CAST(sum(p*t) AS VARCHAR) AS sum_ab
+            FROM s
+            UNION ALL
+            SELECT 'l_discount' AS col_a, 'l_tax' AS col_b,
+                   count(*)::BIGINT AS n, CAST(sum(d) AS VARCHAR) AS sum_a,
+                   CAST(sum(t) AS VARCHAR) AS sum_b, CAST(sum(d*d) AS VARCHAR) AS sum_aa,
+                   CAST(sum(t*t) AS VARCHAR) AS sum_bb, CAST(sum(d*t) AS VARCHAR) AS sum_ab
+            FROM s
+          )
+        """,
         # q162's sentences rebuilt, then the next-fit recursion
         # (q92/q99 pattern) incl. window-text concatenation.
         "q172_sentence_windows": """

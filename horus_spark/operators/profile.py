@@ -162,3 +162,78 @@ def profile_drift(
         .otherwise(range_changed)
         .alias("range_changed"),
     )
+
+
+def pairwise_moments(
+    df: DataFrame,
+    cols: Sequence[str],
+    scale: int = 100,
+) -> DataFrame:
+    """Exact pairwise co-moment table — the extended-ANALYZE statistic
+    behind correlation/covariance reporting, computed so every engine
+    agrees BIT-FOR-BIT: each column is snapped to integer units
+    (value * scale, rounded — cents at the default 100) and the five
+    co-moments accumulate as DECIMAL(38,0) integer sums, which are
+    associative/commutative and therefore partitioning-independent —
+    unlike float corr(), whose reduction order Spark does not fix.
+
+    One row per unordered column pair (a < b by position):
+
+      (col_a, col_b, n, sum_a, sum_b, sum_aa, sum_bb, sum_ab)
+
+    over rows where BOTH columns are non-NULL (pairwise-complete
+    semantics, the statistics convention). Pearson r or covariance
+    derive downstream as (n*sum_ab - sum_a*sum_b) /
+    sqrt((n*sum_aa - sum_a^2)(n*sum_bb - sum_b^2)) — the irrational
+    step stays OUT of the engine-parity surface by design.
+
+    Scale shape: ONE aggregation; each pair contributes six exact
+    integer aggregates with map-side partial combine — no Expand, no
+    per-pair passes, no shuffle beyond the single scalar-agg exchange.
+    DECIMAL(38,0) holds |x| < 1e38: at cents scale that is ~1e15 rows
+    of 1e9-valued columns before overflow — far past 100 TB."""
+    if len(cols) < 2:
+        raise ValueError("need at least two columns")
+    # element type decimal(18,0): products type out at 37 digits --
+    # exact without touching Spark's precision-loss cap
+    snapped = {
+        c: F.round(F.col(c).cast("double") * scale)
+        .cast("decimal(18,0)")
+        .alias(c)
+        for c in cols
+    }
+    base = df.select(*snapped.values())
+    aggs = []
+    pairs = [
+        (cols[i], cols[j])
+        for i in range(len(cols))
+        for j in range(i + 1, len(cols))
+    ]
+    for a, b in pairs:
+        both = F.col(a).isNotNull() & F.col(b).isNotNull()
+        va = F.when(both, F.col(a))
+        vb = F.when(both, F.col(b))
+        tag = f"{a}__{b}"
+        aggs += [
+            F.count(F.when(both, F.lit(1))).cast("long").alias(f"n_{tag}"),
+            F.sum(va).cast("decimal(38,0)").alias(f"sa_{tag}"),
+            F.sum(vb).cast("decimal(38,0)").alias(f"sb_{tag}"),
+            F.sum(va * F.col(a)).cast("decimal(38,0)").alias(f"saa_{tag}"),
+            F.sum(vb * F.col(b)).cast("decimal(38,0)").alias(f"sbb_{tag}"),
+            F.sum(va * F.col(b)).cast("decimal(38,0)").alias(f"sab_{tag}"),
+        ]
+    wide = base.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(a).alias("col_a"),
+            F.lit(b).alias("col_b"),
+            F.col(f"n_{a}__{b}").alias("n"),
+            F.col(f"sa_{a}__{b}").alias("sum_a"),
+            F.col(f"sb_{a}__{b}").alias("sum_b"),
+            F.col(f"saa_{a}__{b}").alias("sum_aa"),
+            F.col(f"sbb_{a}__{b}").alias("sum_bb"),
+            F.col(f"sab_{a}__{b}").alias("sum_ab"),
+        )
+        for a, b in pairs
+    ]
+    return wide.select(F.inline(F.array(*rows)))

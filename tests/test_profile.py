@@ -79,3 +79,50 @@ def test_profile_guards(table):
         profile_table(table, ["k", "nope"])
     with pytest.raises(ValueError, match="no columns"):
         profile_table(table, [])
+
+
+def test_pairwise_moments_hand_values(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from horus_spark.operators.profile import pairwise_moments
+
+    df = spark.createDataFrame(
+        [(1.0, 2.0, None), (2.5, 1.5, 3.0), (0.5, None, 1.0)],
+        "x double, y double, z double",
+    )
+    rows = {
+        (r["col_a"], r["col_b"]): r.asDict()
+        for r in pairwise_moments(df, ["x", "y", "z"]).collect()
+    }
+    xy = rows[("x", "y")]
+    # pairwise-complete: row 3 (y NULL) excluded
+    assert xy["n"] == 2
+    assert int(xy["sum_a"]) == 350 and int(xy["sum_b"]) == 350
+    assert int(xy["sum_aa"]) == 72500 and int(xy["sum_bb"]) == 62500
+    assert int(xy["sum_ab"]) == 57500
+    yz = rows[("y", "z")]
+    assert yz["n"] == 1 and int(yz["sum_ab"]) == 45000
+    with pytest.raises(ValueError):
+        pairwise_moments(df, ["x"])
+
+
+def test_pairwise_moments_partitioning_invariant(spark):
+    from pyspark.sql import functions as F
+
+    from horus_spark.operators.profile import pairwise_moments
+
+    df = spark.range(0, 1000).select(
+        (F.col("id") * 0.25).alias("a"), (F.col("id") % 7 * 1.5).alias("b")
+    )
+    one = {
+        tuple(r)
+        for r in pairwise_moments(df.repartition(1), ["a", "b"]).collect()
+    }
+    many = {
+        tuple(r)
+        for r in pairwise_moments(
+            df.repartition(16, F.col("b")), ["a", "b"]
+        ).collect()
+    }
+    assert one == many
