@@ -3926,6 +3926,19 @@ def _q173_pairwise_moments(spark, sf_dir):
     )
 
 
+def _q174_percentile_normalize(spark, sf_dir):
+    """Per-source percentile normalization of a quality score
+    (operators/priors.py:percentile_normalize): n_chars calibrated
+    within each source via deterministic row_number percentiles
+    ((rank-1)*1e6 div (n-1), (score, id) tie-break) — the step that
+    makes per-domain cut thresholds comparable. Oracle replays the
+    identical window arithmetic in SQL."""
+    from horus_spark.operators.priors import percentile_normalize
+
+    d = _fanout(_load(spark, sf_dir, "documents"))
+    return percentile_normalize(d, "n_chars", "source")
+
+
 def _q131_snapshot_diff(spark, sf_dir):
     """Incremental/changelog read over the snapshot catalog
     (sink.py:snapshot_diff): q101's DML history is replayed (4 appends
@@ -4834,6 +4847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q171_ul2_plan": _q171_ul2_plan,
         "q172_sentence_windows": _q172_sentence_windows,
         "q173_pairwise_moments": _q173_pairwise_moments,
+        "q174_percentile_normalize": _q174_percentile_normalize,
     }
 
 
@@ -6244,6 +6258,20 @@ def _oracle_sql_literals() -> dict[str, str]:
           FROM e
         """,
         "q171_ul2_plan": ul2_sql,
+        "q174_percentile_normalize": """
+          WITH r AS (
+            SELECT doc_id AS id, source AS "group",
+                   n_chars AS score,
+                   row_number() OVER (PARTITION BY source
+                     ORDER BY n_chars ASC, doc_id ASC) AS rn,
+                   count(*) OVER (PARTITION BY source) AS n
+            FROM documents WHERE n_chars IS NOT NULL
+          )
+          SELECT id, "group", score,
+                 CAST((rn - 1) * CAST(1000000 AS BIGINT)
+                      // greatest(n - 1, 1) AS BIGINT) AS pct_ppm
+          FROM r
+        """,
         "q173_pairwise_moments": """
           WITH s AS (
             SELECT CAST(round(l_quantity * 100) AS HUGEINT) AS q,

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def shrunk_keep_rate(
@@ -73,4 +74,54 @@ def shrunk_keep_rate(
             "CAST((n_keep * CAST(1000000 AS BIGINT)) div n_docs AS BIGINT)"
         ).alias("raw_ppm"),
         shrunk.alias("shrunk_ppm"),
+    )
+
+
+def percentile_normalize(
+    df: DataFrame,
+    score_col: str,
+    group_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group percentile normalization — the calibration step
+    between raw quality scores and a corpus-wide keep threshold: a
+    classifier's scores are not comparable across domains (boilerplate
+    norms, language, register all shift the distribution), so curation
+    recipes cut at a PER-GROUP percentile instead of a global score
+    (the CCNet head/middle/tail idea generalized to any score/group).
+
+    pct_ppm = (rank - 1) * 1e6 div (n_group - 1), rank by
+    (score ASC, id ASC) — row_number with an id tie-break rather than
+    SQL percent_rank's shared-rank ties, so the output is a
+    deterministic pure function of the data (two docs with equal
+    scores get adjacent, reproducible percentiles). Singleton groups
+    get 0. Returns (id, group, score, pct_ppm); NULL scores are
+    dropped (they have no rank).
+
+    Scale shape: ONE shuffle on the group key; the window computes
+    row_number and the group count in the same pass. Skewed groups
+    bound the window's partition size — pre-split giant groups with a
+    salt upstream if one group dominates the corpus."""
+    out = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(group_col).alias("group"),
+            F.col(score_col).alias("score"),
+        )
+        .where(F.col(score_col).isNotNull())
+        .withColumn("_rn", F.row_number().over(
+            Window.partitionBy("group").orderBy(
+                F.col("score").asc(), F.col("id").asc()
+            )
+        ))
+        .withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy("group")))
+    )
+    return out.select(
+        "id",
+        "group",
+        "score",
+        F.expr(
+            "CAST((_rn - 1) * CAST(1000000 AS BIGINT)"
+            " div greatest(_n - 1, 1) AS BIGINT)"
+        ).alias("pct_ppm"),
     )

@@ -92,3 +92,28 @@ def test_int01_keep_column(spark):
         r.domain: r.n_keep for r in shrunk_keep_rate(df, strength=0).collect()
     }
     assert got == {"d": 1, "e": 1}
+
+
+def test_percentile_normalize(spark):
+    from horus_spark.operators.priors import percentile_normalize
+
+    rows = [
+        ("a", "g1", 10), ("b", "g1", 30), ("c", "g1", 20),
+        ("d", "g1", 30),  # tie with b -> id breaks it
+        ("e", "g2", 5),   # singleton -> 0
+        ("f", "g3", None),  # NULL score dropped
+        ("g", "g3", 1),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, source string, s long")
+    got = {
+        r["id"]: (r["group"], r["pct_ppm"])
+        for r in percentile_normalize(df, "s", "source").collect()
+    }
+    # g1 order: a(10) < c(20) < b(30) < d(30 ; id b<d)
+    assert got["a"] == ("g1", 0)
+    assert got["c"] == ("g1", 1_000_000 // 3)
+    assert got["b"] == ("g1", 2_000_000 // 3)
+    assert got["d"] == ("g1", 1_000_000)
+    assert got["e"] == ("g2", 0)
+    assert got["g"] == ("g3", 0)
+    assert "f" not in got
