@@ -3939,6 +3939,49 @@ def _q174_percentile_normalize(spark, sf_dir):
     return percentile_normalize(d, "n_chars", "source")
 
 
+def _q175_sitemap_directives(spark, sf_dir):
+    """Robots `Sitemap:` directive extraction
+    (operators/robots.py:sitemap_urls) — GROUND-TRUTH oracle: domain k
+    declares 1 + k%3 sitemaps, directive case flipping on odd
+    positions ('SITEMAP:') and tolerant whitespace on position 1, with
+    Disallow/Crawl-delay decoy lines around them. Expected rows derive
+    from the modular rules alone."""
+    from horus_spark.operators.robots import sitemap_urls
+
+    robots = (
+        spark.range(0, 50)
+        .select(
+            F.concat(
+                F.lit("site-"), F.col("id").cast("string"), F.lit(".test")
+            ).alias("domain"),
+            F.concat(
+                F.lit("User-agent: *\nDisallow: /private\n"),
+                F.concat_ws(
+                    "\n",
+                    F.transform(
+                        F.sequence(
+                            F.lit(0), (F.col("id") % 3).cast("int")
+                        ),
+                        lambda j: F.concat(
+                            F.when(j % 2 == 1, F.lit("SITEMAP: ")).otherwise(
+                                F.when(j == 1, F.lit("sitemap:  "))
+                                .otherwise(F.lit("Sitemap: "))
+                            ),
+                            F.lit("https://site-"),
+                            F.col("id").cast("string"),
+                            F.lit(".test/sitemap-"),
+                            j.cast("string"),
+                            F.lit(".xml"),
+                        ),
+                    ),
+                ),
+                F.lit("\nCrawl-delay: 5"),
+            ).alias("robots_txt"),
+        )
+    )
+    return sitemap_urls(robots)
+
+
 def _q131_snapshot_diff(spark, sf_dir):
     """Incremental/changelog read over the snapshot catalog
     (sink.py:snapshot_diff): q101's DML history is replayed (4 appends
@@ -4848,6 +4891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q172_sentence_windows": _q172_sentence_windows,
         "q173_pairwise_moments": _q173_pairwise_moments,
         "q174_percentile_normalize": _q174_percentile_normalize,
+        "q175_sitemap_directives": _q175_sitemap_directives,
     }
 
 
@@ -6258,6 +6302,20 @@ def _oracle_sql_literals() -> dict[str, str]:
           FROM e
         """,
         "q171_ul2_plan": ul2_sql,
+        # GROUND TRUTH: directives derived from the synthesis rules
+        "q175_sitemap_directives": """
+          WITH k AS (SELECT unnest(generate_series(0, 49)) AS k),
+          j AS (
+            SELECT k, unnest(generate_series(0, CAST(k % 3 AS INT)))
+                     AS j
+            FROM k
+          )
+          SELECT 'site-' || k || '.test' AS domain,
+                 CAST(j AS INT) AS pos,
+                 'https://site-' || k || '.test/sitemap-' || j || '.xml'
+                   AS sitemap_url
+          FROM j
+        """,
         "q174_percentile_normalize": """
           WITH r AS (
             SELECT doc_id AS id, source AS "group",

@@ -159,3 +159,30 @@ def robots_audit(
             " div count(1) AS BIGINT)"
         ).alias("violation_ppm"),
     )
+
+
+def sitemap_urls(
+    robots: DataFrame,
+    txt_col: str = "robots_txt",
+    domain_col: str = "domain",
+) -> DataFrame:
+    """`Sitemap:` directive extraction (RFC 9309 §2.3 / sitemaps.org
+    cross-submission): robots.txt is where a host DECLARES its sitemap
+    inventory, so the discovery loop is robots fetch -> sitemap_urls
+    -> sitemap fetch -> parse_sitemaps -> frontier. One row per
+    directive in file order: (domain, pos, sitemap_url). The directive
+    is group-independent (lives outside user-agent groups), matching
+    is case-insensitive with tolerant whitespace, and values are taken
+    verbatim (absolute URLs per the spec — resolve relative ones
+    upstream if a host misbehaves). Pure map-side expressions, zero
+    shuffle."""
+    urls = F.expr(
+        f"regexp_extract_all({txt_col}, '(?im)^\\\\s*sitemap\\\\s*:"
+        f"\\\\s*(\\\\S+)\\\\s*$', 1)"
+    )
+    return robots.select(
+        F.col(domain_col).alias("domain"),
+        F.posexplode(urls).alias("pos", "sitemap_url"),
+    ).select(
+        "domain", F.col("pos").cast("int").alias("pos"), "sitemap_url"
+    )

@@ -119,3 +119,28 @@ def test_robots_audit(spark):
     }
     assert got["a.test"] == (3, 1, 333333)
     assert got["b.test"] == (1, 0, 0)
+
+
+def test_sitemap_urls_directives(spark):
+    from horus_spark.operators.robots import sitemap_urls
+
+    txt = (
+        "User-agent: *\nDisallow: /x\n"
+        "Sitemap: https://a.test/s1.xml\n"
+        "sitemap:https://a.test/s2.xml  \n"
+        "NotASitemap: https://no\n"
+        " SITEMAP : https://a.test/s3.xml\n"
+        "Crawl-delay: 5"
+    )
+    df = spark.createDataFrame(
+        [("a.test", txt), ("b.test", "User-agent: *\nAllow: /")],
+        "domain string, robots_txt string",
+    )
+    rows = [tuple(r) for r in sitemap_urls(df).orderBy("domain", "pos").collect()]
+    assert rows == [
+        ("a.test", 0, "https://a.test/s1.xml"),
+        ("a.test", 1, "https://a.test/s2.xml"),
+        ("a.test", 2, "https://a.test/s3.xml"),
+    ]
+    plan = sitemap_urls(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
