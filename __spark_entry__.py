@@ -3982,6 +3982,38 @@ def _q175_sitemap_directives(spark, sf_dir):
     return sitemap_urls(robots)
 
 
+def _q176_citation_stats(spark, sf_dir):
+    """Citation-marker density (operators/textstats.py:citation_stats)
+    — GROUND-TRUTH oracle: documents get a planted citation tail by
+    modulus (one '[12]' every 2nd doc, two more brackets every 3rd, a
+    '(2020)' every 4th, an 'et al.' every 5th) plus decoys that must
+    NOT fire ('[notanum]' every 7th, a non-year '(123)' every 6th).
+    Marker counts derive from the rules; the token denominator replays
+    the construction."""
+    from horus_spark.operators.textstats import citation_stats
+
+    d = _fanout(_load(spark, sf_dir, "documents"))
+    n = F.col("doc_id").cast("long")
+    tail = F.concat(
+        F.when(n % 2 == 0, F.lit(" as shown [12]")).otherwise(F.lit("")),
+        F.when(n % 3 == 0, F.lit(" see [7] and [345]")).otherwise(
+            F.lit("")
+        ),
+        F.when(n % 4 == 0, F.lit(" reported earlier (2020)")).otherwise(
+            F.lit("")
+        ),
+        F.when(n % 5 == 0, F.lit(" per Smith et al. review")).otherwise(
+            F.lit("")
+        ),
+        F.when(n % 6 == 0, F.lit(" item (123)")).otherwise(F.lit("")),
+        F.when(n % 7 == 0, F.lit(" tag [notanum]")).otherwise(F.lit("")),
+    )
+    pages = d.select(
+        "doc_id", F.concat(F.col("text"), tail).alias("text")
+    )
+    return citation_stats(pages)
+
+
 def _q131_snapshot_diff(spark, sf_dir):
     """Incremental/changelog read over the snapshot catalog
     (sink.py:snapshot_diff): q101's DML history is replayed (4 appends
@@ -4892,6 +4924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q173_pairwise_moments": _q173_pairwise_moments,
         "q174_percentile_normalize": _q174_percentile_normalize,
         "q175_sitemap_directives": _q175_sitemap_directives,
+        "q176_citation_stats": _q176_citation_stats,
     }
 
 
@@ -6302,6 +6335,38 @@ def _oracle_sql_literals() -> dict[str, str]:
           FROM e
         """,
         "q171_ul2_plan": ul2_sql,
+        # GROUND TRUTH: marker counts from the modular rules, token
+        # denominator replays the tail construction; decoys never fire
+        "q176_citation_stats": """
+          WITH d AS (
+            SELECT doc_id AS id, CAST(doc_id AS BIGINT) AS n,
+                   len(string_split_regex(trim(text), '\\s+')) AS base
+            FROM documents
+          ), c AS (
+            SELECT id, n,
+                   base
+                   + CASE WHEN n % 2 = 0 THEN 3 ELSE 0 END
+                   + CASE WHEN n % 3 = 0 THEN 4 ELSE 0 END
+                   + CASE WHEN n % 4 = 0 THEN 3 ELSE 0 END
+                   + CASE WHEN n % 5 = 0 THEN 5 ELSE 0 END
+                   + CASE WHEN n % 6 = 0 THEN 2 ELSE 0 END
+                   + CASE WHEN n % 7 = 0 THEN 2 ELSE 0 END AS n_tokens,
+                   CAST(CASE WHEN n % 2 = 0 THEN 1 ELSE 0 END
+                        + CASE WHEN n % 3 = 0 THEN 2 ELSE 0 END
+                        AS BIGINT) AS n_bracket_cites,
+                   CAST(CASE WHEN n % 4 = 0 THEN 1 ELSE 0 END
+                        AS BIGINT) AS n_paren_years,
+                   CAST(CASE WHEN n % 5 = 0 THEN 1 ELSE 0 END
+                        AS BIGINT) AS n_etal
+            FROM d
+          )
+          SELECT id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                 n_bracket_cites, n_paren_years, n_etal,
+                 CAST((n_bracket_cites + n_paren_years + n_etal)
+                      * CAST(1000000 AS BIGINT) // n_tokens AS BIGINT)
+                   AS cite_rate_ppm
+          FROM c
+        """,
         # GROUND TRUTH: directives derived from the synthesis rules
         "q175_sitemap_directives": """
           WITH k AS (SELECT unnest(generate_series(0, 49)) AS k),

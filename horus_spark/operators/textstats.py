@@ -343,3 +343,54 @@ def zipf_fit(
             """
         ).alias("slope_micro"),
     )
+
+
+def citation_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Citation-marker density — the cheap academic/reference-document
+    detector (scholarly text routes to different cleaning: reference
+    sections, inline markers, hyphenated identifiers):
+
+      n_bracket_cites  occurrences of [N] with N of 1-3 digits
+                       (numeric citation style);
+      n_paren_years    occurrences of a parenthesized 19xx/20xx year
+                       (author-year style);
+      n_etal           occurrences of 'et al.' (word-bounded);
+      cite_rate_ppm    all markers per token, integer ppm (NULL for
+                       empty docs).
+
+    Regexes are RE2-portable (the oracle replays them); '(123)' and
+    '[notanum]' style lookalikes do not fire. Pure map-side
+    expressions, ZERO shuffle."""
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"),
+        lambda w: F.length(w) > 0,
+    )
+    t = F.col(text_col)
+    brackets = F.regexp_count(t, F.lit(r"\[[0-9]{1,3}\]"))
+    years = F.regexp_count(t, F.lit(r"\((?:19|20)[0-9][0-9]\)"))
+    etal = F.regexp_count(t, F.lit(r"\bet al\."))
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        F.coalesce(F.size(toks), F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce(brackets, F.lit(0)).cast("long").alias("n_bracket_cites"),
+        F.coalesce(years, F.lit(0)).cast("long").alias("n_paren_years"),
+        F.coalesce(etal, F.lit(0)).cast("long").alias("n_etal"),
+    )
+    return staged.select(
+        "id",
+        "n_tokens",
+        "n_bracket_cites",
+        "n_paren_years",
+        "n_etal",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.expr(
+                "CAST((n_bracket_cites + n_paren_years + n_etal)"
+                " * CAST(1000000 AS BIGINT) div n_tokens AS BIGINT)"
+            ),
+        ).alias("cite_rate_ppm"),
+    )

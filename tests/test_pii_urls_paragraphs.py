@@ -190,3 +190,24 @@ def test_registered_domain_rules(spark):
         ).collect()
     ]
     assert got == [e for _, e in cases]
+
+
+def test_citation_stats(spark):
+    from horus_spark.operators.textstats import citation_stats
+
+    txt = (
+        "Results match prior work [1] and [23] but not [1234] or "
+        "[notanum]. As argued (2019) and (123) by Smith et al. and "
+        "met alia."
+    )
+    df = spark.createDataFrame(
+        [("d1", txt), ("d2", "")], "doc_id string, text string"
+    )
+    rows = {r["id"]: r.asDict() for r in citation_stats(df).collect()}
+    d1 = rows["d1"]
+    assert d1["n_bracket_cites"] == 2  # [1234] and [notanum] rejected
+    assert d1["n_paren_years"] == 1  # (123) rejected
+    assert d1["n_etal"] == 1  # 'met alia' rejected by \b and literal
+    assert d1["cite_rate_ppm"] == 4 * 1_000_000 // d1["n_tokens"]
+    d2 = rows["d2"]
+    assert d2["n_tokens"] == 0 and d2["cite_rate_ppm"] is None
