@@ -3320,6 +3320,11 @@ def _q158_html_tables(spark, sf_dir):
     the empty-cell preservation all recover the planted grid exactly."""
     from horus_spark.operators.html import extract_tables
 
+    return extract_tables(_synth_table_pages(spark, sf_dir))
+
+
+def _synth_table_pages(spark, sf_dir):
+    """Shared q158/q177 synthesis: pages with planted markup grids."""
     d = _fanout(_load(spark, sf_dir, "documents"))
     n = F.col("doc_id").cast("long")
     ns = n.cast("string")
@@ -3363,8 +3368,19 @@ def _q158_html_tables(spark, sf_dir):
         F.lit("<html><body><p>Doc "), ns, F.lit("</p>"), tables,
         F.lit("</body></html>"),
     )
-    pages = d.select("doc_id", page.alias("html"))
-    return extract_tables(pages)
+    return d.select("doc_id", page.alias("html"))
+
+
+def _q177_table_records(spark, sf_dir):
+    """Markup-grid -> key-value records
+    (operators/html.py:tables_to_records over extract_tables) on the
+    q158 planted pages — GROUND-TRUTH oracle: every data cell of the
+    headered table becomes ('key', 'rN') / ('value', 'v M') rows; the
+    header-less second table contributes nothing. Expected records
+    derive from the modular rules alone."""
+    from horus_spark.operators.html import extract_tables, tables_to_records
+
+    return tables_to_records(extract_tables(_synth_table_pages(spark, sf_dir)))
 
 
 def _q159_feed_parse(spark, sf_dir):
@@ -4925,6 +4941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q174_percentile_normalize": _q174_percentile_normalize,
         "q175_sitemap_directives": _q175_sitemap_directives,
         "q176_citation_stats": _q176_citation_stats,
+        "q177_table_records": _q177_table_records,
     }
 
 
@@ -6335,6 +6352,25 @@ def _oracle_sql_literals() -> dict[str, str]:
           FROM e
         """,
         "q171_ul2_plan": ul2_sql,
+        # GROUND TRUTH: records derived from the q158 synthesis rules;
+        # the header-less second table must contribute nothing
+        "q177_table_records": """
+          WITH d AS (
+            SELECT doc_id, CAST(doc_id AS BIGINT) AS n FROM documents
+            WHERE CAST(doc_id AS BIGINT) % 7 <> 0
+          ), r AS (
+            SELECT doc_id, n, CAST(g.r AS INT) AS r
+            FROM d,
+                 unnest(generate_series(0, CAST(1 + n % 3 AS INT)))
+                   AS g(r)
+          ), c AS (SELECT 0 AS c UNION ALL SELECT 1)
+          SELECT doc_id, 0 AS table_pos,
+                 CAST(r + 1 AS INT) AS row_pos,
+                 CASE WHEN c.c = 0 THEN 'key' ELSE 'value' END AS field,
+                 CASE WHEN c.c = 0 THEN 'r' || r
+                      ELSE 'v ' || (n * 7 + r) END AS value
+          FROM r, c
+        """,
         # GROUND TRUTH: marker counts from the modular rules, token
         # denominator replays the tail construction; decoys never fire
         "q176_citation_stats": """

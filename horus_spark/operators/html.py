@@ -935,3 +935,41 @@ def section_chunks(
     return out.where(
         F.col("heading_text").isNotNull() | (F.col("section_text") != "")
     )
+
+
+def tables_to_records(cells: DataFrame) -> DataFrame:
+    """Promote extracted markup grids to key-value RECORDS — the step
+    from `extract_tables` cell rows to a typed relation: the table's
+    header row (<th> cells at row 0) names the columns, and every data
+    cell joins to its column's header name:
+
+      (doc_id, table_pos, row_pos, field, value)
+
+    one row per (data cell with a named column). Tables without a
+    header row contribute nothing (no names to key by — run a
+    positional consumer on those); data cells in columns WIDER than
+    the header (ragged rows) are dropped with the same logic, and
+    header-less leading columns likewise. Emitting key-value rows
+    rather than a map column keeps the output relational (stable
+    hashing, schema-free downstream pivots).
+
+    Scale shape: one equi-join of data cells against the (doc, table,
+    col) header name table — both sides are slim projections of the
+    same cell frame; headers per table are a handful of rows, so AQE
+    broadcasts the build side at any realistic scale."""
+    headers = (
+        cells.where((F.col("row_pos") == 0) & F.col("is_header"))
+        .select(
+            "doc_id",
+            "table_pos",
+            "col_pos",
+            F.col("cell_text").alias("field"),
+        )
+    )
+    data = cells.where(F.col("row_pos") > 0).select(
+        "doc_id", "table_pos", "row_pos", "col_pos",
+        F.col("cell_text").alias("value"),
+    )
+    return data.join(headers, ["doc_id", "table_pos", "col_pos"]).select(
+        "doc_id", "table_pos", "row_pos", "field", "value"
+    )

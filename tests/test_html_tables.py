@@ -95,3 +95,34 @@ def test_extract_plan_shuffle_free(spark):
     df = spark.createDataFrame([("d1", PAGE)], "doc_id string, html string")
     plan = extract_tables(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_tables_to_records(spark):
+    from horus_spark.operators.html import tables_to_records
+
+    recs = sorted(
+        tuple(r)[1:]
+        for r in tables_to_records(_cells(spark, PAGE)).collect()
+    )
+    # table 0: header (Name, Qty); ragged row 2 has no Qty cell;
+    # table 1 has no header -> contributes nothing
+    assert recs == sorted(
+        [
+            (0, 1, "Name", "alpha one"),
+            (0, 1, "Qty", "7"),
+            (0, 2, "Name", "beta"),
+            (0, 3, "Name", ""),
+            (0, 3, "Qty", "9"),
+        ]
+    )
+
+
+def test_tables_to_records_wider_data_row_dropped(spark):
+    from horus_spark.operators.html import tables_to_records
+
+    html = (
+        "<table><tr><th>A</th></tr>"
+        "<tr><td>x</td><td>overflow</td></tr></table>"
+    )
+    recs = [tuple(r)[1:] for r in tables_to_records(_cells(spark, html)).collect()]
+    assert recs == [(0, 1, "A", "x")]  # the overflow cell has no name
