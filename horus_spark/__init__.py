@@ -369,6 +369,25 @@ def __getattr__(name):
         "stream_feed_ingest": (
             "horus_spark.streaming.incremental", "stream_feed_ingest",
         ),
+        "ul2_denoiser_plan": (
+            "horus_spark.operators.masking", "ul2_denoiser_plan",
+        ),
+        "sentence_windows": (
+            "horus_spark.operators.sentences", "sentence_windows",
+        ),
+        "pairwise_moments": (
+            "horus_spark.operators.profile", "pairwise_moments",
+        ),
+        "percentile_normalize": (
+            "horus_spark.operators.priors", "percentile_normalize",
+        ),
+        "sitemap_urls": ("horus_spark.operators.robots", "sitemap_urls"),
+        "citation_stats": (
+            "horus_spark.operators.textstats", "citation_stats",
+        ),
+        "tables_to_records": (
+            "horus_spark.operators.html", "tables_to_records",
+        ),
     }
     if name in _API:
         import importlib
