@@ -4030,6 +4030,25 @@ def _q176_citation_stats(spark, sf_dir):
     return citation_stats(pages)
 
 
+def _q178_bitext_mining(spark, sf_dir):
+    """Margin-based bitext mining (operators/bitext.py:
+    margin_bitext_pairs, the Artetxe-Schwenk/LASER ratio margin in
+    exact integer micro-cosine arithmetic): embeddings split by label
+    parity stand in for the two language sides; mutual-best pairs with
+    margin_ppm >= 1.02e6 are mined (119 pairs at sf0.001). The oracle
+    replays cosine, both kNN background sums, mutuality and the
+    integer margin in SQL — all divisions on positive operands."""
+    from horus_spark.operators.bitext import margin_bitext_pairs
+
+    e = _fanout(_load(spark, sf_dir, "embeddings"), key="vec_id")
+    return margin_bitext_pairs(
+        e.where(F.col("label") % 2 == 0),
+        e.where(F.col("label") % 2 == 1),
+        k=4,
+        threshold_ppm=1_020_000,
+    )
+
+
 def _q131_snapshot_diff(spark, sf_dir):
     """Incremental/changelog read over the snapshot catalog
     (sink.py:snapshot_diff): q101's DML history is replayed (4 appends
@@ -4942,6 +4961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q175_sitemap_directives": _q175_sitemap_directives,
         "q176_citation_stats": _q176_citation_stats,
         "q177_table_records": _q177_table_records,
+        "q178_bitext_mining": _q178_bitext_mining,
     }
 
 
@@ -6352,6 +6372,51 @@ def _oracle_sql_literals() -> dict[str, str]:
           FROM e
         """,
         "q171_ul2_plan": ul2_sql,
+        # the full margin recipe replayed: micro-cosine, both kNN
+        # background sums, mutual best, integer ratio margin
+        "q178_bitext_mining": f"""
+          WITH s AS (
+            SELECT vec_id AS src_id, embedding FROM embeddings
+            WHERE label % 2 = 0
+          ), t AS (
+            SELECT vec_id AS tgt_id, embedding FROM embeddings
+            WHERE label % 2 = 1
+          ), scored AS (
+            SELECT s.src_id, t.tgt_id,
+                   CAST(round({_cos_sql('s.embedding', 't.embedding')}
+                        * 1000000) AS BIGINT) AS cos_micro
+            FROM s CROSS JOIN t
+          ), ranked AS (
+            SELECT src_id, tgt_id, cos_micro,
+                   row_number() OVER (PARTITION BY src_id
+                     ORDER BY cos_micro DESC, tgt_id ASC) AS rs,
+                   row_number() OVER (PARTITION BY tgt_id
+                     ORDER BY cos_micro DESC, src_id ASC) AS rt
+            FROM scored
+          ), bg_s AS (
+            SELECT src_id, sum(cos_micro)::BIGINT AS sum_s,
+                   count(*)::BIGINT AS n_s
+            FROM ranked WHERE rs <= 4 GROUP BY 1
+          ), bg_t AS (
+            SELECT tgt_id, sum(cos_micro)::BIGINT AS sum_t,
+                   count(*)::BIGINT AS n_t
+            FROM ranked WHERE rt <= 4 GROUP BY 1
+          ), mutual AS (
+            SELECT src_id, tgt_id, cos_micro FROM ranked
+            WHERE rs = 1 AND rt = 1
+          ), m AS (
+            SELECT mu.src_id, mu.tgt_id, mu.cos_micro,
+                   CAST(mu.cos_micro * 2 * n_s * n_t
+                        * CAST(1000000 AS BIGINT)
+                        // (sum_s * n_t + sum_t * n_s) AS BIGINT)
+                     AS margin_ppm
+            FROM mutual mu
+            JOIN bg_s USING (src_id) JOIN bg_t USING (tgt_id)
+            WHERE mu.cos_micro > 0
+              AND sum_s * n_t + sum_t * n_s > 0
+          )
+          SELECT * FROM m WHERE margin_ppm >= 1020000
+        """,
         # GROUND TRUTH: records derived from the q158 synthesis rules;
         # the header-less second table must contribute nothing
         "q177_table_records": """
