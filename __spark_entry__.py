@@ -4049,6 +4049,19 @@ def _q178_bitext_mining(spark, sf_dir):
     )
 
 
+def _q179_snippets(spark, sf_dir):
+    """KWIC snippet extraction (operators/ranking.py:best_snippet):
+    for every document matching the q160 query terms, the 8-token
+    window with the most matches (earliest on ties), quoting the
+    ORIGINAL text while matching normalized terms. The oracle replays
+    match positions, per-candidate counts, the (count DESC, start ASC)
+    argmax and the original-token slice in SQL."""
+    from horus_spark.operators.ranking import best_snippet
+
+    d = _fanout(_load(spark, sf_dir, "documents"))
+    return best_snippet(d, "dup scan merge filter", width=8)
+
+
 def _q131_snapshot_diff(spark, sf_dir):
     """Incremental/changelog read over the snapshot catalog
     (sink.py:snapshot_diff): q101's DML history is replayed (4 appends
@@ -4962,6 +4975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q176_citation_stats": _q176_citation_stats,
         "q177_table_records": _q177_table_records,
         "q178_bitext_mining": _q178_bitext_mining,
+        "q179_snippets": _q179_snippets,
     }
 
 
@@ -6372,6 +6386,39 @@ def _oracle_sql_literals() -> dict[str, str]:
           FROM e
         """,
         "q171_ul2_plan": ul2_sql,
+        # match positions, window counts, argmax and the original-token
+        # slice replayed in SQL
+        "q179_snippets": """
+          WITH d AS (
+            SELECT doc_id AS id,
+                   string_split_regex(trim(text), '\\s+') AS w
+            FROM documents
+          ), mp AS (
+            SELECT id, w,
+                   [CAST(p - 1 AS INT) for p in
+                      generate_series(1, len(w))
+                    if regexp_replace(lower(w[p]), '[^a-z0-9]', '', 'g')
+                       IN ('dup', 'scan', 'merge', 'filter')] AS mpos
+            FROM d
+          ), cand AS (
+            SELECT id, w, mpos, unnest(mpos) AS p
+            FROM mp WHERE len(mpos) > 0
+          ), scoredw AS (
+            SELECT id, w, p,
+                   len(list_filter(mpos,
+                       q -> q >= p AND q < p + 8)) AS cnt
+            FROM cand
+          ), best AS (
+            SELECT id, w, p, cnt,
+                   row_number() OVER (PARTITION BY id
+                     ORDER BY cnt DESC, p ASC) AS rn
+            FROM scoredw
+          )
+          SELECT id, CAST(cnt AS INT) AS n_matches,
+                 CAST(p AS INT) AS snippet_start,
+                 array_to_string(w[p + 1 : p + 8], ' ') AS snippet
+          FROM best WHERE rn = 1
+        """,
         # the full margin recipe replayed: micro-cosine, both kNN
         # background sums, mutual best, integer ratio margin
         "q178_bitext_mining": f"""

@@ -297,3 +297,85 @@ def rrf_fuse(
     if topk is not None:
         out = out.orderBy(F.desc("rrf_score"), F.asc(id_col)).limit(topk)
     return out
+
+
+def best_snippet(
+    docs: DataFrame,
+    query: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 10,
+) -> DataFrame:
+    """KWIC snippet extraction — the display tier after retrieval: for
+    every document matching any query term, the `width`-token window
+    containing the MOST query-term matches (keyword-in-context).
+
+    Deterministic argmax: the optimal window always starts AT a match
+    (sliding further left cannot add matches), so candidate starts are
+    exactly the match positions; ties break to the EARLIEST window.
+    Term matching mirrors normalize_query (lowercase, alphanumerics
+    only) applied per raw token, so snippets quote the ORIGINAL text
+    while matching the normalized query — the same pairing a search UI
+    needs. Returns (id, n_matches, snippet_start, snippet); documents
+    with no match yield no rows.
+
+    Scale shape: match positions and the per-candidate counts are
+    per-document array expressions (matches per doc are few; the
+    O(m^2) candidate scan is bounded) — pure map-side codegen, ZERO
+    shuffle. The q179 oracle replays positions, counts, argmax and the
+    original-token slice in SQL."""
+    terms = normalize_query(query)
+    if not terms:
+        raise ValueError("query has no terms after normalization")
+    if width < 1:
+        raise ValueError("width must be >= 1")
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"),
+        lambda w: F.length(w) > 0,
+    )
+    norm = "regexp_replace(lower(t), '[^a-z0-9]', '')"
+
+    staged = docs.select(
+        F.col(id_col).alias("id"), toks.alias("_t")
+    ).select(
+        "id",
+        "_t",
+        F.expr(
+            f"""
+            filter(
+              transform(_t, (t, p) -> case when
+                array_contains({_terms_sql(terms)}, {norm})
+                then cast(p as int) else cast(-1 as int) end),
+              p -> p >= 0)
+            """
+        ).alias("_mp"),
+    )
+    best = F.expr(
+        f"""
+        aggregate(
+          _mp,
+          named_struct('cnt', cast(0 as int), 'st', cast(-1 as int)),
+          (acc, p) -> case when
+              size(filter(_mp, q -> q >= p and q < p + {width})) > acc.cnt
+            then named_struct(
+              'cnt', size(filter(_mp, q -> q >= p and q < p + {width})),
+              'st', p)
+            else acc end)
+        """
+    )
+    out = staged.where(F.size("_mp") > 0).select(
+        "id", "_t", best.alias("_b")
+    )
+    return out.select(
+        "id",
+        F.col("_b.cnt").alias("n_matches"),
+        F.col("_b.st").alias("snippet_start"),
+        F.concat_ws(
+            " ", F.expr(f"slice(_t, _b.st + 1, {width})")
+        ).alias("snippet"),
+    )
+
+
+def _terms_sql(terms: list[str]) -> str:
+    inner = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    return f"array({inner})"

@@ -66,3 +66,41 @@ def test_single_term_query(spark):
 def test_no_match_empty(spark):
     d = _df(spark)
     assert maxscore_topk(d, "zzz qqq", k=5).count() == 0
+
+
+def test_best_snippet(spark):
+    from horus_spark.operators.ranking import best_snippet
+
+    df = spark.createDataFrame(
+        [
+            ("d1", "alpha Spark! beta gamma spark merge delta spark filter zeta"),
+            ("d2", "nothing relevant here"),
+            ("d3", "dup at end only dup"),
+        ],
+        "doc_id string, text string",
+    )
+    rows = {
+        r["id"]: (r["n_matches"], r["snippet_start"], r["snippet"])
+        for r in best_snippet(df, "spark merge filter dup", width=5).collect()
+    }
+    # best window [4..8] beats the earlier 3-match window at 'Spark!'
+    assert rows["d1"] == (4, 4, "spark merge delta spark filter")
+    # snippet quotes ORIGINAL text while matching normalized terms
+    assert rows["d3"] == (2, 0, "dup at end only dup")
+    assert "d2" not in rows  # no match -> no row
+
+
+def test_best_snippet_tie_breaks_earliest_and_guards(spark):
+    import pytest
+
+    from horus_spark.operators.ranking import best_snippet
+
+    df = spark.createDataFrame(
+        [("d", "dup x x x dup y y y")], "doc_id string, text string"
+    )
+    r = best_snippet(df, "dup", width=2).collect()[0]
+    assert (r["n_matches"], r["snippet_start"]) == (1, 0)  # earliest tie
+    with pytest.raises(ValueError):
+        best_snippet(df, "dup", width=0)
+    plan = best_snippet(df, "dup")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
