@@ -4062,6 +4062,33 @@ def _q179_snippets(spark, sf_dir):
     return best_snippet(d, "dup scan merge filter", width=8)
 
 
+def _q180_alias_resolution(spark, sf_dir):
+    """Canonical-alias resolution (operators/redirects.py:
+    resolve_aliases): HTTP redirects (n%3==0: p(n) -> p(n+1)) merged
+    with rel=canonical annotations (n%5==0: p(n) -> the decade head
+    p(10*(n div 10)); self-canonical decade heads dropped) — where
+    both exist (n%15==0) the REDIRECT must win. The merged map
+    pointer-doubles to final representatives; the oracle rebuilds the
+    merged edges from the precedence rules and replays the walk as a
+    recursive CTE (the q117 pattern)."""
+    from horus_spark.operators.redirects import resolve_aliases
+
+    d = _load(spark, sf_dir, "documents")
+    n = F.col("doc_id").cast("long")
+
+    def p(expr):
+        return F.concat(F.lit("https://x.test/p/"), expr.cast("string"))
+
+    redirects = d.where(n % 3 == 0).select(
+        p(n).alias("src_url"), p(n + 1).alias("dst_url")
+    )
+    canonicals = d.where(n % 5 == 0).select(
+        p(n).alias("src_url"), p(n - n % 10).alias("dst_url")
+    )
+    urls = d.select(p(n).alias("url"))
+    return resolve_aliases(urls, redirects, canonicals, max_hops=8)
+
+
 def _q131_snapshot_diff(spark, sf_dir):
     """Incremental/changelog read over the snapshot catalog
     (sink.py:snapshot_diff): q101's DML history is replayed (4 appends
@@ -4976,6 +5003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q177_table_records": _q177_table_records,
         "q178_bitext_mining": _q178_bitext_mining,
         "q179_snippets": _q179_snippets,
+        "q180_alias_resolution": _q180_alias_resolution,
     }
 
 
@@ -6386,6 +6414,39 @@ def _oracle_sql_literals() -> dict[str, str]:
           FROM e
         """,
         "q171_ul2_plan": ul2_sql,
+        # merged alias edges from the precedence rules + the q117
+        # recursive walk
+        "q180_alias_resolution": """
+          WITH RECURSIVE d AS (
+            SELECT CAST(doc_id AS BIGINT) AS n FROM documents
+          ), e AS (
+            SELECT 'https://x.test/p/' || CAST(n AS VARCHAR) AS src,
+              'https://x.test/p/' || CAST(
+                CASE WHEN n % 3 = 0 THEN n + 1
+                     ELSE n - n % 10 END AS VARCHAR) AS dst
+            FROM d
+            WHERE n % 3 = 0
+               OR (n % 5 = 0 AND n % 10 <> 0)
+          ), s AS (
+            SELECT 'https://x.test/p/' || CAST(n AS VARCHAR) AS url
+            FROM d
+          ), walk AS (
+            SELECT url, url AS cur, 0 AS hops FROM s
+            UNION ALL
+            SELECT w.url, e.dst, w.hops + 1
+            FROM walk w JOIN e ON w.cur = e.src
+            WHERE w.hops < 8
+          ), f AS (
+            SELECT url, cur, hops,
+              row_number() OVER (PARTITION BY url ORDER BY hops DESC)
+                AS rn
+            FROM walk
+          )
+          SELECT url, cur AS final_url, hops,
+            CASE WHEN EXISTS (SELECT 1 FROM e WHERE e.src = f.cur)
+                 THEN 'cycle_or_long' ELSE 'resolved' END AS status
+          FROM f WHERE rn = 1
+        """,
         # match positions, window counts, argmax and the original-token
         # slice replayed in SQL
         "q179_snippets": """

@@ -83,3 +83,58 @@ def resolve_redirects(
         .otherwise(F.lit("resolved"))
         .alias("status"),
     )
+
+
+def resolve_aliases(
+    urls: DataFrame,
+    redirect_edges: DataFrame,
+    canonical_edges: DataFrame,
+    max_hops: int = 8,
+    url_col: str = "url",
+    src_col: str = "src_url",
+    dst_col: str = "dst_url",
+) -> DataFrame:
+    """URL alias resolution over BOTH alias channels a crawl sees —
+    HTTP redirects (resolve_redirects' input) and in-page
+    `rel=canonical` annotations (html.py:page_metadata's canonical
+    column) — composed into one alias map and pointer-doubled to the
+    final representative URL. Dedup, the seen set and anchor/mirror
+    aggregation all want THIS map, not either channel alone: a page
+    often 302s to a tracking variant whose canonical points back at
+    the clean URL.
+
+    Conflict rule (a URL may carry both channels): the HTTP redirect
+    wins — the server's actual behavior beats the page's annotation —
+    and within a channel duplicate src rows collapse to the smallest
+    destination (deterministic). Self-edges are dropped (a
+    self-canonical page is already its own representative). The merged
+    map then resolves exactly like resolve_redirects (same cap/cycle
+    verdicts). Returns (url, final_url, hops, status).
+
+    Scale shape: the precedence pick is one slim (src, dst, priority)
+    aggregation over the alias maps (tiny next to the corpus); the
+    walk adds log2(max_hops) self-joins of that map; corpus URLs cross
+    exactly one equi-join — the q117 contract unchanged."""
+    r = redirect_edges.select(
+        F.col(src_col).alias("u"),
+        F.col(dst_col).alias("v"),
+        F.lit(0).alias("prio"),
+    )
+    c = canonical_edges.select(
+        F.col(src_col).alias("u"),
+        F.col(dst_col).alias("v"),
+        F.lit(1).alias("prio"),
+    )
+    merged = (
+        r.unionByName(c)
+        .where(F.col("u") != F.col("v"))
+        .groupBy("u")
+        .agg(F.min(F.struct("prio", "v")).alias("m"))
+        .select(
+            F.col("u").alias(src_col), F.col("m.v").alias(dst_col)
+        )
+    )
+    return resolve_redirects(
+        urls, merged, max_hops=max_hops, url_col=url_col,
+        src_col=src_col, dst_col=dst_col,
+    )

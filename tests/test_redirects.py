@@ -61,3 +61,40 @@ def test_max_hops_guard(spark):
     u = spark.createDataFrame([("a",)], "url string")
     with pytest.raises(ValueError):
         resolve_redirects(u, e, max_hops=6)
+
+
+def test_resolve_aliases_precedence_and_channels(spark):
+    from horus_spark.operators.redirects import resolve_aliases
+
+    redirects = spark.createDataFrame(
+        [("a", "b")], "src_url string, dst_url string"
+    )
+    canonicals = spark.createDataFrame(
+        # 'a' also has a canonical (redirect must win); 'b' resolves
+        # via canonical; 'c' is self-canonical (dropped -> terminal)
+        [("a", "z"), ("b", "c"), ("c", "c")],
+        "src_url string, dst_url string",
+    )
+    urls = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("d",)], "url string"
+    )
+    got = {
+        r["url"]: (r["final_url"], r["hops"], r["status"])
+        for r in resolve_aliases(urls, redirects, canonicals).collect()
+    }
+    assert got["a"] == ("c", 2, "resolved")  # a -REDIRECT-> b -canon-> c
+    assert got["b"] == ("c", 1, "resolved")
+    assert got["c"] == ("c", 0, "resolved")  # self-canonical dropped
+    assert got["d"] == ("d", 0, "resolved")
+
+
+def test_resolve_aliases_duplicate_srcs_deterministic(spark):
+    from horus_spark.operators.redirects import resolve_aliases
+
+    canonicals = spark.createDataFrame(
+        [("a", "y"), ("a", "x")], "src_url string, dst_url string"
+    )
+    urls = spark.createDataFrame([("a",)], "url string")
+    empty = canonicals.where("1=0")
+    r = resolve_aliases(urls, empty, canonicals).collect()[0]
+    assert r["final_url"] == "x"  # smallest destination wins
