@@ -388,6 +388,13 @@ def __getattr__(name):
         "tables_to_records": (
             "horus_spark.operators.html", "tables_to_records",
         ),
+        "margin_bitext_pairs": (
+            "horus_spark.operators.bitext", "margin_bitext_pairs",
+        ),
+        "best_snippet": ("horus_spark.operators.ranking", "best_snippet"),
+        "resolve_aliases": (
+            "horus_spark.operators.redirects", "resolve_aliases",
+        ),
     }
     if name in _API:
         import importlib
