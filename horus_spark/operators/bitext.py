@@ -63,16 +63,12 @@ def margin_bitext_pairs(
         F.col(id_col).alias("tgt_id"),
         F.col(vec_col).cast("array<double>").alias("t_vec"),
     )
-    scored = (
-        s.crossJoin(F.broadcast(t))
-        .select(
-            "src_id",
-            "tgt_id",
-            F.round(cosine_expr(F.col("s_vec"), F.col("t_vec")) * 1_000_000)
-            .cast("long")
-            .alias("cos_micro"),
-        )
-        .localCheckpoint(eager=False)  # four window consumers
+    scored = s.crossJoin(F.broadcast(t)).select(
+        "src_id",
+        "tgt_id",
+        F.round(cosine_expr(F.col("s_vec"), F.col("t_vec")) * 1_000_000)
+        .cast("long")
+        .alias("cos_micro"),
     )
     w_s = Window.partitionBy("src_id").orderBy(
         F.desc("cos_micro"), F.asc("tgt_id")
@@ -80,13 +76,16 @@ def margin_bitext_pairs(
     w_t = Window.partitionBy("tgt_id").orderBy(
         F.desc("cos_micro"), F.asc("src_id")
     )
+    # checkpoint AFTER the windows: bg_s/bg_t/mutual all consume the
+    # ranked frame, so both the crossJoin scoring and the two window
+    # passes run once, not three times
     ranked = scored.select(
         "src_id",
         "tgt_id",
         "cos_micro",
         F.row_number().over(w_s).alias("rs"),
         F.row_number().over(w_t).alias("rt"),
-    )
+    ).localCheckpoint(eager=False)
     bg_s = (
         ranked.where(F.col("rs") <= k)
         .groupBy("src_id")

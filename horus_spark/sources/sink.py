@@ -1769,8 +1769,9 @@ def read_lookup(
     The pruned scan also keeps the IN-filter, so parquet row-group
     stats and dictionary filters still apply inside surviving chunks.
     Returns the same shape as read_output (chunk column included)."""
+    values = [v for v in values if v is not None]
     if not values:
-        raise ValueError("values must be non-empty")
+        raise ValueError("values must contain at least one non-NULL key")
     m = _read_table_manifest(out_dir)
     if m is None:
         raise ValueError(f"no committed catalog under {out_dir}")
