@@ -3766,7 +3766,9 @@ def _q166_url_canonicalize(spark, sf_dir):
     """Full URL canonicalization (urls.py:canonicalize_url_expr) —
     GROUND-TRUTH oracle. Synthesized URLs plant every rule's failure
     mode by modulus: mixed-case host (must lowercase, path case
-    preserved), ':80' default port every 4th, trailing slash every
+    preserved), the https default ':443' every 4th (must drop) and a
+    NON-default ':8080' every 9th (must SURVIVE — port stripping is
+    scheme-aware, not blanket 80/443), trailing slash every
     3rd, '#frag' every 6th, 'utm_source' every 2nd, an out-of-order
     'b=2&a=1' pair except every 5th (must sort), and an uppercase
     'PHPSESSID' session param every 7th (case-insensitive tracking
@@ -3787,7 +3789,9 @@ def _q166_url_canonicalize(spark, sf_dir):
     )
     url = F.concat(
         F.lit("https://SITE-"), ks, F.lit(".Test"),
-        F.when(n % 4 == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.when(n % 4 == 0, F.lit(":443"))
+        .when(n % 9 == 0, F.lit(":8080"))
+        .otherwise(F.lit("")),
         F.lit("/P/"), ns,
         F.when(n % 3 == 0, F.lit("/")).otherwise(F.lit("")),
         F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")),
@@ -3979,10 +3983,12 @@ def _q175_sitemap_directives(spark, sf_dir):
                             F.lit(0), (F.col("id") % 3).cast("int")
                         ),
                         lambda j: F.concat(
-                            F.when(j % 2 == 1, F.lit("SITEMAP: ")).otherwise(
-                                F.when(j == 1, F.lit("sitemap:  "))
-                                .otherwise(F.lit("Sitemap: "))
-                            ),
+                            # j==1 must come FIRST or the odd-j branch
+                            # shadows it and the tolerant-whitespace
+                            # variant is never generated (review find)
+                            F.when(j == 1, F.lit("sitemap:  "))
+                            .when(j % 2 == 1, F.lit("SITEMAP: "))
+                            .otherwise(F.lit("Sitemap: ")),
                             F.lit("https://site-"),
                             F.col("id").cast("string"),
                             F.lit(".test/sitemap-"),
@@ -6792,12 +6798,16 @@ def _oracle_sql_literals() -> dict[str, str]:
           )
           SELECT doc_id,
             'https://SITE-' || k || '.Test'
-              || CASE WHEN n % 4 = 0 THEN ':80' ELSE '' END
+              || CASE WHEN n % 4 = 0 THEN ':443'
+                      WHEN n % 9 = 0 THEN ':8080' ELSE '' END
               || '/P/' || n
               || CASE WHEN n % 3 = 0 THEN '/' ELSE '' END
               || CASE WHEN q <> '' THEN '?' || q ELSE '' END
               || CASE WHEN n % 6 = 0 THEN '#frag' ELSE '' END AS url,
-            'https://site-' || k || '.test/P/' || n
+            'https://site-' || k || '.test'
+              || CASE WHEN n % 4 <> 0 AND n % 9 = 0
+                      THEN ':8080' ELSE '' END
+              || '/P/' || n
               || CASE WHEN n % 5 <> 0 THEN '?a=1&b=2' ELSE '' END
               AS canonical
           FROM u

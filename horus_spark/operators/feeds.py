@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _ENTRY_RE = r"(?is)<(?:item|entry)\b[^>]*>.*?</(?:item|entry)>"
-_ATOM_HREF_RE = r'(?is)<link\b[^>]*?href\s*=\s*"([^"]*)"'
+_ATOM_HREF_RE = r"(?is)<link\b[^>]*?href\s*=\s*[\"']([^\"']*)[\"']"
 _TAG_RE = r"<[^>]*>"
 
 

@@ -36,6 +36,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from horus_spark.operators.textstats import ws_tokens_expr
+
 
 def span_corruption_plan(
     df: DataFrame,
@@ -48,10 +50,7 @@ def span_corruption_plan(
     """Deterministic denoising-mask plan; see module docstring."""
     if start_rate < 1 or min_len < 1 or len_mod < 1:
         raise ValueError("start_rate, min_len, len_mod must be >= 1")
-    toks = F.filter(
-        F.split(F.trim(F.col(text_col)), r"\s+"),
-        lambda w: F.length(w) > 0,
-    )
+    toks = ws_tokens_expr(F.col(text_col))
     nt = F.size(toks)
     h = (
         "cast(conv(substring(md5(cast(concat(cast(id as string), ':',"
@@ -59,20 +58,25 @@ def span_corruption_plan(
     )
     # raw candidate spans (s, e), e exclusive, clipped at nt — built as
     # one array expression over token positions
+    # hash each position ONCE (lambdas get no CSE — inlining {h} into
+    # both 'e' and 'hit' would md5 every token twice), then derive the
+    # span fields from the carried hv
     raw = F.expr(
         f"""
         case when nt <= 0 then
-          cast(array() as array<struct<s: int, e: int, hit: boolean>>)
+          cast(array() as array<struct<s: int, e: int>>)
         else
-          filter(
-            transform(sequence(0, int(nt) - 1),
-              p -> named_struct(
-                's', cast(p as int),
-                'e', cast(least(
-                       p + {min_len} + ({h} div {start_rate}) % {len_mod},
-                       nt) as int),
-                'hit', {h} % {start_rate} = 0)),
-            x -> x.hit)
+          transform(
+            filter(
+              transform(sequence(0, int(nt) - 1),
+                p -> named_struct('p', cast(p as int), 'hv', {h})),
+              x -> x.hv % {start_rate} = 0),
+            x -> named_struct(
+              's', x.p,
+              'e', cast(least(
+                     x.p + {min_len} + (x.hv div {start_rate})
+                       % {len_mod},
+                     nt) as int)))
         end
         """
     )
@@ -153,10 +157,7 @@ def ul2_denoiser_plan(
         len_mod=8,
     ).select("id", F.lit("X").alias("denoiser"), "mask_id",
              "span_start", "span_end", "n_masked")
-    toks = F.filter(
-        F.split(F.trim(F.col("_text")), r"\s+"), lambda w: F.length(w) > 0
-    )
-    nt = F.coalesce(F.size(toks), F.lit(0))
+    nt = F.coalesce(F.size(ws_tokens_expr(F.col("_text"))), F.lit(0))
     s_plan = (
         base.filter(F.col("_cls") == 1)
         .select("id", nt.alias("nt"))

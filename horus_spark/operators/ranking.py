@@ -329,10 +329,9 @@ def best_snippet(
         raise ValueError("query has no terms after normalization")
     if width < 1:
         raise ValueError("width must be >= 1")
-    toks = F.filter(
-        F.split(F.trim(F.col(text_col)), r"\s+"),
-        lambda w: F.length(w) > 0,
-    )
+    from horus_spark.operators.textstats import ws_tokens_expr
+
+    toks = ws_tokens_expr(F.col(text_col))
     norm = "regexp_replace(lower(t), '[^a-z0-9]', '')"
 
     staged = docs.select(
@@ -350,17 +349,16 @@ def best_snippet(
             """
         ).alias("_mp"),
     )
+    # window counts computed ONCE per candidate (lambdas get no CSE, so
+    # a count inside the fold's CASE would run the m^2 scan twice)
     best = F.expr(
         f"""
         aggregate(
-          _mp,
+          transform(_mp, p -> named_struct(
+            'cnt', size(filter(_mp, q -> q >= p and q < p + {width})),
+            'st', p)),
           named_struct('cnt', cast(0 as int), 'st', cast(-1 as int)),
-          (acc, p) -> case when
-              size(filter(_mp, q -> q >= p and q < p + {width})) > acc.cnt
-            then named_struct(
-              'cnt', size(filter(_mp, q -> q >= p and q < p + {width})),
-              'st', p)
-            else acc end)
+          (acc, x) -> case when x.cnt > acc.cnt then x else acc end)
         """
     )
     out = staged.where(F.size("_mp") > 0).select(

@@ -144,10 +144,9 @@ def readability(
         F.split(F.trim(F.col(text_col)), _BOUNDARY_RE),
         lambda s: F.length(s) > 0,
     )
-    words = F.filter(
-        F.split(F.trim(F.col(text_col)), r"\s+"),
-        lambda w: F.length(w) > 0,
-    )
+    from horus_spark.operators.textstats import ws_tokens_expr
+
+    words = ws_tokens_expr(F.col(text_col))
     syll = F.aggregate(
         words,
         F.lit(0).cast("long"),

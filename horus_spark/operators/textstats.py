@@ -22,6 +22,16 @@ LANG_MARKERS = {
 STOPWORDS = ["the", "a", "of", "and", "is", "to", "in"]
 
 
+def ws_tokens_expr(text: Column) -> Column:
+    """Whitespace tokens with empties filtered — THE shared
+    token-count definition (masking plans, sentence windows, snippet
+    matching and citation rates all quote this one expression, so
+    their 'same token count' contracts cannot drift)."""
+    return F.filter(
+        F.split(F.trim(text), r"\s+"), lambda w: F.length(w) > 0
+    )
+
+
 def tokens_expr(text: Column) -> Column:
     return F.split(F.trim(text), r"\s+")
 
@@ -365,10 +375,7 @@ def citation_stats(
     Regexes are RE2-portable (the oracle replays them); '(123)' and
     '[notanum]' style lookalikes do not fire. Pure map-side
     expressions, ZERO shuffle."""
-    toks = F.filter(
-        F.split(F.trim(F.col(text_col)), r"\s+"),
-        lambda w: F.length(w) > 0,
-    )
+    toks = ws_tokens_expr(F.col(text_col))
     t = F.col(text_col)
     brackets = F.regexp_count(t, F.lit(r"\[[0-9]{1,3}\]"))
     years = F.regexp_count(t, F.lit(r"\((?:19|20)[0-9][0-9]\)"))

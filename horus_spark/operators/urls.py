@@ -16,16 +16,27 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _strip_default_port(scheme: Column, host: Column) -> Column:
+    """Drop the port only when it IS the scheme's default — http://h:443
+    and https://h:80 are non-default endpoints and must survive."""
+    return (
+        F.when(scheme == "http", F.regexp_replace(host, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(host, r":443$", ""))
+        .otherwise(host)
+    )
+
+
 def normalize_url_expr(url: Column) -> Column:
     """Canonical form: lowercase scheme+host, strip fragment, strip
-    trailing slash, drop default ports. Query strings are KEPT (they can
-    be content-bearing); strip them upstream if policy says so."""
+    trailing slash, drop the scheme's default port. Query strings are
+    KEPT (they can be content-bearing); strip them upstream if policy
+    says so."""
     u = F.regexp_replace(url, r"#.*$", "")  # fragment
     # lowercase scheme://host only (path stays case-sensitive)
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     host = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
     rest = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(.*)$", 1)
-    host = F.regexp_replace(host, r":(80|443)$", "")  # default ports
+    host = _strip_default_port(scheme, host)
     rest = F.regexp_replace(rest, r"/$", "")  # trailing slash
     return F.when(scheme == "", u).otherwise(F.concat(scheme, F.lit("://"), host, rest))
 
@@ -176,7 +187,7 @@ def canonicalize_url_expr(url: Column) -> Column:
     rest = F.regexp_extract(
         base, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(.*)$", 1
     )
-    host = F.regexp_replace(host, r":(80|443)$", "")
+    host = _strip_default_port(scheme, host)
     rest = F.regexp_replace(rest, r"/$", "")
     base_n = F.when(scheme == "", base).otherwise(
         F.concat(scheme, F.lit("://"), host, rest)

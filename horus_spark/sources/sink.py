@@ -1009,9 +1009,28 @@ def _carry_table_files(out_dir: str, members: list[str], table: str, dest: str) 
 _STATS_PRUNE_MAX_KEYS = 100_000
 
 
+def _collect_prune_keys(keys) -> list | None:
+    """Bounded one-shot collect of the probe key set, shared by the
+    footer-stats and bloom pruning tiers (one Spark job, not one per
+    tier). A DataFrame is collected; a pre-collected list passes
+    through. Returns None when the set exceeds the cap (callers skip
+    pruning) and [] when no non-NULL keys exist."""
+    if isinstance(keys, list):
+        vals = keys
+    else:
+        rows = keys.limit(_STATS_PRUNE_MAX_KEYS + 1).collect()
+        if len(rows) > _STATS_PRUNE_MAX_KEYS:
+            return None
+        vals = [r[0] for r in rows]
+    out = [v for v in vals if v is not None]
+    if len(out) > _STATS_PRUNE_MAX_KEYS:
+        return None
+    return out
+
+
 def _stats_candidate_chunks(
     out_dir: str, table: str, chunks: list[str], key_cols: list[str],
-    keys: DataFrame,
+    keys,
 ) -> list[str]:
     """Parquet-footer min/max pruning of the DML probe — the local
     analog of a table format's column-bounds manifest (Iceberg prunes
@@ -1030,11 +1049,8 @@ def _stats_candidate_chunks(
         import pyarrow.parquet as pq
     except Exception:
         return chunks
-    rows = keys.limit(_STATS_PRUNE_MAX_KEYS + 1).collect()
-    if len(rows) > _STATS_PRUNE_MAX_KEYS:
-        return chunks
-    vals = [r[0] for r in rows if r[0] is not None]
-    if not vals:
+    vals = _collect_prune_keys(keys)
+    if not vals:  # oversized (None) or empty: no pruning
         return chunks
     try:
         lo, hi = min(vals), max(vals)
@@ -1195,7 +1211,7 @@ def add_bloom_index(
 
 def _bloom_candidate_chunks(
     out_dir: str, table: str, chunks: list[str], key_cols: list[str],
-    keys: DataFrame,
+    keys,
 ) -> list[str]:
     """Bloom-sidecar membership pruning of the DML probe, applied after
     footer-stats pruning. Conservative everywhere: multi-column keys,
@@ -1204,11 +1220,8 @@ def _bloom_candidate_chunks(
     on pruning (the scan probe over candidates is the authority)."""
     if len(key_cols) != 1:
         return chunks
-    rows = keys.limit(_STATS_PRUNE_MAX_KEYS + 1).collect()
-    if len(rows) > _STATS_PRUNE_MAX_KEYS:
-        return chunks
-    vals = [r[0] for r in rows if r[0] is not None]
-    if not vals:
+    vals = _collect_prune_keys(keys)
+    if not vals:  # oversized (None) or empty: no pruning
         return chunks
     if not all(
         isinstance(v, (str, int)) and not isinstance(v, bool) for v in vals
@@ -1251,9 +1264,13 @@ def _probe_affected(
     indexed, then one column-pruned scan over the surviving
     candidates, pinned to the baseline snapshot. Returns (affected
     chunk dirnames, n distinct keys matched, n rows matched)."""
-    candidates = _stats_candidate_chunks(out_dir, table, chunks, key_cols, keys)
+    kvals = _collect_prune_keys(keys) if len(key_cols) == 1 else None
+    probe_keys = keys if kvals is None else kvals
+    candidates = _stats_candidate_chunks(
+        out_dir, table, chunks, key_cols, probe_keys
+    )
     candidates = _bloom_candidate_chunks(
-        out_dir, table, candidates, key_cols, keys
+        out_dir, table, candidates, key_cols, probe_keys
     )
     if not candidates:
         return [], 0, 0
@@ -1663,23 +1680,33 @@ def catalog_fsck(out_dir: str, grace_s: float = 86400.0) -> dict:
       snapshot_gaps      missing ids inside [1, max_archived] — CAS
                          claims make ids gapless, so a gap means
                          someone deleted archive files by hand
+      corrupt_files      present-but-unreadable catalog JSON (a
+                         truncated archive entry or pointer): report
+                         it as CORRUPTION, never as a gap, and
+                         suppress orphan detection — the referenced
+                         set is incomplete, so 'orphan' would slander
+                         live data into vacuum's path
       missing_chunks     referenced by a retained snapshot or the
                          pointer but the directory is gone (data loss —
                          the one state fsck cannot repair)
       orphan_chunks      directories no retained snapshot references
-                         and older than `grace_s` (vacuum reclaims)
+                         and older than `grace_s` (vacuum reclaims;
+                         empty whenever corrupt_files is non-empty)
       stale_tmp          _tmp_* staging leftovers older than `grace_s`
                          (a crashed writer before promote; safe to
                          delete)
 
-    The grace window mirrors vacuum_chunks' contract so fsck never
-    flags a concurrent writer's in-flight promote as damage."""
+    Never raises on damaged catalog state — a report, not a stack
+    trace, is the contract. The grace window mirrors vacuum_chunks'
+    so fsck never flags a concurrent writer's in-flight promote as
+    damage."""
     report: dict = {
         "has_catalog": False,
         "snapshot": None,
         "max_archived": 0,
         "stale_pointer": False,
         "snapshot_gaps": [],
+        "corrupt_files": [],
         "missing_chunks": [],
         "orphan_chunks": [],
         "stale_tmp": [],
@@ -1688,32 +1715,25 @@ def catalog_fsck(out_dir: str, grace_s: float = 86400.0) -> dict:
     report["has_catalog"] = bool(snaps)
     referenced: set[str] = set()
     for sid in snaps:
+        name = f"snapshot_{sid:06d}.json"
         try:
-            with open(
-                os.path.join(
-                    out_dir, "_snapshots", f"snapshot_{sid:06d}.json"
-                )
-            ) as fh:
+            with open(os.path.join(out_dir, "_snapshots", name)) as fh:
                 referenced.update(json.load(fh).get("chunks", []))
         except Exception:
-            report["snapshot_gaps"].append(sid)
+            report["corrupt_files"].append(f"_snapshots/{name}")
     # the RAW pointer file, not _read_table_manifest: that helper
     # already self-heals to the max archived snapshot, which is exactly
-    # the condition fsck must surface rather than paper over
+    # the condition fsck must surface rather than paper over (and it
+    # would also re-raise on the corrupt pointer this guard absorbs)
     ptr_path = os.path.join(out_dir, _TABLE_MANIFEST)
-    ptr = None
     if os.path.exists(ptr_path):
         try:
             with open(ptr_path) as fh:
                 ptr = json.load(fh)
+            report["snapshot"] = int(ptr.get("snapshot", 0))
+            referenced.update(ptr.get("chunks", []))
         except Exception:
-            ptr = None
-    if ptr:
-        report["snapshot"] = int(ptr.get("snapshot", 0))
-        referenced.update(ptr.get("chunks", []))
-    m = _read_table_manifest(out_dir)
-    if m:
-        referenced.update(m.get("chunks", []))
+            report["corrupt_files"].append(_TABLE_MANIFEST)
     if snaps:
         report["max_archived"] = snaps[-1]
         report["snapshot_gaps"].extend(
@@ -1734,7 +1754,8 @@ def catalog_fsck(out_dir: str, grace_s: float = 86400.0) -> dict:
             except OSError:
                 continue
             if name.startswith("chunk=") and name not in referenced:
-                if age > grace_s:
+                # incomplete referenced set -> cannot prove orphanhood
+                if age > grace_s and not report["corrupt_files"]:
                     report["orphan_chunks"].append(name)
             elif name.startswith("_tmp_") and age > grace_s:
                 report["stale_tmp"].append(name)
@@ -1742,6 +1763,7 @@ def catalog_fsck(out_dir: str, grace_s: float = 86400.0) -> dict:
         report["has_catalog"]
         and not report["stale_pointer"]
         and not report["snapshot_gaps"]
+        and not report["corrupt_files"]
         and not report["missing_chunks"]
         and not report["orphan_chunks"]
         and not report["stale_tmp"]
@@ -1779,12 +1801,13 @@ def read_lookup(
         chunks = [str(c) for c in m.get("chunks", [])]
     else:
         chunks = _snapshot_chunks(out_dir, snapshot)
-    keys = spark.createDataFrame([(v,) for v in values], [key_col])
+    # the pruning tiers take the python list directly — no Spark job
+    # ever runs for the key set on this path
     candidates = _stats_candidate_chunks(
-        out_dir, table, chunks, [key_col], keys
+        out_dir, table, chunks, [key_col], list(values)
     )
     candidates = _bloom_candidate_chunks(
-        out_dir, table, candidates, [key_col], keys
+        out_dir, table, candidates, [key_col], list(values)
     )
     paths = [
         p

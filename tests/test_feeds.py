@@ -66,3 +66,13 @@ def test_plan_shuffle_free(spark):
     df = spark.createDataFrame([("f", RSS)], "src string, feed_xml string")
     plan = parse_feeds(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_atom_single_quoted_href(spark):
+    xml = (
+        "<feed><entry><title>SQ</title>"
+        "<link href='https://a.test/sq' rel='alternate'/>"
+        "<id>urn:sq</id></entry></feed>"
+    )
+    rows = _parse(spark, xml).collect()
+    assert len(rows) == 1 and rows[0]["link"] == "https://a.test/sq"

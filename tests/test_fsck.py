@@ -70,3 +70,24 @@ def test_legacy_store_flagged(spark, tmp_path):
     os.makedirs(os.path.join(out, "chunk=legacy-000000"))
     r = catalog_fsck(out, grace_s=0.0)
     assert r["has_catalog"] is False and r["ok"] is False
+
+
+def test_corrupt_catalog_reported_not_raised(spark, tmp_path):
+    out = _store(spark, tmp_path)
+    # corrupt pointer: fsck must return a report, never raise
+    with open(os.path.join(out, "_table_manifest.json"), "w") as f:
+        f.write("{truncated")
+    r = catalog_fsck(out)
+    assert r["ok"] is False
+    assert "_table_manifest.json" in r["corrupt_files"]
+    # corrupt archive entry: CORRUPTION, not a gap — and orphan
+    # detection is suppressed (the referenced set is incomplete)
+    with open(
+        os.path.join(out, "_snapshots", "snapshot_000001.json"), "w"
+    ) as f:
+        f.write("garbage")
+    os.makedirs(os.path.join(out, "chunk=maybe-live-999999"))
+    r2 = catalog_fsck(out, grace_s=0.0)
+    assert "_snapshots/snapshot_000001.json" in r2["corrupt_files"]
+    assert 1 not in r2["snapshot_gaps"]
+    assert r2["orphan_chunks"] == []  # never slander live data

@@ -211,3 +211,27 @@ def test_citation_stats(spark):
     assert d1["cite_rate_ppm"] == 4 * 1_000_000 // d1["n_tokens"]
     d2 = rows["d2"]
     assert d2["n_tokens"] == 0 and d2["cite_rate_ppm"] is None
+
+
+def test_port_stripping_is_scheme_aware(spark):
+    from pyspark.sql import functions as F
+
+    from horus_spark.operators.urls import (
+        canonicalize_url_expr,
+        normalize_url_expr,
+    )
+
+    cases = [
+        ("http://ex.com:80/x", "http://ex.com/x"),
+        ("https://ex.com:443/x", "https://ex.com/x"),
+        # NON-default ports survive: http-on-443 is a distinct endpoint
+        ("http://ex.com:443/x", "http://ex.com:443/x"),
+        ("https://ex.com:80/x", "https://ex.com:80/x"),
+        ("https://ex.com:8080/x", "https://ex.com:8080/x"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    for expr in (normalize_url_expr, canonicalize_url_expr):
+        got = [
+            r["c"] for r in df.select(expr(F.col("url")).alias("c")).collect()
+        ]
+        assert got == [e for _, e in cases], expr.__name__
