@@ -4095,6 +4095,18 @@ def _q180_alias_resolution(spark, sf_dir):
     return resolve_aliases(urls, redirects, canonicals, max_hops=8)
 
 
+def _q181_curriculum(spark, sf_dir):
+    """Curriculum training order (operators/indexing.py:
+    curriculum_order): per-source n_chars percentiles (q174) band docs
+    into 4 stages; the epoch order is (stage ASC, per-epoch md5
+    shuffle, id). The oracle replays the percentile window, the stage
+    arithmetic and the global row_number over the composite key."""
+    from horus_spark.operators.indexing import curriculum_order
+
+    d = _fanout(_load(spark, sf_dir, "documents"))
+    return curriculum_order(d, "n_chars", "source", n_stages=4, epoch=1)
+
+
 def _q131_snapshot_diff(spark, sf_dir):
     """Incremental/changelog read over the snapshot catalog
     (sink.py:snapshot_diff): q101's DML history is replayed (4 appends
@@ -5010,6 +5022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q178_bitext_mining": _q178_bitext_mining,
         "q179_snippets": _q179_snippets,
         "q180_alias_resolution": _q180_alias_resolution,
+        "q181_curriculum": _q181_curriculum,
     }
 
 
@@ -6420,6 +6433,34 @@ def _oracle_sql_literals() -> dict[str, str]:
           FROM e
         """,
         "q171_ul2_plan": ul2_sql,
+        # percentile window + stage arithmetic + composite-key global
+        # numbering replayed
+        "q181_curriculum": """
+          WITH r AS (
+            SELECT doc_id AS id, source AS "group",
+                   n_chars AS score,
+                   row_number() OVER (PARTITION BY source
+                     ORDER BY n_chars ASC, doc_id ASC) AS rn,
+                   count(*) OVER (PARTITION BY source) AS n
+            FROM documents WHERE n_chars IS NOT NULL
+          ), p AS (
+            SELECT id, "group", score,
+                   CAST((rn - 1) * CAST(1000000 AS BIGINT)
+                        // greatest(n - 1, 1) AS BIGINT) AS pct_ppm
+            FROM r
+          ), s AS (
+            SELECT *,
+                   CAST(least(pct_ppm * 4 // 1000000, 3) AS INT)
+                     AS stage,
+                   CAST(concat('0x', substring(md5(CAST(id AS VARCHAR)
+                     || 'epoch1'), 1, 15)) AS BIGINT) AS hk
+            FROM p
+          )
+          SELECT id, "group", score, pct_ppm, stage,
+                 row_number() OVER (ORDER BY stage, hk, id)
+                   AS curriculum_pos
+          FROM s
+        """,
         # merged alias edges from the precedence rules + the q117
         # recursive walk
         "q180_alias_resolution": """

@@ -159,3 +159,54 @@ def epoch_shuffle(
     return global_row_number(
         keyed, ["_shuffle_key", id_col], out_col=out_col, n_parts=n_parts
     ).drop("_shuffle_key")
+
+
+def curriculum_order(
+    df: DataFrame,
+    score_col: str,
+    group_col: str,
+    id_col: str = "doc_id",
+    n_stages: int = 4,
+    epoch: int = 1,
+    out_col: str = "curriculum_pos",
+) -> DataFrame:
+    """Curriculum training order (Bengio et al. 2009 made
+    corpus-native): rows are banded into `n_stages` difficulty stages
+    by their PER-GROUP score percentile (priors.percentile_normalize —
+    so 'easy' is calibrated within each domain, not dominated by
+    whichever source scores high globally), and the epoch's training
+    order is (stage ASC, deterministic per-epoch shuffle within the
+    stage):
+
+      stage          = least(pct_ppm * n_stages div 1e6, n_stages-1)
+                       (stage 0 = lowest score; pass a
+                       difficulty-ascending score for easy-first)
+      curriculum_pos = global row number over
+                       (stage, md5(id || epoch-salt), id)
+
+    Reproducible/resumable for the same reasons as epoch_shuffle (a
+    pure function of row identity + epoch), while guaranteeing every
+    stage-k row precedes every stage-k+1 row. Returns the input's
+    (id, group, score, pct_ppm) plus stage and `out_col` (1-based).
+
+    Scale shape: one group-keyed window (the percentile), then the
+    one-corpus-shuffle global numbering — the q72/q74 machinery with a
+    composite leading key."""
+    if n_stages < 1:
+        raise ValueError("n_stages must be >= 1")
+    from horus_spark.operators.priors import percentile_normalize
+    from horus_spark.operators.sampling import md5_long
+
+    pct = percentile_normalize(df, score_col, group_col, id_col=id_col)
+    staged = pct.withColumn(
+        "stage",
+        F.expr(
+            f"CAST(least(pct_ppm * {n_stages}"
+            f" div CAST(1000000 AS BIGINT), {n_stages - 1}) AS INT)"
+        ),
+    ).withColumn(
+        "_shuffle_key", md5_long(F.col("id"), f"epoch{int(epoch)}")
+    )
+    return global_row_number(
+        staged, ["stage", "_shuffle_key", "id"], out_col=out_col
+    ).drop("_shuffle_key")

@@ -215,3 +215,39 @@ def test_epoch_shuffle_matches_python_and_is_reproducible(spark):
     # both are complete permutations of 1..n
     assert sorted(got1.values()) == list(range(1, 301))
     assert sorted(got2.values()) == list(range(1, 301))
+
+
+def test_curriculum_order(spark):
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from horus_spark.operators.indexing import curriculum_order
+
+    rows = [(f"d{i:02d}", "g%d" % (i % 2), i * 10) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id string, source string, q long")
+    out = curriculum_order(df, "q", "source", n_stages=4, epoch=1).collect()
+    got = {r["id"]: r.asDict() for r in out}
+    # python replay: per-group percentile -> stage -> (stage, hash, id)
+    by_g: dict[str, list] = {}
+    for d, g, q in rows:
+        by_g.setdefault(g, []).append((q, d))
+    pct = {}
+    for g, items in by_g.items():
+        items.sort()
+        n = len(items)
+        for rnk, (q, d) in enumerate(items):
+            pct[d] = rnk * 1_000_000 // max(n - 1, 1)
+    def hk(d):
+        return int(hashlib.md5(f"{d}epoch1".encode()).hexdigest()[:15], 16)
+    order = sorted(
+        rows,
+        key=lambda r: (min(pct[r[0]] * 4 // 1_000_000, 3), hk(r[0]), r[0]),
+    )
+    for pos, (d, g, q) in enumerate(order, start=1):
+        assert got[d]["curriculum_pos"] == pos, d
+        assert got[d]["stage"] == min(pct[d] * 4 // 1_000_000, 3)
+    # stage monotonicity: every stage-k row precedes stage-k+1 rows
+    seq = sorted(out, key=lambda r: r["curriculum_pos"])
+    stages = [r["stage"] for r in seq]
+    assert stages == sorted(stages)
