@@ -4107,6 +4107,24 @@ def _q181_curriculum(spark, sf_dir):
     return curriculum_order(d, "n_chars", "source", n_stages=4, epoch=1)
 
 
+def _q182_rare_combinations(spark, sf_dir):
+    """k-anonymity quasi-identifier audit (operators/pii.py:
+    rare_combinations) over (lang, source, 500-char length bucket):
+    combinations carried by fewer than 5 docs are re-identification
+    risks. Oracle = the identical grouped count + threshold in SQL."""
+    from horus_spark.operators.pii import rare_combinations
+
+    d = _fanout(_load(spark, sf_dir, "documents"))
+    quasi = d.select(
+        "lang",
+        "source",
+        F.expr(
+            "CAST(n_chars div CAST(500 AS BIGINT) AS BIGINT)"
+        ).alias("len_bucket"),
+    )
+    return rare_combinations(quasi, ["lang", "source", "len_bucket"], k=5)
+
+
 def _q131_snapshot_diff(spark, sf_dir):
     """Incremental/changelog read over the snapshot catalog
     (sink.py:snapshot_diff): q101's DML history is replayed (4 appends
@@ -5023,6 +5041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q179_snippets": _q179_snippets,
         "q180_alias_resolution": _q180_alias_resolution,
         "q181_curriculum": _q181_curriculum,
+        "q182_rare_combinations": _q182_rare_combinations,
     }
 
 
@@ -6433,6 +6452,14 @@ def _oracle_sql_literals() -> dict[str, str]:
           FROM e
         """,
         "q171_ul2_plan": ul2_sql,
+        "q182_rare_combinations": """
+          SELECT lang, source,
+                 CAST(n_chars // 500 AS BIGINT) AS len_bucket,
+                 count(*)::BIGINT AS n_rows,
+                 count(*) < 5 AS risky
+          FROM documents
+          GROUP BY 1, 2, 3
+        """,
         # percentile window + stage arithmetic + composite-key global
         # numbering replayed
         "q181_curriculum": """

@@ -60,3 +60,30 @@ def redact_pii(
     for _, pat, token in PII_PATTERNS:
         t = F.regexp_replace(t, pat, token)
     return df.withColumn(out_col, t)
+
+
+def rare_combinations(
+    df: DataFrame,
+    cols: list[str],
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity-style quasi-identifier audit — the privacy check
+    BESIDE content PII scanning (detect/redact handle what the text
+    says; this handles what the METADATA reveals): a combination of
+    quasi-identifier columns shared by fewer than `k` rows can
+    re-identify its members when the dataset is joined against outside
+    knowledge (Sweeney 2002), so releases either generalize those
+    combos or drop them.
+
+    One row per observed combination: the `cols` values, n_rows, and
+    risky = (n_rows < k). NULL is a legal quasi-identifier value and
+    groups as itself. ONE hash aggregation with map-side combine —
+    combination cardinality, not corpus size, bounds the output."""
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    agg = df.groupBy(*cols).agg(F.count(F.lit(1)).alias("n_rows"))
+    return agg.select(
+        *cols, "n_rows", (F.col("n_rows") < k).alias("risky")
+    )

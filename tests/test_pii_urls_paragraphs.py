@@ -235,3 +235,27 @@ def test_port_stripping_is_scheme_aware(spark):
             r["c"] for r in df.select(expr(F.col("url")).alias("c")).collect()
         ]
         assert got == [e for _, e in cases], expr.__name__
+
+
+def test_rare_combinations(spark):
+    import pytest
+
+    from horus_spark.operators.pii import rare_combinations
+
+    rows = (
+        [("en", "web") for _ in range(6)]
+        + [("en", "books") for _ in range(2)]
+        + [(None, "web")]
+    )
+    df = spark.createDataFrame(rows, "lang string, source string")
+    got = {
+        (r["lang"], r["source"]): (r["n_rows"], r["risky"])
+        for r in rare_combinations(df, ["lang", "source"], k=5).collect()
+    }
+    assert got[("en", "web")] == (6, False)
+    assert got[("en", "books")] == (2, True)
+    assert got[(None, "web")] == (1, True)  # NULL groups as itself
+    with pytest.raises(ValueError):
+        rare_combinations(df, [], k=5)
+    with pytest.raises(ValueError):
+        rare_combinations(df, ["lang"], k=1)
