@@ -395,6 +395,12 @@ def __getattr__(name):
         "resolve_aliases": (
             "horus_spark.operators.redirects", "resolve_aliases",
         ),
+        "curriculum_order": (
+            "horus_spark.operators.indexing", "curriculum_order",
+        ),
+        "rare_combinations": (
+            "horus_spark.operators.pii", "rare_combinations",
+        ),
     }
     if name in _API:
         import importlib
