@@ -4125,6 +4125,87 @@ def _q182_rare_combinations(spark, sf_dir):
     return rare_combinations(quasi, ["lang", "source", "len_bucket"], k=5)
 
 
+def _q183_dedup_recall(spark, sf_dir):
+    """Dedup-recall audit with planted mutation tiers: every 13th doc
+    gets two clones — m1 drops every 10th token (~30% of shingles
+    perturbed), m2 drops every 4th (most shingles perturbed) — and the
+    q21 MinHash-LSH pipeline (16x4 banding, exact-Jaccard verify at
+    0.3) runs over the augmented corpus. The report is per-tier
+    recall in ppm: m1 lands where banding theory puts a ~0.55-Jaccard
+    pair; m2 falls below the verify threshold and reads ~0 — the
+    measured recall cliff a dedup operator ships with, not a guess.
+    Deterministic end to end (fixed hash family), and the oracle
+    replays corpus augmentation AND the full pipeline in SQL."""
+    from horus_spark.operators.dedup import minhash_dedup_pairs
+
+    d = _fanout(
+        _load(spark, sf_dir, "documents").withColumn(
+            "doc_id", F.col("doc_id").cast("string")
+        )
+    ).select("doc_id", "text")
+    # try_cast: Catalyst infers this filter across the planted->pairs
+    # equi-join onto rows whose ids carry the m1-/m2- prefixes, and a
+    # plain cast would throw under ANSI there
+    n = F.expr("try_cast(doc_id AS BIGINT)")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+
+    def mutate(prefix, keep_mod):
+        return d.where(n % 13 == 0).select(
+            F.concat(F.lit(prefix), F.col("doc_id")).alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.filter(toks, lambda t, i: (i + 1) % keep_mod != 0),
+            ).alias("text"),
+        )
+
+    aug = d.unionByName(mutate("m1-", 10)).unionByName(mutate("m2-", 4))
+    pairs = minhash_dedup_pairs(aug, n=3, k=64, bands=16, threshold=0.3)
+    planted = (
+        d.where(n % 13 == 0)
+        .select(F.col("doc_id").alias("orig"))
+        .select(
+            "orig",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit(1).alias("level"),
+                        F.concat(F.lit("m1-"), F.col("orig")).alias(
+                            "clone"
+                        ),
+                    ),
+                    F.struct(
+                        F.lit(2).alias("level"),
+                        F.concat(F.lit("m2-"), F.col("orig")).alias(
+                            "clone"
+                        ),
+                    ),
+                )
+            ).alias("p"),
+        )
+        .select("orig", F.col("p.level").alias("level"), F.col("p.clone").alias("clone"))
+    )
+    hit = planted.join(
+        pairs.select(
+            F.col("id_a").alias("orig"), F.col("id_b").alias("clone")
+        ),
+        ["orig", "clone"],
+        "left_semi",
+    ).groupBy("level").agg(F.count(F.lit(1)).alias("n_found"))
+    tot = planted.groupBy("level").agg(F.count(F.lit(1)).alias("n_planted"))
+    return (
+        tot.join(hit, "level", "left")
+        .select(
+            "level",
+            F.col("n_planted").cast("long").alias("n_planted"),
+            F.coalesce("n_found", F.lit(0)).cast("long").alias("n_found"),
+            F.expr(
+                "CAST(coalesce(n_found, 0) * CAST(1000000 AS BIGINT)"
+                " div n_planted AS BIGINT)"
+            ).alias("recall_ppm"),
+        )
+    )
+
+
 def _q131_snapshot_diff(spark, sf_dir):
     """Incremental/changelog read over the snapshot catalog
     (sink.py:snapshot_diff): q101's DML history is replayed (4 appends
@@ -5042,6 +5123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q180_alias_resolution": _q180_alias_resolution,
         "q181_curriculum": _q181_curriculum,
         "q182_rare_combinations": _q182_rare_combinations,
+        "q183_dedup_recall": _q183_dedup_recall,
     }
 
 
@@ -5265,6 +5347,58 @@ def _oracle_sql_literals() -> dict[str, str]:
         """
     minhash_body = minhash_ctes + minhash_select
     minhash_sql = shingle_cte + minhash_body
+
+    # q183: the SAME pipeline over a clone-augmented corpus, reported
+    # as per-mutation-tier recall (the measured recall cliff).
+    _recall_mut = (
+        "SELECT 'm{lv}-' || CAST(doc_id AS VARCHAR) AS doc_id,\n"
+        "       array_to_string([t[i] for i in"
+        " generate_series(1, len(t)) if i % {mod} <> 0], ' ') AS text\n"
+        "FROM (SELECT doc_id,"
+        " string_split_regex(trim(text), '\\s+') AS t FROM documents\n"
+        "      WHERE CAST(doc_id AS BIGINT) % 13 = 0)"
+    )
+    dedup_recall_sql = (
+        """
+          WITH aug AS (
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id, text
+            FROM documents
+            UNION ALL
+            """
+        + _recall_mut.format(lv=1, mod=10)
+        + """
+            UNION ALL
+            """
+        + _recall_mut.format(lv=2, mod=4)
+        + """
+          )"""
+        + shingle_cte_src("aug").replace("WITH tok AS", ", tok AS", 1)
+        + minhash_ctes
+        + ", mined AS ("
+        + minhash_select
+        + """)
+          , planted AS (
+            SELECT CAST(doc_id AS VARCHAR) AS orig, 1 AS level,
+                   'm1-' || CAST(doc_id AS VARCHAR) AS clone
+            FROM documents WHERE CAST(doc_id AS BIGINT) % 13 = 0
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR), 2,
+                   'm2-' || CAST(doc_id AS VARCHAR)
+            FROM documents WHERE CAST(doc_id AS BIGINT) % 13 = 0
+          ), rep AS (
+            SELECT level, count(*)::BIGINT AS n_planted,
+                   sum(CASE WHEN EXISTS (
+                         SELECT 1 FROM mined m
+                         WHERE m.id_a = p.orig AND m.id_b = p.clone)
+                       THEN 1 ELSE 0 END)::BIGINT AS n_found
+            FROM planted p GROUP BY 1
+          )
+          SELECT level, n_planted, n_found,
+                 CAST(n_found * 1000000 // n_planted AS BIGINT)
+                   AS recall_ppm
+          FROM rep
+        """
+    )
     # q95: the SAME minhash pipeline (hash family, 16x4 banding, exact
     # verify) over MULTIMODAL span-content tokens — text-chunk digests +
     # media content sha256 — on the interleaved corpus with
@@ -6452,6 +6586,7 @@ def _oracle_sql_literals() -> dict[str, str]:
           FROM e
         """,
         "q171_ul2_plan": ul2_sql,
+        "q183_dedup_recall": dedup_recall_sql,
         "q182_rare_combinations": """
           SELECT lang, source,
                  CAST(n_chars // 500 AS BIGINT) AS len_bucket,

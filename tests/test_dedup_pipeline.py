@@ -135,3 +135,24 @@ def test_banding_guards_reject_degenerate_configs(spark):
         simhash_pairs(df, bits=32, bands=33, max_hamming=3)
     with pytest.raises(ValueError):
         simhash_pairs(df, bits=32, bands=3, max_hamming=2)
+
+
+def test_q183_recall_audit_shape(spark):
+    """The dedup-recall audit (q183): planted light-mutation clones are
+    mostly found; heavy mutations fall below the verify threshold."""
+    import __spark_entry__ as e
+
+    rows = {
+        r["level"]: r.asDict()
+        for r in e.queries()["q183_dedup_recall"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert rows[1]["n_planted"] == rows[2]["n_planted"] > 0
+    # light mutation: banding theory puts recall high but < 100%
+    assert 700_000 <= rows[1]["recall_ppm"] <= 1_000_000
+    # heavy mutation: jaccard below the 0.3 verify cut -> ~zero
+    assert rows[2]["recall_ppm"] <= 100_000
+    assert rows[1]["recall_ppm"] == (
+        rows[1]["n_found"] * 1_000_000 // rows[1]["n_planted"]
+    )
