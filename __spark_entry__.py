@@ -4206,6 +4206,44 @@ def _q183_dedup_recall(spark, sf_dir):
     )
 
 
+def _q184_ann_recall(spark, sf_dir):
+    """ANN recall audit (the q183 theme on the vector side): IVF top-10
+    (q25's exact configuration — 16 lowest-id cells, 4 probes) scored
+    against the EXACT brute-force top-10 as truth, per query, in
+    integer ppm. Cell pruning is lossy by design; this measures the
+    loss instead of guessing it. The oracle composes the q17 and q25
+    replays and the same recall join."""
+    from horus_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    e = _load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    brute = brute_force_topk(e, q, k=10).select(
+        "q_id", "neighbor_id"
+    )
+    ivf = ivf_topk(
+        e, q, n_centroids=16, n_probe=4, k=10, centroids="lowest_id"
+    ).select(F.col("q_id").alias("iq"), F.col("neighbor_id").alias("inb"))
+    hit = brute.join(
+        ivf,
+        (F.col("q_id") == F.col("iq")) & (F.col("neighbor_id") == F.col("inb")),
+        "left",
+    )
+    return hit.groupBy("q_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_truth"),
+        F.sum(F.col("inb").isNotNull().cast("long")).alias("n_matched"),
+    ).select(
+        "q_id",
+        "n_truth",
+        "n_matched",
+        F.expr(
+            "CAST(n_matched * CAST(1000000 AS BIGINT) div n_truth"
+            " AS BIGINT)"
+        ).alias("recall_ppm"),
+    )
+
+
 def _q131_snapshot_diff(spark, sf_dir):
     """Incremental/changelog read over the snapshot catalog
     (sink.py:snapshot_diff): q101's DML history is replayed (4 appends
@@ -5124,6 +5162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q181_curriculum": _q181_curriculum,
         "q182_rare_combinations": _q182_rare_combinations,
         "q183_dedup_recall": _q183_dedup_recall,
+        "q184_ann_recall": _q184_ann_recall,
     }
 
 
@@ -10782,4 +10821,26 @@ def oracle_sql() -> dict[str, str]:
     # join, so the ANSWER must be bit-identical to the exact recipe —
     # the oracle IS q47's SQL, and the hash match is the proof.
     d["q50_bloom_decontaminate"] = d["q47_decontaminate"]
+    # q184: q17's brute replay is the TRUTH set, q25's IVF replay the
+    # candidate; recall@10 joined per query in integer ppm.
+    d["q184_ann_recall"] = (
+        "WITH brute AS ("
+        + d["q17_ann_topk"]
+        + "), ivf AS ("
+        + d["q25_ivf_topk"]
+        + """)
+          , hit AS (
+            SELECT b.q_id, b.neighbor_id,
+                   EXISTS (SELECT 1 FROM ivf v
+                           WHERE v.q_id = b.q_id
+                             AND v.neighbor_id = b.neighbor_id) AS m
+            FROM brute b
+          )
+          SELECT q_id, count(*)::BIGINT AS n_truth,
+                 sum(CASE WHEN m THEN 1 ELSE 0 END)::BIGINT AS n_matched,
+                 CAST(sum(CASE WHEN m THEN 1 ELSE 0 END)
+                      * 1000000 // count(*) AS BIGINT) AS recall_ppm
+          FROM hit GROUP BY 1
+        """
+    )
     return d

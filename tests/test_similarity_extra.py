@@ -309,3 +309,20 @@ def test_lsh_pairs_candidate_join_carries_ids_only(spark, emb_df):
         cols = m.group(1)
         assert "embedding" not in cols and "vec" not in cols, cols
         assert len(cols.split(",")) == 3  # id, band, bucket — nothing else
+
+
+def test_q184_ann_recall_audit(spark):
+    """IVF recall@10 vs brute truth: high but honestly sub-perfect at
+    4/16 probes — the measured pruning loss, not a guess."""
+    import __spark_entry__ as e
+
+    rows = e.queries()["q184_ann_recall"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r["n_truth"] == 10
+        assert 0 <= r["n_matched"] <= 10
+        assert r["recall_ppm"] == r["n_matched"] * 1_000_000 // 10
+    mean = sum(r["n_matched"] for r in rows) / 100
+    assert 0.7 <= mean <= 1.0
