@@ -4244,6 +4244,18 @@ def _q184_ann_recall(spark, sf_dir):
     )
 
 
+def _q185_class_labels(spark, sf_dir):
+    """c-TF-IDF class labeling (operators/labeling.py:
+    class_tfidf_labels, the BERTopic naming step) over the documents'
+    source classes: top-8 DISTINCTIVE terms per source by exact
+    (tf_ppm x micro-nat idf) score. The oracle replays counting,
+    df, the micro-nat snap and the top-k window in SQL."""
+    from horus_spark.operators.labeling import class_tfidf_labels
+
+    d = _fanout(_load(spark, sf_dir, "documents"))
+    return class_tfidf_labels(d, "source", k=8)
+
+
 def _q131_snapshot_diff(spark, sf_dir):
     """Incremental/changelog read over the snapshot catalog
     (sink.py:snapshot_diff): q101's DML history is replayed (4 appends
@@ -5163,6 +5175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q182_rare_combinations": _q182_rare_combinations,
         "q183_dedup_recall": _q183_dedup_recall,
         "q184_ann_recall": _q184_ann_recall,
+        "q185_class_labels": _q185_class_labels,
     }
 
 
@@ -6626,6 +6639,45 @@ def _oracle_sql_literals() -> dict[str, str]:
         """,
         "q171_ul2_plan": ul2_sql,
         "q183_dedup_recall": dedup_recall_sql,
+        # same counting, df, micro-nat idf snap and top-k window
+        "q185_class_labels": """
+          WITH w AS (
+            SELECT source AS "group",
+                   unnest(string_split(trim(regexp_replace(
+                     regexp_replace(regexp_replace(lower(text),
+                       '\\s+', ' ', 'g'), '[^a-z0-9 ]', '', 'g'),
+                     ' +', ' ', 'g')), ' ')) AS term
+            FROM documents
+          ), ww AS (SELECT * FROM w WHERE term <> ''),
+          tf AS (
+            SELECT "group", term, count(*)::BIGINT AS c
+            FROM ww GROUP BY 1, 2 HAVING count(*) >= 2
+          ), totals AS (
+            SELECT "group", count(*)::BIGINT AS tok FROM ww GROUP BY 1
+          ), av AS (
+            SELECT sum(tok) * 1.0 / count(*) AS a_tokens FROM totals
+          ), freq AS (
+            SELECT term, count(*) * 1.0 AS f FROM ww GROUP BY 1
+          ), scored AS (
+            SELECT tf."group", tf.term,
+                   CAST(tf.c * CAST(1000000 AS BIGINT) // t.tok
+                        AS BIGINT) AS tf_norm_ppm,
+                   CAST(round(ln(1.0 + av.a_tokens / d.f) * 1e6)
+                        AS BIGINT) AS idf_micro
+            FROM tf JOIN totals t USING ("group")
+            JOIN freq d USING (term) CROSS JOIN av
+          )
+          SELECT "group", CAST(rank AS INT) AS rank, term,
+                 tf_norm_ppm, idf_micro,
+                 tf_norm_ppm * idf_micro AS score
+          FROM (
+            SELECT *,
+                   row_number() OVER (PARTITION BY "group"
+                     ORDER BY tf_norm_ppm * idf_micro DESC, term ASC)
+                     AS rank
+            FROM scored)
+          WHERE rank <= 8
+        """,
         "q182_rare_combinations": """
           SELECT lang, source,
                  CAST(n_chars // 500 AS BIGINT) AS len_bucket,
