@@ -401,6 +401,9 @@ def __getattr__(name):
         "rare_combinations": (
             "horus_spark.operators.pii", "rare_combinations",
         ),
+        "class_tfidf_labels": (
+            "horus_spark.operators.labeling", "class_tfidf_labels",
+        ),
     }
     if name in _API:
         import importlib
