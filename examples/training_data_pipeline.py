@@ -117,6 +117,18 @@ def main() -> None:
     print(f"split sizes            : {splits}")
     print(f"training chunks        : {nc}")
     print(f"packed+numbered seqs   : {npk}")
+
+    # ---- pretraining mask plans over the kept docs ------------------
+    from horus_spark.operators.masking import ul2_denoiser_plan
+
+    ul2 = ul2_denoiser_plan(docs5)
+    mix = {
+        r["denoiser"]: r["n"]
+        for r in ul2.groupBy("denoiser")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    print(f"UL2 mask spans (R/S/X) : {mix}")
     spark.stop()
 
 
