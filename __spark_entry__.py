@@ -4256,6 +4256,67 @@ def _q185_class_labels(spark, sf_dir):
     return class_tfidf_labels(d, "source", k=8)
 
 
+def _q186_jsonld(spark, sf_dir):
+    """JSON-LD structured-data extraction (operators/html.py:
+    extract_jsonld) — GROUND-TRUTH oracle: every page plants a
+    NewsArticle block (headline always; datePublished absent every
+    3rd; author an OBJECT with .name on even docs and a BARE STRING on
+    odd — both coalesce paths fire), every 4th adds an Organization
+    block (name via the $.name fallback), every 9th appends a
+    MALFORMED block that must surface as an all-NULL row at its
+    position, and a non-LD <script> decoy never matches. Expected rows
+    derive from the modular rules alone."""
+    from horus_spark.operators.html import extract_jsonld
+
+    d = _fanout(_load(spark, sf_dir, "documents"))
+    n = F.col("doc_id").cast("long")
+    ns = n.cast("string")
+    ks = (n % 5).cast("string")
+    author = F.when(
+        n % 2 == 0,
+        F.concat(F.lit('"author":{"name":"Reporter '), ks, F.lit('"}')),
+    ).otherwise(F.concat(F.lit('"author":"Desk '), ks, F.lit('"')))
+    date = F.when(n % 3 == 0, F.lit("")).otherwise(
+        F.concat(
+            F.lit('"datePublished":"2026-07-'),
+            F.lpad((n % 28 + 1).cast("string"), 2, "0"),
+            F.lit('",'),
+        )
+    )
+    art = F.concat(
+        F.lit(
+            '<script type="application/ld+json">'
+            '{"@type":"NewsArticle","headline":"Story '
+        ),
+        ns,
+        F.lit('",'),
+        date,
+        author,
+        F.lit("}</script>"),
+    )
+    org = F.when(
+        n % 4 == 0,
+        F.concat(
+            F.lit(
+                "<script type='application/ld+json'>"
+                '{"@type":"Organization","name":"Org '
+            ),
+            ns,
+            F.lit('"}</script>'),
+        ),
+    ).otherwise(F.lit(""))
+    bad = F.when(
+        n % 9 == 0,
+        F.lit('<script type="application/ld+json">{oops</script>'),
+    ).otherwise(F.lit(""))
+    page = F.concat(
+        F.lit("<html><head><script>var decoy = 1;</script>"),
+        art, org, bad,
+        F.lit("</head><body><p>Doc "), ns, F.lit("</p></body></html>"),
+    )
+    return extract_jsonld(d.select("doc_id", page.alias("html")))
+
+
 def _q131_snapshot_diff(spark, sf_dir):
     """Incremental/changelog read over the snapshot catalog
     (sink.py:snapshot_diff): q101's DML history is replayed (4 appends
@@ -5176,6 +5237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q183_dedup_recall": _q183_dedup_recall,
         "q184_ann_recall": _q184_ann_recall,
         "q185_class_labels": _q185_class_labels,
+        "q186_jsonld": _q186_jsonld,
     }
 
 
@@ -6639,6 +6701,39 @@ def _oracle_sql_literals() -> dict[str, str]:
         """,
         "q171_ul2_plan": ul2_sql,
         "q183_dedup_recall": dedup_recall_sql,
+        # GROUND TRUTH: expected entity rows from the synthesis rules;
+        # the malformed block is an all-NULL row at its position
+        "q186_jsonld": """
+          WITH d AS (
+            SELECT doc_id, CAST(doc_id AS BIGINT) AS n FROM documents
+          ), art AS (
+            SELECT doc_id, 0 AS block_pos,
+                   'NewsArticle' AS entity_type,
+                   'Story ' || n AS name,
+                   CASE WHEN n % 3 = 0 THEN NULL
+                        ELSE '2026-07-'
+                          || lpad(CAST(n % 28 + 1 AS VARCHAR), 2, '0')
+                   END AS date_published,
+                   CASE WHEN n % 2 = 0 THEN 'Reporter ' || (n % 5)
+                        ELSE 'Desk ' || (n % 5) END AS author_name
+            FROM d
+          ), org AS (
+            SELECT doc_id, 1 AS block_pos, 'Organization' AS entity_type,
+                   'Org ' || n AS name, CAST(NULL AS VARCHAR),
+                   CAST(NULL AS VARCHAR)
+            FROM d WHERE n % 4 = 0
+          ), bad AS (
+            SELECT doc_id,
+                   CASE WHEN n % 4 = 0 THEN 2 ELSE 1 END AS block_pos,
+                   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+                   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+            FROM d WHERE n % 9 = 0
+          )
+          SELECT doc_id, CAST(block_pos AS INT) AS block_pos,
+                 entity_type, name, date_published, author_name
+          FROM (SELECT * FROM art UNION ALL SELECT * FROM org
+                UNION ALL SELECT * FROM bad)
+        """,
         # same counting, df, micro-nat idf snap and top-k window
         "q185_class_labels": """
           WITH w AS (

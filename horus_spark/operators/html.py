@@ -973,3 +973,65 @@ def tables_to_records(cells: DataFrame) -> DataFrame:
     return data.join(headers, ["doc_id", "table_pos", "col_pos"]).select(
         "doc_id", "table_pos", "row_pos", "field", "value"
     )
+
+
+# ---------------------------------------------------------------------------
+# JSON-LD structured data: script scan + JVM JSON path extraction
+# ---------------------------------------------------------------------------
+
+_JSONLD_RE = (
+    r'(?is)<script\b[^>]*type\s*=\s*["\']application/ld\+json["\']'
+    r"[^>]*>(.*?)</script>"
+)
+
+
+def extract_jsonld(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """schema.org JSON-LD extraction — the STRUCTURED metadata channel
+    next to meta tags (page_metadata) and microdata: modern pages
+    declare their entity graph in `<script type="application/ld+json">`
+    blocks, and search/curation pipelines read article type, headline,
+    publication date and author from there rather than re-deriving
+    them from prose.
+
+    One row per JSON-LD block in document order:
+
+      (doc_id, block_pos, entity_type, name, date_published,
+       author_name)
+
+    Field mapping (the common Article/NewsArticle/Organization
+    surface): entity_type = @type; name = headline falling back to
+    name; author_name = author.name falling back to a bare string
+    author. Parsing runs JVM-side via get_json_object — a MALFORMED
+    block keeps its row with NULL fields (the error-channel
+    convention: presence is still signal, and a count of all-NULL rows
+    is the malformed-block rate). Arrays of entities (@graph, top
+    -level arrays) are out of scope — first-entity semantics only
+    (documented; the fan-out variant is a posexplode away).
+
+    Scale shape: one regexp_extract_all + posexplode + four JSON path
+    expressions — pure map-side codegen, ZERO shuffle."""
+    blocks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.regexp_extract_all(F.col(html_col), F.lit(_JSONLD_RE), 1)
+        ).alias("block_pos", "j"),
+    )
+    j = F.col("j")
+    return blocks.select(
+        "doc_id",
+        F.col("block_pos").cast("int").alias("block_pos"),
+        F.get_json_object(j, "$['@type']").alias("entity_type"),
+        F.coalesce(
+            F.get_json_object(j, "$.headline"),
+            F.get_json_object(j, "$.name"),
+        ).alias("name"),
+        F.get_json_object(j, "$.datePublished").alias("date_published"),
+        F.coalesce(
+            F.get_json_object(j, "$.author.name"),
+            F.get_json_object(j, "$.author"),
+        ).alias("author_name"),
+    )

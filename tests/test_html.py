@@ -362,3 +362,38 @@ def test_dom_extract_one_row_per_doc(spark):
         "struct<doc_id:string,content_text:string,n_blocks:int,"
         "content_chars:int>"
     )
+
+
+def test_extract_jsonld(spark):
+    from horus_spark.operators.html import extract_jsonld
+
+    html = (
+        '<html><head><script type="application/ld+json">'
+        '{"@type":"NewsArticle","headline":"Big News",'
+        '"datePublished":"2026-08-01","author":{"name":"A. Writer"}}'
+        "</script>"
+        "<script type='application/ld+json'>"
+        '{"@type":"Organization","name":"Example Corp"}</script>'
+        '<script type="application/ld+json">{broken json</script>'
+        "<script>var notLd = 1;</script></head><body/></html>"
+    )
+    df = spark.createDataFrame([("d", html)], "doc_id string, html string")
+    rows = [tuple(r)[1:] for r in extract_jsonld(df).orderBy("block_pos").collect()]
+    assert rows == [
+        (0, "NewsArticle", "Big News", "2026-08-01", "A. Writer"),
+        (1, "Organization", "Example Corp", None, None),  # name fallback
+        (2, None, None, None, None),  # malformed: row kept, fields NULL
+    ]
+    # bare-string author resolves via the second coalesce path
+    df2 = spark.createDataFrame(
+        [(
+            "d2",
+            '<script type="application/ld+json">'
+            '{"@type":"Article","name":"N","author":"Jane"}</script>',
+        )],
+        "doc_id string, html string",
+    )
+    r2 = extract_jsonld(df2).collect()[0]
+    assert r2["author_name"] == "Jane" and r2["name"] == "N"
+    plan = extract_jsonld(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
