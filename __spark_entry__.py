@@ -4317,6 +4317,91 @@ def _q186_jsonld(spark, sf_dir):
     return extract_jsonld(d.select("doc_id", page.alias("html")))
 
 
+def _q187_microdata(spark, sf_dir):
+    """Microdata extraction (operators/html.py:extract_microdata) —
+    GROUND-TRUTH oracle: every page plants a datePublished meta, every
+    2nd a link[itemprop=url] (href value path), every 3rd a FLIPPED
+    attribute-order meta (content before itemprop — must still pair),
+    and every doc with n%4 != 0 an inline <span itemprop=author> whose
+    inner markup must strip. Expected (channel, pos, prop, value) rows
+    derive from the modular rules."""
+    from horus_spark.operators.html import extract_microdata
+
+    d = _fanout(_load(spark, sf_dir, "documents"))
+    n = F.col("doc_id").cast("long")
+    ns = n.cast("string")
+    ks = (n % 50).cast("string")
+    parts = F.concat(
+        F.lit('<meta itemprop="datePublished" content="2026-07-'),
+        F.lpad((n % 28 + 1).cast("string"), 2, "0"),
+        F.lit('">'),
+        F.when(
+            n % 2 == 0,
+            F.concat(
+                F.lit("<link itemprop='url' href='https://site-"), ks,
+                F.lit(".test/p/"), ns, F.lit("'>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            n % 3 == 0,
+            F.concat(
+                F.lit('<meta content="v '), ns,
+                F.lit('" itemprop="score">'),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            n % 4 != 0,
+            F.concat(
+                F.lit('<span itemprop="author">Writer <b>'), ks,
+                F.lit("</b></span>"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    page = F.concat(
+        F.lit("<html><head>"), parts,
+        F.lit("</head><body><p>x</p></body></html>"),
+    )
+    return extract_microdata(d.select("doc_id", page.alias("html")))
+
+
+def _q188_hreflang(spark, sf_dir):
+    """hreflang alternate extraction (operators/html.py:
+    extract_hreflang) — GROUND-TRUTH oracle: doc n declares 1 + n%3
+    language alternates (de, fr, ja prefix) in order; a rel=stylesheet
+    link and a rel=alternate WITHOUT hreflang sit between them as
+    decoys that must not match."""
+    from horus_spark.operators.html import extract_hreflang
+
+    d = _fanout(_load(spark, sf_dir, "documents"))
+    n = F.col("doc_id").cast("long")
+    ns = n.cast("string")
+    ks = (n % 50).cast("string")
+    langs = F.array(F.lit("de"), F.lit("fr"), F.lit("ja"))
+
+    def link(j):
+        lang = F.element_at(langs, (j + 1).cast("int"))
+        return F.concat(
+            F.lit('<link rel="alternate" hreflang="'), lang,
+            F.lit('" href="https://site-'), ks, F.lit(".test/"), lang,
+            F.lit("/"), ns, F.lit('">'),
+        )
+
+    body = F.concat_ws(
+        "",
+        F.transform(F.sequence(F.lit(0), (n % 3).cast("int")), link),
+    )
+    page = F.concat(
+        F.lit(
+            '<html><head><link rel="stylesheet" href="/s.css">'
+            '<link rel="alternate" type="application/rss+xml" '
+            'href="/feed.xml">'
+        ),
+        body,
+        F.lit("</head><body/></html>"),
+    )
+    return extract_hreflang(d.select("doc_id", page.alias("html")))
+
+
 def _q131_snapshot_diff(spark, sf_dir):
     """Incremental/changelog read over the snapshot catalog
     (sink.py:snapshot_diff): q101's DML history is replayed (4 appends
@@ -5238,6 +5323,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q184_ann_recall": _q184_ann_recall,
         "q185_class_labels": _q185_class_labels,
         "q186_jsonld": _q186_jsonld,
+        "q187_microdata": _q187_microdata,
+        "q188_hreflang": _q188_hreflang,
     }
 
 
@@ -6701,6 +6788,54 @@ def _oracle_sql_literals() -> dict[str, str]:
         """,
         "q171_ul2_plan": ul2_sql,
         "q183_dedup_recall": dedup_recall_sql,
+        # GROUND TRUTH: per-channel rows from the synthesis rules
+        "q187_microdata": """
+          WITH d AS (
+            SELECT doc_id, CAST(doc_id AS BIGINT) AS n,
+                   CAST(doc_id AS BIGINT) % 50 AS k
+            FROM documents
+          ), a0 AS (
+            SELECT doc_id, 'attr' AS channel, 0 AS pos,
+                   'datePublished' AS itemprop,
+                   '2026-07-' || lpad(CAST(n % 28 + 1 AS VARCHAR), 2,
+                     '0') AS value
+            FROM d
+          ), a1 AS (
+            SELECT doc_id, 'attr', 1, 'url',
+                   'https://site-' || k || '.test/p/' || n
+            FROM d WHERE n % 2 = 0
+          ), a2 AS (
+            SELECT doc_id, 'attr',
+                   CASE WHEN n % 2 = 0 THEN 2 ELSE 1 END,
+                   'score', 'v ' || n
+            FROM d WHERE n % 3 = 0
+          ), t0 AS (
+            SELECT doc_id, 'text', 0, 'author', 'Writer ' || k
+            FROM d WHERE n % 4 <> 0
+          )
+          SELECT doc_id, channel, CAST(pos AS INT) AS pos, itemprop,
+                 value
+          FROM (SELECT * FROM a0 UNION ALL SELECT * FROM a1
+                UNION ALL SELECT * FROM a2 UNION ALL SELECT * FROM t0)
+        """,
+        # GROUND TRUTH: 1 + n%3 ordered alternates; decoy links never
+        # match
+        "q188_hreflang": """
+          WITH d AS (
+            SELECT doc_id, CAST(doc_id AS BIGINT) AS n,
+                   CAST(doc_id AS BIGINT) % 50 AS k
+            FROM documents
+          ), j AS (
+            SELECT doc_id, n, k, CAST(g.j AS INT) AS pos,
+                   (['de', 'fr', 'ja'])[CAST(g.j AS INT) + 1] AS lang
+            FROM d,
+                 unnest(generate_series(0, CAST(n % 3 AS INT))) AS g(j)
+          )
+          SELECT doc_id, pos, lang AS hreflang,
+                 'https://site-' || k || '.test/' || lang || '/' || n
+                   AS href
+          FROM j
+        """,
         # GROUND TRUTH: expected entity rows from the synthesis rules;
         # the malformed block is an all-NULL row at its position
         "q186_jsonld": """

@@ -1035,3 +1035,129 @@ def extract_jsonld(
             F.get_json_object(j, "$.author"),
         ).alias("author_name"),
     )
+
+
+# ---------------------------------------------------------------------------
+# microdata + hreflang: the remaining structured-metadata channels
+# ---------------------------------------------------------------------------
+
+_MICRO_TAG_RE = r"(?is)<(?:meta|link)\b[^>]*\bitemprop\b[^>]*>"
+_MICRO_PROP_RE = r"(?i)itemprop\s*=\s*[\"']([^\"']+)[\"']"
+_MICRO_CONTENT_RE = r"(?i)\bcontent\s*=\s*[\"']([^\"']*)[\"']"
+_MICRO_HREF_RE = r"(?i)\bhref\s*=\s*[\"']([^\"']*)[\"']"
+_MICRO_TEXT_RE = (
+    r'(?is)<(\w+)\b[^>]*itemprop\s*=\s*["\']([^"\']+)["\'][^>]*>'
+    r"(.*?)</\1>"
+)
+
+
+def extract_microdata(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """schema.org MICRODATA extraction — the inline-attribute channel
+    completing the structured-metadata triple (meta/OpenGraph ->
+    page_metadata; JSON-LD -> extract_jsonld; itemprop -> here).
+
+    Two value forms, each a channel with its own document-order
+    positions:
+
+      channel 'attr': <meta itemprop="p" content="v"> and
+                      <link itemprop="p" href="v"> — attribute order
+                      fully free (each attribute extracted
+                      independently within the matched tag); empty
+                      content/href yields NULL value;
+      channel 'text': <tag itemprop="p">inner text</tag> — the tag
+                      name is backreference-pinned so the close must
+                      match the open; inner markup strips to
+                      collapsed text.
+
+    Returns (doc_id, channel, pos, itemprop, value). Nesting/itemscope
+    grouping is out of scope (flat property harvest — the common
+    consumption; group by itemscope upstream if entity boundaries
+    matter). Pure map-side regexes, ZERO shuffle."""
+    base = df.select(
+        F.col(id_col).alias("doc_id"), F.col(html_col).alias("_h")
+    )
+    attr1 = base.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(F.col("_h"), F.lit(_MICRO_TAG_RE), 0)
+        ).alias("pos", "m"),
+    ).select(
+        "doc_id",
+        F.lit("attr").alias("channel"),
+        F.col("pos").cast("int").alias("pos"),
+        # attribute order is free inside the matched tag: extract each
+        # attribute independently, value = content, else href
+        F.regexp_extract(F.col("m"), _MICRO_PROP_RE, 1).alias("itemprop"),
+        F.coalesce(
+            F.nullif(
+                F.regexp_extract(F.col("m"), _MICRO_CONTENT_RE, 1),
+                F.lit(""),
+            ),
+            F.nullif(
+                F.regexp_extract(F.col("m"), _MICRO_HREF_RE, 1),
+                F.lit(""),
+            ),
+        ).alias("value"),
+    )
+    text = base.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(F.col("_h"), F.lit(_MICRO_TEXT_RE), 0)
+        ).alias("pos", "m"),
+    ).select(
+        "doc_id",
+        F.lit("text").alias("channel"),
+        F.col("pos").cast("int").alias("pos"),
+        F.regexp_extract(F.col("m"), _MICRO_TEXT_RE, 2).alias("itemprop"),
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_extract(F.col("m"), _MICRO_TEXT_RE, 3),
+                    _TAG_RE,
+                    " ",
+                ),
+                r"\s+",
+                " ",
+            )
+        ).alias("value"),
+    )
+    return attr1.where(F.col("itemprop") != "").unionByName(text)
+
+
+_HREFLANG_RE = (
+    r'(?is)<link\b[^>]*rel\s*=\s*["\']alternate["\'][^>]*'
+    r'hreflang\s*=\s*["\']([^"\']+)["\'][^>]*'
+    r'href\s*=\s*["\']([^"\']*)["\'][^>]*/?>'
+)
+
+
+def extract_hreflang(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """hreflang alternate extraction — the multilingual site graph:
+    `<link rel="alternate" hreflang="xx" href="...">` rows declare a
+    page's translations, which is exactly the page-pairing signal
+    bitext mining (operators/bitext.py) wants BEFORE falling back to
+    embedding margins, and the routing table a multilingual crawler
+    dedups against. One row per declaration in document order:
+    (doc_id, pos, hreflang, href); attribute order rel->hreflang->href
+    (the overwhelmingly dominant emitted form — a permuted-attribute
+    tier composes the page_metadata coalesce pattern if needed). Pure
+    map-side regex, ZERO shuffle."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.regexp_extract_all(F.col(html_col), F.lit(_HREFLANG_RE), 0)
+        ).alias("pos", "m"),
+    ).select(
+        "doc_id",
+        F.col("pos").cast("int").alias("pos"),
+        F.regexp_extract(F.col("m"), _HREFLANG_RE, 1).alias("hreflang"),
+        F.regexp_extract(F.col("m"), _HREFLANG_RE, 2).alias("href"),
+    )

@@ -397,3 +397,47 @@ def test_extract_jsonld(spark):
     assert r2["author_name"] == "Jane" and r2["name"] == "N"
     plan = extract_jsonld(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_extract_microdata(spark):
+    from horus_spark.operators.html import extract_microdata
+
+    html = (
+        '<meta itemprop="datePublished" content="2026-08-01">'
+        "<link itemprop='url' href='https://e.test/a'>"
+        '<meta content="flipped" itemprop="alt">'
+        '<meta itemprop="empty" content="">'
+        '<span itemprop="author">Jane <b>Doe</b></span>'
+        '<meta name="notmicro" content="x">'
+    )
+    df = spark.createDataFrame([("d", html)], "doc_id string, html string")
+    rows = [
+        tuple(r)[1:]
+        for r in extract_microdata(df).orderBy("channel", "pos").collect()
+    ]
+    assert rows == [
+        ("attr", 0, "datePublished", "2026-08-01"),
+        ("attr", 1, "url", "https://e.test/a"),  # href value path
+        ("attr", 2, "alt", "flipped"),  # attribute order free
+        ("attr", 3, "empty", None),  # empty content -> NULL
+        ("text", 0, "author", "Jane Doe"),  # inner markup stripped
+    ]
+
+
+def test_extract_hreflang(spark):
+    from horus_spark.operators.html import extract_hreflang
+
+    html = (
+        '<link rel="stylesheet" href="/s.css">'
+        '<link rel="alternate" type="application/rss+xml" href="/f.xml">'
+        '<link rel="alternate" hreflang="de" href="https://e.test/de">'
+        "<link rel='alternate' hreflang='fr' href='https://e.test/fr'>"
+    )
+    df = spark.createDataFrame([("d", html)], "doc_id string, html string")
+    rows = [tuple(r)[1:] for r in extract_hreflang(df).collect()]
+    assert rows == [
+        (0, "de", "https://e.test/de"),
+        (1, "fr", "https://e.test/fr"),
+    ]
+    plan = extract_hreflang(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
