@@ -404,6 +404,13 @@ def __getattr__(name):
         "class_tfidf_labels": (
             "horus_spark.operators.labeling", "class_tfidf_labels",
         ),
+        "extract_jsonld": ("horus_spark.operators.html", "extract_jsonld"),
+        "extract_microdata": (
+            "horus_spark.operators.html", "extract_microdata",
+        ),
+        "extract_hreflang": (
+            "horus_spark.operators.html", "extract_hreflang",
+        ),
     }
     if name in _API:
         import importlib
