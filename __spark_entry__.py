@@ -4402,6 +4402,49 @@ def _q188_hreflang(spark, sf_dir):
     return extract_hreflang(d.select("doc_id", page.alias("html")))
 
 
+def _q189_metadata_agreement(spark, sf_dir):
+    """Cross-channel metadata consistency (operators/html.py:
+    metadata_agreement over page_metadata + extract_jsonld) —
+    GROUND-TRUTH oracle: title absent every 7th doc, JSON-LD absent
+    every 5th, the LD headline deliberately DIFFERENT every 6th; the
+    five verdict classes (agree / disagree / meta_only / ld_only /
+    neither at n%35==0) all fire and derive from the rules."""
+    from horus_spark.operators.html import (
+        extract_jsonld,
+        metadata_agreement,
+        page_metadata,
+    )
+
+    d = _fanout(_load(spark, sf_dir, "documents"))
+    n = F.col("doc_id").cast("long")
+    ns = n.cast("string")
+    title = F.when(n % 7 == 0, F.lit("")).otherwise(
+        F.concat(F.lit("<title>Page "), ns, F.lit("</title>"))
+    )
+    ld = F.when(n % 5 == 0, F.lit("")).otherwise(
+        F.concat(
+            F.lit(
+                '<script type="application/ld+json">'
+                '{"@type":"WebPage","headline":"'
+            ),
+            F.when(n % 6 == 0, F.lit("Other ")).otherwise(F.lit("Page ")),
+            ns,
+            F.lit('"}</script>'),
+        )
+    )
+    page = F.concat(
+        F.lit("<html><head>"), title, ld,
+        F.lit("</head><body><p>x</p></body></html>"),
+    )
+    # both channels keyed as STRING ids (page_metadata casts; jsonld
+    # passes through) so the full-outer join never coerces
+    pages = d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        page.alias("html"),
+    )
+    return metadata_agreement(page_metadata(pages), extract_jsonld(pages))
+
+
 def _q131_snapshot_diff(spark, sf_dir):
     """Incremental/changelog read over the snapshot catalog
     (sink.py:snapshot_diff): q101's DML history is replayed (4 appends
@@ -5325,6 +5368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q186_jsonld": _q186_jsonld,
         "q187_microdata": _q187_microdata,
         "q188_hreflang": _q188_hreflang,
+        "q189_metadata_agreement": _q189_metadata_agreement,
     }
 
 
@@ -6788,6 +6832,27 @@ def _oracle_sql_literals() -> dict[str, str]:
         """,
         "q171_ul2_plan": ul2_sql,
         "q183_dedup_recall": dedup_recall_sql,
+        # GROUND TRUTH: all five verdicts from the synthesis rules
+        "q189_metadata_agreement": """
+          WITH d AS (
+            SELECT doc_id, CAST(doc_id AS BIGINT) AS n FROM documents
+          )
+          SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                 CASE WHEN n % 7 = 0 THEN NULL
+                      ELSE 'Page ' || n END AS title,
+                 CASE WHEN n % 5 = 0 THEN NULL
+                      WHEN n % 6 = 0 THEN 'Other ' || n
+                      ELSE 'Page ' || n END AS ld_name,
+                 CASE
+                   WHEN n % 7 <> 0 AND n % 5 <> 0 THEN
+                     CASE WHEN n % 6 = 0 THEN 'disagree' ELSE 'agree'
+                     END
+                   WHEN n % 7 <> 0 THEN 'meta_only'
+                   WHEN n % 5 <> 0 THEN 'ld_only'
+                   ELSE 'neither'
+                 END AS verdict
+          FROM d
+        """,
         # GROUND TRUTH: per-channel rows from the synthesis rules
         "q187_microdata": """
           WITH d AS (

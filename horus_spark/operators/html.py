@@ -1161,3 +1161,49 @@ def extract_hreflang(
         F.regexp_extract(F.col("m"), _HREFLANG_RE, 1).alias("hreflang"),
         F.regexp_extract(F.col("m"), _HREFLANG_RE, 2).alias("href"),
     )
+
+
+def metadata_agreement(
+    meta: DataFrame,
+    jsonld: DataFrame,
+) -> DataFrame:
+    """Cross-channel metadata consistency audit: a page's <title> (the
+    page_metadata channel) against its JSON-LD entity name (the
+    extract_jsonld channel). Channels that disagree are a classic spam
+    / scraped-content / broken-CMS signal, and channel coverage gaps
+    tell a crawler which source to trust per site.
+
+    Inputs: page_metadata output (doc_id, title, ...) and
+    extract_jsonld output; the FIRST JSON-LD block with a non-NULL
+    name represents the page (document order). Per-doc verdict:
+
+      agree     both present, exact string match
+      disagree  both present, different
+      meta_only / ld_only / neither   coverage gaps
+
+    Returns (doc_id, title, ld_name, verdict). One slim
+    min-struct aggregation over the jsonld rows + one join — both
+    sides carry only ids and short strings."""
+    first_ld = (
+        jsonld.where(F.col("name").isNotNull())
+        .groupBy("doc_id")
+        .agg(
+            F.min(F.struct("block_pos", "name")).alias("m")
+        )
+        .select("doc_id", F.col("m.name").alias("ld_name"))
+    )
+    j = meta.select("doc_id", "title").join(first_ld, "doc_id", "full_outer")
+    return j.select(
+        "doc_id",
+        "title",
+        "ld_name",
+        F.when(
+            F.col("title").isNotNull() & F.col("ld_name").isNotNull(),
+            F.when(F.col("title") == F.col("ld_name"), F.lit("agree"))
+            .otherwise(F.lit("disagree")),
+        )
+        .when(F.col("title").isNotNull(), F.lit("meta_only"))
+        .when(F.col("ld_name").isNotNull(), F.lit("ld_only"))
+        .otherwise(F.lit("neither"))
+        .alias("verdict"),
+    )

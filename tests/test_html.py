@@ -441,3 +441,32 @@ def test_extract_hreflang(spark):
     ]
     plan = extract_hreflang(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_metadata_agreement(spark):
+    from horus_spark.operators.html import metadata_agreement
+
+    meta = spark.createDataFrame(
+        [("a", "Same"), ("b", "MetaTitle"), ("c", None), ("d", "OnlyMeta")],
+        "doc_id string, title string",
+    )
+    ld = spark.createDataFrame(
+        [
+            ("a", 1, "Ignored Later"), ("a", 0, "Same"),  # first block wins
+            ("b", 0, "LdName"),
+            ("c", 0, "OnlyLd"),
+            ("e", 0, "Orphan"),
+        ],
+        "doc_id string, block_pos int, name string",
+    )
+    got = {
+        r["doc_id"]: r["verdict"]
+        for r in metadata_agreement(meta, ld).collect()
+    }
+    assert got == {
+        "a": "agree",
+        "b": "disagree",
+        "c": "ld_only",
+        "d": "meta_only",
+        "e": "ld_only",  # full outer: LD rows without a meta row
+    }
