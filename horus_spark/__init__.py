@@ -411,6 +411,9 @@ def __getattr__(name):
         "extract_hreflang": (
             "horus_spark.operators.html", "extract_hreflang",
         ),
+        "metadata_agreement": (
+            "horus_spark.operators.html", "metadata_agreement",
+        ),
     }
     if name in _API:
         import importlib
