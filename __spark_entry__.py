@@ -4445,6 +4445,30 @@ def _q189_metadata_agreement(spark, sf_dir):
     return metadata_agreement(page_metadata(pages), extract_jsonld(pages))
 
 
+def _q190_trustrank(spark, sf_dir):
+    """TrustRank spam demotion (operators/graph.py:trustrank) over the
+    q66 link graph with nodes ≡ 0 mod 10 as the vetted seed set:
+    teleport and dangling mass land on seeds only, so trust decays
+    with link distance from the seeds and unreachable nodes hold
+    exactly 0. Exact integer arithmetic end to end; the oracle replays
+    the personalized recursion as a recursive CTE (q66's pattern with
+    the seed-conditional jump)."""
+    from horus_spark.operators.graph import trustrank
+
+    d = _load(spark, sf_dir, "documents")
+    n = F.col("doc_id").cast("long")
+    src = (n % 211).alias("src")
+    e1 = d.select(src, ((n * 31 + 7) % 211).alias("dst"))
+    e2 = d.select(src, ((n * 17 + 3) % 211).alias("dst"))
+    edges = e1.unionByName(e2).where(F.col("src") % 23 != 0)
+    seeds = (
+        spark.range(0, 211)
+        .where(F.col("id") % 10 == 0)
+        .select(F.col("id").alias("node"))
+    )
+    return trustrank(edges, seeds, n_iter=6)
+
+
 def _q131_snapshot_diff(spark, sf_dir):
     """Incremental/changelog read over the snapshot catalog
     (sink.py:snapshot_diff): q101's DML history is replayed (4 appends
@@ -5369,6 +5393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q187_microdata": _q187_microdata,
         "q188_hreflang": _q188_hreflang,
         "q189_metadata_agreement": _q189_metadata_agreement,
+        "q190_trustrank": _q190_trustrank,
     }
 
 
@@ -6832,6 +6857,67 @@ def _oracle_sql_literals() -> dict[str, str]:
         """,
         "q171_ul2_plan": ul2_sql,
         "q183_dedup_recall": dedup_recall_sql,
+        # q66's recursion with the seed-conditional jump and
+        # seed-only dangling redistribution
+        "q190_trustrank": """
+          WITH RECURSIVE
+          edges AS (
+            SELECT src, dst FROM (
+              SELECT (doc_id % 211)::BIGINT AS src,
+                     ((doc_id*31+7) % 211)::BIGINT AS dst FROM documents
+              UNION ALL
+              SELECT (doc_id % 211)::BIGINT,
+                     ((doc_id*17+3) % 211)::BIGINT FROM documents)
+            WHERE src % 23 <> 0 GROUP BY src, dst),
+          gnodes AS (SELECT DISTINCT node FROM
+            (SELECT src AS node FROM edges
+             UNION ALL SELECT dst FROM edges)),
+          seeds AS (
+            SELECT unnest(generate_series(0, 210))::BIGINT AS node
+            WHERE TRUE),
+          sseeds AS (SELECT node FROM seeds WHERE node % 10 = 0),
+          nodes AS (SELECT DISTINCT node FROM
+            (SELECT node FROM gnodes UNION ALL SELECT node FROM sseeds)),
+          marked AS (
+            SELECT n.node,
+                   CASE WHEN s.node IS NOT NULL THEN 1 ELSE 0 END AS sm
+            FROM nodes n LEFT JOIN sseeds s ON s.node = n.node),
+          outdeg AS (SELECT src AS node, count(*)::BIGINT AS deg
+                     FROM edges GROUP BY 1),
+          ns AS (SELECT count(*)::BIGINT AS k FROM sseeds),
+          ranks(iter, node, r) AS (
+            SELECT 0, m.node,
+                   CASE WHEN m.sm = 1
+                        THEN (1000000000000 // ns.k)::BIGINT
+                        ELSE 0 END
+            FROM marked m, ns
+            UNION ALL
+            SELECT iter + 1, node, r FROM (
+              WITH prev AS (SELECT * FROM ranks),
+              contrib AS (
+                SELECT e.dst AS node, SUM(p.r // o.deg)::BIGINT AS c
+                FROM prev p JOIN edges e ON e.src = p.node
+                JOIN outdeg o ON o.node = p.node
+                GROUP BY 1),
+              dangling AS (
+                SELECT COALESCE(SUM(p.r), 0)::BIGINT AS d
+                FROM prev p LEFT JOIN outdeg o ON o.node = p.node
+                WHERE o.node IS NULL)
+              SELECT p.iter, p.node,
+                (CASE WHEN m.sm = 1
+                      THEN (1000000000000
+                            - (1000000000000 * 85) // 100) // ns.k
+                      ELSE 0 END
+                 + ((COALESCE(c.c, 0)
+                     + CASE WHEN m.sm = 1 THEN dg.d // ns.k
+                            ELSE 0 END) * 85) // 100)::BIGINT AS r
+              FROM prev p
+              JOIN marked m ON m.node = p.node
+              LEFT JOIN contrib c ON c.node = p.node
+              CROSS JOIN ns CROSS JOIN dangling dg
+            ) WHERE iter + 1 <= 6)
+          SELECT node, r AS trust_micro FROM ranks WHERE iter = 6
+        """,
         # GROUND TRUTH: all five verdicts from the synthesis rules
         "q189_metadata_agreement": """
           WITH d AS (

@@ -414,6 +414,7 @@ def __getattr__(name):
         "metadata_agreement": (
             "horus_spark.operators.html", "metadata_agreement",
         ),
+        "trustrank": ("horus_spark.operators.graph", "trustrank"),
     }
     if name in _API:
         import importlib

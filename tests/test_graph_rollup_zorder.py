@@ -355,3 +355,82 @@ def test_hits_rejects_bad_iter(spark):
     df = spark.createDataFrame([(1, 2)], "src long, dst long")
     with pytest.raises(ValueError):
         hits(df, n_iter=0)
+
+
+def test_trustrank_seed_decay_and_unreachable_zero(spark):
+    from pyspark.sql import functions as F
+
+    from horus_spark.operators.graph import trustrank
+
+    # cycle seeded at 0 (0 -> 1 -> 2 -> 0) converges smoothly (a
+    # dangling tail instead would recycle ALL its mass through the
+    # seed and oscillate with the cycle period — exact dynamics, not a
+    # bug; the python differential below pins that case); island
+    # 10 -> 11 is never reachable from the seed
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (10, 11)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {
+        r["node"]: r["trust_micro"]
+        for r in trustrank(e, seeds, n_iter=12).collect()
+    }
+    # trust decays with link distance from the seed
+    assert got[0] > got[1] > got[2] > 0
+    assert got[0] == 475675476421  # python-replay pinned value
+    # unreachable island holds exactly zero
+    assert got[10] == 0 and got[11] == 0
+
+
+def test_trustrank_python_differential(spark):
+    import itertools
+
+    from horus_spark.operators.graph import trustrank
+
+    pairs = [(i, (i * 7 + 3) % 13) for i in range(13)] + [
+        (i, (i * 5 + 1) % 13) for i in range(13)
+    ]
+    pairs = sorted(set((a, b) for a, b in pairs))
+    seed_list = [0, 5]
+    scale, damp, n_iter = 1_000_000_000_000, 85, 6
+
+    nodes = sorted(set(itertools.chain.from_iterable(pairs)) | set(seed_list))
+    out: dict[int, list[int]] = {}
+    for a, b in pairs:
+        out.setdefault(a, []).append(b)
+    k = len(seed_list)
+    jump = (scale - scale * damp // 100) // k
+    r = {v: (scale // k if v in seed_list else 0) for v in nodes}
+    for _ in range(n_iter):
+        contrib = {v: 0 for v in nodes}
+        dangling = 0
+        for u in nodes:
+            if u in out:
+                share = r[u] // len(out[u])
+                for v in out[u]:
+                    contrib[v] += share
+            else:
+                dangling += r[u]
+        r = {
+            v: (jump if v in seed_list else 0)
+            + ((contrib[v] + (dangling // k if v in seed_list else 0)) * damp)
+            // 100
+            for v in nodes
+        }
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    seeds = spark.createDataFrame([(s,) for s in seed_list], "node long")
+    got = {
+        row["node"]: row["trust_micro"]
+        for row in trustrank(e, seeds, n_iter=n_iter).collect()
+    }
+    assert got == r
+
+
+def test_trustrank_guards(spark):
+    import pytest
+
+    from horus_spark.operators.graph import trustrank
+
+    e = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with pytest.raises(ValueError):
+        trustrank(e, e.select(F.col("src").alias("node")).where("1=0"))
