@@ -3392,7 +3392,9 @@ def _q159_feed_parse(spark, sf_dir):
     inline markup every 4th doc (must strip to 'Post n'), the link is
     absent every 6th doc (entry dropped, later positions unshifted),
     guid/id absent every 5th, dates absent every 3rd; Atom links flip
-    attribute order by n % 4 and Atom dates carry BOTH <published> and
+    attribute order by n % 4 AND every surviving atom entry leads with
+    a rel="self" decoy link the parser must skip in favor of the
+    rel="alternate" one, and Atom dates carry BOTH <published> and
     <updated> except every 7th doc which has only <updated> (the
     fallback must fire). Channel/feed-level <title> and chrome sit
     outside entry blocks as decoys. The oracle recomputes every
@@ -3437,16 +3439,27 @@ def _q159_feed_parse(spark, sf_dir):
         ),
         F.lit("</item>"),
     )
+    # a rel="self" decoy link sits BEFORE the alternate link in every
+    # surviving atom entry: the parser must skip feed chrome and pick
+    # the rel="alternate" href (first-link-with-href would grab the
+    # decoy)
     atom_link = F.when(n % 6 == 0, F.lit("")).otherwise(
-        F.when(
-            n % 4 == 1,
-            F.concat(
-                F.lit('<link href="'), url, F.lit('" rel="alternate"/>')
+        F.concat(
+            F.lit('<link rel="self" href="https://cdn-'),
+            ks,
+            F.lit('.test/feed.xml"/>'),
+            F.when(
+                n % 4 == 1,
+                F.concat(
+                    F.lit('<link href="'), url,
+                    F.lit('" rel="alternate"/>'),
+                ),
+            ).otherwise(
+                F.concat(
+                    F.lit('<link rel="alternate" href="'), url,
+                    F.lit('"/>'),
+                )
             ),
-        ).otherwise(
-            F.concat(
-                F.lit('<link rel="alternate" href="'), url, F.lit('"/>')
-            )
         )
     )
     atom_dates = F.when(n % 3 == 0, F.lit("")).otherwise(
@@ -4260,8 +4273,10 @@ def _q186_jsonld(spark, sf_dir):
     """JSON-LD structured-data extraction (operators/html.py:
     extract_jsonld) — GROUND-TRUTH oracle: every page plants a
     NewsArticle block (headline always; datePublished absent every
-    3rd; author an OBJECT with .name on even docs and a BARE STRING on
-    odd — both coalesce paths fire), every 4th adds an Organization
+    3rd; author an OBJECT with .name on even docs, a BARE STRING on
+    most odd docs, and on n%10==5 an object WITHOUT .name whose raw
+    JSON text must NOT leak through the bare-string fallback — all
+    three author paths fire), every 4th adds an Organization
     block (name via the $.name fallback), every 9th appends a
     MALFORMED block that must surface as an all-NULL row at its
     position, and a non-LD <script> decoy never matches. Expected rows
@@ -4275,6 +4290,11 @@ def _q186_jsonld(spark, sf_dir):
     author = F.when(
         n % 2 == 0,
         F.concat(F.lit('"author":{"name":"Reporter '), ks, F.lit('"}')),
+    ).when(
+        # object WITHOUT .name: the bare-string fallback must NOT leak
+        # the raw JSON object text — author_name stays NULL
+        n % 10 == 5,
+        F.lit('"author":{"@type":"Person","url":"https://x.test"}'),
     ).otherwise(F.concat(F.lit('"author":"Desk '), ks, F.lit('"')))
     date = F.when(n % 3 == 0, F.lit("")).otherwise(
         F.concat(
@@ -4467,6 +4487,34 @@ def _q190_trustrank(spark, sf_dir):
         .select(F.col("id").alias("node"))
     )
     return trustrank(edges, seeds, n_iter=6)
+
+
+def _q191_bitext_ivf(spark, sf_dir):
+    """Bitext mining at the SCALE tier (operators/bitext.py:
+    ivf_bitext_candidates -> margin_bitext_pairs(candidates=...)):
+    q178's sides and margin arithmetic, but candidate pairs come from
+    shuffle-free IVF cell assignment (8 lowest-id target centroids —
+    the SQL-parity stand-in — targets in their argmax cell, sources
+    probing their top-2 cells) and the margin/mutuality/background run
+    over the candidates ONLY; no crossJoin appears in the plan (pytest
+    pins that). The oracle replays candidate generation AND the margin
+    recipe in SQL, so green means the composed tier — the only
+    affordable shape at 100 TB — is bit-exact, not just 'similar to
+    q178'."""
+    from horus_spark.operators.bitext import (
+        ivf_bitext_candidates,
+        margin_bitext_pairs,
+    )
+
+    e = _fanout(_load(spark, sf_dir, "embeddings"), key="vec_id")
+    src = e.where(F.col("label") % 2 == 0)
+    tgt = e.where(F.col("label") % 2 == 1)
+    cand = ivf_bitext_candidates(
+        src, tgt, n_centroids=8, n_probe=2, centroids="lowest_id"
+    )
+    return margin_bitext_pairs(
+        src, tgt, k=4, threshold_ppm=1_020_000, candidates=cand
+    )
 
 
 def _q131_snapshot_diff(spark, sf_dir):
@@ -5394,6 +5442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q188_hreflang": _q188_hreflang,
         "q189_metadata_agreement": _q189_metadata_agreement,
         "q190_trustrank": _q190_trustrank,
+        "q191_bitext_ivf": _q191_bitext_ivf,
     }
 
 
@@ -7001,6 +7050,7 @@ def _oracle_sql_literals() -> dict[str, str]:
                           || lpad(CAST(n % 28 + 1 AS VARCHAR), 2, '0')
                    END AS date_published,
                    CASE WHEN n % 2 = 0 THEN 'Reporter ' || (n % 5)
+                        WHEN n % 10 = 5 THEN NULL
                         ELSE 'Desk ' || (n % 5) END AS author_name
             FROM d
           ), org AS (
@@ -7175,6 +7225,78 @@ def _oracle_sql_literals() -> dict[str, str]:
                    CAST(round({_cos_sql('s.embedding', 't.embedding')}
                         * 1000000) AS BIGINT) AS cos_micro
             FROM s CROSS JOIN t
+          ), ranked AS (
+            SELECT src_id, tgt_id, cos_micro,
+                   row_number() OVER (PARTITION BY src_id
+                     ORDER BY cos_micro DESC, tgt_id ASC) AS rs,
+                   row_number() OVER (PARTITION BY tgt_id
+                     ORDER BY cos_micro DESC, src_id ASC) AS rt
+            FROM scored
+          ), bg_s AS (
+            SELECT src_id, sum(cos_micro)::BIGINT AS sum_s,
+                   count(*)::BIGINT AS n_s
+            FROM ranked WHERE rs <= 4 GROUP BY 1
+          ), bg_t AS (
+            SELECT tgt_id, sum(cos_micro)::BIGINT AS sum_t,
+                   count(*)::BIGINT AS n_t
+            FROM ranked WHERE rt <= 4 GROUP BY 1
+          ), mutual AS (
+            SELECT src_id, tgt_id, cos_micro FROM ranked
+            WHERE rs = 1 AND rt = 1
+          ), m AS (
+            SELECT mu.src_id, mu.tgt_id, mu.cos_micro,
+                   CAST(mu.cos_micro * 2 * n_s * n_t
+                        * CAST(1000000 AS BIGINT)
+                        // (sum_s * n_t + sum_t * n_s) AS BIGINT)
+                     AS margin_ppm
+            FROM mutual mu
+            JOIN bg_s USING (src_id) JOIN bg_t USING (tgt_id)
+            WHERE mu.cos_micro > 0
+              AND sum_s * n_t + sum_t * n_s > 0
+          )
+          SELECT * FROM m WHERE margin_ppm >= 1020000
+        """,
+        # the composed scale tier replayed end to end: lowest-id
+        # target centroids, argmax cell per target, top-2 probe cells
+        # per source, candidate pairs from the cell join, then the
+        # q178 margin recipe restricted to the candidates
+        "q191_bitext_ivf": f"""
+          WITH s AS (
+            SELECT vec_id AS src_id, embedding FROM embeddings
+            WHERE label % 2 = 0
+          ), t AS (
+            SELECT vec_id AS tgt_id, embedding FROM embeddings
+            WHERE label % 2 = 1
+          ), cent AS (
+            SELECT tgt_id AS c_id, embedding AS c_vec FROM t
+            ORDER BY tgt_id LIMIT 8
+          ), ac AS (
+            SELECT t.tgt_id, c.c_id,
+                   row_number() OVER (
+                     PARTITION BY t.tgt_id
+                     ORDER BY round({_cos_sql('t.embedding', 'c.c_vec')}, 6) DESC,
+                              c.c_id ASC) AS c_rank
+            FROM t, cent c
+          ), assigned AS (
+            SELECT tgt_id, c_id AS cell FROM ac WHERE c_rank = 1
+          ), qc AS (
+            SELECT s.src_id, c.c_id AS cell,
+                   row_number() OVER (
+                     PARTITION BY s.src_id
+                     ORDER BY round({_cos_sql('s.embedding', 'c.c_vec')}, 6) DESC,
+                              c.c_id ASC) AS c_rank
+            FROM s, cent c
+          ), cand AS (
+            SELECT p.src_id, a.tgt_id
+            FROM assigned a
+            JOIN (SELECT * FROM qc WHERE c_rank <= 2) p
+              ON a.cell = p.cell
+          ), scored AS (
+            SELECT c.src_id, c.tgt_id,
+                   CAST(round({_cos_sql('s.embedding', 't.embedding')}
+                        * 1000000) AS BIGINT) AS cos_micro
+            FROM cand c
+            JOIN s USING (src_id) JOIN t USING (tgt_id)
           ), ranked AS (
             SELECT src_id, tgt_id, cos_micro,
                    row_number() OVER (PARTITION BY src_id

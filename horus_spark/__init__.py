@@ -391,6 +391,9 @@ def __getattr__(name):
         "margin_bitext_pairs": (
             "horus_spark.operators.bitext", "margin_bitext_pairs",
         ),
+        "ivf_bitext_candidates": (
+            "horus_spark.operators.bitext", "ivf_bitext_candidates",
+        ),
         "best_snippet": ("horus_spark.operators.ranking", "best_snippet"),
         "resolve_aliases": (
             "horus_spark.operators.redirects", "resolve_aliases",

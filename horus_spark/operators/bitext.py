@@ -24,13 +24,25 @@ All divisions run on positive operands (guarded), so Spark `div` and
 DuckDB `//` agree bit-for-bit — the q178 oracle replays the whole
 recipe in SQL.
 
-Scale shape: this is the EXACT tier — candidate scoring is a
-crossJoin with the smaller side broadcast, the same baseline contract
-as brute_force_topk (q23); at 100 TB compose the candidate stage with
-the IVF cell assignment (q25/q39) or the multiband LSH pairs (q30) so
-only same-cell/same-bucket pairs are scored, then apply this module's
-margin arithmetic to the surviving candidates unchanged. The kNN
-background sums need only each side's top-k rows — slim
+Scale shape — two tiers, selected by the `candidates` parameter:
+
+  EXACT (candidates=None): corpus x corpus crossJoin with the smaller
+  side broadcast, the same baseline contract as brute_force_topk
+  (q23). Correct at any size, affordable only when one side is
+  dimension-sized.
+
+  CANDIDATE (candidates = a (src_id, tgt_id) DataFrame): scoring,
+  the kNN background sums, mutuality and the margin all run over the
+  candidate pairs ONLY — two id-keyed equi-joins attach the vectors,
+  no crossJoin anywhere in the plan. This is the CCMatrix recipe
+  verbatim: production LASER mining computes the margin over the
+  APPROXIMATE neighborhood (FAISS kNN lists), not the exact one.
+  `ivf_bitext_candidates` builds the standard candidate source
+  (shuffle-free IVF cell assignment, q25's map-side pattern); the
+  multiband LSH pairs (q30) or hreflang pairs (q188) plug in the same
+  way. At 100 TB the candidate tier is the ONLY affordable shape.
+
+The kNN background sums need only each side's top-k rows — slim
 (id, cos_micro) windows, never payload vectors.
 """
 
@@ -40,7 +52,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from horus_spark.operators.similarity import cosine_expr
+from horus_spark.operators.similarity import (
+    _assign_cells,
+    _probe_cells,
+    _resolve_centroids,
+    cosine_expr,
+)
 
 
 def margin_bitext_pairs(
@@ -50,9 +67,17 @@ def margin_bitext_pairs(
     threshold_ppm: int = 1_050_000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Mine mutual-best translation pairs by ratio margin; see module
-    docstring. Returns (src_id, tgt_id, cos_micro, margin_ppm)."""
+    docstring. Returns (src_id, tgt_id, cos_micro, margin_ppm).
+
+    `candidates` (columns src_id, tgt_id; duplicates tolerated)
+    switches to the scale tier: margin/mutuality/background run over
+    the candidate pairs only, vectors attached by two id-keyed
+    equi-joins — no crossJoin in the plan. Build candidates with
+    `ivf_bitext_candidates`, lsh_cosine_pairs_multiband (q30), or any
+    domain pairing (hreflang, q188)."""
     if k < 1:
         raise ValueError("k must be >= 1")
     s = src.select(
@@ -63,7 +88,16 @@ def margin_bitext_pairs(
         F.col(id_col).alias("tgt_id"),
         F.col(vec_col).cast("array<double>").alias("t_vec"),
     )
-    scored = s.crossJoin(F.broadcast(t)).select(
+    if candidates is None:
+        pairs = s.crossJoin(F.broadcast(t))
+    else:
+        pairs = (
+            candidates.select("src_id", "tgt_id")
+            .distinct()
+            .join(s, "src_id")
+            .join(t, "tgt_id")
+        )
+    scored = pairs.select(
         "src_id",
         "tgt_id",
         F.round(cosine_expr(F.col("s_vec"), F.col("t_vec")) * 1_000_000)
@@ -115,3 +149,47 @@ def margin_bitext_pairs(
         ).alias("margin_ppm"),
     )
     return out.where(F.col("margin_ppm") >= threshold_ppm)
+
+
+def ivf_bitext_candidates(
+    src: DataFrame,
+    tgt: DataFrame,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    centroids: list[list[float]] | str = "kmeans",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF candidate pairs for the bitext scale tier: each TARGET
+    vector lands in its nearest-centroid cell (similarity._assign_cells
+    — one map-side projection over a driver-constant centroid array,
+    ZERO Exchange on corpus rows, q25's pattern), each SOURCE vector
+    probes its top-`n_probe` cells, and candidates are the same-cell
+    (src_id, tgt_id) pairs from one cell-keyed equi-join. Returns
+    (src_id, tgt_id) — feed straight into
+    `margin_bitext_pairs(candidates=...)`.
+
+    Centroid strategies are _resolve_centroids': an explicit list, the
+    sample-fit spherical k-means default, or 'lowest_id' (the
+    deterministic SQL-parity stand-in the q191 oracle replays — drawn
+    from the TARGET side, the side being indexed).
+
+    Scale shape: both cell assignments are map-side; the only shuffle
+    is the cell equi-join, and cells carry id-only payloads (vectors
+    are dropped BEFORE the join, reattached later by
+    margin_bitext_pairs' id-keyed joins). Recall follows the IVF
+    contract: a true pair in disjoint probe sets is missed — raise
+    n_probe for recall, audit like q184."""
+    if n_probe < 1:
+        raise ValueError("n_probe must be >= 1")
+    cents = _resolve_centroids(tgt, centroids, n_centroids, id_col, vec_col)
+    t_cells = _assign_cells(tgt, cents, id_col, vec_col).select(
+        F.col("neighbor_id").alias("tgt_id"), "cell"
+    )
+    s_q = src.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    s_cells = _probe_cells(s_q, cents, n_probe).select(
+        F.col("q_id").alias("src_id"), "cell"
+    )
+    return s_cells.join(t_cells, "cell").select("src_id", "tgt_id")

@@ -11,7 +11,11 @@ Field mapping (coalesced across the two dialects):
 
   - title:     <title> (inline markup stripped, whitespace collapsed)
   - link:      RSS <link>text</link>; Atom <link href="..."/> (the
-               attribute form — first link element wins)
+               attribute form — rel="alternate" or rel-less links win
+               over rel="self"/"enclosure"/"edit" chrome; among
+               eligible links, first in document order; when NO link
+               qualifies, fall back to the first link element so
+               degenerate feeds still resolve)
   - guid:      RSS <guid>, Atom <id>
   - published: RSS <pubDate>, Atom <published> falling back to
                <updated> (kept as the raw string: feed date formats
@@ -39,7 +43,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _ENTRY_RE = r"(?is)<(?:item|entry)\b[^>]*>.*?</(?:item|entry)>"
-_ATOM_HREF_RE = r"(?is)<link\b[^>]*?href\s*=\s*[\"']([^\"']*)[\"']"
+# every Atom-style <link .../> TAG (attribute form); href/rel are then
+# read per-tag so attribute order inside the tag is fully free
+_ATOM_LINK_TAG_RE = r"(?is)<link\b[^>]*>"
+_HREF_VAL_RE = r"(?is)\bhref\s*=\s*[\"']([^\"']*)[\"']"
+_REL_VAL_RE = r"(?is)\brel\s*=\s*[\"']([^\"']*)[\"']"
 _TAG_RE = r"<[^>]*>"
 
 
@@ -85,8 +93,26 @@ def parse_feeds(
         ),
         F.lit(""),
     )
+    # Atom attribute-form links: rel="alternate" (or rel-less) links
+    # are the entry's content URL; rel="self"/"enclosure"/"edit" are
+    # feed chrome — an entry listing those FIRST must not feed the
+    # wrong URL into the frontier/seen-set. Prefer the first eligible
+    # link; fall back to the first link tag only when none qualifies.
+    link_tags = F.regexp_extract_all(b, F.lit(_ATOM_LINK_TAG_RE), 0)
+    alt_tags = F.filter(
+        link_tags,
+        lambda t: F.lower(
+            F.coalesce(
+                F.nullif(F.regexp_extract(t, _REL_VAL_RE, 1), F.lit("")),
+                F.lit("alternate"),
+            )
+        ).isin("alternate", "alt"),
+    )
+    pick_tag = F.when(
+        F.size(alt_tags) > 0, F.element_at(alt_tags, 1)
+    ).when(F.size(link_tags) > 0, F.element_at(link_tags, 1))
     link = F.coalesce(
-        F.nullif(F.regexp_extract(b, _ATOM_HREF_RE, 1), F.lit("")),
+        F.nullif(F.regexp_extract(pick_tag, _HREF_VAL_RE, 1), F.lit("")),
         _field(b, "link"),
     )
     out = exploded.select(

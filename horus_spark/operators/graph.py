@@ -365,7 +365,11 @@ def label_propagation(
     is a pure function of the graph): updates are synchronous (every
     node reads the PREVIOUS round's labels), and the new label is the
     neighbor label with the highest count, ties broken by SMALLEST
-    label. A node with no neighbors keeps its label. After exactly
+    label. The node universe is EVERY distinct non-null endpoint in
+    the input — a node with no neighbors after self-loop removal
+    (isolated, or appearing only in self-loops) keeps its self-label
+    and still emits a (node, node) row, so consumers joining labels
+    back never see NULL communities. After exactly
     `n_iter` rounds from the self-label start, returns (node, label) —
     equal labels = same community. The q164 oracle replays the same
     recursion in SQL, so the distributed loop is pinned bit-exactly.
@@ -401,8 +405,12 @@ def label_propagation(
     )
     if use_local_checkpoint:
         sym = sym.localCheckpoint(eager=False)
+    # seed from the UNFILTERED endpoint set: isolated / self-loop-only
+    # nodes have no rows in `sym` but must still emit their self-label
     labels = (
-        sym.select(F.col("a").alias("node"))
+        edges.select(F.col(src).alias("node"))
+        .unionAll(edges.select(F.col(dst).alias("node")))
+        .where(F.col("node").isNotNull())
         .distinct()
         .select("node", F.col("node").alias("label"))
     )

@@ -1032,7 +1032,21 @@ def extract_jsonld(
         F.get_json_object(j, "$.datePublished").alias("date_published"),
         F.coalesce(
             F.get_json_object(j, "$.author.name"),
-            F.get_json_object(j, "$.author"),
+            # bare-string fallback ONLY: an author OBJECT lacking
+            # .name (or an author array) serializes as '{...}'/'[...]'
+            # through get_json_object — that raw JSON text must not
+            # pollute the scalar author_name column, so non-scalar
+            # shapes stay NULL.
+            F.nullif(
+                F.regexp_replace(
+                    F.coalesce(
+                        F.get_json_object(j, "$.author"), F.lit("")
+                    ),
+                    r"(?s)^\s*[\[{].*$",
+                    "",
+                ),
+                F.lit(""),
+            ),
         ).alias("author_name"),
     )
 

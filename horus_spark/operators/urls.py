@@ -145,15 +145,27 @@ def trap_families(
 
 
 # full-parameter canonicalization: tracking params that never identify
-# content (ad-click + analytics + session ids). Anchored full-match on
+# content. The DEFAULT tier is unambiguous: ad-click/analytics ids plus
+# the platform-named session cookies (phpsessid/jsessionid) that never
+# select content. SHORT generic keys ('sid', 'ref', 'sessionid') are a
+# separate OPT-IN tier — on real sites forum thread routing uses ?sid=
+# and content selectors use ?ref=, so stripping them by default would
+# collapse genuinely distinct pages into one canonical key and silently
+# drop them from streaming seen-set discovery. Anchored full-match on
 # the param's key.
 _TRACKING_PARAM_RE = (
+    r"(?i)^(utm_[^=]*|gclid|fbclid|msclkid|yclid|mc_eid|igshid"
+    r"|phpsessid|jsessionid)(=.*)?$"
+)
+_SESSION_PARAM_RE = (
     r"(?i)^(utm_[^=]*|gclid|fbclid|msclkid|yclid|mc_eid|igshid"
     r"|phpsessid|jsessionid|sessionid|sid|ref)(=.*)?$"
 )
 
 
-def canonicalize_url_expr(url: Column) -> Column:
+def canonicalize_url_expr(
+    url: Column, strip_session_keys: bool = False
+) -> Column:
     """Aggressive-but-safe URL canonicalization for dedup/seen-set/
     frontier keys — `normalize_url_expr` plus full query-string
     normalization:
@@ -163,8 +175,12 @@ def canonicalize_url_expr(url: Column) -> Column:
          slash stripped (the normalize_url_expr rules, applied to the
          query-free part so a slash inside a query value is never
          touched);
-      3. tracking parameters removed (utm_*, gclid, fbclid, session
-         ids, ... — the keys that never identify content);
+      3. tracking parameters removed (utm_*, gclid, fbclid,
+         phpsessid, ... — the keys that never identify content);
+         `strip_session_keys=True` additionally strips the ambiguous
+         generic keys 'sid'/'ref'/'sessionid', which ARE
+         content-bearing on some sites (forum ?sid= routing, ?ref=
+         selectors) and are therefore NOT stripped by default;
       4. surviving parameters SORTED lexicographically (param order is
          not content-bearing; '?b=2&a=1' and '?a=1&b=2' are the same
          resource) and empty fragments from '&&' dropped;
@@ -192,10 +208,13 @@ def canonicalize_url_expr(url: Column) -> Column:
     base_n = F.when(scheme == "", base).otherwise(
         F.concat(scheme, F.lit("://"), host, rest)
     )
+    drop_re = (
+        _SESSION_PARAM_RE if strip_session_keys else _TRACKING_PARAM_RE
+    )
     kept = F.sort_array(
         F.filter(
             F.split(query, "&"),
-            lambda p: (p != "") & ~p.rlike(_TRACKING_PARAM_RE),
+            lambda p: (p != "") & ~p.rlike(drop_re),
         )
     )
     return F.when(

@@ -1101,6 +1101,13 @@ def _bloom_path(out_dir: str, chunk: str, table: str, col: str) -> str:
     return os.path.join(out_dir, chunk, f"_bloom_{table}_{col}.json")
 
 
+# key-column Spark types whose CAST(... AS STRING) form round-trips
+# through the probe's Python str(v); everything else is rejected at
+# index-build time and distrusted at probe time
+_BLOOM_INT_DTYPES = frozenset({"tinyint", "smallint", "int", "bigint"})
+_BLOOM_KEY_DTYPES = _BLOOM_INT_DTYPES | {"string"}
+
+
 def _bloom_positions_py(s: str, n_bits: int, n_hashes: int) -> list[int]:
     """Driver-side twin of the Spark bit-position expression in
     add_bloom_index: md5 double hashing (Kirsch–Mitzenmacher), h2
@@ -1145,8 +1152,13 @@ def add_bloom_index(
     are invisible to parquet readers.
 
     Returns the chunk dirnames indexed. Keys are matched via their
-    Spark CAST(... AS STRING) form; the probe only trusts sidecars for
-    int/string key values (other types fall back to unpruned)."""
+    Spark CAST(... AS STRING) form, which only round-trips through the
+    probe's Python str(v) for INTEGRAL and STRING columns (a double
+    column CASTs as '5.0' while str(5) is '5' — silent wrong pruning),
+    so add_bloom_index REJECTS other key-column types up front and
+    records the column dtype in the sidecar; the probe additionally
+    requires the probe values' Python type to match the recorded dtype
+    (falling back to unpruned on any mismatch)."""
     if n_bits < 64 or n_bits & (n_bits - 1):
         raise ValueError("n_bits must be a power of two >= 64")
     if n_hashes < 1:
@@ -1170,8 +1182,18 @@ def add_bloom_index(
         tdir = os.path.join(out_dir, c, table)
         if not os.path.isdir(tdir):
             continue
+        raw = spark.read.parquet(tdir)
+        dtype = raw.schema[key_col].dataType.simpleString()
+        if dtype not in _BLOOM_KEY_DTYPES:
+            raise ValueError(
+                f"add_bloom_index: key column {key_col!r} has type"
+                f" {dtype}; only integral/string key columns are"
+                " indexable (CAST AS STRING must round-trip through"
+                " the probe's str(v) — e.g. a double CASTs as '5.0'"
+                " while str(5) is '5', silently mispruning)"
+            )
         sdf = (
-            spark.read.parquet(tdir)
+            raw
             .select(F.col(key_col).cast("string").alias("s"))
             .where(F.col("s").isNotNull())
             .distinct()
@@ -1196,6 +1218,7 @@ def add_bloom_index(
             "version": _BLOOM_VERSION,
             "table": table,
             "col": key_col,
+            "dtype": dtype,
             "n_bits": n_bits,
             "n_hashes": n_hashes,
             "words": word_map,
@@ -1223,9 +1246,13 @@ def _bloom_candidate_chunks(
     vals = _collect_prune_keys(keys)
     if not vals:  # oversized (None) or empty: no pruning
         return chunks
-    if not all(
-        isinstance(v, (str, int)) and not isinstance(v, bool) for v in vals
+    if all(
+        isinstance(v, int) and not isinstance(v, bool) for v in vals
     ):
+        vals_kind = "int"
+    elif all(isinstance(v, str) for v in vals):
+        vals_kind = "str"
+    else:
         return chunks  # str(v) must match Spark's CAST AS STRING
     kept: list[str] = []
     for c in chunks:
@@ -1235,6 +1262,18 @@ def _bloom_candidate_chunks(
             if (
                 sc.get("version") != _BLOOM_VERSION
                 or sc.get("col") != key_cols[0]
+            ):
+                kept.append(c)
+                continue
+            # the indexed COLUMN's type must agree with the probe
+            # values' Python type: int values on an integral column,
+            # str values on a string column. A missing/other dtype
+            # (pre-guard sidecar, non-indexable column) keeps the
+            # chunk — pruning never trusts an ambiguous hash form.
+            dt = sc.get("dtype")
+            if not (
+                (vals_kind == "int" and dt in _BLOOM_INT_DTYPES)
+                or (vals_kind == "str" and dt == "string")
             ):
                 kept.append(c)
                 continue

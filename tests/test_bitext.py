@@ -132,3 +132,66 @@ def test_guard(spark):
     d = _df(spark, [(0, [1.0])])
     with pytest.raises(ValueError):
         margin_bitext_pairs(d, d, k=0)
+
+
+def test_candidate_tier_matches_exact_on_clean_pairs(spark):
+    # 20 well-separated planted translation pairs across 4 clusters:
+    # the composed IVF tier (explicit centroids, sources probing top-2
+    # cells) must mine the same mutual-best pairs the exact tier does,
+    # with identical cos_micro/margin_ppm on the shared pairs.
+    from horus_spark.operators.bitext import ivf_bitext_candidates
+
+    import hashlib
+
+    def vec(cluster, jitter):
+        base = [0.0] * 8
+        base[cluster * 2] = 1.0
+        h = hashlib.md5(str(jitter).encode()).digest()
+        return [b + ((x % 20) - 10) / 200.0 for b, x in zip(base, h)]
+
+    src_rows = [(i, vec(i % 4, i)) for i in range(20)]
+    tgt_rows = [(100 + i, vec(i % 4, 1000 + i)) for i in range(20)]
+    src = _df(spark, src_rows)
+    tgt = _df(spark, tgt_rows)
+    cents = [
+        [1.0, 0, 0, 0, 0, 0, 0, 0.0],
+        [0, 0, 1.0, 0, 0, 0, 0, 0.0],
+        [0, 0, 0, 0, 1.0, 0, 0, 0.0],
+        [0, 0, 0, 0, 0, 0, 1.0, 0.0],
+    ]
+    cand = ivf_bitext_candidates(
+        src, tgt, n_centroids=4, n_probe=2, centroids=cents
+    )
+    composed = margin_bitext_pairs(
+        src, tgt, k=3, threshold_ppm=1_000_000, candidates=cand
+    )
+    exact = margin_bitext_pairs(src, tgt, k=3, threshold_ppm=1_000_000)
+    got = {tuple(r) for r in composed.collect()}
+    want_pairs = {(r["src_id"], r["tgt_id"]) for r in exact.collect()}
+    assert {(s, t) for s, t, *_ in got} == want_pairs and want_pairs
+
+    # the scale contract: NO cross/broadcast-nested-loop join anywhere
+    plan = composed._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_candidate_tier_background_is_candidate_local(spark):
+    # restricting candidates changes the kNN background (CCMatrix
+    # semantics: margin over the APPROXIMATE neighborhood) — a pair
+    # whose competitors are excluded from the candidate set must still
+    # be mined, proving the background sums never consult non-candidate
+    # pairs.
+    src = _df(spark, [(0, [1.0, 0.05, 0.0]), (1, [0.9, 0.1, 0.0])])
+    tgt = _df(spark, [(10, [1.0, 0.0, 0.0]), (11, [0.2, 0.9, 0.1])])
+    cand = spark.createDataFrame(
+        [(0, 10), (1, 11)], "src_id long, tgt_id long"
+    )
+    got = {
+        (r["src_id"], r["tgt_id"])
+        for r in margin_bitext_pairs(
+            src, tgt, k=2, threshold_ppm=0, candidates=cand
+        ).collect()
+    }
+    # with only one candidate per side, each pair is trivially mutual
+    assert got == {(0, 10), (1, 11)}

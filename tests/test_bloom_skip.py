@@ -152,3 +152,37 @@ def test_read_lookup_guards(spark, tmp_path):
     out, _ = _interleaved_catalog(spark, tmp_path)
     with pytest.raises(ValueError):
         read_lookup(spark, out, "t", "k", [])
+
+
+def test_non_indexable_key_type_rejected(spark, tmp_path):
+    # double key column: CAST(5.0 AS STRING) = '5.0' but str(5) = '5'
+    # — the hash forms diverge, so indexing must be refused up front
+    # instead of silently mispruning later.
+    out = str(tmp_path)
+    df = spark.range(0, 40).select(
+        (F.col("id") * 1.5).alias("k"), F.col("id").alias("v")
+    )
+    append_chunk(out, {"t": df}, run_id="s0")
+    with pytest.raises(ValueError, match="integral/string"):
+        add_bloom_index(spark, out, "t", "k", n_bits=1 << 14)
+
+
+def test_probe_value_dtype_mismatch_keeps_chunks(spark, tmp_path):
+    # integral-keyed sidecar probed with STRING values (and vice
+    # versa): the hash forms are not guaranteed to agree, so pruning
+    # must fall back to keeping every chunk.
+    out, chunks = _interleaved_catalog(spark, tmp_path)
+    add_bloom_index(spark, out, "t", "k", n_bits=1 << 14)
+    kept = _bloom_candidate_chunks(out, "t", chunks, ["k"], ["2"])
+    assert kept == chunks
+    # sanity: the matching int probe does prune
+    assert len(_bloom_candidate_chunks(out, "t", chunks, ["k"], [2])) == 1
+    # a sidecar missing its dtype (pre-guard format) is distrusted too
+    p = _bloom_path(out, chunks[0], "t", "k")
+    with open(p) as f:
+        sc = json.load(f)
+    sc.pop("dtype")
+    with open(p, "w") as f:
+        json.dump(sc, f)
+    kept2 = _bloom_candidate_chunks(out, "t", chunks, ["k"], [2])
+    assert chunks[0] in kept2

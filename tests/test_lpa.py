@@ -76,3 +76,13 @@ def test_partitioning_invariance(spark):
 def test_self_loops_dropped(spark):
     got = _labels(spark, [(0, 0), (0, 1)], n_iter=2)
     assert set(got) == {0, 1}
+
+
+def test_isolated_and_selfloop_only_nodes_emit_self_label(spark):
+    # node 5 appears ONLY in a self-loop; nodes 0/1 form an edge.
+    # Both universes must be covered: 5 keeps its self-label instead
+    # of vanishing from the output (consumers joining labels back
+    # would otherwise see NULL communities).
+    got = _labels(spark, [(0, 1), (5, 5)], n_iter=3)
+    assert got[5] == 5
+    assert set(got) == {0, 1, 5}

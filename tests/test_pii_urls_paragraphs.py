@@ -151,8 +151,10 @@ def test_canonicalize_url_rules(spark):
         ("https://ex.com/x?utm_source=t&utm_medium=m", "https://ex.com/x"),
         ("https://ex.com/x?a=1&&b=2", "https://ex.com/x?a=1&b=2"),
         ("https://ex.com/x?PHPSESSID=z&a=1", "https://ex.com/x?a=1"),
-        ("https://ex.com/x?ref=abc", "https://ex.com/x"),
-        # 'refresh' is NOT the tracking key 'ref' (anchored match)
+        # 'sid'/'ref' are content-bearing on real sites (forum thread
+        # routing, content selectors) — NOT stripped by default
+        ("https://ex.com/x?ref=abc", "https://ex.com/x?ref=abc"),
+        ("https://forum.ex.com/t?sid=9&t=12", "https://forum.ex.com/t?sid=9&t=12"),
         ("https://ex.com/x?refresh=1", "https://ex.com/x?refresh=1"),
         # slash inside a query value survives; only the PATH slash strips
         ("https://ex.com/p/?a=x/", "https://ex.com/p?a=x/"),
@@ -163,6 +165,29 @@ def test_canonicalize_url_rules(spark):
         r["c"]
         for r in df.select(
             canonicalize_url_expr(F.col("url")).alias("c")
+        ).collect()
+    ]
+    assert got == [e for _, e in cases]
+
+
+def test_canonicalize_url_session_optin(spark):
+    from horus_spark.operators.urls import canonicalize_url_expr
+    from pyspark.sql import functions as F
+
+    cases = [
+        ("https://ex.com/x?ref=abc&a=1", "https://ex.com/x?a=1"),
+        ("https://forum.ex.com/t?sid=9&t=12", "https://forum.ex.com/t?t=12"),
+        ("https://ex.com/x?sessionid=z", "https://ex.com/x"),
+        # anchored: 'refresh'/'side' are not 'ref'/'sid'
+        ("https://ex.com/x?refresh=1&side=l", "https://ex.com/x?refresh=1&side=l"),
+    ]
+    df = spark.createDataFrame([(r,) for r, _ in cases], "url string")
+    got = [
+        r["c"]
+        for r in df.select(
+            canonicalize_url_expr(
+                F.col("url"), strip_session_keys=True
+            ).alias("c")
         ).collect()
     ]
     assert got == [e for _, e in cases]
