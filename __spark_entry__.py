@@ -4517,6 +4517,85 @@ def _q191_bitext_ivf(spark, sf_dir):
     )
 
 
+def _q192_image_decode(spark, sf_dir):
+    """REAL image decoding (operators/imaging.py via
+    multimodal.extract_image_features) — GROUND-TRUTH oracle. Each doc
+    synthesizes a binary P6 PPM payload ENTIRELY IN SPARK EXPRESSIONS
+    (header hex + repeat'ed constant-color pixel hex -> unhex): width
+    2+n%6, height 1+n%4, color (n%256, (3n+7)%256, (5n+11)%256). The
+    mapInPandas kernel parses the actual bytes back; channel means of
+    a constant-color image are exact integers and luma_mean is the
+    double expression 0.299*r+0.587*g+0.114*b, so DuckDB replays every
+    feature from the modular rules alone. Every 9th doc carries a JPEG
+    magic (typed 'unsupported:jpeg' error row), every 13th a PPM whose
+    raster is one pixel short ('malformed:...'), pinning the error
+    channel's exact strings. Green means header parse, raster layout,
+    feature arithmetic AND the error taxonomy are exact — pixels, not
+    hash arithmetic (the round-4 'weak' finding)."""
+    from horus_spark.operators.multimodal import extract_image_features
+
+    d = _fanout(_load(spark, sf_dir, "documents"))
+    n = F.col("doc_id").cast("long")
+    base = d.select(
+        F.concat(F.lit("asset-"), F.col("doc_id").cast("string")).alias(
+            "asset_id"
+        ),
+        F.col("doc_id").cast("string").alias("doc_id"),
+        (n % 6 + 2).cast("int").alias("w"),
+        (n % 4 + 1).cast("int").alias("h"),
+        (n % 256).alias("r"),
+        ((n * 3 + 7) % 256).alias("g"),
+        ((n * 5 + 11) % 256).alias("b"),
+        (n % 9 == 0).alias("is_jpeg"),
+        ((n % 13 == 0) & (n % 9 != 0)).alias("is_trunc"),
+    )
+    px_hex = F.concat(
+        F.lpad(F.hex(F.col("r")), 2, "0"),
+        F.lpad(F.hex(F.col("g")), 2, "0"),
+        F.lpad(F.hex(F.col("b")), 2, "0"),
+    )
+    header_hex = F.hex(
+        F.concat(
+            F.lit("P6\n"),
+            F.col("w").cast("string"),
+            F.lit(" "),
+            F.col("h").cast("string"),
+            F.lit("\n255\n"),
+        ).cast("binary")
+    )
+    staged = base.withColumn("pxh", px_hex).withColumn("hdr", header_hex)
+    payload = (
+        F.when(F.col("is_jpeg"), F.unhex(F.lit("ffd8ffe000104a46")))
+        .when(
+            F.col("is_trunc"),
+            F.unhex(
+                F.concat(
+                    F.col("hdr"),
+                    F.expr("repeat(pxh, w * h - 1)"),
+                )
+            ),
+        )
+        .otherwise(
+            F.unhex(F.concat(F.col("hdr"), F.expr("repeat(pxh, w * h)")))
+        )
+    )
+    media = staged.select("asset_id", "doc_id", payload.alias("payload"))
+    feats = extract_image_features(media)
+    return feats.select(
+        "doc_id",
+        "format",
+        "width",
+        "height",
+        "channels",
+        F.round(F.element_at("features", 4), 6).alias("mean_r"),
+        F.round(F.element_at("features", 5), 6).alias("mean_g"),
+        F.round(F.element_at("features", 6), 6).alias("mean_b"),
+        F.round(F.element_at("features", 7), 6).alias("luma_mean"),
+        F.round(F.element_at("features", 8), 6).alias("luma_std"),
+        "error",
+    )
+
+
 def _q131_snapshot_diff(spark, sf_dir):
     """Incremental/changelog read over the snapshot catalog
     (sink.py:snapshot_diff): q101's DML history is replayed (4 appends
@@ -5443,6 +5522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q189_metadata_agreement": _q189_metadata_agreement,
         "q190_trustrank": _q190_trustrank,
         "q191_bitext_ivf": _q191_bitext_ivf,
+        "q192_image_decode": _q192_image_decode,
     }
 
 
@@ -7255,6 +7335,50 @@ def _oracle_sql_literals() -> dict[str, str]:
               AND sum_s * n_t + sum_t * n_s > 0
           )
           SELECT * FROM m WHERE margin_ppm >= 1020000
+        """,
+        # GROUND TRUTH for the REAL decoder: every expected feature
+        # and error string derives from the synthesis rules alone —
+        # constant-color means are exact integers, luma is the same
+        # double expression, std rounds to 0
+        "q192_image_decode": """
+          WITH d AS (
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   CAST(doc_id AS BIGINT) AS n
+            FROM documents
+          ), r AS (
+            SELECT doc_id, n,
+                   CAST(n % 6 + 2 AS INT) AS w,
+                   CAST(n % 4 + 1 AS INT) AS h,
+                   CAST(n % 256 AS DOUBLE) AS cr,
+                   CAST((n * 3 + 7) % 256 AS DOUBLE) AS cg,
+                   CAST((n * 5 + 11) % 256 AS DOUBLE) AS cb,
+                   n % 9 = 0 AS is_jpeg,
+                   n % 13 = 0 AND n % 9 <> 0 AS is_trunc
+            FROM d
+          )
+          SELECT doc_id,
+                 CASE WHEN is_jpeg THEN 'jpeg' ELSE 'ppm' END AS format,
+                 CASE WHEN is_jpeg OR is_trunc THEN NULL ELSE w END
+                   AS width,
+                 CASE WHEN is_jpeg OR is_trunc THEN NULL ELSE h END
+                   AS height,
+                 CASE WHEN is_jpeg OR is_trunc THEN NULL
+                      ELSE 3 END AS channels,
+                 CASE WHEN is_jpeg OR is_trunc THEN NULL
+                      ELSE round(cr, 6) END AS mean_r,
+                 CASE WHEN is_jpeg OR is_trunc THEN NULL
+                      ELSE round(cg, 6) END AS mean_g,
+                 CASE WHEN is_jpeg OR is_trunc THEN NULL
+                      ELSE round(cb, 6) END AS mean_b,
+                 CASE WHEN is_jpeg OR is_trunc THEN NULL
+                      ELSE round(0.299 * cr + 0.587 * cg + 0.114 * cb,
+                                 6) END AS luma_mean,
+                 CASE WHEN is_jpeg OR is_trunc THEN NULL
+                      ELSE 0.0 END AS luma_std,
+                 CASE WHEN is_jpeg THEN 'unsupported:jpeg'
+                      WHEN is_trunc THEN 'malformed:pnm: truncated raster'
+                      ELSE NULL END AS error
+          FROM r
         """,
         # the composed scale tier replayed end to end: lowest-id
         # target centroids, argmax cell per target, top-2 probe cells

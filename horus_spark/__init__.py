@@ -54,7 +54,8 @@ Package map:
   operators/topk.py      group-wise top-k (WindowGroupLimit pruning)
   operators/pooling.py   embedding mean-pool (deterministic micro-int)
   operators/semdedup.py  SemDeDup embedding-cluster dedup
-  operators/multimodal.py  binary media column plumbing (decode stubbed)
+  operators/multimodal.py  binary media column plumbing (real PNM/BMP/PNG
+                         decode via operators/imaging.py; audio/video stubbed)
   operators/scoring.py   Inspector-style accuracy scoring + summary/flip
   operators/inspection.py  A8 asset-count scoring (capped points)
   registry.py            versioned model/config registry (MAX+1, argmax)
@@ -224,6 +225,14 @@ def __getattr__(name):
             "horus_spark.operators.interleave", "interleave_stats",
         ),
         "caption_pairs": ("horus_spark.operators.interleave", "caption_pairs"),
+        "extract_image_features": (
+            "horus_spark.operators.multimodal", "extract_image_features",
+        ),
+        "decode_pixels": ("horus_spark.operators.imaging", "decode_pixels"),
+        "image_features": (
+            "horus_spark.operators.imaging", "image_features",
+        ),
+        "sniff_format": ("horus_spark.operators.imaging", "sniff_format"),
         "multimodal_fingerprints": (
             "horus_spark.operators.interleave", "multimodal_fingerprints",
         ),
