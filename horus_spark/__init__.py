@@ -59,6 +59,8 @@ Package map:
   operators/scoring.py   Inspector-style accuracy scoring + summary/flip
   operators/inspection.py  A8 asset-count scoring (capped points)
   registry.py            versioned model/config registry (MAX+1, argmax)
+  training.py            learned-anchor config training (labels.json ->
+                         FORMAT_CONFIGS-shape artifact, ModelTrainer parity)
   engines.py             pluggable shredder-engine registry
   pipeline.py            end-to-end extraction pipeline (one-shuffle design;
                          L6 span classification + thumbprint expressions)
@@ -225,6 +227,12 @@ def __getattr__(name):
             "horus_spark.operators.interleave", "interleave_stats",
         ),
         "caption_pairs": ("horus_spark.operators.interleave", "caption_pairs"),
+        "train_format_config": (
+            "horus_spark.training", "train_format_config",
+        ),
+        "register_trained_model": (
+            "horus_spark.registry", "register_trained_model",
+        ),
         "extract_image_features": (
             "horus_spark.operators.multimodal", "extract_image_features",
         ),

@@ -218,10 +218,14 @@ def generate_document(doc_number: int, seed: int = 42, products=None, accounts=N
     # status by text content below.
     field_tokens: set[int] = set()  # page fragment tokens that carry field words
 
+    label_tokens: dict[str, int] = {}  # key -> page token (labelling-tool
+    # analog: which OCR line carries the labeled value)
+
     def reg_field(key: str, value: str, token):
         fields[key] = value
         if token is not None:
             field_tokens.add(token)
+            label_tokens[key] = token
 
     postal_city = f"{account['postal_code']} {account['city']}"
     if fmt == "abc":
@@ -481,6 +485,13 @@ def generate_document(doc_number: int, seed: int = 42, products=None, accounts=N
     }
     expected_lines = [{**l, "doc_id": doc_id} for l in lines]
 
+    # labelling-tool analog (additive; consumed by training.py): per
+    # labeled field, the bbox of the OCR line that carries its value
+    tok2bbox = {token: lbbox for (_t, lbbox, _w, token) in ocr_lines}
+    label_boxes = {
+        k: tok2bbox[t] for k, t in label_tokens.items() if t in tok2bbox
+    }
+
     return {
         "doc_id": doc_id,
         "fmt": fmt,
@@ -490,6 +501,7 @@ def generate_document(doc_number: int, seed: int = 42, products=None, accounts=N
         "expected_document": expected_document,
         "expected_lines": expected_lines,
         "expected_spans": expected_spans,
+        "label_boxes": label_boxes,
     }
 
 
