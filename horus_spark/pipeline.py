@@ -507,7 +507,11 @@ def _flat_words(ocr_words: DataFrame, n_partitions: int | None) -> DataFrame:
     return _word_projection(ocr_words).repartition(n_partitions, "doc_id")
 
 
-def _grouped_words(ocr_words: DataFrame, n_partitions: int | None) -> DataFrame:
+def _grouped_words(
+    ocr_words: DataFrame,
+    n_partitions: int | None,
+    heavy_words: int | None = None,
+) -> DataFrame:
     """Grouped boundary shape (hot path): collect each document's words into
     one array<struct> row BEFORE the Python boundary.
 
@@ -523,21 +527,50 @@ def _grouped_words(ocr_words: DataFrame, n_partitions: int | None) -> DataFrame:
     MAX_DOC_WORDS). With n_partitions=None the agg uses
     spark.sql.shuffle.partitions and keeps the map-side partial aggregate;
     an explicit n_partitions pre-repartitions (the partial agg then
-    degenerates, only worth it when a test pins parallelism)."""
+    degenerates, only worth it when a test pins parallelism).
+
+    `heavy_words` (SURVEY §4.1's weight-bucketed salting, opt-in): a
+    corpus with a heavy tail (media/word-heavy docs at 10-100x the
+    median) breaks the bounded-doc assumption above — hash placement of
+    the rare heavy keys is Poisson, so one task can draw several heavy
+    docs and straggle the map stage. With a threshold set, docs at >=
+    heavy_words words are split into their OWN round-robin tier
+    (repartition() with no keys = exact count balance — each heavy task
+    carries ⌈k/m⌉ heavy docs, deterministic, no salting lottery) while
+    normal docs keep the doc_id hash; mapInArrow consumes the union's
+    concatenated partitions. The two tiers re-read ONE shuffle (the
+    branches share the identical groupBy exchange — ReusedExchange,
+    asserted by tests/test_skew_extraction.py); row values are
+    untouched, so extraction output is bit-identical either way.
+    """
     flat = _word_projection(ocr_words)
     if n_partitions is not None:
         flat = flat.repartition(n_partitions, "doc_id")
-    return flat.groupBy("doc_id").agg(
+    grouped = flat.groupBy("doc_id").agg(
         F.collect_list(
             F.struct("page", "line_id", "word_id", "text", "x0", "y0", "x1", "y1")
         ).alias("words")
     )
+    if heavy_words is None:
+        return grouped
+    if heavy_words < 1:
+        raise ValueError("heavy_words must be >= 1")
+    spark = ocr_words.sparkSession
+    n = n_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    w = F.size(F.col("words"))
+    # the agg output is ALREADY hash-partitioned by doc_id — the normal
+    # tier filters in place (zero extra exchange); only the tiny heavy
+    # tier pays a round-robin exchange, over the REUSED agg shuffle
+    normal = grouped.where(w < heavy_words)
+    heavy = grouped.where(w >= heavy_words).repartition(max(n // 4, 1))
+    return normal.unionByName(heavy)
 
 
 def recognize(
     ocr_words: DataFrame,
     n_buckets: int | None = None,
     configs: dict | None = None,
+    heavy_words: int | None = None,
 ) -> DataFrame:
     """The native 'recognizer': OCR words -> (doc_id, fields, field_line_ids).
 
@@ -562,7 +595,9 @@ def recognize(
     def kernel(batches):
         yield from _extract_iter_arrow_grouped(batches, configs)
 
-    return _grouped_words(ocr_words, n_buckets).mapInArrow(kernel, schema=FIELDS_SCHEMA)
+    return _grouped_words(ocr_words, n_buckets, heavy_words).mapInArrow(
+        kernel, schema=FIELDS_SCHEMA
+    )
 
 
 def recognize_with_fields_map(
@@ -646,6 +681,7 @@ def run_extraction(
     engine: str | None = None,
     run_id: str | None = None,
     fields_df: DataFrame | None = None,
+    heavy_words: int | None = None,
 ) -> DataFrame:
     """Full pipeline -> EXTRACTED_DOCUMENT rows (header + line_items +
     errors + spans_out). Two planned shuffles total (one per input table),
@@ -663,7 +699,12 @@ def run_extraction(
     winning (model_id, model_version) is stamped on every output row via a
     broadcast argmax join on the doc_id's format prefix — the reference's
     GetModelByDocumentFormat lookup (HorusSql.cs:77-81) done once per job
-    instead of once per document."""
+    instead of once per document.
+
+    `heavy_words` (optional): weight-bucket threshold for heavy-tailed
+    corpora — docs at >= heavy_words OCR words route to a round-robin
+    count-balanced tier ahead of the extraction kernel instead of the
+    doc_id hash (see _grouped_words; output values identical)."""
     configs = None
     model_dim = None
     if registry is not None:
@@ -676,7 +717,7 @@ def run_extraction(
             F.col("model_version").cast("string").alias("model_version"),
         )
     if fields_df is None:
-        fields_df = recognize(ocr_words, n_buckets, configs)
+        fields_df = recognize(ocr_words, n_buckets, configs, heavy_words)
     empty_header = F.struct(
         *[F.lit(None).cast("string").alias(c) for c, _ in _HEADER_KEYS]
     )
