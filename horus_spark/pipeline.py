@@ -511,6 +511,7 @@ def _grouped_words(
     ocr_words: DataFrame,
     n_partitions: int | None,
     heavy_words: int | None = None,
+    heavy_partitions: int | None = None,
 ) -> DataFrame:
     """Grouped boundary shape (hot path): collect each document's words into
     one array<struct> row BEFORE the Python boundary.
@@ -562,7 +563,13 @@ def _grouped_words(
     # tier filters in place (zero extra exchange); only the tiny heavy
     # tier pays a round-robin exchange, over the REUSED agg shuffle
     normal = grouped.where(w < heavy_words)
-    heavy = grouped.where(w >= heavy_words).repartition(max(n // 4, 1))
+    # heavy-tier width: size tasks so a tier task carries about one
+    # normal task's weight — callers who know k (heavy count) and the
+    # inflation factor pass heavy_partitions ~= k * heavy_weight /
+    # normal_task_weight; default n//4 keeps the tier from exploding
+    # task counts when nothing is known
+    m = heavy_partitions if heavy_partitions is not None else max(n // 4, 1)
+    heavy = grouped.where(w >= heavy_words).repartition(max(m, 1))
     return normal.unionByName(heavy)
 
 

@@ -50,7 +50,12 @@ def main():
     words = corpus_spark(spark, N_DOCS, partitions=CPUS)["ocr_words"]
     # heavy tail: doc_id hash mod 100 < HEAVY_PCT -> replicate words
     # INFLATE x with distinct line ids and shifted geometry
-    is_heavy = F.pmod(F.xxhash64("doc_id"), F.lit(100)) < F.lit(HEAVY_PCT)
+    # basis-point granularity so sub-1% tails work (the 1000-executor
+    # regime scaled down: FEW heavy docs relative to task slots is
+    # where hash placement straggles — Poisson(~1), not Poisson(15))
+    is_heavy = (
+        F.pmod(F.xxhash64("doc_id"), F.lit(10000)) < F.lit(int(HEAVY_PCT * 100))
+    )
     b = F.col("bbox")
     reps = F.explode(F.sequence(F.lit(0), F.lit(INFLATE - 1))).alias("rep")
     heavy_words_df = (
@@ -78,28 +83,42 @@ def main():
     skewed = spark.read.parquet(path)
 
     def timed_kernel(batches):
+        # consume the task fully through the REAL kernel, measuring
+        # wall at the source; also count the task's input words (the
+        # deterministic weight the time is noisy around)
         t0 = time.perf_counter()
         docs = nwords = 0
-        for out in _extract_iter_arrow_grouped(batches, None):
+        seen = []
+        for b in batches:
+            seen.append(b)
+            for arr in b.column(b.schema.get_field_index("words")):
+                nwords += len(arr)
+        for out in _extract_iter_arrow_grouped(iter(seen), None):
             docs += out.num_rows
         ms = (time.perf_counter() - t0) * 1000.0
         yield pa.RecordBatch.from_pydict(
-            {"task_ms": [ms], "docs": [docs]}
+            {"task_ms": [ms], "docs": [docs], "words": [nwords]}
         )
 
-    def run(heavy_thresh):
-        grouped = _grouped_words(skewed, None, heavy_words=heavy_thresh)
+    def run(heavy_thresh, m=None):
+        grouped = _grouped_words(
+            skewed, None, heavy_words=heavy_thresh, heavy_partitions=m
+        )
         t0 = time.perf_counter()
         rows = grouped.mapInArrow(
-            timed_kernel, schema="task_ms double, docs long"
+            timed_kernel, schema="task_ms double, docs long, words long"
         ).collect()
         wall = time.perf_counter() - t0
         ms = sorted(r["task_ms"] for r in rows if r["docs"] > 0)
+        w = sorted(r["words"] for r in rows if r["docs"] > 0)
         return {
             "tasks": len(ms),
             "max_task_ms": round(ms[-1], 1),
             "median_task_ms": round(statistics.median(ms), 1),
             "straggler_ratio": round(ms[-1] / statistics.median(ms), 2),
+            "max_task_words": w[-1],
+            "median_task_words": int(statistics.median(w)),
+            "weight_ratio": round(w[-1] / statistics.median(w), 2),
             "stage_wall_s": round(wall, 2),
             "docs": sum(r["docs"] for r in rows),
         }
@@ -111,6 +130,7 @@ def main():
         "cpus": CPUS,
         "unbalanced": run(None),
         "balanced": run(2000),
+        "balanced_tuned": run(2000, m=int(os.environ.get("HORUS_SKEW_M", "13"))),
     }
     # second pass to absorb warmup asymmetry (unbalanced ran cold)
     out["unbalanced_warm"] = run(None)
