@@ -4596,6 +4596,43 @@ def _q192_image_decode(spark, sf_dir):
     )
 
 
+def _q193_trained_extraction(spark, sf_dir):
+    """ModelTrainer-parity end to end UNDER THE GATE: per-format
+    configs are TRAINED from labeled generator examples
+    (training.train_format_config — anchors, shape regexes and row
+    structure learned from label boxes + OCR words, never read from
+    config.py), registered as version 2 in the model registry, and the
+    full extraction pipeline runs with the registry's latest configs.
+    The oracle is the SAME committed q19 golden parquet (independent
+    Python mini-shredder over generator ground truth) — green means
+    the learned artifact reproduces the hand-written model's
+    extraction exactly, with the registry argmax serving the trained
+    version."""
+    from horus_spark.fixtures.generator import corpus_spark
+    from horus_spark.pipeline import run_extraction
+    from horus_spark.registry import bootstrap_registry, register_model
+    from horus_spark.training import (
+        generator_examples,
+        train_format_config,
+    )
+
+    reg = bootstrap_registry(spark)
+    for fmt in ("abc", "oscorp", "nouryon"):
+        cfg = train_format_config(generator_examples(fmt, n=5))
+        reg = register_model(reg, fmt, f"model-{fmt}-trained", cfg)
+    c = corpus_spark(spark, 150, partitions=8)
+    out = run_extraction(c["documents"], c["ocr_words"], registry=reg)
+    return out.select(
+        "doc_id", "thumbprint", "recognizer_status", "document_number",
+        "tax_period", "account", "post_code",
+        F.round("net_total", 2).alias("net_total"),
+        F.round("grand_total", 2).alias("grand_total"),
+        F.size("line_items").alias("n_lines"),
+        F.size("errors").alias("n_errors"),
+        "is_valid",
+    )
+
+
 def _q131_snapshot_diff(spark, sf_dir):
     """Incremental/changelog read over the snapshot catalog
     (sink.py:snapshot_diff): q101's DML history is replayed (4 appends
@@ -5523,6 +5560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q190_trustrank": _q190_trustrank,
         "q191_bitext_ivf": _q191_bitext_ivf,
         "q192_image_decode": _q192_image_decode,
+        "q193_trained_extraction": _q193_trained_extraction,
     }
 
 
@@ -8179,6 +8217,14 @@ def _oracle_sql_literals() -> dict[str, str]:
         # ground-truth fields (fixtures/oracle_shred.py) and the generator's
         # golden span classification. Regenerate: python tools/make_goldens.py
         "q19_extract_documents": """
+          SELECT doc_id, thumbprint, recognizer_status, document_number,
+                 tax_period, account, post_code,
+                 net_total, grand_total, n_lines, n_errors, is_valid
+          FROM read_parquet('/root/repo/horus_spark/fixtures/goldens/q19_expected_documents.parquet')
+        """,
+        # q193: the TRAINED-config pipeline must reproduce the same
+        # independent golden the hand-written config does
+        "q193_trained_extraction": """
           SELECT doc_id, thumbprint, recognizer_status, document_number,
                  tax_period, account, post_code,
                  net_total, grand_total, n_lines, n_errors, is_valid
