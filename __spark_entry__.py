@@ -387,7 +387,7 @@ def _q16_simhash(spark, sf_dir):
 def _q17_ann_topk(spark, sf_dir):
     from horus_spark.operators.similarity import brute_force_topk
 
-    e = _load(spark, sf_dir, "embeddings")
+    e = _fanout(_load(spark, sf_dir, "embeddings"), key="vec_id")
     q = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
@@ -395,7 +395,7 @@ def _q17_ann_topk(spark, sf_dir):
 
 
 def _q18_label_norms(spark, sf_dir):
-    e = _load(spark, sf_dir, "embeddings")
+    e = _fanout(_load(spark, sf_dir, "embeddings"), key="vec_id")
     v = F.col("embedding").cast("array<double>")
     norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
     return (
@@ -469,7 +469,7 @@ def _q22_planes() -> list[list[float]]:
 def _q22_lsh_ann(spark, sf_dir):
     from horus_spark.operators.similarity import lsh_topk
 
-    e = _load(spark, sf_dir, "embeddings")
+    e = _fanout(_load(spark, sf_dir, "embeddings"), key="vec_id")
     q = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
@@ -479,7 +479,7 @@ def _q22_lsh_ann(spark, sf_dir):
 def _q23_cosine_neardup(spark, sf_dir):
     from horus_spark.operators.similarity import cosine_neardup_pairs
 
-    e = _load(spark, sf_dir, "embeddings")
+    e = _fanout(_load(spark, sf_dir, "embeddings"), key="vec_id")
     return cosine_neardup_pairs(e, threshold=0.3)
 
 
@@ -490,14 +490,14 @@ def _lsh_planes() -> list[list[float]]:
 def _q24_lsh_cosine_pairs(spark, sf_dir):
     from horus_spark.operators.similarity import lsh_cosine_pairs
 
-    e = _load(spark, sf_dir, "embeddings")
+    e = _fanout(_load(spark, sf_dir, "embeddings"), key="vec_id")
     return lsh_cosine_pairs(e, _lsh_planes(), threshold=0.2)
 
 
 def _q25_ivf_topk(spark, sf_dir):
     from horus_spark.operators.similarity import ivf_topk
 
-    e = _load(spark, sf_dir, "embeddings")
+    e = _fanout(_load(spark, sf_dir, "embeddings"), key="vec_id")
     q = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
@@ -677,7 +677,7 @@ def _q34_quantized_ann(spark, sf_dir):
     the top 3k candidates."""
     from horus_spark.operators.similarity import quantized_topk
 
-    e = _load(spark, sf_dir, "embeddings")
+    e = _fanout(_load(spark, sf_dir, "embeddings"), key="vec_id")
     q = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
@@ -692,7 +692,7 @@ def _q39_ivf_quantized_ann(spark, sf_dir):
     stand-in; production default is sample-fit k-means."""
     from horus_spark.operators.similarity import ivf_quantized_topk
 
-    e = _load(spark, sf_dir, "embeddings")
+    e = _fanout(_load(spark, sf_dir, "embeddings"), key="vec_id")
     q = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
@@ -829,7 +829,7 @@ def _q30_multiband_cosine(spark, sf_dir):
     of the single-band q24 tier, exact-cosine verified."""
     from horus_spark.operators.similarity import lsh_cosine_pairs_multiband
 
-    e = _load(spark, sf_dir, "embeddings")
+    e = _fanout(_load(spark, sf_dir, "embeddings"), key="vec_id")
     return lsh_cosine_pairs_multiband(e, _q30_planes(), threshold=0.2)
 
 
@@ -983,7 +983,7 @@ def _q48_semantic_dedup(spark, sf_dir):
     default is sample-fit k-means (see semdedup docstring)."""
     from horus_spark.operators.semdedup import semantic_dedup
 
-    e = _load(spark, sf_dir, "embeddings")
+    e = _fanout(_load(spark, sf_dir, "embeddings"), key="vec_id")
     return semantic_dedup(
         e, n_centroids=8, threshold=0.35, centroids="lowest_id"
     )
@@ -1162,7 +1162,7 @@ def _q59_label_centroids(spark, sf_dir):
     the centroid is bit-stable under any partitioning."""
     from horus_spark.operators.pooling import mean_pool
 
-    e = _load(spark, sf_dir, "embeddings")
+    e = _fanout(_load(spark, sf_dir, "embeddings"), key="vec_id")
     return mean_pool(e, ["label"], "embedding")
 
 
@@ -1393,7 +1393,7 @@ def _q73_kmeans_clusters(spark, sf_dir):
     k x d partials, never vectors."""
     from horus_spark.operators.kmeans import kmeans_clusters
 
-    e = _load(spark, sf_dir, "embeddings")
+    e = _fanout(_load(spark, sf_dir, "embeddings"), key="vec_id")
     return kmeans_clusters(e, k=8, n_iter=5)
 
 
@@ -1457,7 +1457,7 @@ def _q77_cluster_balanced_sample(spark, sf_dir):
     five Lloyd iterations recursively and applies the same window."""
     from horus_spark.operators.kmeans import cluster_balanced_sample
 
-    e = _load(spark, sf_dir, "embeddings")
+    e = _fanout(_load(spark, sf_dir, "embeddings"), key="vec_id")
     return cluster_balanced_sample(e, k=8, n_iter=5, per_cluster=5)
 
 
@@ -1563,7 +1563,7 @@ def _q82_hamming_ann(spark, sf_dir):
     exact float cosine rerank of the top 3k."""
     from horus_spark.operators.similarity import hamming_topk
 
-    e = _load(spark, sf_dir, "embeddings")
+    e = _fanout(_load(spark, sf_dir, "embeddings"), key="vec_id")
     q = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
@@ -1597,7 +1597,7 @@ def _q84_rrf_fusion(spark, sf_dir):
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     lex_ranked = lex.select("doc_id", F.row_number().over(w).alias("rank"))
 
-    e = _load(spark, sf_dir, "embeddings")
+    e = _fanout(_load(spark, sf_dir, "embeddings"), key="vec_id")
     q = e.filter(F.col("vec_id") == 0).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
@@ -2532,7 +2532,7 @@ def _q121_semantic_decontam(spark, sf_dir):
     threshold in SQL."""
     from horus_spark.operators.semdedup import semantic_decontaminate
 
-    e = _load(spark, sf_dir, "embeddings")
+    e = _fanout(_load(spark, sf_dir, "embeddings"), key="vec_id")
     bench = e.filter(F.col("vec_id") % 37 == 0).select(
         F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_vec")
     )
@@ -4228,7 +4228,7 @@ def _q184_ann_recall(spark, sf_dir):
     replays and the same recall join."""
     from horus_spark.operators.similarity import brute_force_topk, ivf_topk
 
-    e = _load(spark, sf_dir, "embeddings")
+    e = _fanout(_load(spark, sf_dir, "embeddings"), key="vec_id")
     q = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
@@ -5024,7 +5024,7 @@ def _q120_ivf_pq_ann(spark, sf_dir):
     and both rank windows in SQL."""
     from horus_spark.operators.pq import ivf_pq_topk, pq_codebooks
 
-    e = _load(spark, sf_dir, "embeddings")
+    e = _fanout(_load(spark, sf_dir, "embeddings"), key="vec_id")
     q = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
