@@ -226,7 +226,7 @@ def _q05_versioning(spark, sf_dir):
     """W1: document-versioning semantics (version = ROW_NUMBER per key by
     time, latest flag; reference SQL Patch/Add document versioning.sql:4-26,
     HorusSql.cs:221-233) over the events table."""
-    e = _load(spark, sf_dir, "events")
+    e = _fanout(_load(spark, sf_dir, "events"), key="event_id")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wall = Window.partitionBy("user_id")
     return e.select(
@@ -299,7 +299,7 @@ def _q08_accuracy_score(spark, sf_dir):
 
 def _q09_sessionize(spark, sf_dir):
     """Streaming-analog sessionization (30-min gap) as windowed batch."""
-    e = _load(spark, sf_dir, "events")
+    e = _fanout(_load(spark, sf_dir, "events"), key="event_id")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
     sess = e.withColumn("new_session", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
@@ -317,7 +317,7 @@ def _q09_sessionize(spark, sf_dir):
 def _q10_dedup_exact(spark, sf_dir):
     from horus_spark.operators.dedup import exact_dedup
 
-    d = _load(spark, sf_dir, "documents").withColumn("doc_id", F.col("doc_id").cast("string"))
+    d = _fanout(_load(spark, sf_dir, "documents")).withColumn("doc_id", F.col("doc_id").cast("string"))
     return exact_dedup(d)
 
 
@@ -325,7 +325,7 @@ def _q11_ngram_jaccard(spark, sf_dir):
     from horus_spark.operators.dedup import jaccard_pairs
 
     d = _fanout(
-        _load(spark, sf_dir, "documents").withColumn("doc_id", F.col("doc_id").cast("string"))
+        _fanout(_load(spark, sf_dir, "documents")).withColumn("doc_id", F.col("doc_id").cast("string"))
     )
     return jaccard_pairs(d, n=3, threshold=0.12)
 
@@ -333,7 +333,7 @@ def _q11_ngram_jaccard(spark, sf_dir):
 def _q12_token_stats(spark, sf_dir):
     from horus_spark.operators.textstats import token_count_expr
 
-    d = _load(spark, sf_dir, "documents")
+    d = _fanout(_load(spark, sf_dir, "documents"))
     return (
         d.groupBy("source")
         .agg(
@@ -347,7 +347,7 @@ def _q12_token_stats(spark, sf_dir):
 def _q13_quality(spark, sf_dir):
     from horus_spark.operators.textstats import quality_score_expr, token_count_expr
 
-    d = _load(spark, sf_dir, "documents")
+    d = _fanout(_load(spark, sf_dir, "documents"))
     return d.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         token_count_expr(F.col("text")).alias("n_tokens"),
@@ -358,7 +358,7 @@ def _q13_quality(spark, sf_dir):
 def _q14_langid(spark, sf_dir):
     from horus_spark.operators.textstats import langid_expr
 
-    d = _load(spark, sf_dir, "documents")
+    d = _fanout(_load(spark, sf_dir, "documents"))
     return d.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         langid_expr(F.col("text")).alias("lang_pred"),
@@ -368,7 +368,7 @@ def _q14_langid(spark, sf_dir):
 def _q15_fingerprint(spark, sf_dir):
     from horus_spark.operators.textstats import fingerprint_expr
 
-    d = _load(spark, sf_dir, "documents")
+    d = _fanout(_load(spark, sf_dir, "documents"))
     return d.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         fingerprint_expr(F.col("text")).alias("fingerprint"),
@@ -379,7 +379,7 @@ def _q16_simhash(spark, sf_dir):
     from horus_spark.operators.dedup import simhash
 
     d = _fanout(
-        _load(spark, sf_dir, "documents").withColumn("doc_id", F.col("doc_id").cast("string"))
+        _fanout(_load(spark, sf_dir, "documents")).withColumn("doc_id", F.col("doc_id").cast("string"))
     )
     return simhash(d, bits=32)
 
@@ -447,7 +447,7 @@ def _q21_minhash_pairs(spark, sf_dir):
     from horus_spark.operators.dedup import minhash_dedup_pairs
 
     d = _fanout(
-        _load(spark, sf_dir, "documents").withColumn("doc_id", F.col("doc_id").cast("string"))
+        _fanout(_load(spark, sf_dir, "documents")).withColumn("doc_id", F.col("doc_id").cast("string"))
     )
     return minhash_dedup_pairs(d, n=3, k=64, bands=16, threshold=0.3)
 
@@ -524,7 +524,7 @@ def _q26_model_registry(spark, sf_dir):
 
     reg = bootstrap_registry(spark)
     reg = register_model(reg, "abc", "model-abc-0002", FORMAT_CONFIGS["abc"])
-    scores = _load(spark, sf_dir, "documents").select(
+    scores = _fanout(_load(spark, sf_dir, "documents")).select(
         "doc_id", (F.col("n_chars") % 101).cast("double").alias("score")
     )
     reg = register_trained_model(
@@ -561,7 +561,7 @@ def _q28_asset_counts(spark, sf_dir):
     labels file; source 'web' owns one .fott project file."""
     from horus_spark.operators.inspection import asset_count_scores
 
-    d = _load(spark, sf_dir, "documents").select(
+    d = _fanout(_load(spark, sf_dir, "documents")).select(
         F.col("source").alias("container"),
         F.col("doc_id").cast("string").alias("doc_id"),
         "n_chars",
@@ -582,7 +582,7 @@ def _q29_subword_stats(spark, sf_dir):
     counts per doc + whitespace token count for comparison."""
     from horus_spark.operators.textstats import subword_count_expr, token_count_expr
 
-    d = _load(spark, sf_dir, "documents")
+    d = _fanout(_load(spark, sf_dir, "documents"))
     return d.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         token_count_expr(F.col("text")).alias("n_ws_tokens"),
@@ -596,7 +596,7 @@ def _q31_simhash_pairs(spark, sf_dir):
     from horus_spark.operators.dedup import simhash_pairs
 
     d = _fanout(
-        _load(spark, sf_dir, "documents").withColumn("doc_id", F.col("doc_id").cast("string"))
+        _fanout(_load(spark, sf_dir, "documents")).withColumn("doc_id", F.col("doc_id").cast("string"))
     )
     return simhash_pairs(d, bits=32, bands=4, max_hamming=3)
 
@@ -604,7 +604,7 @@ def _q31_simhash_pairs(spark, sf_dir):
 def _media_frame(spark, sf_dir):
     """Deterministic media table derived from documents: payload = UTF-8
     text bytes, media_type round-robins by n_chars, duration 10ms/char."""
-    d = _load(spark, sf_dir, "documents")
+    d = _fanout(_load(spark, sf_dir, "documents"))
     mt = (
         F.when(F.col("n_chars") % 3 == 0, F.lit("video"))
         .when(F.col("n_chars") % 3 == 1, F.lit("image"))
@@ -755,7 +755,7 @@ def _q33_dedup_pipeline(spark, sf_dir):
     from horus_spark.operators.dedup import dedup_pipeline
 
     d = _fanout(
-        _load(spark, sf_dir, "documents").withColumn("doc_id", F.col("doc_id").cast("string"))
+        _fanout(_load(spark, sf_dir, "documents")).withColumn("doc_id", F.col("doc_id").cast("string"))
     )
     return dedup_pipeline(d, n=3, k=64, bands=16, threshold=0.3, log_collapsed=False)[
         "fuzzy_pairs"
@@ -772,7 +772,7 @@ def _q40_dedup_clusters(spark, sf_dir):
     from horus_spark.operators.dedup import minhash_dedup_pairs
 
     d = _fanout(
-        _load(spark, sf_dir, "documents").withColumn(
+        _fanout(_load(spark, sf_dir, "documents")).withColumn(
             "doc_id", F.col("doc_id").cast("string")
         )
     )
@@ -842,7 +842,7 @@ def _q41_sequence_packing(spark, sf_dir):
     from horus_spark.operators.packing import pack_sequences
     from horus_spark.operators.textstats import token_count_expr
 
-    d = _load(spark, sf_dir, "documents").select(
+    d = _fanout(_load(spark, sf_dir, "documents")).select(
         F.col("doc_id").cast("string").alias("doc_id"),
         token_count_expr(F.col("text")).alias("n_tokens"),
     )
@@ -857,7 +857,7 @@ def _q42_stratified_sample(spark, sf_dir):
     (zero shuffle); the cap plans as WindowGroupLimit."""
     from horus_spark.operators.sampling import cap_per_key, stratified_sample
 
-    d = _load(spark, sf_dir, "documents").select(
+    d = _fanout(_load(spark, sf_dir, "documents")).select(
         F.col("doc_id").cast("string").alias("doc_id"), "lang", "source"
     )
     s = stratified_sample(
@@ -878,7 +878,7 @@ def _q43_asof_join(spark, sf_dir):
     inequality-join row explosion. Oracle is DuckDB's native ASOF JOIN."""
     from horus_spark.operators.asof import asof_join
 
-    ev = _load(spark, sf_dir, "events")
+    ev = _fanout(_load(spark, sf_dir, "events"), key="event_id")
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts"
     )
@@ -906,7 +906,7 @@ def _q44_interval_join(spark, sf_dir):
     BroadcastNestedLoopJoin, no per-key pair explosion)."""
     from horus_spark.operators.rangejoin import interval_join
 
-    ev = _load(spark, sf_dir, "events")
+    ev = _fanout(_load(spark, sf_dir, "events"), key="event_id")
     clicks = ev.filter(F.col("event_type") == "click").select(
         F.col("event_id").alias("click_id"),
         "user_id",
@@ -938,7 +938,7 @@ def _q45_repetition(spark, sf_dir):
     from horus_spark.operators.textstats import repetition_stats
 
     d = _fanout(
-        _load(spark, sf_dir, "documents").withColumn(
+        _fanout(_load(spark, sf_dir, "documents")).withColumn(
             "doc_id", F.col("doc_id").cast("string")
         )
     )
@@ -952,7 +952,7 @@ def _q46_weighted_sample(spark, sf_dir):
     and partitionings, planned as WindowGroupLimit top-k."""
     from horus_spark.operators.sampling import weighted_sample_per_key
 
-    d = _load(spark, sf_dir, "documents").select(
+    d = _fanout(_load(spark, sf_dir, "documents")).select(
         F.col("doc_id").cast("string").alias("doc_id"),
         "lang",
         F.col("n_chars").cast("double").alias("w"),
@@ -996,7 +996,7 @@ def _q49_top_ngrams(spark, sf_dir):
     from horus_spark.operators.textstats import top_ngrams
 
     d = _fanout(
-        _load(spark, sf_dir, "documents").withColumn(
+        _fanout(_load(spark, sf_dir, "documents")).withColumn(
             "doc_id", F.col("doc_id").cast("string")
         )
     )
@@ -1043,7 +1043,7 @@ def _q52_bm25(spark, sf_dir):
     from horus_spark.operators.ranking import bm25_topk
 
     d = _fanout(
-        _load(spark, sf_dir, "documents").withColumn(
+        _fanout(_load(spark, sf_dir, "documents")).withColumn(
             "doc_id", F.col("doc_id").cast("string")
         )
     )
@@ -1120,7 +1120,7 @@ def _q56_dup_paragraphs(spark, sf_dir):
     from horus_spark.operators.paragraphs import duplicate_paragraph_stats
 
     d = _fanout(
-        _load(spark, sf_dir, "documents").withColumn(
+        _fanout(_load(spark, sf_dir, "documents")).withColumn(
             "doc_id", F.col("doc_id").cast("string")
         )
     )
@@ -1135,7 +1135,7 @@ def _q57_lm_score(spark, sf_dir):
     from horus_spark.operators.lm_score import lm_score
 
     d = _fanout(
-        _load(spark, sf_dir, "documents").withColumn(
+        _fanout(_load(spark, sf_dir, "documents")).withColumn(
             "doc_id", F.col("doc_id").cast("string")
         )
     )
@@ -1175,7 +1175,7 @@ def _q60_dsir_weights(spark, sf_dir):
     from horus_spark.operators.dsir import dsir_log_weights
 
     d = _fanout(
-        _load(spark, sf_dir, "documents").withColumn(
+        _fanout(_load(spark, sf_dir, "documents")).withColumn(
             "doc_id", F.col("doc_id").cast("string")
         )
     )
@@ -1190,7 +1190,7 @@ def _q61_dup_spans(spark, sf_dir):
     from horus_spark.operators.paragraphs import duplicate_span_coverage
 
     d = _fanout(
-        _load(spark, sf_dir, "documents").withColumn(
+        _fanout(_load(spark, sf_dir, "documents")).withColumn(
             "doc_id", F.col("doc_id").cast("string")
         )
     )
@@ -1216,7 +1216,7 @@ def _q63_quality_filter(spark, sf_dir):
     from horus_spark.operators.quality_filter import gopher_quality_filter
 
     d = _fanout(
-        _load(spark, sf_dir, "documents").withColumn(
+        _fanout(_load(spark, sf_dir, "documents")).withColumn(
             "doc_id", F.col("doc_id").cast("string")
         )
     )
@@ -1233,7 +1233,7 @@ def _q64_dedup_keep_best(spark, sf_dir):
     from horus_spark.operators.dedup import minhash_dedup_pairs
 
     d = _fanout(
-        _load(spark, sf_dir, "documents").withColumn(
+        _fanout(_load(spark, sf_dir, "documents")).withColumn(
             "doc_id", F.col("doc_id").cast("string")
         )
     )
@@ -1248,7 +1248,7 @@ def _q65_containment_pairs(spark, sf_dir):
     from horus_spark.operators.dedup import containment_pairs
 
     d = _fanout(
-        _load(spark, sf_dir, "documents").withColumn(
+        _fanout(_load(spark, sf_dir, "documents")).withColumn(
             "doc_id", F.col("doc_id").cast("string")
         )
     )
@@ -1264,7 +1264,7 @@ def _q66_pagerank(spark, sf_dir):
     oracle replays the same recursion in a recursive CTE."""
     from horus_spark.operators.graph import pagerank
 
-    d = _load(spark, sf_dir, "documents")
+    d = _fanout(_load(spark, sf_dir, "documents"))
     edges = (
         d.select(
             (F.col("doc_id") % 211).alias("src"),
@@ -1304,7 +1304,7 @@ def _q68_time_rollup(spark, sf_dir):
     aggregates, never from corpus rows."""
     from horus_spark.operators.rollup import time_bucket_rollup
 
-    e = _load(spark, sf_dir, "events")
+    e = _fanout(_load(spark, sf_dir, "events"), key="event_id")
     return time_bucket_rollup(
         e, "ts", "event_type", "value", width_s=21600
     )
@@ -1317,7 +1317,7 @@ def _q69_zorder_key(spark, sf_dir):
     the oracle replays the same five bit-spreads."""
     from horus_spark.operators.zorder import zorder_key_expr
 
-    e = _load(spark, sf_dir, "events")
+    e = _fanout(_load(spark, sf_dir, "events"), key="event_id")
     return e.select(
         "event_id",
         (F.col("user_id") % 65536).alias("zx"),
@@ -1332,7 +1332,7 @@ def _q70_grouped_quantiles(spark, sf_dir):
     that is what makes Spark's percentile() and DuckDB's
     quantile_cont() bit-identical here (function-parity coverage for
     the reference's summary statistics tier)."""
-    e = _load(spark, sf_dir, "events")
+    e = _fanout(_load(spark, sf_dir, "events"), key="event_id")
     return (
         e.select(
             "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
@@ -1359,7 +1359,7 @@ def _q71_corpus_split(spark, sf_dir):
     leakage audits need and randomSplit lacks."""
     from horus_spark.operators.sampling import split_assign
 
-    d = _load(spark, sf_dir, "documents").select(
+    d = _fanout(_load(spark, sf_dir, "documents")).select(
         F.col("doc_id").cast("string").alias("doc_id"), "lang"
     )
     return (
@@ -1377,7 +1377,7 @@ def _q72_global_rownum(spark, sf_dir):
     corpus shuffle total (the second consumer rides ReusedExchange)."""
     from horus_spark.operators.indexing import global_row_number
 
-    e = _load(spark, sf_dir, "events").select("event_id", "user_id")
+    e = _fanout(_load(spark, sf_dir, "events"), key="event_id").select("event_id", "user_id")
     return global_row_number(e, ["event_id"]).select(
         "event_id", "user_id", "row_num"
     )
@@ -1405,7 +1405,7 @@ def _q74_epoch_shuffle(spark, sf_dir):
     numbering's extent bucketing wants."""
     from horus_spark.operators.indexing import epoch_shuffle
 
-    d = _load(spark, sf_dir, "documents").select("doc_id")
+    d = _fanout(_load(spark, sf_dir, "documents")).select("doc_id")
     return epoch_shuffle(d, "doc_id", epoch=1)
 
 
@@ -1418,7 +1418,7 @@ def _q75_ccnet_tiers(spark, sf_dir):
     from horus_spark.operators.lm_score import ccnet_tiers
 
     d = _fanout(
-        _load(spark, sf_dir, "documents").withColumn(
+        _fanout(_load(spark, sf_dir, "documents")).withColumn(
             "doc_id", F.col("doc_id").cast("string")
         )
     )
@@ -1437,7 +1437,7 @@ def _q76_incremental_dedup(spark, sf_dir):
     batch-side docs land exact_batch."""
     from horus_spark.operators.dedup import build_dedup_index, incremental_dedup
 
-    d = _load(spark, sf_dir, "documents").select(
+    d = _fanout(_load(spark, sf_dir, "documents")).select(
         F.col("doc_id").cast("string").alias("doc_id"), "text"
     )
     hmod = F.conv(F.substring(F.md5(F.col("doc_id")), 1, 7), 16, 10).cast("long")
@@ -1471,7 +1471,7 @@ def _q78_bigram_lm(spark, sf_dir):
     from horus_spark.operators.lm_score import bigram_lm_score
     from horus_spark.operators.sampling import md5_long
 
-    d = _load(spark, sf_dir, "documents").select(
+    d = _fanout(_load(spark, sf_dir, "documents")).select(
         F.col("doc_id").cast("string").alias("doc_id"), "text"
     )
     ref = d.filter(md5_long(F.col("doc_id"), "q78") % 3 != 0)
@@ -1489,7 +1489,7 @@ def _q79_c4_clean(spark, sf_dir):
     from horus_spark.operators.c4 import c4_line_stats
     from horus_spark.operators.sampling import md5_long
 
-    d = _load(spark, sf_dir, "documents").select(
+    d = _fanout(_load(spark, sf_dir, "documents")).select(
         F.col("doc_id").cast("string").alias("doc_id"), "text"
     )
     toks = F.split(F.trim(F.col("text")), r"\s+")
@@ -1536,7 +1536,7 @@ def _q80_pmi_collocations(spark, sf_dir):
     TakeOrdered. Ranks by ASSOCIATION where q49 ranks by frequency."""
     from horus_spark.operators.collocations import pmi_collocations
 
-    d = _load(spark, sf_dir, "documents").select(
+    d = _fanout(_load(spark, sf_dir, "documents")).select(
         F.col("doc_id").cast("string").alias("doc_id"), "text"
     )
     return pmi_collocations(d, min_count=5, top_k=50)
@@ -1550,7 +1550,7 @@ def _q81_char_entropy(spark, sf_dir):
     list_distinct promises the same SET, not the same order)."""
     from horus_spark.operators.textstats import char_entropy
 
-    d = _load(spark, sf_dir, "documents").select(
+    d = _fanout(_load(spark, sf_dir, "documents")).select(
         F.col("doc_id").cast("string").alias("doc_id"), "text"
     )
     return char_entropy(d)
@@ -1590,7 +1590,7 @@ def _q84_rrf_fusion(spark, sf_dir):
     from horus_spark.operators.ranking import bm25_topk, rrf_fuse
     from horus_spark.operators.similarity import brute_force_topk
 
-    d = _load(spark, sf_dir, "documents").withColumn(
+    d = _fanout(_load(spark, sf_dir, "documents")).withColumn(
         "doc_id", F.col("doc_id").cast("string")
     )
     lex = bm25_topk(d, "spark hash join window", k=25)
@@ -1615,7 +1615,7 @@ def _q85_tfidf_pairs(spark, sf_dir):
     (id_a, id_b, w_a*w_b) only — never text or full vectors."""
     from horus_spark.operators.tfidf import tfidf_cosine_pairs
 
-    d = _load(spark, sf_dir, "documents").select(
+    d = _fanout(_load(spark, sf_dir, "documents")).select(
         F.col("doc_id").cast("string").alias("doc_id"), "text"
     )
     return tfidf_cosine_pairs(d, threshold=0.3, max_df=50)
@@ -1628,7 +1628,7 @@ def _q86_winnow_pairs(spark, sf_dir):
     the join shuffles (fp, id) longs only, df-capped at 50."""
     from horus_spark.operators.winnow import winnow_candidate_pairs
 
-    d = _load(spark, sf_dir, "documents").select(
+    d = _fanout(_load(spark, sf_dir, "documents")).select(
         F.col("doc_id").cast("string").alias("doc_id"), "text"
     )
     return winnow_candidate_pairs(d, k=3, w=4, min_shared=2, max_df=50, salt="s86")
@@ -1654,7 +1654,7 @@ def _q87_scd2_history(spark, sf_dir):
 def _interleaved_docs(spark, sf_dir) -> DataFrame:
     """North-rule interleaved corpus derived from documents (see
     _interleave_spans_over for the construction)."""
-    return _interleave_spans_over(_load(spark, sf_dir, "documents"))
+    return _interleave_spans_over(_fanout(_load(spark, sf_dir, "documents")))
 
 
 def _interleave_spans_over(d: DataFrame) -> DataFrame:
@@ -1762,7 +1762,7 @@ def _q90_multimodal_dedup(spark, sf_dir):
     singletons, which text-only dedup would wrongly merge."""
     from horus_spark.operators.interleave import multimodal_dedup
 
-    base = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    base = _fanout(_load(spark, sf_dir, "documents")).select("doc_id", "text")
     c1 = base.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
     c2 = base.filter(F.col("doc_id") % 5 == 0).select(
         (F.col("doc_id") + 2000001).alias("doc_id"), "text"
@@ -1799,7 +1799,7 @@ def _q91_media_integrity(spark, sf_dir):
     sp = F.split(F.col("asset_id"), "-")
     present = _media_refs(spans).filter(F.element_at(sp, 3) != "5")
     orphans = (
-        _load(spark, sf_dir, "documents")
+        _fanout(_load(spark, sf_dir, "documents"))
         .filter(F.col("doc_id") % 10 == 0)
         .select(
             F.concat(F.lit("asset-orphan-"), F.col("doc_id").cast("string")).alias(
@@ -1875,7 +1875,7 @@ def _q95_multimodal_minhash(spark, sf_dir):
     including LSH recall."""
     from horus_spark.operators.interleave import multimodal_minhash_pairs
 
-    base = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    base = _fanout(_load(spark, sf_dir, "documents")).select("doc_id", "text")
     c2 = base.filter(F.col("doc_id") % 5 == 0).select(
         (F.col("doc_id") + 2000001).alias("doc_id"), "text"
     )
@@ -1923,7 +1923,7 @@ def _q97_incremental_multimodal(spark, sf_dir):
         incremental_multimodal_dedup,
     )
 
-    base = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    base = _fanout(_load(spark, sf_dir, "documents")).select("doc_id", "text")
     d = F.col("doc_id")
     zz = F.concat(F.lit("zz "), F.col("text")).alias("text")
     batch_docs = (
@@ -1958,7 +1958,7 @@ def _q98_redact_spans(spark, sf_dir):
     from horus_spark.operators.interleave import redact_spans
 
     d = F.col("doc_id")
-    planted = _load(spark, sf_dir, "documents").select(
+    planted = _fanout(_load(spark, sf_dir, "documents")).select(
         "doc_id",
         F.concat(
             F.col("text"),
@@ -2015,7 +2015,7 @@ def _q100_multimodal_keep_best(spark, sf_dir):
         multimodal_minhash_pairs,
     )
 
-    base = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    base = _fanout(_load(spark, sf_dir, "documents")).select("doc_id", "text")
     c2 = base.filter(F.col("doc_id") % 5 == 0).select(
         (F.col("doc_id") + 2000001).alias("doc_id"), "text"
     )
@@ -2253,7 +2253,7 @@ def _q113_crawl_frontier(spark, sf_dir):
     seen = pages.select("url")
     dl = F.col("doc_id").cast("long")
     domains = (
-        _load(spark, sf_dir, "documents")
+        _fanout(_load(spark, sf_dir, "documents"))
         .select((dl % 50).alias("k"))
         .distinct()
     )
@@ -2300,7 +2300,7 @@ def _q107_extraction_eval(spark, sf_dir):
     pred = html_blocks(pages).where(F.col("is_content") == 1).select(
         "doc_id", F.col("block_text").alias("text")
     )
-    d = _load(spark, sf_dir, "documents")
+    d = _fanout(_load(spark, sf_dir, "documents"))
     gold = d.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.concat(
@@ -2437,7 +2437,7 @@ def _q114_sitemap_parse(spark, sf_dir):
     entry-split + per-field extraction in SQL."""
     from horus_spark.operators.sitemap import parse_sitemaps
 
-    d = _load(spark, sf_dir, "documents")
+    d = _fanout(_load(spark, sf_dir, "documents"))
     dl = F.col("doc_id").cast("long")
     ks = (dl % 50).cast("string")
     lastmod = F.when(dl % 3 == 0, F.lit("")).otherwise(
@@ -2573,7 +2573,7 @@ def _q133_event_transitions(spark, sf_dir):
     each state's top successor (count desc, successor asc). One window
     pass (lag over the user partition, no self-join) + one hash agg —
     the Markov-chain view behind session-flow and funnel analytics."""
-    e = _load(spark, sf_dir, "events")
+    e = _fanout(_load(spark, sf_dir, "events"), key="event_id")
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -2602,7 +2602,7 @@ def _q134_cohort_retention(spark, sf_dir):
     at real scale: the user dimension is small next to the event
     stream); day arithmetic is integer epoch-days so every engine
     agrees."""
-    e = _load(spark, sf_dir, "events")
+    e = _fanout(_load(spark, sf_dir, "events"), key="event_id")
     day = (F.unix_timestamp("ts") / 86400).cast("long")
     ev = e.select("user_id", day.alias("d"))
     first = ev.groupBy("user_id").agg(F.min("d").alias("cohort_d"))
@@ -2632,7 +2632,7 @@ def _q135_mojibake(spark, sf_dir):
     round-trips and no clean doc was rewritten. Zero shuffle."""
     from horus_spark.operators.textfix import fix_mojibake_expr
 
-    d = _load(spark, sf_dir, "documents")
+    d = _fanout(_load(spark, sf_dir, "documents"))
     cls = F.col("doc_id") % 4
     planted = F.when(
         cls.isin(1, 2),
@@ -2738,7 +2738,7 @@ def _q137_triangles(spark, sf_dir):
     oracle replays the orientation, wedge closure and ppm division."""
     from horus_spark.operators.graph import triangles
 
-    d = _load(spark, sf_dir, "documents")
+    d = _fanout(_load(spark, sf_dir, "documents"))
     edges = None
     for mul, add in ((3, 1), (7, 2), (1, 1)):
         e = d.select(
@@ -2759,7 +2759,7 @@ def _q138_funnel(spark, sf_dir):
     111/29/10)."""
     from horus_spark.operators.funnel import funnel
 
-    e = _load(spark, sf_dir, "events")
+    e = _fanout(_load(spark, sf_dir, "events"), key="event_id")
     return funnel(
         e, ["signup", "view", "purchase"], window_s=86400
     )
@@ -2778,7 +2778,7 @@ def _q139_prefix_jaccard(spark, sf_dir):
     from horus_spark.operators.ssjoin import prefix_jaccard_pairs
 
     d = _fanout(
-        _load(spark, sf_dir, "documents").withColumn(
+        _fanout(_load(spark, sf_dir, "documents")).withColumn(
             "doc_id", F.col("doc_id").cast("string")
         )
     )
@@ -2807,7 +2807,7 @@ def _q140_gazetteer(spark, sf_dir):
     same per-length gram generation and dictionary join in SQL."""
     from horus_spark.operators.gazetteer import gazetteer_match
 
-    d = _load(spark, sf_dir, "documents").withColumn(
+    d = _fanout(_load(spark, sf_dir, "documents")).withColumn(
         "doc_id", F.col("doc_id").cast("string")
     )
     dim = spark.createDataFrame(_GAZETTEER, "phrase string, label string")
@@ -2945,7 +2945,7 @@ def _q145_domain_prior(spark, sf_dir):
     from horus_spark.operators.priors import shrunk_keep_rate
 
     scored = _q142_classifier(spark, sf_dir).select("doc_id", "keep")
-    src = _load(spark, sf_dir, "documents").select("doc_id", "source")
+    src = _fanout(_load(spark, sf_dir, "documents")).select("doc_id", "source")
     return shrunk_keep_rate(
         scored.join(src, "doc_id"),
         keep_col="keep",
@@ -3403,7 +3403,7 @@ def _q159_feed_parse(spark, sf_dir):
     and drop-without-reindex semantics are all exact."""
     from horus_spark.operators.feeds import parse_feeds
 
-    d = _load(spark, sf_dir, "documents")
+    d = _fanout(_load(spark, sf_dir, "documents"))
     n = F.col("doc_id").cast("long")
     ns = n.cast("string")
     k = n % 50
@@ -3543,7 +3543,7 @@ def _q160_maxscore_topk(spark, sf_dir):
     from horus_spark.operators.ranking import maxscore_topk
 
     d = _fanout(
-        _load(spark, sf_dir, "documents").withColumn(
+        _fanout(_load(spark, sf_dir, "documents")).withColumn(
             "doc_id", F.col("doc_id").cast("string")
         )
     )
@@ -4092,7 +4092,7 @@ def _q180_alias_resolution(spark, sf_dir):
     recursive CTE (the q117 pattern)."""
     from horus_spark.operators.redirects import resolve_aliases
 
-    d = _load(spark, sf_dir, "documents")
+    d = _fanout(_load(spark, sf_dir, "documents"))
     n = F.col("doc_id").cast("long")
 
     def p(expr):
@@ -4152,7 +4152,7 @@ def _q183_dedup_recall(spark, sf_dir):
     from horus_spark.operators.dedup import minhash_dedup_pairs
 
     d = _fanout(
-        _load(spark, sf_dir, "documents").withColumn(
+        _fanout(_load(spark, sf_dir, "documents")).withColumn(
             "doc_id", F.col("doc_id").cast("string")
         )
     ).select("doc_id", "text")
@@ -4475,7 +4475,7 @@ def _q190_trustrank(spark, sf_dir):
     the seed-conditional jump)."""
     from horus_spark.operators.graph import trustrank
 
-    d = _load(spark, sf_dir, "documents")
+    d = _fanout(_load(spark, sf_dir, "documents"))
     n = F.col("doc_id").cast("long")
     src = (n % 211).alias("src")
     e1 = d.select(src, ((n * 31 + 7) % 211).alias("dst"))
@@ -4704,7 +4704,7 @@ def _q130_deskew(spark, sf_dir):
     count — bit-exact across engines by construction."""
     from horus_spark.operators.deskew import estimate_skew
 
-    d = _load(spark, sf_dir, "documents")
+    d = _fanout(_load(spark, sf_dir, "documents"))
     words = F.filter(
         F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"),
         lambda w: w != "",
@@ -4742,7 +4742,7 @@ def _q129_kmv_set_ops(spark, sf_dir):
     SQL."""
     from horus_spark.operators.sketches import kmv_set_ops, kmv_sketch
 
-    d = _load(spark, sf_dir, "documents")
+    d = _fanout(_load(spark, sf_dir, "documents"))
     host = F.concat(F.lit("site-"), (F.col("doc_id") % 50).cast("string"))
     prev = d.select(host.alias("host"), F.md5("text").alias("dg"))
     curr = (
@@ -4848,7 +4848,7 @@ def _q126_edit1_pairs(spark, sf_dir):
     string pairs; the only corpus-scale stage is the token count."""
     from horus_spark.operators.fuzzy import edit1_pairs
 
-    d = _load(spark, sf_dir, "documents")
+    d = _fanout(_load(spark, sf_dir, "documents"))
     toks = d.select(
         "doc_id",
         F.posexplode(
@@ -4887,7 +4887,7 @@ def _q125_reading_order(spark, sf_dir):
     misses a real gutter nor hallucinates one on full-width pages."""
     from horus_spark.operators.reading_order import column_reading_order
 
-    d = _load(spark, sf_dir, "documents")
+    d = _fanout(_load(spark, sf_dir, "documents"))
     words = F.filter(
         F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"),
         lambda w: w != "",
@@ -4928,7 +4928,7 @@ def _q124_dehyphenate(spark, sf_dir):
     shuffle: synthesis and repair are both array expressions."""
     from horus_spark.operators.textfix import dehyphenate
 
-    d = _load(spark, sf_dir, "documents")
+    d = _fanout(_load(spark, sf_dir, "documents"))
     words = F.filter(
         F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"),
         lambda w: w != "",
@@ -4976,7 +4976,7 @@ def _q123_hits(spark, sf_dir):
     the recursion over HUGEINT in a recursive CTE."""
     from horus_spark.operators.graph import hits
 
-    d = _load(spark, sf_dir, "documents")
+    d = _fanout(_load(spark, sf_dir, "documents"))
     edges = (
         d.select(
             (F.col("doc_id") % 199).alias("src"),
@@ -5051,7 +5051,7 @@ def _q118_host_mirrors(spark, sf_dir):
     end."""
     from horus_spark.operators.mirrors import host_mirror_pairs
 
-    d = _load(spark, sf_dir, "documents")
+    d = _fanout(_load(spark, sf_dir, "documents"))
     n = F.col("doc_id").cast("long")
     dg = F.md5(F.col("text"))
     site = d.select(
@@ -5088,7 +5088,7 @@ def _q119_recrawl_delta(spark, sf_dir):
         host_change_rates,
     )
 
-    d = _load(spark, sf_dir, "documents")
+    d = _fanout(_load(spark, sf_dir, "documents"))
     n = F.col("doc_id").cast("long")
     ns = n.cast("string")
     purl = F.concat(
@@ -5147,7 +5147,7 @@ def _q117_redirect_resolution(spark, sf_dir):
     one equi-join."""
     from horus_spark.operators.redirects import resolve_redirects
 
-    d = _load(spark, sf_dir, "documents")
+    d = _fanout(_load(spark, sf_dir, "documents"))
     n = F.col("doc_id").cast("long")
     url = F.concat(F.lit("https://x.test/r/"), n.cast("string"))
     dstn = F.when(n % 100 == 55, n - 1).otherwise(n + 1)
@@ -5202,7 +5202,7 @@ def _q115_trap_families(spark, sf_dir):
     url) triples; host-total join is dimension-keyed."""
     from horus_spark.operators.urls import trap_families
 
-    d = _load(spark, sf_dir, "documents")
+    d = _fanout(_load(spark, sf_dir, "documents"))
     dl = F.col("doc_id").cast("long")
     ks = (dl % 50).cast("string")
     site = F.concat(F.lit("https://site-"), ks, F.lit(".test"))
@@ -5294,7 +5294,7 @@ def _q111_robots_policy(spark, sf_dir):
     combined."""
     from horus_spark.operators.robots import apply_robots, parse_robots
 
-    d = _load(spark, sf_dir, "documents")
+    d = _fanout(_load(spark, sf_dir, "documents"))
     dl = F.col("doc_id").cast("long")
     ks = (dl % 50).cast("string")
     did = dl.cast("string")
