@@ -325,7 +325,7 @@ def _q11_ngram_jaccard(spark, sf_dir):
     from horus_spark.operators.dedup import jaccard_pairs
 
     d = _fanout(
-        _fanout(_load(spark, sf_dir, "documents")).withColumn("doc_id", F.col("doc_id").cast("string"))
+        _load(spark, sf_dir, "documents").withColumn("doc_id", F.col("doc_id").cast("string"))
     )
     return jaccard_pairs(d, n=3, threshold=0.12)
 
@@ -379,7 +379,7 @@ def _q16_simhash(spark, sf_dir):
     from horus_spark.operators.dedup import simhash
 
     d = _fanout(
-        _fanout(_load(spark, sf_dir, "documents")).withColumn("doc_id", F.col("doc_id").cast("string"))
+        _load(spark, sf_dir, "documents").withColumn("doc_id", F.col("doc_id").cast("string"))
     )
     return simhash(d, bits=32)
 
@@ -447,7 +447,7 @@ def _q21_minhash_pairs(spark, sf_dir):
     from horus_spark.operators.dedup import minhash_dedup_pairs
 
     d = _fanout(
-        _fanout(_load(spark, sf_dir, "documents")).withColumn("doc_id", F.col("doc_id").cast("string"))
+        _load(spark, sf_dir, "documents").withColumn("doc_id", F.col("doc_id").cast("string"))
     )
     return minhash_dedup_pairs(d, n=3, k=64, bands=16, threshold=0.3)
 
@@ -596,7 +596,7 @@ def _q31_simhash_pairs(spark, sf_dir):
     from horus_spark.operators.dedup import simhash_pairs
 
     d = _fanout(
-        _fanout(_load(spark, sf_dir, "documents")).withColumn("doc_id", F.col("doc_id").cast("string"))
+        _load(spark, sf_dir, "documents").withColumn("doc_id", F.col("doc_id").cast("string"))
     )
     return simhash_pairs(d, bits=32, bands=4, max_hamming=3)
 
@@ -755,7 +755,7 @@ def _q33_dedup_pipeline(spark, sf_dir):
     from horus_spark.operators.dedup import dedup_pipeline
 
     d = _fanout(
-        _fanout(_load(spark, sf_dir, "documents")).withColumn("doc_id", F.col("doc_id").cast("string"))
+        _load(spark, sf_dir, "documents").withColumn("doc_id", F.col("doc_id").cast("string"))
     )
     return dedup_pipeline(d, n=3, k=64, bands=16, threshold=0.3, log_collapsed=False)[
         "fuzzy_pairs"
@@ -772,7 +772,7 @@ def _q40_dedup_clusters(spark, sf_dir):
     from horus_spark.operators.dedup import minhash_dedup_pairs
 
     d = _fanout(
-        _fanout(_load(spark, sf_dir, "documents")).withColumn(
+        _load(spark, sf_dir, "documents").withColumn(
             "doc_id", F.col("doc_id").cast("string")
         )
     )
@@ -938,7 +938,7 @@ def _q45_repetition(spark, sf_dir):
     from horus_spark.operators.textstats import repetition_stats
 
     d = _fanout(
-        _fanout(_load(spark, sf_dir, "documents")).withColumn(
+        _load(spark, sf_dir, "documents").withColumn(
             "doc_id", F.col("doc_id").cast("string")
         )
     )
@@ -996,7 +996,7 @@ def _q49_top_ngrams(spark, sf_dir):
     from horus_spark.operators.textstats import top_ngrams
 
     d = _fanout(
-        _fanout(_load(spark, sf_dir, "documents")).withColumn(
+        _load(spark, sf_dir, "documents").withColumn(
             "doc_id", F.col("doc_id").cast("string")
         )
     )
@@ -1043,7 +1043,7 @@ def _q52_bm25(spark, sf_dir):
     from horus_spark.operators.ranking import bm25_topk
 
     d = _fanout(
-        _fanout(_load(spark, sf_dir, "documents")).withColumn(
+        _load(spark, sf_dir, "documents").withColumn(
             "doc_id", F.col("doc_id").cast("string")
         )
     )
@@ -1120,7 +1120,7 @@ def _q56_dup_paragraphs(spark, sf_dir):
     from horus_spark.operators.paragraphs import duplicate_paragraph_stats
 
     d = _fanout(
-        _fanout(_load(spark, sf_dir, "documents")).withColumn(
+        _load(spark, sf_dir, "documents").withColumn(
             "doc_id", F.col("doc_id").cast("string")
         )
     )
@@ -1135,7 +1135,7 @@ def _q57_lm_score(spark, sf_dir):
     from horus_spark.operators.lm_score import lm_score
 
     d = _fanout(
-        _fanout(_load(spark, sf_dir, "documents")).withColumn(
+        _load(spark, sf_dir, "documents").withColumn(
             "doc_id", F.col("doc_id").cast("string")
         )
     )
@@ -1175,7 +1175,7 @@ def _q60_dsir_weights(spark, sf_dir):
     from horus_spark.operators.dsir import dsir_log_weights
 
     d = _fanout(
-        _fanout(_load(spark, sf_dir, "documents")).withColumn(
+        _load(spark, sf_dir, "documents").withColumn(
             "doc_id", F.col("doc_id").cast("string")
         )
     )
@@ -1190,7 +1190,7 @@ def _q61_dup_spans(spark, sf_dir):
     from horus_spark.operators.paragraphs import duplicate_span_coverage
 
     d = _fanout(
-        _fanout(_load(spark, sf_dir, "documents")).withColumn(
+        _load(spark, sf_dir, "documents").withColumn(
             "doc_id", F.col("doc_id").cast("string")
         )
     )
@@ -1216,7 +1216,7 @@ def _q63_quality_filter(spark, sf_dir):
     from horus_spark.operators.quality_filter import gopher_quality_filter
 
     d = _fanout(
-        _fanout(_load(spark, sf_dir, "documents")).withColumn(
+        _load(spark, sf_dir, "documents").withColumn(
             "doc_id", F.col("doc_id").cast("string")
         )
     )
@@ -1233,7 +1233,7 @@ def _q64_dedup_keep_best(spark, sf_dir):
     from horus_spark.operators.dedup import minhash_dedup_pairs
 
     d = _fanout(
-        _fanout(_load(spark, sf_dir, "documents")).withColumn(
+        _load(spark, sf_dir, "documents").withColumn(
             "doc_id", F.col("doc_id").cast("string")
         )
     )
@@ -1248,7 +1248,7 @@ def _q65_containment_pairs(spark, sf_dir):
     from horus_spark.operators.dedup import containment_pairs
 
     d = _fanout(
-        _fanout(_load(spark, sf_dir, "documents")).withColumn(
+        _load(spark, sf_dir, "documents").withColumn(
             "doc_id", F.col("doc_id").cast("string")
         )
     )
@@ -1418,7 +1418,7 @@ def _q75_ccnet_tiers(spark, sf_dir):
     from horus_spark.operators.lm_score import ccnet_tiers
 
     d = _fanout(
-        _fanout(_load(spark, sf_dir, "documents")).withColumn(
+        _load(spark, sf_dir, "documents").withColumn(
             "doc_id", F.col("doc_id").cast("string")
         )
     )
@@ -1762,7 +1762,9 @@ def _q90_multimodal_dedup(spark, sf_dir):
     singletons, which text-only dedup would wrongly merge."""
     from horus_spark.operators.interleave import multimodal_dedup
 
-    base = _fanout(_load(spark, sf_dir, "documents")).select("doc_id", "text")
+    # base stays un-normalized: the spans frame fans out below and a
+    # second repartition of the compact source would only add exchange
+    base = _load(spark, sf_dir, "documents").select("doc_id", "text")
     c1 = base.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
     c2 = base.filter(F.col("doc_id") % 5 == 0).select(
         (F.col("doc_id") + 2000001).alias("doc_id"), "text"
@@ -2778,7 +2780,7 @@ def _q139_prefix_jaccard(spark, sf_dir):
     from horus_spark.operators.ssjoin import prefix_jaccard_pairs
 
     d = _fanout(
-        _fanout(_load(spark, sf_dir, "documents")).withColumn(
+        _load(spark, sf_dir, "documents").withColumn(
             "doc_id", F.col("doc_id").cast("string")
         )
     )
@@ -3543,7 +3545,7 @@ def _q160_maxscore_topk(spark, sf_dir):
     from horus_spark.operators.ranking import maxscore_topk
 
     d = _fanout(
-        _fanout(_load(spark, sf_dir, "documents")).withColumn(
+        _load(spark, sf_dir, "documents").withColumn(
             "doc_id", F.col("doc_id").cast("string")
         )
     )
@@ -4152,7 +4154,7 @@ def _q183_dedup_recall(spark, sf_dir):
     from horus_spark.operators.dedup import minhash_dedup_pairs
 
     d = _fanout(
-        _fanout(_load(spark, sf_dir, "documents")).withColumn(
+        _load(spark, sf_dir, "documents").withColumn(
             "doc_id", F.col("doc_id").cast("string")
         )
     ).select("doc_id", "text")
