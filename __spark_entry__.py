@@ -226,7 +226,10 @@ def _q05_versioning(spark, sf_dir):
     """W1: document-versioning semantics (version = ROW_NUMBER per key by
     time, latest flag; reference SQL Patch/Add document versioning.sql:4-26,
     HorusSql.cs:221-233) over the events table."""
-    e = _fanout(_load(spark, sf_dir, "events"), key="event_id")
+    # no split normalization here: the window's own hash exchange on
+    # user_id immediately re-partitions, so a round-robin ahead of it
+    # is pure extra exchange
+    e = _load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wall = Window.partitionBy("user_id")
     return e.select(
@@ -299,7 +302,10 @@ def _q08_accuracy_score(spark, sf_dir):
 
 def _q09_sessionize(spark, sf_dir):
     """Streaming-analog sessionization (30-min gap) as windowed batch."""
-    e = _fanout(_load(spark, sf_dir, "events"), key="event_id")
+    # no split normalization here: the window's own hash exchange on
+    # user_id immediately re-partitions, so a round-robin ahead of it
+    # is pure extra exchange
+    e = _load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
     sess = e.withColumn("new_session", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
