@@ -4641,6 +4641,118 @@ def _q193_trained_extraction(spark, sf_dir):
     )
 
 
+def _q194_components_audit(spark, sf_dir):
+    """Connected-components VALIDITY AUDIT — the scale-tier check for
+    q40: the recursive-CTE replay oracle is DuckDB-infeasible beyond
+    ~5k docs (CORRECTNESS_SF1.json), so this audit verifies the
+    large-star/small-star output STRUCTURALLY, with no recursion
+    anywhere — runnable (and run, green) at the 10x sf1 dir:
+
+      n_edge_violations      every minhash pair's endpoints share a
+                             cluster (no under-merge);
+      n_canonical_violations cluster_id == min member id;
+      n_size_violations      cluster_size == the actual member count;
+      n_undersupported       every size-k cluster carries >= k-1
+                             intra-cluster pairs — a spanning-tree
+                             NECESSARY condition that catches
+                             over-merge (members no pair path could
+                             have connected).
+
+    The oracle replays the q21 pair pipeline for n_docs/n_pairs and
+    pins all four violation counts at ZERO — green means the pair
+    generation matches SQL exactly AND the closure is structurally
+    sound. The companion pytest plants a corrupted clustering and
+    proves each audit actually fires (no vacuous zeros)."""
+    from horus_spark.operators.components import assign_clusters
+    from horus_spark.operators.dedup import minhash_dedup_pairs
+
+    d = _fanout(
+        _load(spark, sf_dir, "documents").withColumn(
+            "doc_id", F.col("doc_id").cast("string")
+        )
+    )
+    pairs = minhash_dedup_pairs(
+        d, n=3, k=64, bands=16, threshold=0.3
+    ).localCheckpoint(eager=False)
+    clusters = assign_clusters(d, pairs).localCheckpoint(eager=False)
+    return _components_audit_frame(d, pairs, clusters)
+
+
+def _components_audit_frame(d, pairs, clusters):
+    """The four structural audits as ONE row of scalar aggregates
+    (shared by q194 and the corruption pytest). All joins are id- or
+    cluster-keyed equi-joins; every audit is an aggregate with
+    map-side combine — no recursion, no crossJoin except the final
+    scalar assembly (6 one-row frames)."""
+    ca = clusters.select(
+        F.col("id").alias("a"), F.col("cluster_id").alias("cl_a")
+    )
+    cb = clusters.select(
+        F.col("id").alias("b"), F.col("cluster_id").alias("cl_b")
+    )
+    p = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    pj = p.join(ca, "a").join(cb, "b").localCheckpoint(eager=False)
+    edge = pj.agg(
+        F.coalesce(
+            F.sum((F.col("cl_a") != F.col("cl_b")).cast("long")), F.lit(0)
+        ).alias("n_edge_violations")
+    )
+    per_cl = clusters.groupBy("cluster_id").agg(
+        F.min("id").alias("__mn"),
+        F.count(F.lit(1)).alias("__n"),
+        F.min("cluster_size").alias("__szmn"),
+        F.max("cluster_size").alias("__szmx"),
+    )
+    canon = per_cl.agg(
+        F.coalesce(
+            F.sum((F.col("__mn") != F.col("cluster_id")).cast("long")),
+            F.lit(0),
+        ).alias("n_canonical_violations")
+    )
+    size = per_cl.agg(
+        F.coalesce(
+            F.sum(
+                (
+                    (F.col("__szmn") != F.col("__n"))
+                    | (F.col("__szmx") != F.col("__n"))
+                ).cast("long")
+            ),
+            F.lit(0),
+        ).alias("n_size_violations")
+    )
+    # spanning support: intra-edges per cluster (pairs whose endpoints
+    # agree — disagreeing ones are already edge violations)
+    epc = (
+        pj.where(F.col("cl_a") == F.col("cl_b"))
+        .groupBy(F.col("cl_a").alias("cluster_id"))
+        .agg(F.count(F.lit(1)).alias("__e"))
+    )
+    under = (
+        per_cl.where(F.col("__n") > 1)
+        .join(epc, "cluster_id", "left")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    (
+                        F.coalesce(F.col("__e"), F.lit(0))
+                        < F.col("__n") - 1
+                    ).cast("long")
+                ),
+                F.lit(0),
+            ).alias("n_undersupported_clusters")
+        )
+    )
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    n_pairs = p.agg(F.count(F.lit(1)).alias("n_pairs"))
+    return (
+        n_docs.crossJoin(n_pairs)
+        .crossJoin(edge)
+        .crossJoin(canon)
+        .crossJoin(size)
+        .crossJoin(under)
+    )
+
+
 def _q131_snapshot_diff(spark, sf_dir):
     """Incremental/changelog read over the snapshot catalog
     (sink.py:snapshot_diff): q101's DML history is replayed (4 appends
@@ -5569,6 +5681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q191_bitext_ivf": _q191_bitext_ivf,
         "q192_image_decode": _q192_image_decode,
         "q193_trained_extraction": _q193_trained_extraction,
+        "q194_components_audit": _q194_components_audit,
     }
 
 
@@ -8252,6 +8365,18 @@ def _oracle_sql_literals() -> dict[str, str]:
                unnest([1, 2]) AS u(v)
         """,
         "q21_minhash_pairs": minhash_sql,
+        # q194: pair counts replay the q21 pipeline; the four
+        # structural audits are pinned at ZERO (the recursion-free
+        # scale-tier check for the q40 closure)
+        "q194_components_audit": f"""
+          WITH pairs AS ({minhash_sql})
+          SELECT (SELECT count(*) FROM documents) AS n_docs,
+                 (SELECT count(*) FROM pairs) AS n_pairs,
+                 CAST(0 AS BIGINT) AS n_edge_violations,
+                 CAST(0 AS BIGINT) AS n_canonical_violations,
+                 CAST(0 AS BIGINT) AS n_size_violations,
+                 CAST(0 AS BIGINT) AS n_undersupported_clusters
+        """,
         "q95_multimodal_minhash": q95_sql,
         "q97_incremental_multimodal": q97_sql,
         "q98_redact_spans": q98_sql,

@@ -93,3 +93,57 @@ def test_assign_clusters_includes_singletons(spark):
     # keep-one-per-group: exactly one row per cluster has id == cluster_id
     keep = [r for r in rows.values() if r.id == r.cluster_id]
     assert len(keep) == 5  # d0, d1, d2, d4, d6
+
+
+def test_components_audit_fires_on_planted_corruption(spark):
+    """The q194 structural audits must not be vacuous: a correct
+    clustering scores all zeros, and each planted corruption trips
+    exactly its own counter."""
+    from __spark_entry__ import _components_audit_frame
+
+    docs = spark.createDataFrame(
+        [(f"d{i}",) for i in range(8)], "doc_id string"
+    )
+    pairs = spark.createDataFrame(
+        [("d1", "d3"), ("d3", "d5"), ("d6", "d7")], "id_a string, id_b string"
+    )
+    good = assign_clusters(docs, pairs)
+
+    def audit(clusters):
+        r = _components_audit_frame(docs, pairs, clusters).collect()[0]
+        return (
+            r.n_edge_violations, r.n_canonical_violations,
+            r.n_size_violations, r.n_undersupported_clusters,
+        )
+
+    assert audit(good) == (0, 0, 0, 0)
+
+    # under-merge: d5 torn out of its cluster -> the (d3,d5) pair's
+    # endpoints disagree (edge violation) and sizes go stale
+    torn = good.withColumn(
+        "cluster_id",
+        F.when(F.col("id") == "d5", F.lit("d5")).otherwise(F.col("cluster_id")),
+    )
+    ev, cv, sv, uv = audit(torn)
+    assert ev >= 1 and sv >= 1
+
+    # over-merge: unrelated singletons d0/d2/d4 fused into one
+    # 3-member cluster with zero supporting pairs -> undersupported
+    fused = good.withColumn(
+        "cluster_id",
+        F.when(
+            F.col("id").isin("d0", "d2", "d4"), F.lit("d0")
+        ).otherwise(F.col("cluster_id")),
+    )
+    ev, cv, sv, uv = audit(fused)
+    assert uv >= 1 and sv >= 1
+
+    # canonical violation: a cluster labeled by a non-minimum member
+    relabel = good.withColumn(
+        "cluster_id",
+        F.when(F.col("cluster_id") == "d1", F.lit("d3")).otherwise(
+            F.col("cluster_id")
+        ),
+    )
+    ev, cv, sv, uv = audit(relabel)
+    assert cv >= 1
