@@ -4753,6 +4753,137 @@ def _components_audit_frame(d, pairs, clusters):
     )
 
 
+def _q195_packing_audit(spark, sf_dir):
+    """Sequence-packing VALIDITY AUDIT — the scale-tier check for
+    q41/q92, whose replay oracles step row-by-row through a recursive
+    CTE and are DuckDB-infeasible beyond ~5k docs
+    (CORRECTNESS_SF1.json). This audit verifies the greedy next-fit
+    output STRUCTURALLY with windows and aggregates only — no
+    recursion — so it runs (and is green) at the 10x sf1 dir:
+
+      n_start_violations      each shard's first doc sits at
+                              (seq 0, pos 0);
+      n_transition_violations consecutive docs either continue the
+                              sequence (same seq, pos+1) or open the
+                              next one (seq+1, pos 0) — never skip;
+      n_budget_violations     every multi-doc sequence's token total
+                              is within budget (a single oversized
+                              doc may exceed it alone);
+      n_greedy_violations     a sequence break is only legal when the
+                              arriving doc would NOT have fit the
+                              previous sequence — premature breaks
+                              (under-packing) are caught, which a
+                              feasibility-only check would miss.
+
+    The oracle replays n_docs and the used-shard count from the md5
+    shard rule and pins all four violation counters at ZERO. The
+    companion pytest plants skipped-seq, overfull and premature-break
+    packings and proves each counter fires."""
+    from horus_spark.operators.packing import pack_sequences
+    from horus_spark.operators.textstats import token_count_expr
+
+    d = _fanout(_load(spark, sf_dir, "documents")).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        token_count_expr(F.col("text")).alias("n_tokens"),
+    )
+    packed = pack_sequences(d, "doc_id", "n_tokens", budget=512, n_shards=8)
+    return _packing_audit_frame(packed, budget=512)
+
+
+def _packing_audit_frame(packed, budget: int):
+    """The four structural packing audits as ONE scalar row (shared by
+    q195 and the corruption pytest). Input: (doc_id, shard, seq_id,
+    seq_pos, n_tokens). All checks are per-shard windows ordered by
+    doc_id (the packing order) plus per-sequence aggregates — slim
+    rows, map-side combine, zero recursion."""
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("shard").orderBy("doc_id")
+    t = packed.select(
+        "doc_id", "shard", "seq_id", "seq_pos", "n_tokens",
+        F.lag("seq_id").over(w).alias("p_seq"),
+        F.lag("seq_pos").over(w).alias("p_pos"),
+    ).localCheckpoint(eager=False)
+    start = t.where(F.col("p_seq").isNull()).agg(
+        F.coalesce(
+            F.sum(
+                ((F.col("seq_id") != 0) | (F.col("seq_pos") != 0)).cast(
+                    "long"
+                )
+            ),
+            F.lit(0),
+        ).alias("n_start_violations")
+    )
+    trans = t.where(F.col("p_seq").isNotNull()).agg(
+        F.coalesce(
+            F.sum(
+                (
+                    ~(
+                        (
+                            (F.col("seq_id") == F.col("p_seq"))
+                            & (F.col("seq_pos") == F.col("p_pos") + 1)
+                        )
+                        | (
+                            (F.col("seq_id") == F.col("p_seq") + 1)
+                            & (F.col("seq_pos") == 0)
+                        )
+                    )
+                ).cast("long")
+            ),
+            F.lit(0),
+        ).alias("n_transition_violations")
+    )
+    per_seq = packed.groupBy("shard", "seq_id").agg(
+        F.sum("n_tokens").alias("__tot"), F.count(F.lit(1)).alias("__n")
+    )
+    budget_v = per_seq.agg(
+        F.coalesce(
+            F.sum(
+                ((F.col("__tot") > budget) & (F.col("__n") > 1)).cast(
+                    "long"
+                )
+            ),
+            F.lit(0),
+        ).alias("n_budget_violations")
+    )
+    # greedy: for each seq-opening row (pos 0, p_seq not null), the doc
+    # must NOT have fit the previous sequence: prev_total + tokens > budget
+    openers = t.where(
+        F.col("p_seq").isNotNull() & (F.col("seq_pos") == 0)
+    ).select("shard", "seq_id", "n_tokens")
+    greedy = (
+        openers.join(
+            per_seq.select(
+                "shard",
+                (F.col("seq_id") + 1).alias("seq_id"),
+                F.col("__tot").alias("__prev_tot"),
+            ),
+            ["shard", "seq_id"],
+        )
+        .agg(
+            F.coalesce(
+                F.sum(
+                    (
+                        F.col("__prev_tot") + F.col("n_tokens") <= budget
+                    ).cast("long")
+                ),
+                F.lit(0),
+            ).alias("n_greedy_violations")
+        )
+    )
+    n_docs = packed.agg(F.count(F.lit(1)).alias("n_docs"))
+    n_shards = packed.agg(
+        F.countDistinct("shard").alias("n_shards_used")
+    )
+    return (
+        n_docs.crossJoin(n_shards)
+        .crossJoin(start)
+        .crossJoin(trans)
+        .crossJoin(budget_v)
+        .crossJoin(greedy)
+    )
+
+
 def _q131_snapshot_diff(spark, sf_dir):
     """Incremental/changelog read over the snapshot catalog
     (sink.py:snapshot_diff): q101's DML history is replayed (4 appends
@@ -5682,6 +5813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q192_image_decode": _q192_image_decode,
         "q193_trained_extraction": _q193_trained_extraction,
         "q194_components_audit": _q194_components_audit,
+        "q195_packing_audit": _q195_packing_audit,
     }
 
 
@@ -8365,6 +8497,24 @@ def _oracle_sql_literals() -> dict[str, str]:
                unnest([1, 2]) AS u(v)
         """,
         "q21_minhash_pairs": minhash_sql,
+        # q195: n_docs + used-shard count from the md5 shard rule;
+        # all four packing-validity counters pinned at ZERO (the
+        # recursion-free scale-tier check for the q41/q92 packers)
+        "q195_packing_audit": """
+          WITH docs AS (
+            SELECT CAST(doc_id AS VARCHAR) AS id,
+                   CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8 AS INT) AS shard
+            FROM documents
+          )
+          SELECT (SELECT count(*) FROM docs) AS n_docs,
+                 (SELECT count(DISTINCT shard) FROM docs)
+                   AS n_shards_used,
+                 CAST(0 AS BIGINT) AS n_start_violations,
+                 CAST(0 AS BIGINT) AS n_transition_violations,
+                 CAST(0 AS BIGINT) AS n_budget_violations,
+                 CAST(0 AS BIGINT) AS n_greedy_violations
+          FROM (SELECT 1)
+        """,
         # q194: pair counts replay the q21 pipeline; the four
         # structural audits are pinned at ZERO (the recursion-free
         # scale-tier check for the q40 closure)

@@ -249,3 +249,62 @@ def test_pack_sequences_rejects_null_tokens(spark):
 
     with _pytest.raises(Exception, match="null n_tokens"):
         pack_sequences(df, "doc_id", "n_tokens", budget=16, n_shards=1).collect()
+
+
+def test_packing_audit_fires_on_planted_corruption(spark):
+    """The q195 structural audits must not be vacuous: the real packer
+    scores all zeros; each planted corruption trips its own counter."""
+    from pyspark.sql import functions as F
+
+    from __spark_entry__ import _packing_audit_frame
+    from horus_spark.operators.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(f"d{i:02d}", 200 + 10 * i) for i in range(12)],
+        "doc_id string, n_tokens long",
+    )
+    packed = pack_sequences(docs, "doc_id", "n_tokens", budget=512, n_shards=2)
+
+    def audit(p):
+        r = _packing_audit_frame(p, budget=512).collect()[0]
+        return (
+            r.n_start_violations, r.n_transition_violations,
+            r.n_budget_violations, r.n_greedy_violations,
+        )
+
+    assert audit(packed) == (0, 0, 0, 0)
+
+    # skipped sequence id -> transition violation
+    skipped = packed.withColumn(
+        "seq_id",
+        F.when(F.col("seq_id") >= 1, F.col("seq_id") + 1).otherwise(
+            F.col("seq_id")
+        ),
+    )
+    assert audit(skipped)[1] >= 1
+
+    # overfull: fuse everything into one giant sequence per shard
+    fused = packed.withColumn("seq_id", F.lit(0)).withColumn(
+        "seq_pos",
+        F.row_number().over(
+            __import__("pyspark.sql.window", fromlist=["Window"])
+            .Window.partitionBy("shard")
+            .orderBy("doc_id")
+        )
+        - 1,
+    )
+    assert audit(fused)[2] >= 1  # budget violation
+
+    # premature break (under-packing): every doc its own sequence —
+    # transitions stay legal (seq+1, pos 0) but greedy must fire
+    solo = packed.withColumn(
+        "seq_id",
+        F.row_number().over(
+            __import__("pyspark.sql.window", fromlist=["Window"])
+            .Window.partitionBy("shard")
+            .orderBy("doc_id")
+        )
+        - 1,
+    ).withColumn("seq_pos", F.lit(0))
+    a = audit(solo)
+    assert a[3] >= 1 and a[1] == 0
